@@ -1,0 +1,181 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+--scaling: runs the headline KG pipeline twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same input and reports both throughputs
+plus scaling efficiency = (T_8 / T_32) / (32/8).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def _consume(res) -> int:
+    """Consume a result without materializing it on the driver."""
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    return len(res)
+
+
+def kg_pipeline_count(sf_dir: str, num_cpus: int) -> int:
+    """Headline: synthetic north-rule corpus → prep → kernel → triples."""
+    import __ray_entry__ as m
+
+    tri = m.queries()["kg_triples"](sf_dir)
+    return tri.count()
+
+
+def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
+    import __ray_entry__ as m
+
+    qs = m.queries()
+    picks = [
+        "kg_triples", "kg_span_counts", "kg_mention_counts",
+        "minhash_lsh_dups", "simhash_dups", "exact_dedup",
+        "knn_cosine", "embedding_neardups",
+        "token_stats", "quality_score", "lang_id",
+        "tpch_q1_agg", "broadcast_join_orders", "events_user_daily", "topk_orders",
+    ]
+    times: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for name in picks:
+        t0 = time.time()
+        n = _consume(qs[name](sf_dir))
+        times[name] = round(time.time() - t0, 3)
+        counts[name] = n
+    total = round(sum(times.values()), 3)
+    return {
+        "metric": "headline pipelines wall time (kg + dedup + similarity + text + relational)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "rows": counts,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }
+
+
+SCALING_FILES = int(os.environ.get("GRAFT_SCALE_FILES", "24000"))
+
+
+def _scaling_corpus() -> str:
+    """A corpus heavy enough that kernel compute dominates session startup —
+    otherwise the 32-cpu run is measured on its actor-pool spin-up."""
+    from dygiepp_ray.corpus import write_corpus
+
+    path = f"/tmp/dygiepp_ray_corpus/scaling_{SCALING_FILES}"
+    marker = os.path.join(path, "_done")
+    if not os.path.exists(marker):
+        # 256 shards → enough task granularity that the actor-pool waves
+        # don't quantize (64 blocks / 30 actors = 2.1 waves = idle tails)
+        write_corpus(path, n_files=SCALING_FILES, seed=42, n_shards=256)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return path
+
+
+def _scaling_worker(num_cpus: int) -> None:
+    _init_ray(num_cpus)
+    from dygiepp_ray.pipelines.kg import kg_triples
+
+    corpus = _scaling_corpus()
+    conc = (max(2, num_cpus - 2), max(2, num_cpus - 2))
+    # warmup: spin up the worker/actor pool on a slice so the timed runs
+    # measure steady-state throughput, not process startup; report best-of-2
+    # to shave scheduler jitter
+    kg_triples(corpus, concurrency=conc).limit(1).count()
+    best, n = float("inf"), 0
+    for _ in range(2):
+        t0 = time.time()
+        n = kg_triples(corpus, concurrency=conc).count()
+        best = min(best, time.time() - t0)
+    print(json.dumps({"num_cpus": num_cpus, "sec": best, "triples": n}))
+    import ray
+
+    ray.shutdown()
+
+
+def run_scaling() -> dict:
+    # interleave the two levels (8, 32, 8, 32) and keep the min per level —
+    # this sandbox is a shared VM with noisy neighbors, so paired sampling
+    # beats back-to-back runs
+    results: dict[int, dict] = {}
+    for cpus in (8, 32, 8, 32):
+        env = dict(os.environ)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_worker", str(cpus)],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        if cpus not in results or r["sec"] < results[cpus]["sec"]:
+            results[cpus] = r
+    t8, t32 = results[8]["sec"], results[32]["sec"]
+    n = results[32]["triples"]
+    thr8, thr32 = n / t8, n / t32
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "kg triples/sec scaling (8 vs 32 cpus, fresh sessions)",
+        "value": round(eff, 4),
+        "unit": "efficiency",
+        "queries": {"kg_sec_8cpu": round(t8, 3), "kg_sec_32cpu": round(t32, 3)},
+        "triples": n,
+        "triples_per_sec_8cpu": round(thr8, 1),
+        "triples_per_sec_32cpu": round(thr32, 1),
+        "scaling_efficiency": round(eff, 4),
+        "sf": SF_DIR,
+        "num_cpus": [8, 32],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--_worker", type=int, default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args._worker is not None:
+        _scaling_worker(args._worker)
+        return
+    if args.scaling:
+        print(json.dumps(run_scaling()))
+        return
+
+    _init_ray(NUM_CPUS)
+    out = run_benchmarks(SF_DIR, NUM_CPUS)
+    print(json.dumps(out))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Shuffle-aware aggregation helpers (SURVEY.md §2.5 A1/A8, §7.3).
+
+The KB span/pair counts (make_kb.py:198-220) are the engine's one mandatory
+all-to-all shuffle, and the keys are Zipfian (popular entities). Strategy:
+
+1. `partial_count` — combine INSIDE each `map_batches` block first (pyarrow
+   `Table.group_by(...).aggregate([("", "count_all")])`), so at most one row
+   per (key, block) enters the shuffle. This alone bounds any key's shuffle
+   fan-in to the number of blocks, independent of its row popularity.
+2. optional salting (`salt_buckets > 1`) — a deterministic salt column spreads
+   a hot key across `salt_buckets` reducers for the first groupby, then a
+   second (tiny) groupby folds the salt away. Use when the number of blocks
+   itself is huge (100 TB → 10^5-10^6 blocks) and a single reducer per hot
+   key would still be a straggler.
+
+Both phases stream; nothing is materialized on the driver.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def _block_partial_count(keys: list[str]):
+    def fn(batch: pa.Table) -> pa.Table:
+        g = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
+        return g.rename_columns(keys + ["partial_count"])
+
+    return fn
+
+
+def grouped_count(ds: "ray.data.Dataset", keys: list[str], out_name: str = "count",
+                  salt_buckets: int = 1) -> "ray.data.Dataset":
+    """Partial+final grouped count. `keys` are the groupby columns; result has
+    columns keys + [out_name]."""
+    partial = ds.map_batches(_block_partial_count(keys), batch_format="pyarrow")
+    if salt_buckets > 1:
+        import numpy as np
+
+        def stamp_salt(batch: pa.Table) -> pa.Table:
+            # Per-row salt (row position mod buckets): a hot key's partial
+            # rows — one per upstream block — spread across salt_buckets
+            # reducers. The salt is folded away by the second groupby, so its
+            # exact assignment never affects the result.
+            salts = pa.array(np.arange(batch.num_rows) % salt_buckets, pa.int32())
+            return batch.append_column("_salt", salts)
+
+        salted = partial.map_batches(stamp_salt, batch_format="pyarrow")
+        first = salted.groupby(keys + ["_salt"]).aggregate(
+            Sum("partial_count", alias_name="_salted_count")
+        )
+        final = first.groupby(keys).aggregate(Sum("_salted_count", alias_name=out_name))
+        return final
+    return partial.groupby(keys).aggregate(Sum("partial_count", alias_name=out_name))
+
+
+def distinct_first(ds: "ray.data.Dataset", keys: list[str]) -> "ray.data.Dataset":
+    """A8/D3 exact dedup: keep the first row per key group, deterministically
+    (rows sorted by all columns within the group before taking the head)."""
+    import pandas as pd
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(list(g.columns)).head(1)
+
+    return ds.groupby(keys).map_groups(first, batch_format="pandas")
+
+
+def top_k(ds: "ray.data.Dataset", col: str, k: int, descending: bool = True) -> "ray.data.Dataset":
+    """T2 global top-k: per-block prune to k candidates first so the global
+    sort only sees num_blocks × k rows, then sort+limit."""
+    def block_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(batch, k=min(k, batch.num_rows),
+                                   sort_keys=[(col, "descending" if descending else "ascending")])
+        return batch.take(idx)
+
+    pruned = ds.map_batches(block_topk, batch_format="pyarrow")
+    return pruned.sort(col, descending=descending).limit(k)

@@ -1,0 +1,221 @@
+"""Evaluation harness (SURVEY.md §2.4 J1/J3, §2.5 A2-A7).
+
+- `join_gold_pred`: gold⋈pred on doc_key with 1:1 assertion
+  (data_structures.py:26-42 positional zip → here a real key join via
+  per-doc-key map_groups).
+- `micro_f1_*`: TP/FP/FN counters computed PARTIALLY inside map_batches and
+  summed globally (ner_metrics.py:22-57, relation_metrics.py:19-37,
+  f1.py:13-17) — the partial+final pattern, no driver-side loops.
+- `relation_matching`: per-doc cross-product pred×gold matching under a
+  pluggable span metric with greedy seen-set dedup (eval_utils.py:283-335).
+- `transitive_closure`: per-doc fixpoint (a→b, b→c ⇒ a→c, conf product)
+  (eval_utils.py:466-496) via groupby(doc).map_groups — bounded per doc.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..functions.strings import exact_match, jaccard, substring_match
+
+
+def compute_f1(n_pred: int, n_gold: int, n_matched: int) -> tuple[float, float, float]:
+    """f1.py:13-17."""
+    precision = n_matched / n_pred if n_pred else 0.0
+    recall = n_matched / n_gold if n_gold else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return precision, recall, f1
+
+
+# ---------------------------------------------------------------- micro F1
+
+
+def _count_ner_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch partial TP/FP/FN for NER: exact (span, label) match
+    (ner_metrics.py:22-57), nulls excluded by construction."""
+    gold_col = batch.column("ner").to_pylist()
+    pred_col = batch.column("predicted_ner").to_pylist()
+    tp = fp = fn = 0
+    for gold_doc, pred_doc in zip(gold_col, pred_col):
+        for gold_sent, pred_sent in zip(gold_doc or [], pred_doc or []):
+            gold_set = {(m["start"], m["end"], m["label"]) for m in gold_sent}
+            pred_set = {(m["start"], m["end"], m["label"]) for m in pred_sent}
+            tp += len(gold_set & pred_set)
+            fp += len(pred_set - gold_set)
+            fn += len(gold_set - pred_set)
+    return pa.table({"tp": [tp], "fp": [fp], "fn": [fn]})
+
+
+def _count_rel_batch(batch: pa.Table) -> pa.Table:
+    """Partial counts for relations: exact span-pair + label
+    (relation_metrics.py:19-37)."""
+    gold_col = batch.column("relations").to_pylist()
+    pred_col = batch.column("predicted_relations").to_pylist()
+    tp = fp = fn = 0
+    for gold_doc, pred_doc in zip(gold_col, pred_col):
+        for gold_sent, pred_sent in zip(gold_doc or [], pred_doc or []):
+            gold_set = {(r["s1"], r["e1"], r["s2"], r["e2"], r["label"]) for r in gold_sent}
+            pred_set = {(r["s1"], r["e1"], r["s2"], r["e2"], r["label"]) for r in pred_sent}
+            tp += len(gold_set & pred_set)
+            fp += len(pred_set - gold_set)
+            fn += len(gold_set - pred_set)
+    return pa.table({"tp": [tp], "fp": [fp], "fn": [fn]})
+
+
+def micro_f1(ds: "ray.data.Dataset", task: str = "ner") -> dict:
+    """Global micro P/R/F1 from partial batch counters + one tiny reduce."""
+    counter = {"ner": _count_ner_batch, "relations": _count_rel_batch}[task]
+    sums = (
+        ds.map_batches(counter, batch_format="pyarrow")
+        .aggregate(Sum("tp", alias_name="tp"), Sum("fp", alias_name="fp"),
+                   Sum("fn", alias_name="fn"))
+    )
+    tp, fp, fn = sums["tp"] or 0, sums["fp"] or 0, sums["fn"] or 0
+    p, r, f1 = compute_f1(tp + fp, tp + fn, tp)
+    return {"precision": p, "recall": r, "f1": f1, "tp": tp, "fp": fp, "fn": fn}
+
+
+# ----------------------------------------------------------- gold ⋈ pred
+
+
+def join_gold_pred(gold: "ray.data.Dataset", pred: "ray.data.Dataset",
+                   pred_cols: list[str]) -> "ray.data.Dataset":
+    """J1 — hash join on doc_key; asserts 1:1 multiplicity per key
+    (data_structures.py:26-42's zip+assert, shuffle-keyed here)."""
+    g = gold.map_batches(lambda t: t.append_column("_side", pa.array(["g"] * t.num_rows)),
+                         batch_format="pyarrow")
+    keep = ["doc_key", *pred_cols]
+    p = pred.select_columns(keep).map_batches(
+        lambda t: t.append_column("_side", pa.array(["p"] * t.num_rows)),
+        batch_format="pyarrow")
+
+    def zip_group(df: pd.DataFrame) -> pd.DataFrame:
+        gs = df[df["_side"] == "g"]
+        ps = df[df["_side"] == "p"]
+        assert len(gs) == 1 and len(ps) == 1, (
+            f"doc_key {df['doc_key'].iloc[0]!r} not 1:1 between gold and pred"
+        )
+        row = gs.drop(columns=["_side"]).iloc[0].to_dict()
+        for c in pred_cols:
+            row[c] = ps.iloc[0][c]
+        return pd.DataFrame([row])
+
+    return g.union(p).groupby("doc_key").map_groups(zip_group, batch_format="pandas")
+
+
+# ------------------------------------------------------ pred×gold matching
+
+
+def span_match(a: str, b: str, metric: str = "exact", threshold: float = 0.5) -> bool:
+    """F6 dispatcher over F1-F3 (eval_utils.py:236-262; head/rouge need
+    models that aren't in this container and are gated out)."""
+    if metric == "exact":
+        return exact_match(a, b)
+    if metric == "substring":
+        return substring_match(a, b)
+    if metric == "jaccard":
+        return jaccard(a, b) >= threshold
+    raise ValueError(f"unknown metric {metric!r} (head/rouge unavailable here)")
+
+
+def relation_matching(gold_rows: list[dict], pred_rows: list[dict], metric: str = "exact",
+                      threshold: float = 0.5, match_reversed: bool = True) -> int:
+    """J3 per-doc matcher (eval_utils.py:283-335): cross-product, a pair
+    matches if both args match under the metric and labels agree; optional
+    reversed-direction; greedy dedup via seen-sets. Returns matched count."""
+    seen_gold: set[int] = set()
+    seen_pred: set[int] = set()
+    matched = 0
+    for gi, g in enumerate(gold_rows):
+        for pi, p in enumerate(pred_rows):
+            if gi in seen_gold or pi in seen_pred:
+                continue
+            if g.get("rel") != p.get("rel"):
+                continue
+            fwd = span_match(g["arg0"], p["arg0"], metric, threshold) and span_match(
+                g["arg1"], p["arg1"], metric, threshold
+            )
+            rev = match_reversed and span_match(g["arg0"], p["arg1"], metric, threshold) and span_match(
+                g["arg1"], p["arg0"], metric, threshold
+            )
+            if fwd or rev:
+                matched += 1
+                seen_gold.add(gi)
+                seen_pred.add(pi)
+    return matched
+
+
+def triple_prf(gold: "ray.data.Dataset", pred: "ray.data.Dataset",
+               metric: str = "exact") -> dict:
+    """Corpus-level P/R/F1 of predicted triples vs gold triples, joined per
+    doc_id, matched with J3 semantics, counters partial+final."""
+    g = gold.map_batches(
+        lambda t: t.append_column("_side", pa.array(["g"] * t.num_rows)),
+        batch_format="pyarrow")
+    p = pred.map_batches(
+        lambda t: t.append_column("_side", pa.array(["p"] * t.num_rows)),
+        batch_format="pyarrow")
+    cols = ["doc_id", "arg0", "arg1", "rel", "_side"]
+
+    def count_group(df: pd.DataFrame) -> pd.DataFrame:
+        gs = df[df["_side"] == "g"].to_dict("records")
+        ps = df[df["_side"] == "p"].to_dict("records")
+        m = relation_matching(gs, ps, metric=metric)
+        return pd.DataFrame({"n_gold": [len(gs)], "n_pred": [len(ps)], "n_matched": [m]})
+
+    counts = (
+        g.select_columns(cols).union(p.select_columns(cols))
+        .groupby("doc_id")
+        .map_groups(count_group, batch_format="pandas")
+        .aggregate(Sum("n_gold", alias_name="n_gold"), Sum("n_pred", alias_name="n_pred"),
+                   Sum("n_matched", alias_name="n_matched"))
+    )
+    n_gold = counts["n_gold"] or 0
+    n_pred = counts["n_pred"] or 0
+    n_matched = counts["n_matched"] or 0
+    prec, rec, f1 = compute_f1(n_pred, n_gold, n_matched)
+    return {"precision": prec, "recall": rec, "f1": f1,
+            "n_gold": n_gold, "n_pred": n_pred, "n_matched": n_matched}
+
+
+# ------------------------------------------------------- transitive closure
+
+
+def closure_rows(rows: list[dict]) -> list[dict]:
+    """A7 per-doc fixpoint (eval_utils.py:466-496): while new, add (a→c) for
+    (a→b),(b→c) with conf product; label from the FIRST hop; dedup on
+    (arg0, arg1)."""
+    edges = {(r["arg0"], r["arg1"]): dict(r) for r in rows}
+    changed = True
+    while changed:
+        changed = False
+        current = list(edges.values())
+        by_src: dict[str, list[dict]] = {}
+        for e in current:
+            by_src.setdefault(e["arg0"], []).append(e)
+        for e in current:
+            for nxt in by_src.get(e["arg1"], []):
+                key = (e["arg0"], nxt["arg1"])
+                if e["arg0"] != nxt["arg1"] and key not in edges:
+                    new = dict(e)
+                    new["arg1"] = nxt["arg1"]
+                    new["conf"] = round(float(e["conf"]) * float(nxt["conf"]), 6)
+                    edges[key] = new
+                    changed = True
+    return list(edges.values())
+
+
+def transitive_closure(triples: "ray.data.Dataset") -> "ray.data.Dataset":
+    """groupby(doc_id) → per-doc closure; no global iteration."""
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        rows = df.rename(columns={"subj": "arg0", "obj": "arg1", "pred": "rel"}).to_dict("records")
+        out = closure_rows(rows)
+        res = pd.DataFrame(out)
+        return res.rename(columns={"arg0": "subj", "arg1": "obj", "rel": "pred"})
+
+    return triples.groupby("doc_id").map_groups(per_doc, batch_format="pandas")

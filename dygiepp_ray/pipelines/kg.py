@@ -1,0 +1,192 @@
+"""Flagship KG-construction pipeline (SURVEY.md §7.1; reference lifecycle §3.2).
+
+read_parquet(corpus) → bucket stamp → [resume filter] → sha256 stamp →
+doc-prep (P1-P4) → ExtractionKernel actor pool (M1-M8) → flatten triples
+(S5/P12-P14) → write partitioned Parquet + per-bucket lineage manifests.
+Count tables (A1) stream through partial+final grouped counts.
+
+Everything is lazy/streaming until the sink; no driver-side materialization of
+document or triple data.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..aggregates import grouped_count
+from ..stages.kernel import ExtractionKernel
+from ..stages.prep import corpus_to_documents, split_long_documents, stamp_sha256
+from ..stages.triples import FlattenTriples
+from ..state.manifest import (
+    assign_buckets,
+    completed_buckets,
+    input_fingerprint,
+    write_manifest,
+)
+
+# Actor-pool sizing for the kernel stage. An autoscaling (min, max) pool lets
+# the streaming executor balance the kernel against read/prep/write stages.
+DEFAULT_KERNEL_CONCURRENCY = (1, 8)
+DEFAULT_KERNEL_BATCH_SIZE = 64
+
+
+def read_corpus(input_dir: str) -> "ray.data.Dataset":
+    # all five corpus columns are needed downstream (content for prep+sha,
+    # repo/path/commit for keys+buckets, lang for extraction dispatch)
+    return ray.data.read_parquet(input_dir)
+
+
+def documents_dataset(corpus: "ray.data.Dataset", n_buckets: int | None = None,
+                      skip_buckets: set[int] | None = None) -> "ray.data.Dataset":
+    """corpus rows → prepped document rows (no kernel yet)."""
+    ds = corpus
+    if n_buckets:
+        ds = ds.map_batches(assign_buckets(n_buckets), batch_format="pyarrow")
+        if skip_buckets:
+            skip = pa.array(sorted(skip_buckets), pa.int32())
+
+            def drop_done(batch: pa.Table) -> pa.Table:
+                mask = pc.invert(pc.is_in(batch.column("bucket"), value_set=skip))
+                return batch.filter(mask)
+
+            ds = ds.map_batches(drop_done, batch_format="pyarrow")
+    ds = ds.map_batches(stamp_sha256, batch_format="pyarrow")
+    ds = ds.map_batches(corpus_to_documents, batch_format="pyarrow")
+    ds = ds.map_batches(split_long_documents, batch_format="pyarrow")
+    return ds
+
+
+def extract(documents: "ray.data.Dataset",
+            concurrency=DEFAULT_KERNEL_CONCURRENCY,
+            batch_size: int = DEFAULT_KERNEL_BATCH_SIZE,
+            **kernel_kwargs) -> "ray.data.Dataset":
+    """Run the extraction kernel actor pool over document rows."""
+    return documents.map_batches(
+        ExtractionKernel,
+        fn_constructor_kwargs=kernel_kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def triples_dataset(predicted: "ray.data.Dataset",
+                    label_map: dict[str, str] | None = None,
+                    use_coref_substitution: bool = True) -> "ray.data.Dataset":
+    return predicted.map_batches(
+        FlattenTriples(label_map=label_map, use_coref_substitution=use_coref_substitution),
+        batch_format="pyarrow",
+    )
+
+
+class ExtractToTriples:
+    """Fused actor stage: (optional prep) + kernel + flatten in one
+    `__call__`, so neither the tokenized document rows nor the wide nested
+    `predicted_*` columns ever enter the object store — only the (much
+    smaller) triple rows do. This is the hot path for build_kg / kg_triples;
+    use `extract` + `triples_dataset` when the predicted document table
+    itself is the product.
+
+    With `do_prep=True` the input is raw corpus rows `(repo, path, commit,
+    lang, content[, bucket])` and the whole chain S-sha256 → P1-P3 → M1-M8 →
+    S5/P12 runs inside the actor."""
+
+    def __init__(self, label_map=None, use_coref_substitution=True,
+                 do_prep: bool = False, **kernel_kwargs):
+        self.kernel = ExtractionKernel(**kernel_kwargs)
+        self.flatten = FlattenTriples(label_map=label_map,
+                                      use_coref_substitution=use_coref_substitution)
+        self.do_prep = do_prep
+
+    def __call__(self, batch):
+        if self.do_prep:
+            batch = split_long_documents(corpus_to_documents(stamp_sha256(batch)))
+        return self.flatten(self.kernel(batch))
+
+
+def kg_triples(input_dir: str, concurrency=DEFAULT_KERNEL_CONCURRENCY,
+               batch_size: int = DEFAULT_KERNEL_BATCH_SIZE,
+               label_map: dict[str, str] | None = None,
+               **kernel_kwargs) -> "ray.data.Dataset":
+    """Corpus dir → streaming triples Dataset (no sink); prep+kernel+flatten
+    fully fused into the actor pool (raw corpus rows in, triple rows out)."""
+    return read_corpus(input_dir).map_batches(
+        ExtractToTriples,
+        fn_constructor_kwargs=dict(label_map=label_map, do_prep=True, **kernel_kwargs),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def span_counts(triples: "ray.data.Dataset", salt_buckets: int = 1) -> "ray.data.Dataset":
+    """A1 — occurrences per canonicalized span, counting BOTH argument slots
+    (make_kb.py:198-212). Implemented as a cheap projection union + salted
+    partial/final count; the union doubles rows but each side is one string
+    column."""
+    subj = triples.select_columns(["subj_norm"]).map_batches(
+        lambda t: t.rename_columns(["span_norm"]), batch_format="pyarrow"
+    )
+    obj = triples.select_columns(["obj_norm"]).map_batches(
+        lambda t: t.rename_columns(["span_norm"]), batch_format="pyarrow"
+    )
+    return grouped_count(subj.union(obj), ["span_norm"], out_name="count",
+                         salt_buckets=salt_buckets)
+
+
+def pair_counts(triples: "ray.data.Dataset", salt_buckets: int = 1) -> "ray.data.Dataset":
+    """A1 — count per (subj_norm, obj_norm) edge (make_kb.py:213-220)."""
+    return grouped_count(triples.select_columns(["subj_norm", "obj_norm"]),
+                         ["subj_norm", "obj_norm"], out_name="count",
+                         salt_buckets=salt_buckets)
+
+
+def build_kg(input_dir: str, out_dir: str, n_buckets: int = 16, resume: bool = True,
+             concurrency=DEFAULT_KERNEL_CONCURRENCY,
+             batch_size: int = DEFAULT_KERNEL_BATCH_SIZE) -> dict:
+    """Full materializing run: triples → `out_dir/bucket=<b>/*.parquet` +
+    per-bucket lineage manifests; valid buckets are skipped on re-run."""
+    import os
+    import shutil
+
+    fp = input_fingerprint(input_dir)
+    done = completed_buckets(out_dir, fp) if resume else set()
+    pending = [b for b in range(n_buckets) if b not in done]
+    if not pending:
+        return {"written_buckets": [], "skipped_buckets": sorted(done), "fingerprint": fp}
+    # drop stale partials from interrupted runs: a pending bucket's dir is
+    # rewritten from scratch (manifest is the only commit marker)
+    for b in pending:
+        part_dir = os.path.join(out_dir, f"bucket={b}")
+        if os.path.isdir(part_dir):
+            shutil.rmtree(part_dir)
+        stale_manifest = os.path.join(out_dir, "_manifests", f"bucket-{b}.json")
+        if os.path.exists(stale_manifest):
+            os.remove(stale_manifest)
+
+    corpus = read_corpus(input_dir).map_batches(
+        assign_buckets(n_buckets), batch_format="pyarrow"
+    )
+    if done:
+        skip = pa.array(sorted(done), pa.int32())
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.invert(pc.is_in(batch.column("bucket"), value_set=skip)))
+
+        corpus = corpus.map_batches(drop_done, batch_format="pyarrow")
+    triples = corpus.map_batches(
+        ExtractToTriples, fn_constructor_kwargs=dict(do_prep=True),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )
+    triples.write_parquet(out_dir, partition_cols=["bucket"])
+    written = []
+    for b in pending:
+        write_manifest(out_dir, b, fp)
+        written.append(b)
+    return {"written_buckets": written, "skipped_buckets": sorted(done), "fingerprint": fp}

@@ -1,0 +1,396 @@
+"""Extraction kernel: span enumeration, pruning, NER / relation / event decode.
+
+The Ray-Data twin of the reference's neural forward+decode path
+(dygie/models/{ner,relation,events,entity_beam_pruner}.py), implemented as
+
+  * pure decode functions over numpy logit arrays — these encode the
+    reference's decode semantics EXACTLY and are unit-tested table-driven:
+      - null label fixed at index 0 with score 0; predicted = argmax-1
+        (ner.py:74-147, relation.py:146-177)
+      - pruner keeps k = ceil(spans_per_word * sentence_length), min 1, then
+        RE-SORTS kept indices into original textual order
+        (entity_beam_pruner.py:104-192, relation.py:112-131)
+      - trigger beam floor(0.3*len) clamped [1,15]; argument beam
+        floor(0.8*len) clamped [1,30] (events.py:133-152)
+      - an argument is kept only if its trigger is itself predicted non-null
+        (events.py:251-279)
+      - scores rounded to 4 decimals on serialization (document.py:10-11)
+
+  * a deterministic `LexiconScorer` standing in for the BERT trunk: logits are
+    produced from broadcast entity-lexicon / relation-pattern / trigger tables
+    (loaded once per actor in `__init__` — the M1/M2 weights-loading slot), so
+    predictions are exactly reproducible by an independent oracle.
+
+`ExtractionKernel` is the actor-pool `map_batches` stage: documents in,
+documents + `predicted_ner` / `predicted_relations` / `predicted_events` /
+`predicted_clusters` out, Arrow in / Arrow out.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.strings import canonicalize, stable_hash64
+from ..schema import (
+    ARG_BEAM_MAX,
+    ARG_BEAM_MIN,
+    ARG_BEAM_RATIO,
+    ARG_ROLES,
+    EVENT_TYPES,
+    FLOAT_ROUND_DECIMALS,
+    MAX_SPAN_WIDTH,
+    NER_LABELS,
+    RELATION_LABELS,
+    RELATION_SPANS_PER_WORD,
+    TRIGGER_BEAM_MAX,
+    TRIGGER_BEAM_MIN,
+    TRIGGER_BEAM_RATIO,
+)
+
+# ------------------------------------------------------------------ decode
+
+
+def enumerate_spans(n_tokens: int, max_width: int = MAX_SPAN_WIDTH) -> list[tuple[int, int]]:
+    """P8 — all spans (start, end) inclusive with width ≤ max_width
+    (dygie/data/dataset_readers/dygie.py:120-125). Textual order."""
+    return [
+        (s, e)
+        for s in range(n_tokens)
+        for e in range(s, min(s + max_width, n_tokens))
+    ]
+
+
+def softmax_with_null(raw: float, logits: np.ndarray, idx: int) -> float:
+    """Softmax over [0, logits...] evaluated at position idx+1 (ner.py:126-139
+    — the null column of constant 0 is part of the distribution)."""
+    full = np.concatenate([[0.0], logits])
+    m = full.max()
+    exp = np.exp(full - m)
+    return float(exp[idx + 1] / exp.sum())
+
+
+def decode_labels(logits: np.ndarray) -> np.ndarray:
+    """M3/M5 null-arithmetic: given (n_items, n_labels) real-label logits,
+    prepend a 0-score null column, argmax, return label index - 1 (null→-1)."""
+    if logits.size == 0:
+        return np.full((logits.shape[0],), -1, dtype=np.int64)
+    full = np.concatenate([np.zeros((logits.shape[0], 1)), logits], axis=1)
+    return full.argmax(axis=1) - 1
+
+
+def prune_spans(scores: np.ndarray, n_tokens: int,
+                spans_per_word: float = RELATION_SPANS_PER_WORD) -> np.ndarray:
+    """M4 — keep k = ceil(spans_per_word * n_tokens) top-scoring items (min 1)
+    and return their indices RE-SORTED ascending (textual order restore,
+    entity_beam_pruner.py:168-171). Ties break toward the lower index, as
+    torch.topk does."""
+    n = scores.shape[0]
+    if n == 0:
+        return np.zeros((0,), dtype=np.int64)
+    k = max(1, min(n, math.ceil(spans_per_word * n_tokens)))
+    # stable sort on -score keeps lower indices first among ties (torch.topk)
+    order = np.argsort(-scores, kind="stable")[:k]
+    return np.sort(order)
+
+
+def beam_size(n_tokens: int, ratio: float, lo: int, hi: int) -> int:
+    """M8 — floor(ratio * len) clamped to [lo, hi] (events.py:133-152)."""
+    return int(min(hi, max(lo, math.floor(ratio * n_tokens))))
+
+
+def _round(x: float) -> float:
+    return round(float(x), FLOAT_ROUND_DECIMALS)
+
+
+# ------------------------------------------------------------------ scorer
+
+# Deterministic jitter in [0, 0.1): stands in for learned-score noise so that
+# top-k ordering among non-lexicon spans is stable but non-trivial.
+_jitter_cache: dict[str, float] = {}
+
+
+def _jitter(text: str) -> float:
+    v = _jitter_cache.get(text)
+    if v is None:
+        v = (stable_hash64(text) % 1000) / 10000.0
+        if len(_jitter_cache) < 1_000_000:  # bound per-actor memory
+            _jitter_cache[text] = v
+    return v
+
+
+class LexiconScorer:
+    """Deterministic stand-in for the neural trunk (M1/M2).
+
+    Logit policy (chosen so decode arithmetic, not the scorer, determines the
+    output set):
+      - NER: lexicon hit → +5.0 on its label, else -2.0 + jitter everywhere.
+      - mention score: +2.0 + jitter for lexicon hits, -1.0 + jitter otherwise.
+      - relation: ordered pair of two LEXICON spans (a before b) whose
+        BETWEEN-tokens exactly match a connective pattern → +6.0 on that
+        label; else -10.0 (mention scores of both spans are then ADDED per
+        relation.py:200-245 — with lexicon mentions at +2 the null column
+        can never win a pattern pair, and always wins a non-pattern pair).
+      - trigger: token in trigger table → +4.0 on its type, else -2.0+jitter.
+      - argument role (LEXICON spans only): position rule — arg before
+        trigger → role[0] (+3.0), immediately after → role[1], further
+        after → role[2]; else -10.0.
+    """
+
+    def __init__(self, entity_lexicon: dict[str, str], relation_patterns: dict[str, str],
+                 event_triggers: dict[str, str]):
+        self.entity_label = {k.lower(): NER_LABELS.index(v) for k, v in entity_lexicon.items()}
+        self.rel_label = {k.lower(): RELATION_LABELS.index(v) for k, v in relation_patterns.items()}
+        self.trig_label = {k.lower(): EVENT_TYPES.index(v) for k, v in event_triggers.items()}
+        self.max_pattern_len = max((len(k.split()) for k in relation_patterns), default=0)
+
+    def span_logits(self, tokens_lower: list[str], spans: list[tuple[int, int]]):
+        """Returns (ner_logits (n_spans, n_labels), mention_scores (n_spans,),
+        is_hit (n_spans,) bool — lexicon membership per span)."""
+        n = len(spans)
+        ner = np.empty((n, len(NER_LABELS)))
+        mention = np.empty(n)
+        is_hit = np.zeros(n, dtype=bool)
+        for i, (s, e) in enumerate(spans):
+            text = " ".join(tokens_lower[s : e + 1])
+            hit = self.entity_label.get(text)
+            if hit is not None:
+                ner[i, :] = -2.0
+                ner[i, hit] = 5.0
+                mention[i] = 2.0 + _jitter(text)
+                is_hit[i] = True
+            else:
+                ner[i, :] = -2.0 + _jitter(text)
+                mention[i] = -1.0 + _jitter(text)
+        return ner, mention, is_hit
+
+    def relation_logits(self, tokens_lower: list[str], spans: list[tuple[int, int]],
+                        kept: np.ndarray, mention: np.ndarray,
+                        is_hit: np.ndarray) -> np.ndarray:
+        """(n_kept, n_kept, n_labels) pair logits + both mention scores added
+        (relation.py:200-245). Diagonal is left at -inf (no self relations)."""
+        k = len(kept)
+        out = np.full((k, k, len(RELATION_LABELS)), -10.0)
+        hit_ixs = [i for i in range(k) if is_hit[kept[i]]]
+        for ai in hit_ixs:
+            s1, e1 = spans[kept[ai]]
+            for bi in hit_ixs:
+                if ai == bi:
+                    continue
+                s2, e2 = spans[kept[bi]]
+                if e1 < s2 and (s2 - e1 - 1) <= self.max_pattern_len:
+                    between = " ".join(tokens_lower[e1 + 1 : s2])
+                    hit = self.rel_label.get(between)
+                    if hit is not None:
+                        out[ai, bi, hit] = 6.0
+        m = mention[kept]
+        out += m[:, None, None] + m[None, :, None]
+        ii = np.arange(k)
+        out[ii, ii, :] = -np.inf
+        return out
+
+    def trigger_logits(self, tokens_lower: list[str]) -> np.ndarray:
+        n = len(tokens_lower)
+        out = np.empty((n, len(EVENT_TYPES)))
+        for i, t in enumerate(tokens_lower):
+            hit = self.trig_label.get(t)
+            if hit is not None:
+                out[i, :] = -2.0
+                out[i, hit] = 4.0
+            else:
+                out[i, :] = -2.0 + _jitter(t)
+        return out
+
+    def role_logits(self, trig_ix: int, span: tuple[int, int], is_hit: bool) -> np.ndarray:
+        out = np.full(len(ARG_ROLES), -10.0)
+        if not is_hit:
+            return out
+        s, e = span
+        if e < trig_ix:
+            out[0] = 3.0
+        elif s == trig_ix + 1:
+            out[1] = 3.0
+        elif s > trig_ix + 1:
+            out[2] = 3.0
+        return out
+
+
+# ------------------------------------------------------------- per-sentence
+
+
+def extract_sentence(tokens: list[str], scorer: LexiconScorer):
+    """Run the full decode for one sentence. Returns
+    (pred_ner, pred_relations, pred_events) in the reference's JSON shapes
+    with sentence-relative offsets."""
+    n = len(tokens)
+    lower = [t.lower() for t in tokens]
+    spans = enumerate_spans(n)
+    ner_logits, mention, is_hit = scorer.span_logits(lower, spans)
+
+    # --- M3 NER decode
+    ner_pred = decode_labels(ner_logits)
+    pred_ner = []
+    for i, lab in enumerate(ner_pred):
+        if lab >= 0:
+            raw = ner_logits[i, lab]
+            pred_ner.append(
+                {
+                    "start": spans[i][0],
+                    "end": spans[i][1],
+                    "label": NER_LABELS[lab],
+                    "raw_score": _round(raw),
+                    "softmax_score": _round(softmax_with_null(raw, ner_logits[i], lab)),
+                }
+            )
+
+    # --- M4 prune + M5 relations
+    kept = prune_spans(mention, n)
+    rel_logits = scorer.relation_logits(lower, spans, kept, mention, is_hit)
+    pred_rels = []
+    if kept.size:
+        flat = rel_logits.reshape(-1, len(RELATION_LABELS))
+        labels = decode_labels(flat).reshape(len(kept), len(kept))
+        for ai in range(len(kept)):
+            for bi in range(len(kept)):
+                lab = labels[ai, bi]
+                if lab >= 0:
+                    s1, e1 = spans[kept[ai]]
+                    s2, e2 = spans[kept[bi]]
+                    raw = rel_logits[ai, bi, lab]
+                    pred_rels.append(
+                        {
+                            "s1": s1, "e1": e1, "s2": s2, "e2": e2,
+                            "label": RELATION_LABELS[lab],
+                            "raw_score": _round(raw),
+                            "softmax_score": _round(
+                                softmax_with_null(raw, rel_logits[ai, bi], lab)
+                            ),
+                        }
+                    )
+
+    # --- M8 events
+    trig_logits = scorer.trigger_logits(lower)
+    trig_beam = beam_size(n, TRIGGER_BEAM_RATIO, TRIGGER_BEAM_MIN, TRIGGER_BEAM_MAX)
+    trig_scores = trig_logits.max(axis=1)
+    trig_kept = np.sort(np.argsort(-trig_scores, kind="stable")[:trig_beam])
+    # argument beam is a fixed-size top-k on mention scores (events.py:139-152)
+    arg_beam = beam_size(n, ARG_BEAM_RATIO, ARG_BEAM_MIN, ARG_BEAM_MAX)
+    arg_order = np.argsort(-mention, kind="stable")[: min(arg_beam, len(spans))]
+    arg_kept = np.sort(arg_order)
+
+    pred_events = []
+    trig_labels = decode_labels(trig_logits[trig_kept]) if trig_kept.size else np.array([])
+    for ti, trig_ix in enumerate(trig_kept):
+        lab = int(trig_labels[ti])
+        if lab < 0:
+            continue  # trigger-gating: null trigger emits nothing (events.py:269-270)
+        raw = trig_logits[trig_ix, lab]
+        args = []
+        for si in arg_kept:
+            role = scorer.role_logits(int(trig_ix), spans[si], bool(is_hit[si]))
+            # argument scored against this trigger; add mention score (events.py:158-186)
+            scored = role + mention[si]
+            rlab = int(decode_labels(scored[None, :])[0])
+            if rlab < 0:
+                continue
+            args.append(
+                {
+                    "start": spans[si][0],
+                    "end": spans[si][1],
+                    "role": ARG_ROLES[rlab],
+                    "raw_score": _round(scored[rlab]),
+                    "softmax_score": _round(softmax_with_null(scored[rlab], scored, rlab)),
+                }
+            )
+        pred_events.append(
+            {
+                "trigger_tok": int(trig_ix),
+                "event_type": EVENT_TYPES[lab],
+                "trig_raw_score": _round(raw),
+                "trig_softmax_score": _round(softmax_with_null(raw, trig_logits[trig_ix], lab)),
+                "args": args,
+            }
+        )
+    return pred_ner, pred_rels, pred_events
+
+
+# -------------------------------------------------------------- actor stage
+
+
+class ExtractionKernel:
+    """Actor-pool `map_batches` stage (M1-M8). Lexicon tables are resolved
+    once per actor in __init__ — pass either plain dicts or `ray.ObjectRef`s
+    (broadcast with `ray.put` on the driver; see state/broadcast.py)."""
+
+    def __init__(self, entity_lexicon=None, relation_patterns=None, event_triggers=None):
+        import ray
+
+        def _resolve(x, default):
+            if x is None:
+                return default
+            if isinstance(x, ray.ObjectRef):
+                return ray.get(x)
+            return x
+
+        from ..corpus import ENTITY_LEXICON, EVENT_TRIGGERS, RELATION_PATTERNS
+
+        self.scorer = LexiconScorer(
+            _resolve(entity_lexicon, ENTITY_LEXICON),
+            _resolve(relation_patterns, RELATION_PATTERNS),
+            _resolve(event_triggers, EVENT_TRIGGERS),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sentences_col = batch.column("sentences").to_pylist()
+        pred_ner_col, pred_rel_col, pred_evt_col, clusters_col = [], [], [], []
+        for sentences in sentences_col:
+            doc_ner, doc_rel, doc_evt = [], [], []
+            span_registry: dict[str, list[tuple[int, int]]] = {}
+            offset = 0
+            for sent in sentences:
+                ner, rels, evts = extract_sentence(sent, self.scorer)
+                doc_ner.append(ner)
+                doc_rel.append(rels)
+                doc_evt.append(evts)
+                # doc-level exact-canonical coref stand-in (M6): cluster
+                # mentions whose canonicalized text matches
+                for m in ner:
+                    key = canonicalize(" ".join(sent[m["start"] : m["end"] + 1]))
+                    if key:
+                        span_registry.setdefault(key, []).append(
+                            (offset + m["start"], offset + m["end"])
+                        )
+                offset += len(sent)
+            clusters = [
+                [{"start": s, "end": e} for (s, e) in v]
+                for v in span_registry.values()
+                if len(v) >= 2
+            ]
+            pred_ner_col.append(doc_ner)
+            pred_rel_col.append(doc_rel)
+            pred_evt_col.append(doc_evt)
+            clusters_col.append(clusters)
+
+        from ..schema import PREDICTED_COLUMNS
+
+        batch = batch.append_column(
+            "predicted_ner", pa.array(pred_ner_col, PREDICTED_COLUMNS.field("predicted_ner").type)
+        )
+        batch = batch.append_column(
+            "predicted_relations",
+            pa.array(pred_rel_col, PREDICTED_COLUMNS.field("predicted_relations").type),
+        )
+        batch = batch.append_column(
+            "predicted_events",
+            pa.array(pred_evt_col, PREDICTED_COLUMNS.field("predicted_events").type),
+        )
+        batch = batch.append_column(
+            "predicted_clusters",
+            pa.array(
+                clusters_col,
+                pa.list_(pa.list_(pa.struct([("start", pa.int32()), ("end", pa.int32())]))),
+            ),
+        )
+        return batch

@@ -1,0 +1,109 @@
+"""Multimodal column plumbing: image/audio/video as opaque `binary` columns.
+
+The decode libraries (PIL/ffmpeg/librosa) are NOT in this container, so the
+codec step is stubbed (deterministic fake or NotImplementedError) — but the
+Ray-side plumbing is real and tested: schema, small-batch actor-pool stages,
+typed metadata, output layout. At scale the rules encoded here are:
+ - binary payloads ride as `pa.binary()` with sidecar metadata columns;
+ - decode/feature stages are actor pools with SMALL batch_size (payload ×
+   batch × concurrency must fit worker heap);
+ - features come out as fixed-width `list<float>` ready for the similarity /
+   dedup stages in this package.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("kind", pa.string()),          # image | audio | video
+        ("mime", pa.string()),
+        ("payload", pa.binary()),       # opaque encoded bytes
+        ("width", pa.int32()),          # typed metadata (nullable)
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+# payload bytes per batch is the sizing constraint, not row count
+DEFAULT_MEDIA_BATCH_SIZE = 16
+
+
+class ImageDecoder:
+    """Actor-pool stage: payload → decoded dims + feature vector.
+
+    REAL decode requires PIL — not available here. `fake=True` (default in
+    this container) derives a deterministic pseudo-decode from the payload
+    bytes so the pipeline plumbing is testable end-to-end; `fake=False`
+    raises NotImplementedError at construction, marking the integration
+    point.
+    """
+
+    def __init__(self, feature_dim: int = 64, fake: bool = True):
+        if not fake:
+            raise NotImplementedError(
+                "real image decode needs PIL/opencv, not present in this "
+                "container; run with fake=True or install a decoder"
+            )
+        self.feature_dim = feature_dim
+
+    def _features(self, payload: bytes) -> np.ndarray:
+        # deterministic fake: hash-seeded projection of byte histogram
+        hist = np.bincount(np.frombuffer(payload, dtype=np.uint8), minlength=256)
+        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=4).digest(), "big")
+        rng = np.random.RandomState(seed % (2**31))
+        proj = rng.standard_normal((256, self.feature_dim)).astype(np.float32)
+        v = hist.astype(np.float32) @ proj
+        n = np.linalg.norm(v)
+        return v / (n if n else 1.0)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        feats = [self._features(p).tolist() for p in batch["payload"]]
+        return pd.DataFrame(
+            {
+                "media_id": batch["media_id"].values,
+                "kind": batch["kind"].values,
+                "feature": feats,
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool stage: video payload → N deterministic frame offsets (ms).
+    Real frame extraction is stubbed; offsets + plumbing are real."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, offsets = [], []
+        for mid, dur in zip(batch["media_id"], batch["duration_ms"]):
+            dur = int(dur) if dur and not pd.isna(dur) else 0
+            for i in range(self.n_frames):
+                ids.append(mid)
+                offsets.append((dur * i) // max(1, self.n_frames))
+        return pd.DataFrame({"media_id": ids, "frame_offset_ms": offsets})
+
+
+def synth_media_table(n: int = 32, seed: int = 5) -> pa.Table:
+    """Deterministic fake media corpus for tests."""
+    rng = np.random.RandomState(seed)
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.randint(0, 256, size=rng.randint(64, 512), dtype=np.uint8).tobytes()
+        rows["media_id"].append(f"m{i:04d}")
+        rows["kind"].append(kind)
+        rows["mime"].append({"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind])
+        rows["payload"].append(payload)
+        rows["width"].append(int(rng.randint(16, 4096)) if kind == "image" else None)
+        rows["height"].append(int(rng.randint(16, 4096)) if kind == "image" else None)
+        rows["duration_ms"].append(int(rng.randint(1000, 600000)) if kind != "image" else None)
+    return pa.table({k: pa.array(rows[k], MEDIA_SCHEMA.field(k).type) for k in MEDIA_SCHEMA.names})

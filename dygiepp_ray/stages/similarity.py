@@ -1,0 +1,135 @@
+"""Similarity search over an embedding column (`list<float>`).
+
+- `knn_brute_force`: baseline exact top-k cosine. The query matrix is
+  broadcast ONCE (`ray.put`); each batch does one numpy matmul against it and
+  emits only its local top-k candidates, so the final global sort sees
+  num_blocks × k rows, not the corpus.
+- `knn_lsh`: the scale path — random-hyperplane LSH buckets the corpus; only
+  buckets matching the query's signature are scanned.
+- `embedding_near_dups`: cosine near-duplicate pairs via the same LSH
+  bucketing (groupby bucket → in-bucket pair scan), never all-pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions.strings import round_half_up
+
+
+def _batch_matrix(batch: pd.DataFrame, vec_col: str) -> np.ndarray:
+    # float64 math: matches DuckDB's double-precision cosine for the oracle
+    return np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=-1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_brute_force(embeddings: "ray.data.Dataset", query: np.ndarray, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> "ray.data.Dataset":
+    """Exact top-k by cosine: (vec_id, cosine), sorted desc, ties by id asc."""
+    q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))
+    q_ref = ray.put(q)
+
+    def score_block(batch: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        cos = (m @ qm.T).ravel()
+        out = pd.DataFrame({id_col: batch[id_col].values, "cosine": round_half_up(cos, 6)})
+        # local prune: only this block's top-k enter the global sort
+        out = out.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        return out
+
+    scored = embeddings.select_columns([id_col, vec_col]).map_batches(
+        score_block, batch_format="pandas"
+    )
+    return scored.sort(["cosine", id_col], descending=[True, False]).limit(k)
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 11) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((dim, n_bits)).astype(np.float32)
+
+
+def _lsh_sig(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes) > 0
+    weights = (1 << np.arange(planes.shape[1], dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights).sum(axis=1)
+
+
+def knn_lsh(embeddings: "ray.data.Dataset", query: np.ndarray, k: int = 10,
+            n_bits: int = 8, id_col: str = "vec_id",
+            vec_col: str = "embedding", seed: int = 11) -> "ray.data.Dataset":
+    """ANN top-k: scan only rows whose random-hyperplane signature is within
+    Hamming distance 1 of the query's (recall knob: n_bits / radius)."""
+    query = np.asarray(query, dtype=np.float32)
+    planes = _hyperplanes(query.shape[0], n_bits, seed)
+    qsig = int(_lsh_sig(_normalize(query.reshape(1, -1)), planes)[0])
+    near = {qsig} | {qsig ^ (1 << b) for b in range(n_bits)}
+    planes_ref = ray.put(planes)
+    q_ref = ray.put(_normalize(query.reshape(1, -1)))
+
+    def score_block(batch: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(planes_ref)
+        qm = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        sigs = _lsh_sig(m, p)
+        mask = np.isin(sigs, list(near))
+        if not mask.any():
+            return pd.DataFrame({id_col: [], "cosine": []})
+        cos = (m[mask] @ qm.T).ravel()
+        out = pd.DataFrame({id_col: batch[id_col].values[mask], "cosine": round_half_up(cos, 6)})
+        return out.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+
+    scored = embeddings.select_columns([id_col, vec_col]).map_batches(
+        score_block, batch_format="pandas"
+    )
+    return scored.sort(["cosine", id_col], descending=[True, False]).limit(k)
+
+
+def embedding_near_dups(embeddings: "ray.data.Dataset", threshold: float = 0.95,
+                        n_bits: int = 10, id_col: str = "vec_id",
+                        vec_col: str = "embedding", seed: int = 11) -> "ray.data.Dataset":
+    """Cosine near-dup pairs (id_a < id_b, cosine ≥ threshold) via LSH-bucket
+    groupby + in-bucket pair scan. High-cosine pairs share all/most hyperplane
+    signs, so bucket collision recall is high at n_bits≈10."""
+    # hyperplanes need the dim; built inside the stage from each batch's own
+    # dim with a fixed seed — identical planes everywhere, no broadcast needed.
+    def sig_block(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(_batch_matrix(batch, vec_col))
+        planes = _hyperplanes(m.shape[1], n_bits, seed)
+        sigs = _lsh_sig(m, planes)
+        return pd.DataFrame(
+            {
+                "sig": sigs.astype("uint64"),
+                id_col: batch[id_col].values,
+                vec_col: [np.asarray(v, dtype=np.float32) for v in batch[vec_col]],
+            }
+        )
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].tolist()
+        m = _normalize(np.stack([np.asarray(v, dtype=np.float32) for v in group[vec_col]]))
+        cos = m @ m.T
+        out_a, out_b, cs = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if cos[i, j] >= threshold and ids[i] != ids[j]:
+                    a, b = sorted((ids[i], ids[j]))
+                    out_a.append(a)
+                    out_b.append(b)
+                    cs.append(round(float(cos[i, j]), 6))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": cs})
+
+    sigs = embeddings.select_columns([id_col, vec_col]).map_batches(
+        sig_block, batch_format="pandas"
+    )
+    return sigs.groupby("sig").map_groups(verify, batch_format="pandas")

@@ -1,0 +1,128 @@
+"""Triple flattening + canonicalization + coref substitution (S5, P12-P14).
+
+documents+predictions → one row per (doc, subj, pred, obj) triple, mirroring
+the reference's KB TSV construction:
+  - flatten: predict rows → TSV-shaped rows (dygie_pred_to_tsv.py:23-34,
+    make_kb.py:175-197)
+  - canonicalize: `get_representation_string` per argument (make_kb.py:90-95,
+    193-194) → `subj_norm` / `obj_norm` (the groupby/shuffle key)
+  - coref substitution: arguments containing a referring word are rewritten to
+    their cluster representative (make_kb.py:105-172) — here using the
+    document's own predicted_clusters (first mention = representative)
+  - relation-label projection (P14): optional keep/rename map
+    (dygie_pred_to_tsv.py:28-32, e.g. USED-FOR→MECHANISM)
+
+Stateless `map_batches` (flat-map shape), Arrow in / Arrow out.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.strings import canonicalize, contains_reference
+from ..schema import TRIPLE_SCHEMA
+
+
+def _span_text(sentences: list[list[str]], sent_ix: int, start: int, end: int) -> str:
+    return " ".join(sentences[sent_ix][start : end + 1])
+
+
+class FlattenTriples:
+    """documents → triples. `label_map`: optional {src_label: dst_label};
+    when given, relations with labels outside the map are DROPPED (P14)."""
+
+    def __init__(self, label_map: dict[str, str] | None = None,
+                 use_coref_substitution: bool = True):
+        self.label_map = label_map
+        self.use_coref = use_coref_substitution
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_keys = batch.column("doc_key").to_pylist()
+        sentences_col = batch.column("sentences").to_pylist()
+        starts_col = batch.column("sentence_starts").to_pylist()
+        shas = batch.column("content_sha256").to_pylist()
+        rels_col = batch.column("predicted_relations").to_pylist()
+        clusters_col = (
+            batch.column("predicted_clusters").to_pylist()
+            if self.use_coref and "predicted_clusters" in batch.column_names
+            else [None] * len(doc_keys)
+        )
+
+        has_bucket = "bucket" in batch.column_names
+        buckets = batch.column("bucket").to_pylist() if has_bucket else [None] * len(doc_keys)
+
+        out = {name: [] for name in TRIPLE_SCHEMA.names}
+        out["bucket"] = []
+        for doc_key, sentences, starts, sha, doc_rels, clusters, bucket in zip(
+            doc_keys, sentences_col, starts_col, shas, rels_col, clusters_col, buckets
+        ):
+            # flat token stream + doc-level span text lookup for coref reps
+            flat = [t for s in sentences for t in s]
+            rep_of: dict[str, str] = {}
+            if clusters:
+                for cluster in clusters:
+                    if not cluster:
+                        continue
+                    rep = " ".join(flat[cluster[0]["start"] : cluster[0]["end"] + 1])
+                    for m in cluster[1:]:
+                        mention = " ".join(flat[m["start"] : m["end"] + 1])
+                        # only referring mentions get rewritten (make_kb.py:148-172)
+                        if contains_reference(mention):
+                            rep_of[mention] = rep
+            for sent_ix, rels in enumerate(doc_rels):
+                sent_text = " ".join(sentences[sent_ix])
+                for r in rels:
+                    label = r["label"]
+                    if self.label_map is not None:
+                        if label not in self.label_map:
+                            continue
+                        label = self.label_map[label]
+                    subj = _span_text(sentences, sent_ix, r["s1"], r["e1"])
+                    obj = _span_text(sentences, sent_ix, r["s2"], r["e2"])
+                    subj = rep_of.get(subj, subj)
+                    obj = rep_of.get(obj, obj)
+                    out["doc_id"].append(doc_key)
+                    out["sentence"].append(sent_text)
+                    out["subj"].append(subj)
+                    out["obj"].append(obj)
+                    out["pred"].append(label)
+                    out["subj_norm"].append(canonicalize(subj))
+                    out["obj_norm"].append(canonicalize(obj))
+                    out["conf"].append(r["softmax_score"])
+                    out["content_sha256"].append(sha)
+                    out["bucket"].append(bucket)
+        cols = {n: pa.array(out[n], TRIPLE_SCHEMA.field(n).type) for n in TRIPLE_SCHEMA.names}
+        if has_bucket:
+            cols["bucket"] = pa.array(out["bucket"], pa.int32())
+        return pa.table(cols)
+
+
+def flatten_ner_mentions(batch: pa.Table) -> pa.Table:
+    """documents → one row per predicted entity mention (for counting /
+    linking): (doc_id, mention, mention_norm, label, conf, content_sha256)."""
+    doc_keys = batch.column("doc_key").to_pylist()
+    sentences_col = batch.column("sentences").to_pylist()
+    shas = batch.column("content_sha256").to_pylist()
+    ner_col = batch.column("predicted_ner").to_pylist()
+    out = {"doc_id": [], "mention": [], "mention_norm": [], "label": [], "conf": [],
+           "content_sha256": []}
+    for doc_key, sentences, sha, doc_ner in zip(doc_keys, sentences_col, shas, ner_col):
+        for sent_ix, ner in enumerate(doc_ner):
+            for m in ner:
+                text = _span_text(sentences, sent_ix, m["start"], m["end"])
+                out["doc_id"].append(doc_key)
+                out["mention"].append(text)
+                out["mention_norm"].append(canonicalize(text))
+                out["label"].append(m["label"])
+                out["conf"].append(m["softmax_score"])
+                out["content_sha256"].append(sha)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "mention": pa.array(out["mention"], pa.string()),
+            "mention_norm": pa.array(out["mention_norm"], pa.string()),
+            "label": pa.array(out["label"], pa.string()),
+            "conf": pa.array(out["conf"], pa.float32()),
+            "content_sha256": pa.array(out["content_sha256"], pa.string()),
+        }
+    )

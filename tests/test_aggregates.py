@@ -1,0 +1,61 @@
+"""Shuffle-aware aggregation helpers vs pandas oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from dygiepp_ray.aggregates import distinct_first, grouped_count, top_k
+
+
+@pytest.fixture(scope="module")
+def skewed_df():
+    rng = np.random.RandomState(0)
+    # Zipfian keys: key_0 dominates (the hot-key case salting exists for)
+    keys = [f"key_{min(int(rng.zipf(1.5)), 20)}" for _ in range(5000)]
+    return pd.DataFrame({"k": keys, "v": rng.randint(0, 100, size=5000)})
+
+
+def test_grouped_count_unsalted(skewed_df):
+    ds = ray.data.from_pandas(skewed_df)
+    got = grouped_count(ds, ["k"], out_name="n").to_pandas()
+    want = skewed_df.groupby("k").size().rename("n").reset_index()
+    merged = got.sort_values("k").reset_index(drop=True).merge(want, on="k")
+    assert (merged["n_x"] == merged["n_y"]).all()
+    assert len(got) == len(want)
+
+
+def test_grouped_count_salted_equals_unsalted(skewed_df):
+    ds = ray.data.from_pandas(skewed_df)
+    a = grouped_count(ds, ["k"], out_name="n", salt_buckets=1).to_pandas()
+    b = grouped_count(ds, ["k"], out_name="n", salt_buckets=8).to_pandas()
+    a = a.sort_values("k").reset_index(drop=True)
+    b = b.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_grouped_count_multi_key(skewed_df):
+    skewed_df = skewed_df.assign(parity=skewed_df["v"] % 2)
+    ds = ray.data.from_pandas(skewed_df)
+    got = grouped_count(ds, ["k", "parity"], out_name="n", salt_buckets=4).to_pandas()
+    want = skewed_df.groupby(["k", "parity"]).size().rename("n").reset_index()
+    m = got.merge(want, on=["k", "parity"])
+    assert len(m) == len(want) and (m["n_x"] == m["n_y"]).all()
+
+
+def test_distinct_first(skewed_df):
+    ds = ray.data.from_pandas(skewed_df)
+    got = distinct_first(ds, ["k"]).to_pandas()
+    assert len(got) == skewed_df["k"].nunique()
+    # deterministic representative: the row that sorts first within the group
+    want_v = skewed_df.sort_values(["k", "v"]).groupby("k").head(1)
+    m = got.merge(want_v, on="k")
+    assert (m["v_x"] == m["v_y"]).all()
+
+
+def test_top_k(skewed_df):
+    ds = ray.data.from_pandas(skewed_df)
+    got = top_k(ds, "v", 17).to_pandas()
+    want = skewed_df["v"].nlargest(17).tolist()
+    assert sorted(got["v"].tolist(), reverse=True) == want

@@ -1,0 +1,104 @@
+"""Dedup suite vs brute-force oracles on a small planted corpus."""
+
+import itertools
+
+import pandas as pd
+import pytest
+
+import ray.data
+
+from dygiepp_ray.stages.dedup import (
+    MinHasher,
+    SimHasher,
+    _shingles,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill in the afternoon sun light").split()
+
+
+def _mutate(words, n_swap, seed):
+    import random
+
+    rng = random.Random(seed)
+    out = list(words)
+    for _ in range(n_swap):
+        i = rng.randrange(len(out))
+        out[i] = f"tok{rng.randrange(100)}"
+    return out
+
+
+@pytest.fixture(scope="module")
+def planted():
+    rows = []
+    # exact dup pair (0, 1); near-dup pair (2, 3); distinct rest
+    rows.append((0, " ".join(BASE)))
+    rows.append((1, " ".join(BASE)))
+    rows.append((2, " ".join(BASE + ["extra", "tail"])))
+    rows.append((3, " ".join(BASE + ["extra", "tail", "word"])))
+    for i in range(4, 24):
+        rows.append((i, " ".join(_mutate(BASE, 15, i)) + f" unique{i}"))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_exact_duplicates(planted):
+    got = exact_duplicates(ray.data.from_pandas(planted)).to_pandas()
+    dups = got[got["n_copies"] > 1]
+    assert len(dups) == 1
+    assert dups.iloc[0]["keep_id"] == 0 and dups.iloc[0]["n_copies"] == 2
+    assert got["n_copies"].sum() == len(planted)
+
+
+def test_minhash_estimates_jaccard(planted):
+    mh = MinHasher(n_perm=128)
+    import numpy as np
+
+    for a, b in [(0, 1), (2, 3), (0, 10)]:
+        ta, tb = planted.loc[a, "text"], planted.loc[b, "text"]
+        sa, sb = _shingles(ta, 3), _shingles(tb, 3)
+        true_j = len(sa & sb) / len(sa | sb)
+        est = float(np.mean(mh.signature(ta) == mh.signature(tb)))
+        assert abs(est - true_j) < 0.15, (a, b, true_j, est)
+
+
+def test_minhash_lsh_pairs_finds_planted(planted):
+    got = minhash_lsh_pairs(ray.data.from_pandas(planted), jaccard_threshold=0.7,
+                            concurrency=(1, 2)).to_pandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (0, 1) in pairs and (2, 3) in pairs
+    # no false positives among the heavily-mutated docs
+    assert all(a in (0, 1, 2, 3) and b in (0, 1, 2, 3) for a, b in pairs)
+
+
+def test_simhash_near_dups(planted):
+    got = simhash_near_dups(ray.data.from_pandas(planted), max_hamming=6,
+                            concurrency=(1, 2)).to_pandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (0, 1) in pairs  # identical docs → identical simhash
+    sh = SimHasher()
+    assert sh.simhash(planted.loc[0, "text"]) == sh.simhash(planted.loc[1, "text"])
+
+
+def test_ngram_jaccard_exact_verification(planted):
+    got = ngram_jaccard_pairs(ray.data.from_pandas(planted), threshold=0.5).to_pandas()
+    got_pairs = {(a, b): j for a, b, j in zip(got["id_a"], got["id_b"], got["jaccard"])}
+    # brute-force oracle over all pairs
+    want = {}
+    for (a, ta), (b, tb) in itertools.combinations(
+        zip(planted["doc_id"], planted["text"]), 2
+    ):
+        sa, sb = _shingles(ta, 3), _shingles(tb, 3)
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.5:
+            want[(a, b)] = round(j, 6)
+    assert got_pairs == want  # LSH recall is perfect on this planted corpus
+
+
+def test_signature_determinism(planted):
+    mh = MinHasher(n_perm=32)
+    t = planted.loc[2, "text"]
+    assert mh.signature(t).tolist() == MinHasher(n_perm=32).signature(t).tolist()

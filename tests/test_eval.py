@@ -1,0 +1,118 @@
+"""Evaluation harness: F1 counters, J3 matching, closure, gold⋈pred join."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from dygiepp_ray.pipelines.evaluate import (
+    closure_rows,
+    compute_f1,
+    join_gold_pred,
+    micro_f1,
+    relation_matching,
+    span_match,
+    transitive_closure,
+    triple_prf,
+)
+
+
+def test_compute_f1():
+    p, r, f1 = compute_f1(10, 20, 5)
+    assert (p, r) == (0.5, 0.25)
+    assert f1 == pytest.approx(2 * 0.5 * 0.25 / 0.75)
+    assert compute_f1(0, 0, 0) == (0.0, 0.0, 0.0)
+
+
+def test_span_match_metrics():
+    assert span_match("Hash Join", "hash join", "exact")
+    assert span_match("join", "hash join", "substring")
+    assert span_match("a b c", "b c d", "jaccard", threshold=0.5)
+    assert not span_match("a b c", "x y z", "jaccard", threshold=0.5)
+    with pytest.raises(ValueError):
+        span_match("a", "b", "rouge")
+
+
+def test_relation_matching_greedy_dedup():
+    gold = [{"arg0": "a", "arg1": "b", "rel": "R"}]
+    pred = [
+        {"arg0": "a", "arg1": "b", "rel": "R"},
+        {"arg0": "a", "arg1": "b", "rel": "R"},  # second pred can't re-match
+    ]
+    assert relation_matching(gold, pred) == 1
+    # reversed-direction match (eval_utils.py:283-335)
+    pred_rev = [{"arg0": "b", "arg1": "a", "rel": "R"}]
+    assert relation_matching(gold, pred_rev) == 1
+    assert relation_matching(gold, pred_rev, match_reversed=False) == 0
+    # label mismatch never matches
+    assert relation_matching(gold, [{"arg0": "a", "arg1": "b", "rel": "X"}]) == 0
+
+
+def test_closure_rows_fixpoint():
+    rows = [
+        {"arg0": "a", "arg1": "b", "rel": "R", "conf": 0.5},
+        {"arg0": "b", "arg1": "c", "rel": "R", "conf": 0.5},
+        {"arg0": "c", "arg1": "d", "rel": "R", "conf": 0.5},
+    ]
+    out = {(r["arg0"], r["arg1"]): r for r in closure_rows(rows)}
+    assert set(out) == {("a", "b"), ("b", "c"), ("c", "d"),
+                        ("a", "c"), ("b", "d"), ("a", "d")}
+    assert out[("a", "c")]["conf"] == pytest.approx(0.25)
+    # a→d via a→c(0.25)·c→d(0.5) or a→b(0.5)·b→d(0.25) — first found wins
+    assert out[("a", "d")]["conf"] == pytest.approx(0.125)
+
+
+def _docs_with_preds():
+    ner_typ = pa.list_(pa.list_(pa.struct(
+        [("start", pa.int32()), ("end", pa.int32()), ("label", pa.string())])))
+    gold = [[[{"start": 0, "end": 1, "label": "M"}],
+             [{"start": 2, "end": 2, "label": "T"}]]]
+    pred = [[[{"start": 0, "end": 1, "label": "M"},
+              {"start": 4, "end": 5, "label": "M"}],  # 1 FP
+             []]]                                      # 1 FN
+    t = pa.table({
+        "doc_key": pa.array(["d1"]),
+        "ner": pa.array(gold, ner_typ),
+        "predicted_ner": pa.array(pred, ner_typ),
+    })
+    return ray.data.from_arrow(t)
+
+
+def test_micro_f1_ner():
+    res = micro_f1(_docs_with_preds(), task="ner")
+    assert (res["tp"], res["fp"], res["fn"]) == (1, 1, 1)
+    assert res["precision"] == 0.5 and res["recall"] == 0.5
+
+
+def test_join_gold_pred_1to1():
+    gold = ray.data.from_items([{"doc_key": "a", "x": 1}, {"doc_key": "b", "x": 2}])
+    pred = ray.data.from_items([{"doc_key": "b", "y": 20}, {"doc_key": "a", "y": 10}])
+    out = join_gold_pred(gold, pred, ["y"]).to_pandas().sort_values("doc_key")
+    assert out["y"].tolist() == [10, 20] and out["x"].tolist() == [1, 2]
+
+
+def test_triple_prf_perfect_and_degraded():
+    gold = pd.DataFrame({
+        "doc_id": ["d1", "d1", "d2"],
+        "arg0": ["a", "b", "c"], "arg1": ["x", "y", "z"],
+        "rel": ["R", "R", "S"],
+    })
+    perfect = triple_prf(ray.data.from_pandas(gold), ray.data.from_pandas(gold))
+    assert perfect["f1"] == 1.0
+    worse = gold.copy()
+    worse.loc[2, "rel"] = "WRONG"
+    res = triple_prf(ray.data.from_pandas(gold), ray.data.from_pandas(worse))
+    assert res["n_matched"] == 2 and res["precision"] == pytest.approx(2 / 3)
+
+
+def test_transitive_closure_dataset():
+    tri = pd.DataFrame({
+        "doc_id": ["d1", "d1", "d2"],
+        "subj": ["a", "b", "q"], "obj": ["b", "c", "r"],
+        "pred": ["R", "R", "R"], "conf": [0.5, 0.5, 0.9],
+    })
+    out = transitive_closure(ray.data.from_pandas(tri)).to_pandas()
+    d1 = out[out["doc_id"] == "d1"]
+    assert set(zip(d1["subj"], d1["obj"])) == {("a", "b"), ("b", "c"), ("a", "c")}
+    assert len(out[out["doc_id"] == "d2"]) == 1  # no cross-doc closure

@@ -1,0 +1,138 @@
+"""Table-driven decode-semantics tests (SURVEY.md §7.4-1, FIXTURES.md §5-2).
+
+These pin the reference's decode arithmetic exactly:
+- null label index 0 / argmax-1 (ner.py:74-147, relation.py:146-177)
+- pruner k = ceil(0.5·len), min 1, order-restoring sort, stable ties
+  (entity_beam_pruner.py:104-192, relation.py:112-131)
+- trigger beam floor(0.3·len)∈[1,15]; arg beam floor(0.8·len)∈[1,30]
+  (events.py:133-152)
+- trigger-gated argument emission (events.py:251-279)
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from dygiepp_ray.schema import MAX_SPAN_WIDTH
+from dygiepp_ray.stages.kernel import (
+    LexiconScorer,
+    beam_size,
+    decode_labels,
+    enumerate_spans,
+    extract_sentence,
+    prune_spans,
+    softmax_with_null,
+)
+
+SCORER = LexiconScorer(
+    {"hash join": "Method", "bloom filter": "Method", "latency": "Metric"},
+    {"is used for": "USED-FOR", "is part of": "PART-OF"},
+    {"shipped": "movement_transport"},
+)
+
+
+def test_enumerate_spans_count():
+    # n*w - w*(w-1)/2 spans for n >= w (dygie.py:120-125 semantics)
+    for n in (1, 5, 8, 20):
+        spans = enumerate_spans(n)
+        w = MAX_SPAN_WIDTH
+        expected = n * w - w * (w - 1) // 2 if n >= w else n * (n + 1) // 2
+        assert len(spans) == expected
+        assert spans == sorted(spans)  # textual order
+        assert all(0 <= s <= e < n and e - s + 1 <= w for s, e in spans)
+
+
+def test_decode_labels_null_arithmetic():
+    # null column of 0 prepended; argmax-1; ties → null wins (lower index)
+    logits = np.array([
+        [1.0, -1.0],    # label 0 wins
+        [-1.0, -2.0],   # null wins → -1
+        [0.0, 0.0],     # tie with null at 0 → null (argmax picks first)
+        [-5.0, 2.0],    # label 1
+    ])
+    assert decode_labels(logits).tolist() == [0, -1, -1, 1]
+
+
+def test_softmax_includes_null():
+    # softmax over [0, logits...]
+    logits = np.array([1.0, 2.0])
+    s = softmax_with_null(2.0, logits, 1)
+    full = np.exp([0.0, 1.0, 2.0])
+    assert s == pytest.approx(full[2] / full.sum())
+
+
+def test_prune_spans_k_and_order_restore():
+    scores = np.array([0.1, 0.9, 0.5, 0.8, 0.2, 0.7])
+    # n_tokens=5 → k = ceil(0.5*5) = 3; top3 by score = idx {1,3,5};
+    # output must be re-sorted ascending (textual order)
+    kept = prune_spans(scores, 5)
+    assert kept.tolist() == [1, 3, 5]
+    assert math.ceil(0.5 * 5) == 3
+
+
+def test_prune_spans_min_one_and_ties():
+    assert prune_spans(np.array([-5.0]), 1).tolist() == [0]
+    # ties break toward the lower index (torch.topk stable behavior)
+    kept = prune_spans(np.array([1.0, 1.0, 1.0, 0.0]), 2)  # k=1
+    assert kept.tolist() == [0]
+
+
+def test_beam_clamps():
+    # triggers: floor(0.3*len) in [1,15] (events.py:133-138)
+    assert beam_size(2, 0.3, 1, 15) == 1
+    assert beam_size(10, 0.3, 1, 15) == 3
+    assert beam_size(100, 0.3, 1, 15) == 15
+    # args: floor(0.8*len) in [1,30] (events.py:139-152)
+    assert beam_size(1, 0.8, 1, 30) == 1
+    assert beam_size(10, 0.8, 1, 30) == 8
+    assert beam_size(100, 0.8, 1, 30) == 30
+
+
+def test_extract_sentence_relation_pattern():
+    tokens = "hash join is used for bloom filter .".split()
+    ner, rels, evts = extract_sentence(tokens, SCORER)
+    ner_set = {(m["start"], m["end"], m["label"]) for m in ner}
+    assert (0, 1, "Method") in ner_set and (5, 6, "Method") in ner_set
+    assert len(ner_set) == 2
+    assert len(rels) == 1
+    r = rels[0]
+    assert (r["s1"], r["e1"], r["s2"], r["e2"], r["label"]) == (0, 1, 5, 6, "USED-FOR")
+    assert 0 < r["softmax_score"] <= 1.0
+    # no reversed-direction relation, no self pairs
+    assert not any(x["s1"] == 5 for x in rels)
+
+
+def test_extract_sentence_no_pattern_no_relation():
+    tokens = "hash join near bloom filter .".split()
+    _, rels, _ = extract_sentence(tokens, SCORER)
+    assert rels == []
+
+
+def test_extract_sentence_event_trigger_gating():
+    tokens = "bloom filter shipped latency today .".split()
+    _, _, evts = extract_sentence(tokens, SCORER)
+    assert len(evts) == 1
+    e = evts[0]
+    assert e["trigger_tok"] == 2 and e["event_type"] == "movement_transport"
+    roles = {(a["start"], a["end"], a["role"]) for a in e["args"]}
+    assert (0, 1, "agent") in roles          # before trigger
+    assert (3, 3, "artifact") in roles       # immediately after
+    # non-lexicon spans emit no argument
+    assert all((s, e_) in {(0, 1), (3, 3)} for s, e_, _ in roles)
+
+
+def test_extract_sentence_no_trigger_no_event():
+    tokens = "bloom filter improves latency today .".split()
+    _, _, evts = extract_sentence(tokens, SCORER)
+    assert evts == []  # all trigger beams decode to null → gated out
+
+
+def test_scores_rounded_4_decimals():
+    tokens = "hash join is used for bloom filter .".split()
+    ner, rels, _ = extract_sentence(tokens, SCORER)
+    for m in ner:
+        assert m["raw_score"] == round(m["raw_score"], 4)
+        assert m["softmax_score"] == round(m["softmax_score"], 4)
+    for r in rels:
+        assert r["softmax_score"] == round(r["softmax_score"], 4)

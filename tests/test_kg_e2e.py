@@ -1,0 +1,155 @@
+"""End-to-end conformance gate (SURVEY.md §5, FIXTURES.md §5).
+
+The pipeline's triples are compared against an INDEPENDENT pure-python oracle
+that re-derives the expected output from the corpus semantics alone (lexicon
+n-gram scan + connective patterns) — no kernel/beam machinery. Gate:
+P/R ≥ 0.95 (deterministic kernel → expected 1.0). Also checks the per-row
+content-sha256 invariant and manifest-based resume.
+"""
+
+import glob
+import json
+import os
+import re
+
+import pyarrow.parquet as pq
+import pytest
+
+from dygiepp_ray.corpus import (
+    ENTITY_LEXICON,
+    EVENT_TRIGGERS,
+    RELATION_PATTERNS,
+    write_corpus,
+)
+from dygiepp_ray.functions.strings import canonicalize, sentence_split, sha256_hex, tokenize
+from dygiepp_ray.pipelines.evaluate import compute_f1
+from dygiepp_ray.pipelines.kg import build_kg, kg_triples, pair_counts, span_counts
+from dygiepp_ray.stages.prep import extract_text
+
+CORPUS_DIR = "/tmp/kg_e2e_corpus"
+OUT_DIR = "/tmp/kg_e2e_out"
+
+
+@pytest.fixture(scope="module")
+def corpus_dir():
+    import shutil
+
+    shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+    write_corpus(CORPUS_DIR, n_files=80, seed=42)
+    return CORPUS_DIR
+
+
+def oracle_triples(corpus_dir: str) -> set:
+    """Independent recomputation: scan every sentence for lexicon-entity
+    n-grams; a triple exists when two entities are joined by an exact
+    connective phrase. No beams, no logits."""
+    lex = {k.lower() for k in ENTITY_LEXICON}
+    patterns = {k.lower(): v for k, v in RELATION_PATTERNS.items()}
+    expected = set()
+    for f in sorted(glob.glob(os.path.join(corpus_dir, "*.parquet"))):
+        t = pq.read_table(f)
+        for repo, path, commit, lang, content in zip(*[t.column(c).to_pylist() for c in
+                                                       ("repo", "path", "commit", "lang", "content")]):
+            base_key = f"{repo}:{path}@{commit[:8]}"
+            for sent_text in sentence_split(extract_text(content, lang)):
+                toks = [w.lower() for w in tokenize(sent_text)]
+                spans = []
+                for s in range(len(toks)):
+                    for e in range(s, min(s + 8, len(toks))):
+                        if " ".join(toks[s : e + 1]) in lex:
+                            spans.append((s, e))
+                for (s1, e1) in spans:
+                    for (s2, e2) in spans:
+                        if e1 < s2:
+                            between = " ".join(toks[e1 + 1 : s2])
+                            if between in patterns:
+                                subj = " ".join(toks[s1 : e1 + 1])
+                                obj = " ".join(toks[s2 : e2 + 1])
+                                expected.add(
+                                    (base_key, canonicalize(subj), patterns[between],
+                                     canonicalize(obj))
+                                )
+    return expected
+
+
+def test_triples_match_oracle(corpus_dir):
+    got_df = kg_triples(corpus_dir, concurrency=(1, 2)).to_pandas()
+    strip = re.compile(r"_SPLIT_\d+$")
+    got = {
+        (strip.sub("", d), sn, p, on)
+        for d, sn, p, on in zip(got_df["doc_id"], got_df["subj_norm"],
+                                got_df["pred"], got_df["obj_norm"])
+    }
+    want = oracle_triples(corpus_dir)
+    matched = len(got & want)
+    precision, recall, f1 = compute_f1(len(got), len(want), matched)
+    assert precision >= 0.95, f"precision {precision} ({len(got - want)} spurious)"
+    assert recall >= 0.95, f"recall {recall} ({len(want - got)} missed)"
+
+
+def test_sha256_invariant(corpus_dir):
+    got = kg_triples(corpus_dir, concurrency=(1, 2)).to_pandas()
+    # every triple's sha must equal sha256 of its source file's content
+    contents = {}
+    for f in glob.glob(os.path.join(corpus_dir, "*.parquet")):
+        t = pq.read_table(f)
+        for repo, path, commit, content in zip(*[t.column(c).to_pylist() for c in
+                                                 ("repo", "path", "commit", "content")]):
+            contents[f"{repo}:{path}@{commit[:8]}"] = sha256_hex(content)
+    strip = re.compile(r"_SPLIT_\d+$")
+    for doc_id, sha in zip(got["doc_id"], got["content_sha256"]):
+        assert contents[strip.sub("", doc_id)] == sha
+
+
+def test_counts_match_pandas_oracle(corpus_dir):
+    tri = kg_triples(corpus_dir, concurrency=(1, 2)).to_pandas()
+    sc = span_counts(kg_triples(corpus_dir, concurrency=(1, 2)), salt_buckets=4).to_pandas()
+    import pandas as pd
+
+    want = (
+        pd.concat([tri["subj_norm"], tri["obj_norm"]])
+        .value_counts()
+        .rename_axis("span_norm")
+        .rename("count")
+        .reset_index()
+    )
+    m = sc.merge(want, on="span_norm")
+    assert len(m) == len(want) == len(sc)
+    assert (m["count_x"] == m["count_y"]).all()
+
+    pcnt = pair_counts(kg_triples(corpus_dir, concurrency=(1, 2))).to_pandas()
+    wantp = tri.groupby(["subj_norm", "obj_norm"]).size().rename("count").reset_index()
+    mp = pcnt.merge(wantp, on=["subj_norm", "obj_norm"])
+    assert len(mp) == len(wantp) == len(pcnt)
+    assert (mp["count_x"] == mp["count_y"]).all()
+
+
+def test_build_resume_and_manifests(corpus_dir):
+    import shutil
+
+    shutil.rmtree(OUT_DIR, ignore_errors=True)
+    res1 = build_kg(corpus_dir, OUT_DIR, n_buckets=8, concurrency=(1, 2))
+    assert sorted(res1["written_buckets"]) == list(range(8))
+    manifests = sorted(glob.glob(os.path.join(OUT_DIR, "_manifests", "*.json")))
+    assert len(manifests) == 8
+    with open(manifests[0]) as fh:
+        m = json.load(fh)
+    assert {"bucket", "input_fingerprint", "row_count", "sha256_xor", "files"} <= set(m)
+
+    # full skip on identical input
+    res2 = build_kg(corpus_dir, OUT_DIR, n_buckets=8, concurrency=(1, 2))
+    assert res2["written_buckets"] == [] and len(res2["skipped_buckets"]) == 8
+
+    # invalidate one bucket → only that bucket recomputes
+    total_before = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(OUT_DIR, "bucket=*", "*.parquet"))
+    )
+    os.remove(manifests[3])
+    res3 = build_kg(corpus_dir, OUT_DIR, n_buckets=8, concurrency=(1, 2))
+    assert res3["written_buckets"] == [3] and len(res3["skipped_buckets"]) == 7
+    total_after = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(OUT_DIR, "bucket=*", "*.parquet"))
+    )
+    assert total_before == total_after  # stale partials were cleaned, no dupes

@@ -1,0 +1,47 @@
+"""Entity linking: broadcast alias table + deterministic candidate scoring."""
+
+import pandas as pd
+
+import ray
+import ray.data
+
+from dygiepp_ray.stages.linking import EntityLinker, build_alias_table
+
+ALIASES = {
+    "E001": ["hash join", "hash joins"],
+    "E002": ["sort merge join"],
+    "E003": ["bloom filter", "filter bloom"],
+}
+
+
+def _linker():
+    return EntityLinker(build_alias_table(ALIASES))
+
+
+def test_exact_alias_hit():
+    eid, score = _linker().link_one("Hash Join")
+    assert (eid, score) == ("E001", 1.0)
+
+
+def test_canonical_hit():
+    # "hash joins" lemmatizes to "hash join" → canonical map
+    eid, score = _linker().link_one("the hash joins")
+    assert eid == "E001" and score == 0.8
+
+
+def test_jaccard_fallback_and_tie_break():
+    eid, score = _linker().link_one("merge join sort")
+    assert eid == "E002" and score == 1.0  # token-set equal → jaccard 1.0
+    eid2, _ = _linker().link_one("zzz unknown thing")
+    assert eid2 is None
+
+
+def test_linker_stage_over_dataset():
+    ds = ray.data.from_pandas(pd.DataFrame({"mention": ["hash join", "nope at all"]}))
+    ref = ray.put(build_alias_table(ALIASES))
+    out = ds.map_batches(
+        EntityLinker, fn_constructor_kwargs=dict(alias_table_ref=ref),
+        batch_format="pandas", concurrency=1,
+    ).to_pandas()
+    assert out.loc[out["mention"] == "hash join", "entity_id"].iloc[0] == "E001"
+    assert out.loc[out["mention"] == "nope at all", "entity_id"].isna().all()

@@ -1,0 +1,65 @@
+"""Similarity search vs numpy brute-force oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from dygiepp_ray.stages.similarity import (
+    embedding_near_dups,
+    knn_brute_force,
+    knn_lsh,
+)
+
+
+@pytest.fixture(scope="module")
+def emb_df():
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    # plant near-dups: 100≈101, 102≈103
+    vecs[101] = vecs[100] + 0.001 * rng.standard_normal(16).astype(np.float32)
+    vecs[103] = vecs[102] + 0.001 * rng.standard_normal(16).astype(np.float32)
+    return pd.DataFrame({"vec_id": np.arange(200), "embedding": list(vecs)})
+
+
+def _oracle_topk(df, q, k):
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = np.asarray(q, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn)
+    cos = m @ qn
+    order = sorted(zip(-cos, df["vec_id"]))[:k]
+    return [int(v) for _, v in order]
+
+
+def test_knn_brute_force_matches_oracle(emb_df):
+    q = np.asarray(emb_df.loc[0, "embedding"])
+    got = knn_brute_force(ray.data.from_pandas(emb_df), q, k=10).to_pandas()
+    assert got["vec_id"].tolist() == _oracle_topk(emb_df, q, 10)
+    assert got["cosine"].iloc[0] == pytest.approx(1.0, abs=1e-6)  # self
+    assert got["cosine"].is_monotonic_decreasing
+
+
+def test_knn_lsh_high_recall_on_near_dup(emb_df):
+    q = np.asarray(emb_df.loc[100, "embedding"])
+    got = knn_lsh(ray.data.from_pandas(emb_df), q, k=5, n_bits=8).to_pandas()
+    # the planted near-identical vector must collide with the query bucket
+    assert 100 in got["vec_id"].tolist() and 101 in got["vec_id"].tolist()
+    # reported scores are true cosines (scan is exact within buckets)
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in emb_df["embedding"]])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = np.asarray(q, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn)
+    true_cos = dict(zip(emb_df["vec_id"], m @ qn))
+    for vid, c in zip(got["vec_id"], got["cosine"]):
+        assert c == pytest.approx(true_cos[vid], abs=1e-5)
+    assert got["cosine"].is_monotonic_decreasing
+
+
+def test_embedding_near_dups_finds_planted(emb_df):
+    got = embedding_near_dups(ray.data.from_pandas(emb_df), threshold=0.999).to_pandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (100, 101) in pairs and (102, 103) in pairs
+    # oracle: no other pair of random gaussians reaches 0.999
+    assert pairs == {(100, 101), (102, 103)}
