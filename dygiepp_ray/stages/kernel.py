@@ -145,6 +145,25 @@ class LexiconScorer:
         self.rel_label = {k.lower(): RELATION_LABELS.index(v) for k, v in relation_patterns.items()}
         self.trig_label = {k.lower(): EVENT_TYPES.index(v) for k, v in event_triggers.items()}
         self.max_pattern_len = max((len(k.split()) for k in relation_patterns), default=0)
+        # first-token index for the fast occurrence scan (extract_sentence_fast)
+        self.entity_index: dict[str, list[tuple[tuple[str, ...], int]]] = {}
+        for phrase, lab in self.entity_label.items():
+            toks = tuple(phrase.split())
+            if toks:
+                self.entity_index.setdefault(toks[0], []).append((toks, lab))
+
+    def find_hits(self, tokens_lower: list[str]) -> list[tuple[int, int, int]]:
+        """All lexicon-entity occurrences as (start, end, label_idx), in span
+        enumeration order ((start, end) lexicographic), width ≤ MAX_SPAN_WIDTH."""
+        hits = []
+        n = len(tokens_lower)
+        for i, tok in enumerate(tokens_lower):
+            for seq, lab in self.entity_index.get(tok, ()):
+                j = i + len(seq)
+                if len(seq) <= MAX_SPAN_WIDTH and j <= n and tuple(tokens_lower[i:j]) == seq:
+                    hits.append((i, j - 1, lab))
+        hits.sort(key=lambda h: (h[0], h[1]))
+        return hits
 
     def span_logits(self, tokens_lower: list[str], spans: list[tuple[int, int]]):
         """Returns (ner_logits (n_spans, n_labels), mention_scores (n_spans,),
@@ -316,6 +335,138 @@ def extract_sentence(tokens: list[str], scorer: LexiconScorer):
     return pred_ner, pred_rels, pred_events
 
 
+_NER_SOFTMAX_CACHE: dict[int, float] = {}
+_TRIG_SOFTMAX_CACHE: dict[int, float] = {}
+
+
+def _ner_softmax(lab: int) -> float:
+    v = _NER_SOFTMAX_CACHE.get(lab)
+    if v is None:
+        vec = np.full(len(NER_LABELS), -2.0)
+        vec[lab] = 5.0
+        v = softmax_with_null(5.0, vec, lab)
+        _NER_SOFTMAX_CACHE[lab] = v
+    return v
+
+
+def _trig_softmax(lab: int) -> float:
+    v = _TRIG_SOFTMAX_CACHE.get(lab)
+    if v is None:
+        vec = np.full(len(EVENT_TYPES), -2.0)
+        vec[lab] = 4.0
+        v = softmax_with_null(4.0, vec, lab)
+        _TRIG_SOFTMAX_CACHE[lab] = v
+    return v
+
+
+def extract_sentence_fast(tokens: list[str], scorer: LexiconScorer):
+    """Output-identical fast path of `extract_sentence` (the slow version is
+    the executable spec; tests/test_kernel_decode.py asserts equivalence).
+
+    Key observation: non-lexicon spans can never change what is EMITTED —
+    their NER argmax is always null, their relation/role logits are always
+    dominated by the null column, and their mention scores (-1+jitter) never
+    outrank a lexicon span's (+2+jitter). So decode reduces to:
+      * NER: every lexicon occurrence (≤ MAX_SPAN_WIDTH);
+      * pruner: k = ceil(0.5·n) spans total → top-min(#hits, k) hits survive
+        (ties on equal mention break toward the earlier span, as in
+        torch.topk), re-sorted to textual order;
+      * relations: forward pattern pairs among surviving hits;
+      * events: trigger tokens within beam floor(0.3·n)∈[1,15]; arguments =
+        hits within beam floor(0.8·n)∈[1,30], role by position.
+    """
+    n = len(tokens)
+    lower = [t.lower() for t in tokens]
+    hits = scorer.find_hits(lower)  # [(s, e, lab)] in span-enumeration order
+
+    pred_ner = []
+    texts = []
+    for (s, e, lab) in hits:
+        texts.append(" ".join(lower[s : e + 1]))
+        pred_ner.append(
+            {
+                "start": s, "end": e, "label": NER_LABELS[lab],
+                "raw_score": _round(5.0),
+                "softmax_score": _round(_ner_softmax(lab)),
+            }
+        )
+    mentions = [2.0 + _jitter(t) for t in texts]
+
+    def top_hits(beam: int) -> list[int]:
+        if len(hits) <= beam:
+            return list(range(len(hits)))
+        order = sorted(range(len(hits)), key=lambda i: (-mentions[i], i))[:beam]
+        return sorted(order)
+
+    # --- relations among pruned hits
+    k = max(1, math.ceil(RELATION_SPANS_PER_WORD * n))
+    kept = top_hits(k)
+    pred_rels = []
+    n_rel = len(RELATION_LABELS)
+    for ai in kept:
+        s1, e1, _ = hits[ai]
+        for bi in kept:
+            if ai == bi:
+                continue
+            s2, e2, _ = hits[bi]
+            if e1 < s2 and (s2 - e1 - 1) <= scorer.max_pattern_len:
+                lab = scorer.rel_label.get(" ".join(lower[e1 + 1 : s2]))
+                if lab is not None:
+                    m12 = mentions[ai] + mentions[bi]
+                    raw = 6.0 + m12
+                    vec = np.full(n_rel, -10.0 + m12)
+                    vec[lab] = raw
+                    pred_rels.append(
+                        {
+                            "s1": s1, "e1": e1, "s2": s2, "e2": e2,
+                            "label": RELATION_LABELS[lab],
+                            "raw_score": _round(raw),
+                            "softmax_score": _round(softmax_with_null(raw, vec, lab)),
+                        }
+                    )
+
+    # --- events
+    trig_beam = beam_size(n, TRIGGER_BEAM_RATIO, TRIGGER_BEAM_MIN, TRIGGER_BEAM_MAX)
+    triggers = [(i, scorer.trig_label[t]) for i, t in enumerate(lower) if t in scorer.trig_label]
+    triggers = triggers[:trig_beam]  # all trigger scores tie at 4.0 → lowest indexes win
+    arg_beam = beam_size(n, ARG_BEAM_RATIO, ARG_BEAM_MIN, ARG_BEAM_MAX)
+    arg_hits = top_hits(arg_beam)
+    pred_events = []
+    n_roles = len(ARG_ROLES)
+    for trig_ix, lab in triggers:
+        args = []
+        for hi in arg_hits:
+            s, e, _ = hits[hi]
+            if e < trig_ix:
+                rlab = 0
+            elif s == trig_ix + 1:
+                rlab = 1
+            elif s > trig_ix + 1:
+                rlab = 2
+            else:
+                continue  # span overlaps the trigger → all roles null
+            raw = 3.0 + mentions[hi]
+            vec = np.full(n_roles, -10.0 + mentions[hi])
+            vec[rlab] = raw
+            args.append(
+                {
+                    "start": s, "end": e, "role": ARG_ROLES[rlab],
+                    "raw_score": _round(raw),
+                    "softmax_score": _round(softmax_with_null(raw, vec, rlab)),
+                }
+            )
+        pred_events.append(
+            {
+                "trigger_tok": int(trig_ix),
+                "event_type": EVENT_TYPES[lab],
+                "trig_raw_score": _round(4.0),
+                "trig_softmax_score": _round(_trig_softmax(lab)),
+                "args": args,
+            }
+        )
+    return pred_ner, pred_rels, pred_events
+
+
 # -------------------------------------------------------------- actor stage
 
 
@@ -350,7 +501,7 @@ class ExtractionKernel:
             span_registry: dict[str, list[tuple[int, int]]] = {}
             offset = 0
             for sent in sentences:
-                ner, rels, evts = extract_sentence(sent, self.scorer)
+                ner, rels, evts = extract_sentence_fast(sent, self.scorer)
                 doc_ner.append(ner)
                 doc_rel.append(rels)
                 doc_evt.append(evts)

@@ -128,6 +128,33 @@ def test_extract_sentence_no_trigger_no_event():
     assert evts == []  # all trigger beams decode to null → gated out
 
 
+def test_fast_path_equals_slow_path():
+    """extract_sentence is the executable spec; extract_sentence_fast must be
+    output-identical on planted, dense, adversarial and random sentences."""
+    import random
+
+    from dygiepp_ray.stages.kernel import extract_sentence_fast
+
+    vocab = ["hash", "join", "bloom", "filter", "latency", "shipped", "is",
+             "used", "for", "part", "of", "the", "runtime", "keeps", "x", "."]
+    rng = random.Random(17)
+    cases = [
+        "hash join is used for bloom filter .".split(),
+        "bloom filter shipped latency today .".split(),
+        "hash join hash join hash join hash join".split(),  # dense hits > k
+        ["latency"] * 40,                                     # hits ≫ beams
+        "shipped shipped shipped latency".split(),            # many triggers
+        ["x"],
+        [],
+    ] + [[rng.choice(vocab) for _ in range(rng.randint(1, 30))] for _ in range(60)]
+    for tokens in cases:
+        if not tokens:
+            continue
+        slow = extract_sentence(tokens, SCORER)
+        fast = extract_sentence_fast(tokens, SCORER)
+        assert fast == slow, tokens
+
+
 def test_scores_rounded_4_decimals():
     tokens = "hash join is used for bloom filter .".split()
     ner, rels, _ = extract_sentence(tokens, SCORER)
