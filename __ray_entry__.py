@@ -259,6 +259,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["region_nation_join"] = region_nation_join
 
+    def lineitem_orders_join(sf_dir: str):
+        # big-big bucketed hash join (joins.py): lineitem ⋈ orders on orderkey
+        from dygiepp_ray.joins import hash_join
+
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+        def rev(t: pa.Table) -> pa.Table:
+            r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+            return pa.table({"l_orderkey": t["l_orderkey"], "revenue": r})
+
+        li = li.map_batches(rev, batch_format="pyarrow")
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+            lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(li, orders, on="l_orderkey", n_buckets=16)
+        agg = joined.groupby("o_orderpriority").aggregate(
+            Count(alias_name="n_items"), Sum("revenue", alias_name="sum_revenue")
+        )
+        return _round_cols(agg, {"sum_revenue": 2})
+
+    q["lineitem_orders_join"] = lineitem_orders_join
+
+    def top2_orders_per_cust(sf_dir: str):
+        ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+        def top2(g: pd.DataFrame) -> pd.DataFrame:
+            return g.sort_values(["o_totalprice", "o_orderkey"],
+                                 ascending=[False, True]).head(2)
+
+        return ds.groupby("o_custkey").map_groups(top2, batch_format="pandas")
+
+    q["top2_orders_per_cust"] = top2_orders_per_cust
+
+    def events_sessions(sf_dir: str):
+        # gap-based sessionization (30-min inactivity gap) per user
+        ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+        def sess(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["ts", "event_id"])
+            gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
+            n_sessions = int(gaps.sum()) + 1
+            return pd.DataFrame(
+                {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions],
+                 "n_events": [len(g)]}
+            )
+
+        return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+    q["events_sessions"] = events_sessions
+
+    def adaptive_topk_orders(sf_dir: str):
+        from dygiepp_ray.stages.misc import adaptive_cutoff_filter
+
+        ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        return adaptive_cutoff_filter(ds, "o_totalprice", threshold=100000.0, count=50)
+
+    q["adaptive_topk_orders"] = adaptive_topk_orders
+
     # ---- text analysis over documents
 
     def q_token_stats(sf_dir: str):
@@ -410,6 +469,120 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_closure"] = q_kg_closure
 
+    def q_collate_stats(sf_dir: str):
+        # P5 collate over the documents-as-docs table: sentence conservation
+        from dygiepp_ray.stages.collate import collate
+        from ray.data.aggregate import Sum as _Sum
+
+        docs = kgp.documents_dataset(documents_as_corpus(sf_dir))
+        packed = collate(docs, max_spans=20000, max_sentences=16)
+
+        def counts(t: pa.Table) -> pa.Table:
+            sents = t.column("sentences").to_pylist()
+            return pa.table({"n_sentences": pa.array([sum(len(s) for s in sents)], pa.int64())})
+
+        return packed.map_batches(counts, batch_format="pyarrow").aggregate(
+            _Sum("n_sentences", alias_name="total_sentences")
+        ) or {}
+
+    def q_collate(sf_dir: str):
+        import pandas as _pd
+
+        res = q_collate_stats(sf_dir)
+        return _pd.DataFrame({"total_sentences": [res["total_sentences"]]})
+
+    q["collate_pack"] = q_collate
+
+    def q_uncollate(sf_dir: str):
+        # P5→P6 round trip: reassembled docs == original docs (count check)
+        from dygiepp_ray.stages.collate import collate, uncollate
+
+        docs = kgp.documents_dataset(documents_as_corpus(sf_dir))
+        packed = collate(docs)
+        back = uncollate(packed)
+        import pandas as _pd
+
+        return _pd.DataFrame({"n_docs": [back.count()], "n_docs_orig": [docs.count()]})
+
+    q["uncollate_roundtrip"] = q_uncollate
+
+    def q_seeded_split(sf_dir: str):
+        from dygiepp_ray.stages.misc import seeded_split
+
+        ds = _read(sf_dir, "documents", ["doc_id"])
+        parts = seeded_split(ds, [0.8, 0.1, 0.1], seed=100)
+        import pandas as _pd
+
+        return _pd.DataFrame(
+            {"split": ["train", "dev", "test"], "n": [p.count() for p in parts]}
+        )
+
+    q["seeded_split"] = q_seeded_split
+
+    def q_schema_map(sf_dir: str):
+        # P7 over the extracted predictions: remap predicted relation labels,
+        # drop the rest; count per mapped label
+        tri = _synth_triples(sf_dir)
+        mapped = tri.map_batches(
+            lambda t: t.filter(pc.is_in(t["pred"], value_set=pa.array(["USED-FOR"]))),
+            batch_format="pyarrow",
+        ).map_batches(
+            lambda t: t.set_column(t.column_names.index("pred"), "pred",
+                                   pa.array(["MECHANISM"] * t.num_rows, pa.string())),
+            batch_format="pyarrow",
+        )
+        return grouped_count(mapped.select_columns(["pred"]), ["pred"], out_name="n")
+
+    q["schema_map_relations"] = q_schema_map
+
+    def q_coref_merge(sf_dir: str):
+        # J2+D1: two models' cluster sets zip-joined on doc_key and merged
+
+        corpus = documents_as_corpus(sf_dir)
+        docs = kgp.documents_dataset(corpus).limit(200)
+        a = kgp.extract(docs, concurrency=(1, 2),
+                        entity_lexicon={**ENTITY_LEXICON, **DOC_LEXICON})
+        b = kgp.extract(docs, concurrency=(1, 2), entity_lexicon=DOC_LEXICON)
+        from dygiepp_ray.stages.coref import merge_clusters
+
+        def stamp(side):
+            return lambda t: t.append_column("_side", pa.array([side] * t.num_rows))
+
+        au = a.select_columns(["doc_key", "predicted_clusters"]).map_batches(
+            stamp("a"), batch_format="pyarrow")
+        bu = b.select_columns(["doc_key", "predicted_clusters"]).map_batches(
+            stamp("b"), batch_format="pyarrow")
+
+        def zip_merge(df: pd.DataFrame) -> pd.DataFrame:
+            # J2 zip-join (1:1 assert) + D1 merge, summarized to flat columns.
+            # Model B's clusters are split in half (weaker-model simulation):
+            # identical clusters are skipped by the reference's equality rule,
+            # so divergent-but-overlapping sets are what the merge is FOR.
+            av = df[df["_side"] == "a"]
+            bv = df[df["_side"] == "b"]
+            assert len(av) == 1 and len(bv) == 1, df["doc_key"].iloc[0]
+
+            def to_lists(clusters):
+                if clusters is None:
+                    return []
+                return [[(m["start"], m["end"]) for m in c] for c in list(clusters)]
+
+            a_cl = to_lists(av["predicted_clusters"].iloc[0])
+            b_cl = []
+            for c in to_lists(bv["predicted_clusters"].iloc[0]):
+                half = max(1, len(c) // 2)
+                b_cl.append(c[:half])
+                if c[half:]:
+                    b_cl.append(c[half:])
+            merged = merge_clusters(a_cl, b_cl)
+            return pd.DataFrame(
+                {"doc_key": [df["doc_key"].iloc[0]], "n_merged_clusters": [len(merged)]}
+            )
+
+        return au.union(bu).groupby("doc_key").map_groups(zip_merge, batch_format="pandas")
+
+    q["coref_cluster_merge"] = q_coref_merge
+
     # ---- multimodal plumbing (stubbed decode, real Ray plumbing)
 
     def q_media_features(sf_dir: str):
@@ -549,6 +722,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    array_to_string(list_transform(toks, x -> {lemma_case}), ' ') AS canon
             FROM t
+        """,
+        "lineitem_orders_join": """
+            SELECT o.o_orderpriority,
+                   count(*) AS n_items,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS sum_revenue
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
+        """,
+        "top2_orders_per_cust": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders)
+            WHERE rn <= 2
+        """,
+        "events_sessions": """
+            WITH g AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, sum(new_session)::BIGINT AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "adaptive_topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_totalprice >= (
+                SELECT min(o_totalprice) FROM (
+                    SELECT o_totalprice FROM orders
+                    WHERE o_totalprice >= 100000
+                    ORDER BY o_totalprice DESC LIMIT 50))
         """,
         "exact_dedup": """
             SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -1,0 +1,117 @@
+"""Small operators: T3 adaptive cutoff, T5 seeded shuffle/split, D2 key
+dedup, P7 schema mapper, A6 mean-over-namespaces.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def adaptive_cutoff_filter(ds: "ray.data.Dataset", score_col: str, threshold: float,
+                           count: int) -> "ray.data.Dataset":
+    """T3 — dygie_visualize_util.py:63-148 / predict.py:94-95 (TOPK_DECODE):
+    among rows with score ≥ threshold, find the count-th highest score as the
+    adaptive cutoff, then keep ALL rows with score ≥ cutoff (ties extend past
+    `count`). Two passes: a small global top-(count) of candidate scores
+    (block-local prune first), broadcast the cutoff, then a streaming filter.
+    """
+    def block_candidates(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t[score_col], threshold))
+        t = t.select([score_col])
+        if t.num_rows > count:
+            idx = pc.select_k_unstable(t, k=count, sort_keys=[(score_col, "descending")])
+            t = t.take(idx)
+        return t
+
+    cand = ds.map_batches(block_candidates, batch_format="pyarrow")
+    scores = sorted(cand.to_pandas()[score_col].tolist(), reverse=True)  # ≤ blocks×count rows
+    if not scores:
+        cutoff = threshold
+    elif len(scores) < count:
+        cutoff = scores[-1]
+    else:
+        cutoff = scores[count - 1]
+    cutoff_ref = ray.put(float(cutoff))
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t[score_col], ray.get(cutoff_ref)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def seeded_shuffle(ds: "ray.data.Dataset", seed: int = 100) -> "ray.data.Dataset":
+    """T5 — preprocess.py:386-390 (seed 100 at preprocess.py:340)."""
+    return ds.random_shuffle(seed=seed)
+
+
+def seeded_split(ds: "ray.data.Dataset", fractions: list[float], seed: int = 100):
+    """T5 — seeded train/dev/test split. Deterministic per-row assignment by
+    hash of a stable key column would be resumable; here we follow the
+    reference's shuffle-then-slice semantics via split_proportionately."""
+    return ds.random_shuffle(seed=seed).split_proportionately(fractions[:-1])
+
+
+def dedup_doc_keys(batch: pa.Table, seen: set | None = None,
+                   key_col: str = "doc_key") -> pa.Table:
+    """D2 — preprocess.py:403-405: append '+' until the key is unique.
+    Batch-local by default (pass a shared `seen` only in tests; cross-block
+    uniqueness at scale comes from including the shard id in the key)."""
+    seen = set() if seen is None else seen
+    keys = batch.column(key_col).to_pylist()
+    out = []
+    for k in keys:
+        while k in seen:
+            k = k + "+"
+        seen.add(k)
+        out.append(k)
+    i = batch.column_names.index(key_col)
+    return batch.set_column(i, key_col, pa.array(out, pa.string()))
+
+
+def map_schema_labels(label_map: dict[str, str], ner_to_entity: bool = True):
+    """P7 — scripts/data/schema_mapper.py:22-50: NER labels → 'ENTITY',
+    relation labels remapped via dict, unmapped relations DROPPED."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ner_col = batch.column("ner").to_pylist()
+        rel_col = batch.column("relations").to_pylist()
+        new_ner, new_rel = [], []
+        for doc_ner, doc_rel in zip(ner_col, rel_col):
+            new_ner.append(
+                [
+                    [{**m, "label": "ENTITY"} if ner_to_entity else m for m in sent]
+                    for sent in doc_ner
+                ]
+            )
+            new_rel.append(
+                [
+                    [{**r, "label": label_map[r["label"]]} for r in sent
+                     if r["label"] in label_map]
+                    for sent in doc_rel
+                ]
+            )
+        ner_i = batch.column_names.index("ner")
+        rel_i = batch.column_names.index("relations")
+        batch = batch.set_column(ner_i, "ner", pa.array(new_ner, batch.schema.field("ner").type))
+        batch = batch.set_column(rel_i, "relations",
+                                 pa.array(new_rel, batch.schema.field("relations").type))
+        return batch
+
+    return fn
+
+
+def mean_over_namespaces(metrics: dict[str, dict[str, float]]) -> dict[str, float]:
+    """A6 — ner.py:150-168: average precision/recall/f1 across
+    `{dataset}__task` namespaces into MEAN__*."""
+    if not metrics:
+        return {}
+    keys = sorted({k for m in metrics.values() for k in m})
+    return {
+        f"MEAN__{k}": sum(m.get(k, 0.0) for m in metrics.values()) / len(metrics)
+        for k in keys
+    }

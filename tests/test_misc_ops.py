@@ -1,0 +1,79 @@
+"""T3 adaptive cutoff, T5 seeded shuffle/split, D2 key dedup, P7 schema map,
+A6 mean-over-namespaces."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from dygiepp_ray.stages.misc import (
+    adaptive_cutoff_filter,
+    dedup_doc_keys,
+    map_schema_labels,
+    mean_over_namespaces,
+    seeded_shuffle,
+    seeded_split,
+)
+
+
+def test_adaptive_cutoff_tie_extend():
+    scores = [0.9, 0.8, 0.8, 0.8, 0.7, 0.6, 0.2]
+    ds = ray.data.from_pandas(pd.DataFrame({"conf": scores}))
+    # threshold 0.5, count 3 → 3rd highest eligible = 0.8 → ties extend to 4 rows
+    got = adaptive_cutoff_filter(ds, "conf", threshold=0.5, count=3).to_pandas()
+    assert sorted(got["conf"], reverse=True) == [0.9, 0.8, 0.8, 0.8]
+
+
+def test_adaptive_cutoff_fewer_than_count():
+    ds = ray.data.from_pandas(pd.DataFrame({"conf": [0.9, 0.6, 0.1]}))
+    got = adaptive_cutoff_filter(ds, "conf", threshold=0.5, count=10).to_pandas()
+    assert sorted(got["conf"]) == [0.6, 0.9]
+
+
+def test_seeded_shuffle_deterministic():
+    ds = ray.data.range(100)
+    a = seeded_shuffle(ds, seed=100).to_pandas()["id"].tolist()
+    b = seeded_shuffle(ray.data.range(100), seed=100).to_pandas()["id"].tolist()
+    assert a == b and sorted(a) == list(range(100))
+
+
+def test_seeded_split_proportions():
+    parts = seeded_split(ray.data.range(1000), [0.8, 0.1, 0.1], seed=7)
+    sizes = [p.count() for p in parts]
+    assert sum(sizes) == 1000
+    assert abs(sizes[0] - 800) < 5
+
+
+def test_dedup_doc_keys_appends_plus():
+    t = pa.table({"doc_key": ["a", "a", "b", "a"]})
+    out = dedup_doc_keys(t)
+    assert out.column("doc_key").to_pylist() == ["a", "a+", "b", "a++"]
+
+
+def test_map_schema_labels():
+    ner_typ = pa.list_(pa.list_(pa.struct(
+        [("start", pa.int32()), ("end", pa.int32()), ("label", pa.string())])))
+    rel_typ = pa.list_(pa.list_(pa.struct(
+        [("s1", pa.int32()), ("e1", pa.int32()), ("s2", pa.int32()),
+         ("e2", pa.int32()), ("label", pa.string())])))
+    t = pa.table({
+        "ner": pa.array([[[{"start": 0, "end": 1, "label": "Method"}]]], ner_typ),
+        "relations": pa.array([[[
+            {"s1": 0, "e1": 1, "s2": 2, "e2": 3, "label": "USED-FOR"},
+            {"s1": 0, "e1": 1, "s2": 4, "e2": 5, "label": "PART-OF"},
+        ]]], rel_typ),
+    })
+    out = map_schema_labels({"USED-FOR": "MECHANISM"})(t)
+    assert out.column("ner").to_pylist()[0][0][0]["label"] == "ENTITY"
+    rels = out.column("relations").to_pylist()[0][0]
+    assert len(rels) == 1 and rels[0]["label"] == "MECHANISM"  # PART-OF dropped
+
+
+def test_mean_over_namespaces():
+    out = mean_over_namespaces({
+        "scierc__ner": {"precision": 0.8, "recall": 0.6, "f1": 0.686},
+        "genia__ner": {"precision": 0.6, "recall": 0.4, "f1": 0.48},
+    })
+    assert out["MEAN__precision"] == 0.7
+    assert abs(out["MEAN__f1"] - 0.583) < 1e-3
