@@ -583,6 +583,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["coref_cluster_merge"] = q_coref_merge
 
+    def _reduced_triples(sf_dir: str):
+        # weaker-model simulation: kernel with a reduced entity lexicon
+        reduced = {k: v for i, (k, v) in enumerate(sorted(ENTITY_LEXICON.items()))
+                   if i % 4 != 0}
+        return kgp.kg_triples(_synth_corpus_dir(sf_dir), concurrency=_kernel_conc(),
+                              entity_lexicon=reduced)
+
+    def q_kg_eval_prf(sf_dir: str):
+        # J3+A2: corpus-level P/R/F1 of the reduced-lexicon model against the
+        # full-lexicon model's triples (exact-match metric, greedy dedup)
+        from dygiepp_ray.pipelines.evaluate import triple_prf
+
+        def shape(ds):
+            return ds.map_batches(
+                lambda t: pa.table({"doc_id": t["doc_id"], "arg0": t["subj"],
+                                    "arg1": t["obj"], "rel": t["pred"]}),
+                batch_format="pyarrow",
+            )
+
+        res = triple_prf(shape(_synth_triples(sf_dir)), shape(_reduced_triples(sf_dir)))
+        return pd.DataFrame([{k: (round(v, 6) if isinstance(v, float) else v)
+                              for k, v in res.items()}])
+
+    q["kg_eval_prf"] = q_kg_eval_prf
+
+    def q_kg_p_at_k(sf_dir: str):
+        # T2 — global confidence ranking, precision@{50,100,150,200}
+        # (eval_utils.py:763-783 sweep semantics)
+        gold = _synth_triples(sf_dir).to_pandas()
+        pred = _reduced_triples(sf_dir).to_pandas()
+        gold_set = set(zip(gold["doc_id"], gold["subj_norm"], gold["pred"], gold["obj_norm"]))
+        ranked = pred.sort_values(["conf", "doc_id", "subj_norm", "obj_norm"],
+                                  ascending=[False, True, True, True])
+        rows = []
+        for k in (50, 100, 150, 200):
+            top = ranked.head(k)
+            hits = sum(
+                (d, s, p, o) in gold_set
+                for d, s, p, o in zip(top["doc_id"], top["subj_norm"],
+                                      top["pred"], top["obj_norm"])
+            )
+            rows.append({"k": k, "precision_at_k": round(hits / max(1, len(top)), 6)})
+        return pd.DataFrame(rows)
+
+    q["kg_p_at_k"] = q_kg_p_at_k
+
+    def q_coref_scores(sf_dir: str):
+        # A5 — MUC/B³/CEAF-φ4/CoNLL of the reduced-lexicon model's clusters
+        # against the full-lexicon model's, per-doc counters streamed
+        from dygiepp_ray.pipelines.coref_metrics import coref_scores
+        from dygiepp_ray.joins import zip_join_assert
+
+        corpus = documents_as_corpus(sf_dir)
+        docs = kgp.documents_dataset(corpus).limit(200)
+        full = kgp.extract(docs, concurrency=(1, 2),
+                           entity_lexicon={**ENTITY_LEXICON, **DOC_LEXICON})
+        reduced_lex = {k: v for i, (k, v) in enumerate(sorted(DOC_LEXICON.items()))
+                       if i % 3 != 0}
+        red = kgp.extract(docs, concurrency=(1, 2), entity_lexicon=reduced_lex)
+        red_ren = red.select_columns(["doc_key", "predicted_clusters"]).map_batches(
+            lambda t: t.rename_columns(["doc_key", "clusters_pred"]),
+            batch_format="pyarrow",
+        )
+        joined = zip_join_assert(
+            full.select_columns(["doc_key", "predicted_clusters"]),
+            red_ren, "doc_key", ["clusters_pred"],
+        )
+        scores = coref_scores(joined, gold_col="predicted_clusters",
+                              pred_col="clusters_pred")
+        flat = {
+            "muc_f1": scores["muc"]["f1"],
+            "b3_f1": scores["b3"]["f1"],
+            "ceaf_e_f1": scores["ceaf_e"]["f1"],
+            "conll_f1": scores["conll_f1"],
+            "mention_recall": scores["mention_recall"],
+        }
+        return pd.DataFrame([{k: round(v, 6) for k, v in flat.items()}])
+
+    q["coref_scores"] = q_coref_scores
+
     # ---- multimodal plumbing (stubbed decode, real Ray plumbing)
 
     def q_media_features(sf_dir: str):

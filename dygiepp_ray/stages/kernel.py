@@ -101,6 +101,23 @@ def beam_size(n_tokens: int, ratio: float, lo: int, hi: int) -> int:
     return int(min(hi, max(lo, math.floor(ratio * n_tokens))))
 
 
+def prune_spans_entity_beam(class_scores: np.ndarray, n_tokens: int,
+                            spans_per_word: float = RELATION_SPANS_PER_WORD) -> np.ndarray:
+    """M4 entity-beam variant (entity_beam_pruner.py:116-119): the pruning
+    score is the MAX over external class scores instead of the learned
+    mention scorer; same k / order-restore rules."""
+    if class_scores.size == 0:
+        return np.zeros((0,), dtype=np.int64)
+    return prune_spans(class_scores.max(axis=1), n_tokens, spans_per_word)
+
+
+def prune_spans_gold_beam(gold_labels: np.ndarray) -> np.ndarray:
+    """M4 gold-beam variant (entity_beam_pruner.py:120-125, 135-137): keep
+    exactly the spans whose gold label is non-null (score 0 vs -1e20), i.e.
+    k = #gold spans; order restored by construction."""
+    return np.flatnonzero(gold_labels > 0).astype(np.int64)
+
+
 def _round(x: float) -> float:
     return round(float(x), FLOAT_ROUND_DECIMALS)
 
@@ -496,33 +513,47 @@ class ExtractionKernel:
     def __call__(self, batch: pa.Table) -> pa.Table:
         sentences_col = batch.column("sentences").to_pylist()
         pred_ner_col, pred_rel_col, pred_evt_col, clusters_col = [], [], [], []
+        failed_col = []
         for sentences in sentences_col:
-            doc_ner, doc_rel, doc_evt = [], [], []
-            span_registry: dict[str, list[tuple[int, int]]] = {}
-            offset = 0
-            for sent in sentences:
-                ner, rels, evts = extract_sentence_fast(sent, self.scorer)
-                doc_ner.append(ner)
-                doc_rel.append(rels)
-                doc_evt.append(evts)
-                # doc-level exact-canonical coref stand-in (M6): cluster
-                # mentions whose canonicalized text matches
-                for m in ner:
-                    key = canonicalize(" ".join(sent[m["start"] : m["end"] + 1]))
-                    if key:
-                        span_registry.setdefault(key, []).append(
-                            (offset + m["start"], offset + m["end"])
-                        )
-                offset += len(sent)
-            clusters = [
-                [{"start": s, "end": e} for (s, e) in v]
-                for v in span_registry.values()
-                if len(v) >= 2
-            ]
+            # poison-pill policy (SURVEY §4): one bad document becomes a
+            # `_failed_prediction=True` marker row, never a dead batch —
+            # mirroring the reference's _FAILED_PREDICTION skip markers
+            # (03_collect_shards.py:23, 44-50)
+            try:
+                doc_ner, doc_rel, doc_evt = [], [], []
+                span_registry: dict[str, list[tuple[int, int]]] = {}
+                offset = 0
+                for sent in sentences:
+                    ner, rels, evts = extract_sentence_fast(sent, self.scorer)
+                    doc_ner.append(ner)
+                    doc_rel.append(rels)
+                    doc_evt.append(evts)
+                    # doc-level exact-canonical coref stand-in (M6): cluster
+                    # mentions whose canonicalized text matches
+                    for m in ner:
+                        key = canonicalize(" ".join(sent[m["start"] : m["end"] + 1]))
+                        if key:
+                            span_registry.setdefault(key, []).append(
+                                (offset + m["start"], offset + m["end"])
+                            )
+                    offset += len(sent)
+                clusters = [
+                    [{"start": s, "end": e} for (s, e) in v]
+                    for v in span_registry.values()
+                    if len(v) >= 2
+                ]
+                failed = False
+            except Exception:  # noqa: BLE001 — per-row containment is the point
+                doc_ner = [[] for _ in sentences]
+                doc_rel = [[] for _ in sentences]
+                doc_evt = [[] for _ in sentences]
+                clusters = []
+                failed = True
             pred_ner_col.append(doc_ner)
             pred_rel_col.append(doc_rel)
             pred_evt_col.append(doc_evt)
             clusters_col.append(clusters)
+            failed_col.append(failed)
 
         from ..schema import PREDICTED_COLUMNS
 
@@ -544,4 +575,5 @@ class ExtractionKernel:
                 pa.list_(pa.list_(pa.struct([("start", pa.int32()), ("end", pa.int32())]))),
             ),
         )
+        batch = batch.append_column("_failed_prediction", pa.array(failed_col, pa.bool_()))
         return batch
