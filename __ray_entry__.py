@@ -629,6 +629,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_p_at_k"] = q_kg_p_at_k
 
+    def q_kg_event_f1(sf_dir: str):
+        # A4 — all four event-match variants: reduced-trigger model scored
+        # against the full model's events (zip-joined on doc_key)
+        from dygiepp_ray.pipelines.evaluate import event_f1
+        from dygiepp_ray.joins import zip_join_assert
+
+        corpus = ray.data.read_parquet(_synth_corpus_dir(sf_dir))
+        docs = kgp.documents_dataset(corpus)
+        full = kgp.extract(docs, concurrency=(1, 2))
+        red_trig = {k: v for i, (k, v) in enumerate(sorted(EVENT_TRIGGERS.items()))
+                    if i % 3 != 0}
+        red = kgp.extract(docs, concurrency=(1, 2), event_triggers=red_trig)
+        red_ren = red.select_columns(["doc_key", "predicted_events"]).map_batches(
+            lambda t: t.rename_columns(["doc_key", "events_pred"]),
+            batch_format="pyarrow",
+        )
+        joined = zip_join_assert(
+            full.select_columns(["doc_key", "predicted_events"]),
+            red_ren, "doc_key", ["events_pred"],
+        ).materialize()
+        rows = []
+        for variant in ("trig_id", "trig_class", "arg_id", "arg_class"):
+            res = event_f1(joined, variant, gold_col="predicted_events",
+                           pred_col="events_pred")
+            rows.append({"variant": variant,
+                         "precision": round(res["precision"], 6),
+                         "recall": round(res["recall"], 6),
+                         "f1": round(res["f1"], 6)})
+        return pd.DataFrame(rows)
+
+    q["kg_event_f1"] = q_kg_event_f1
+
     def q_coref_scores(sf_dir: str):
         # A5 — MUC/B³/CEAF-φ4/CoNLL of the reduced-lexicon model's clusters
         # against the full-lexicon model's, per-doc counters streamed

@@ -182,6 +182,70 @@ def triple_prf(gold: "ray.data.Dataset", pred: "ray.data.Dataset",
             "n_gold": n_gold, "n_pred": n_pred, "n_matched": n_matched}
 
 
+# ------------------------------------------------------------- event F1 (A4)
+
+
+def _event_sets(doc_events, variant: str) -> set:
+    """A4 — event_metrics.py:33-106. Four variants:
+    trig_id    : trigger token index only
+    trig_class : (token index, event type)
+    arg_id     : (arg span, trigger TYPE)      — trigger offset need NOT match
+    arg_class  : (arg span, trigger TYPE, role)  (invariant event_metrics.py:56-58)
+    """
+    out = set()
+    doc_events = [] if doc_events is None else doc_events
+    for sent_ix, sent in enumerate(doc_events):
+        for ev in sent:
+            trig = (sent_ix, ev["trigger_tok"])
+            etype = ev["event_type"]
+            if variant == "trig_id":
+                out.add(trig)
+            elif variant == "trig_class":
+                out.add((*trig, etype))
+            else:
+                args = ev.get("args")
+                args = [] if args is None else args
+                for a in args:
+                    key = (sent_ix, a["start"], a["end"], etype)
+                    if variant == "arg_id":
+                        out.add(key)
+                    elif variant == "arg_class":
+                        out.add((*key, a["role"]))
+    return out
+
+
+def _count_event_batch(variant: str, gold_col: str = "events",
+                       pred_col: str = "predicted_events"):
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        # pandas batch format: tolerant of nested object columns from
+        # upstream map_groups joins
+        tp = fp = fn_ = 0
+        for g, p in zip(batch[gold_col], batch[pred_col]):
+            g = [list(s) for s in g] if g is not None else []
+            p = [list(s) for s in p] if p is not None else []
+            gs, ps = _event_sets(g, variant), _event_sets(p, variant)
+            tp += len(gs & ps)
+            fp += len(ps - gs)
+            fn_ += len(gs - ps)
+        return pd.DataFrame({"tp": [tp], "fp": [fp], "fn": [fn_]})
+
+    return fn
+
+
+def event_f1(ds: "ray.data.Dataset", variant: str = "trig_class",
+             gold_col: str = "events", pred_col: str = "predicted_events") -> dict:
+    """A4 — micro P/R/F1 for one of the four event-match variants."""
+    assert variant in ("trig_id", "trig_class", "arg_id", "arg_class")
+    sums = ds.map_batches(_count_event_batch(variant, gold_col, pred_col),
+                          batch_format="pandas").aggregate(
+        Sum("tp", alias_name="tp"), Sum("fp", alias_name="fp"), Sum("fn", alias_name="fn")
+    )
+    tp, fp, fn_ = sums["tp"] or 0, sums["fp"] or 0, sums["fn"] or 0
+    p, r, f1 = compute_f1(tp + fp, tp + fn_, tp)
+    return {"variant": variant, "precision": p, "recall": r, "f1": f1,
+            "tp": tp, "fp": fp, "fn": fn_}
+
+
 # ------------------------------------------------------- transitive closure
 
 

@@ -487,12 +487,49 @@ def extract_sentence_fast(tokens: list[str], scorer: LexiconScorer):
 # -------------------------------------------------------------- actor stage
 
 
+def propagate_cluster_labels(doc_ner: list[list[dict]], clusters: list[list[dict]],
+                             sentence_starts: list[int], sentence_lens: list[int],
+                             iterations: int = 1) -> list[list[dict]]:
+    """M7 deterministic twin of coref propagation (coref.py:111-154): the
+    reference gate-updates top-span embeddings from their antecedent
+    distribution and rescores NER; here each cluster's mentions vote and the
+    MAJORITY label overwrites every member (ties break to the
+    lexicographically smallest label), repeated `iterations` times."""
+    if iterations <= 0 or not clusters:
+        return doc_ner
+    # doc-level span → (sent_ix, mention dict)
+    index: dict[tuple[int, int], dict] = {}
+    for sent_ix, (start, sent_ner) in enumerate(zip(sentence_starts, doc_ner)):
+        for m in sent_ner:
+            index[(start + m["start"], start + m["end"])] = m
+    for _ in range(iterations):
+        changed = False
+        for cluster in clusters:
+            members = [index[(c["start"], c["end"])] for c in cluster
+                       if (c["start"], c["end"]) in index]
+            if len(members) < 2:
+                continue
+            votes: dict[str, int] = {}
+            for m in members:
+                votes[m["label"]] = votes.get(m["label"], 0) + 1
+            best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            for m in members:
+                if m["label"] != best:
+                    m["label"] = best
+                    changed = True
+        if not changed:
+            break
+    return doc_ner
+
+
 class ExtractionKernel:
     """Actor-pool `map_batches` stage (M1-M8). Lexicon tables are resolved
     once per actor in __init__ — pass either plain dicts or `ray.ObjectRef`s
-    (broadcast with `ray.put` on the driver; see state/broadcast.py)."""
+    (broadcast with `ray.put` on the driver; see state/broadcast.py).
+    `coref_prop` > 0 enables the M7 label-propagation pass."""
 
-    def __init__(self, entity_lexicon=None, relation_patterns=None, event_triggers=None):
+    def __init__(self, entity_lexicon=None, relation_patterns=None, event_triggers=None,
+                 coref_prop: int = 0):
         import ray
 
         def _resolve(x, default):
@@ -509,6 +546,7 @@ class ExtractionKernel:
             _resolve(relation_patterns, RELATION_PATTERNS),
             _resolve(event_triggers, EVENT_TRIGGERS),
         )
+        self.coref_prop = coref_prop
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sentences_col = batch.column("sentences").to_pylist()
@@ -542,6 +580,16 @@ class ExtractionKernel:
                     for v in span_registry.values()
                     if len(v) >= 2
                 ]
+                if self.coref_prop > 0:
+                    starts = []
+                    acc = 0
+                    for sent in sentences:
+                        starts.append(acc)
+                        acc += len(sent)
+                    doc_ner = propagate_cluster_labels(
+                        doc_ner, clusters, starts, [len(s) for s in sentences],
+                        iterations=self.coref_prop,
+                    )
                 failed = False
             except Exception:  # noqa: BLE001 — per-row containment is the point
                 doc_ner = [[] for _ in sentences]
