@@ -144,16 +144,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
             return t.append_column("disc_price", disc)
 
-        agg = (
-            ds.map_batches(prep, batch_format="pyarrow")
-            .groupby(["l_returnflag", "l_linestatus"])
-            .aggregate(
-                Sum("l_quantity", alias_name="sum_qty"),
-                Sum("l_extendedprice", alias_name="sum_base_price"),
-                Sum("disc_price", alias_name="sum_disc_price"),
-                Mean("l_quantity", alias_name="avg_qty"),
-                Count(alias_name="n"),
-            )
+        from dygiepp_ray.aggregates import partial_final_agg
+
+        agg = partial_final_agg(
+            ds.map_batches(prep, batch_format="pyarrow"),
+            ["l_returnflag", "l_linestatus"],
+            [
+                ("sum_qty", "l_quantity", "sum"),
+                ("sum_base_price", "l_extendedprice", "sum"),
+                ("sum_disc_price", "disc_price", "sum"),
+                ("avg_qty", "l_quantity", "mean"),
+                ("n", None, "count"),
+            ],
         )
         return _round_cols(agg, {"sum_qty": 2, "sum_base_price": 2,
                                  "sum_disc_price": 2, "avg_qty": 6})
@@ -186,12 +188,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             df["c_mktsegment"] = df["o_custkey"].map(ray.get(seg_ref))
             return df
 
+        from dygiepp_ray.aggregates import partial_final_agg
+
         ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
             add_segment, batch_format="pandas"
         )
-        agg = ds.groupby("c_mktsegment").aggregate(
-            Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_total")
-        )
+        agg = partial_final_agg(ds, ["c_mktsegment"],
+                                [("n_orders", None, "count"),
+                                 ("sum_total", "o_totalprice", "sum")])
         return _round_cols(agg, {"sum_total": 2})
 
     q["broadcast_join_orders"] = broadcast_join_orders
@@ -237,8 +241,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
             return df[["user_id", "day", "value"]]
 
-        agg = ds.map_batches(prep, batch_format="pandas").groupby(["user_id", "day"]).aggregate(
-            Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
+        from dygiepp_ray.aggregates import partial_final_agg
+
+        agg = partial_final_agg(
+            ds.map_batches(prep, batch_format="pandas"),
+            ["user_id", "day"],
+            [("n_events", None, "count"), ("sum_value", "value", "sum")],
         )
         return _round_cols(agg, {"sum_value": 2})
 
@@ -274,10 +282,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]),
             batch_format="pyarrow",
         )
+        from dygiepp_ray.aggregates import partial_final_agg
+
         joined = hash_join(li, orders, on="l_orderkey", n_buckets=16)
-        agg = joined.groupby("o_orderpriority").aggregate(
-            Count(alias_name="n_items"), Sum("revenue", alias_name="sum_revenue")
-        )
+        agg = partial_final_agg(joined, ["o_orderpriority"],
+                                [("n_items", None, "count"),
+                                 ("sum_revenue", "revenue", "sum")])
         return _round_cols(agg, {"sum_revenue": 2})
 
     q["lineitem_orders_join"] = lineitem_orders_join

@@ -58,6 +58,64 @@ def grouped_count(ds: "ray.data.Dataset", keys: list[str], out_name: str = "coun
     return partial.groupby(keys).aggregate(Sum("partial_count", alias_name=out_name))
 
 
+def partial_final_agg(ds: "ray.data.Dataset", keys: list[str],
+                      spec: list[tuple[str, str | None, str]]) -> "ray.data.Dataset":
+    """Generic partial+final grouped aggregation.
+
+    `spec` = [(out_name, col, op)] with op ∈ {sum, count, mean, min, max}
+    (col=None for count). Phase 1 aggregates INSIDE each Arrow block with
+    `pyarrow.Table.group_by`, so the shuffle moves ≤ one row per (key, block)
+    instead of every input row; phase 2 is a small Ray groupby combining the
+    partials (sum-of-sums, sum-of-counts, min-of-mins, …; mean = Σsum/Σcount).
+    This is the A1/A2 pattern generalized — use it instead of
+    `ds.groupby().aggregate()` whenever the per-block group count is much
+    smaller than the block row count.
+    """
+    need_count = any(op in ("count", "mean") for _, _, op in spec)
+    sum_cols = sorted({col for _, col, op in spec if op in ("sum", "mean")})
+    min_cols = sorted({col for _, col, op in spec if op == "min"})
+    max_cols = sorted({col for _, col, op in spec if op == "max"})
+
+    def block_agg(t: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in sum_cols]
+        aggs += [(c, "min") for c in min_cols]
+        aggs += [(c, "max") for c in max_cols]
+        if need_count:
+            aggs.append(([], "count_all"))
+        # arrow names results "{col}_{fn}" / "count_all" and puts keys last
+        return t.group_by(keys).aggregate(aggs)
+
+    partial = ds.map_batches(block_agg, batch_format="pyarrow")
+    final_aggs = [Sum(f"{c}_sum", alias_name=f"{c}_sum") for c in sum_cols]
+    if need_count:
+        final_aggs.append(Sum("count_all", alias_name="count_all"))
+    from ray.data.aggregate import Max as _Max, Min as _Min
+
+    final_aggs += [_Min(f"{c}_min", alias_name=f"{c}_min") for c in min_cols]
+    final_aggs += [_Max(f"{c}_max", alias_name=f"{c}_max") for c in max_cols]
+    combined = partial.groupby(keys).aggregate(*final_aggs)
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {k: t.column(k) for k in keys}
+        for out_name, col, op in spec:
+            if op == "sum":
+                cols[out_name] = t.column(f"{col}_sum")
+            elif op == "count":
+                cols[out_name] = t.column("count_all")
+            elif op == "mean":
+                cols[out_name] = pc.divide(
+                    pc.cast(t.column(f"{col}_sum"), pa.float64()),
+                    pc.cast(t.column("count_all"), pa.float64()),
+                )
+            elif op == "min":
+                cols[out_name] = t.column(f"{col}_min")
+            elif op == "max":
+                cols[out_name] = t.column(f"{col}_max")
+        return pa.table(cols)
+
+    return combined.map_batches(project, batch_format="pyarrow")
+
+
 def distinct_first(ds: "ray.data.Dataset", keys: list[str]) -> "ray.data.Dataset":
     """A8/D3 exact dedup: keep the first row per key group, deterministically
     (rows sorted by all columns within the group before taking the head)."""

@@ -29,6 +29,7 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 _MERSENNE = (1 << 61) - 1
+_HASH32 = (1 << 32) - 1
 
 
 def _text_sha(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -64,11 +65,24 @@ def hash_shingle(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big") % _MERSENNE
 
 
-def _perm_params(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain PRNG mixing function);
+    uint64 ops wrap, which is exactly the arithmetic the mixer wants."""
+    z = z + np.uint64(0x9E3779B97F4A7C15)
+    z ^= z >> np.uint64(30)
+    z = z * np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z = z * np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def _perm_params(n_perm: int, seed: int = 7) -> np.ndarray:
+    """Per-permutation xor seeds; h_i(x) = splitmix64(x ^ seed_i). Far better
+    min-wise behavior than a 32-bit linear-congruential family and still one
+    vectorized (n_shingles, n_perm) pass."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.int64)
-    return a, b
+    return rng.randint(0, 2**63, size=n_perm, dtype=np.int64).astype(np.uint64)
 
 
 class MinHasher:
@@ -77,7 +91,7 @@ class MinHasher:
 
     def __init__(self, n_perm: int = 64, shingle_k: int = 3, seed: int = 7,
                  text_col: str = "text", id_col: str = "doc_id"):
-        self.a, self.b = _perm_params(n_perm, seed)
+        self.seeds = _perm_params(n_perm, seed)
         self.n_perm = n_perm
         self.k = shingle_k
         self.text_col = text_col
@@ -87,12 +101,10 @@ class MinHasher:
         sh = _shingles(text, self.k)
         if not sh:
             return np.full(self.n_perm, _MERSENNE, dtype=np.int64)
-        x = np.fromiter(sh, dtype=np.int64, count=len(sh))
-        # (n_shingles, n_perm) universal hash; python-int ops avoided via object
-        # -> use int64 with mod math on int128 emulation: split multiply to stay exact
-        vals = (x[:, None].astype(object) * self.a[None, :].astype(object)
-                + self.b[None, :].astype(object)) % _MERSENNE
-        return np.min(np.asarray(vals, dtype=np.int64), axis=0)
+        x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+        vals = _splitmix64(x[:, None] ^ self.seeds[None, :]).min(axis=0)
+        # monotonic shift into int64 range for Arrow-friendly signatures
+        return (vals >> np.uint64(2)).astype(np.int64)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         sigs = [self.signature(t) for t in batch[self.text_col]]

@@ -98,6 +98,29 @@ def test_ngram_jaccard_exact_verification(planted):
     assert got_pairs == want  # LSH recall is perfect on this planted corpus
 
 
+def test_minhash_estimator_quality():
+    """Regression: the hash family must be min-wise well-behaved — a weak
+    32-bit linear-congruential family showed max error 0.41 here."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(3)
+    base = [f"w{i}" for i in range(120)]
+    mh = MinHasher(n_perm=64)
+    errs = []
+    for _ in range(30):
+        b = list(base)
+        for _ in range(rng.randint(0, 60)):
+            b[rng.randrange(len(b))] = f"x{rng.randrange(999)}"
+        ta, tb = " ".join(base), " ".join(b)
+        sa, sb = _shingles(ta, 3), _shingles(tb, 3)
+        true_j = len(sa & sb) / len(sa | sb)
+        est = float(np.mean(mh.signature(ta) == mh.signature(tb)))
+        errs.append(abs(true_j - est))
+    assert np.mean(errs) < 0.08 and max(errs) < 0.2, (np.mean(errs), max(errs))
+
+
 def test_signature_determinism(planted):
     mh = MinHasher(n_perm=32)
     t = planted.loc[2, "text"]
