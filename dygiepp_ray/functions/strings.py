@@ -91,6 +91,27 @@ def jaccard(a: str, b: str) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def refind_span(span: str) -> str:
+    """F10 — eval_metrics.py:31-39: lowercase, strip a leading article
+    ('a '/'the '), drop stray bracket/dash-space sequences."""
+    span = span.lower()
+    if span.startswith("a "):
+        span = span[2:]
+    if span.startswith("the "):
+        span = span[4:]
+    return span.replace(") ", " ").replace("- ", " ").replace("( ", " ")
+
+
+def partial_span_score(a: str, b: str) -> float:
+    """F10 — eval_metrics.py:42-56: multiset common-token count over the
+    LONGER span's token count (threshold 0.3 applied by callers)."""
+    ta = refind_span(a).split(" ")
+    tb = refind_span(b).split(" ")
+    max_length = max(len(ta), len(tb))
+    common = [x for x in ta if x in tb]
+    return float(len(common) / max_length)
+
+
 def word_normalize(token: str) -> str:
     """P2 — dygie/data/dataset_readers/dygie.py:205-210 (`/.`→`.`, `/?`→`?`)."""
     if token == "/.":

@@ -20,7 +20,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
-from ..functions.strings import exact_match, jaccard, substring_match
+from ..functions.strings import exact_match, jaccard, partial_span_score, substring_match
 
 
 def compute_f1(n_pred: int, n_gold: int, n_matched: int) -> tuple[float, float, float]:
@@ -119,6 +119,9 @@ def span_match(a: str, b: str, metric: str = "exact", threshold: float = 0.5) ->
         return substring_match(a, b)
     if metric == "jaccard":
         return jaccard(a, b) >= threshold
+    if metric == "partial":
+        # F10 — partial_match_score threshold 0.3 (eval_metrics.py:59-76)
+        return partial_span_score(a, b) >= 0.3
     raise ValueError(f"unknown metric {metric!r} (head/rouge unavailable here)")
 
 

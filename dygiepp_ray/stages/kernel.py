@@ -487,6 +487,64 @@ def extract_sentence_fast(tokens: list[str], scorer: LexiconScorer):
 # -------------------------------------------------------------- actor stage
 
 
+def decode_antecedents(antecedent_best: list[int]) -> list[list[int]]:
+    """M6 greedy cluster decode (coref.py:367-439): mention i's predicted
+    antecedent is `antecedent_best[i]` (an earlier mention index, or -1 for
+    null). Walk mentions in order; a non-null antecedent joins its
+    antecedent's cluster (creating it if needed). Returns clusters as lists
+    of mention indices, in first-creation order."""
+    cluster_of: dict[int, int] = {}
+    clusters: list[list[int]] = []
+    for i, ant in enumerate(antecedent_best):
+        if ant < 0:
+            continue
+        cid = cluster_of.get(ant)
+        if cid is None:
+            cid = len(clusters)
+            clusters.append([ant])
+            cluster_of[ant] = cid
+        clusters[cid].append(i)
+        cluster_of[i] = cid
+    return clusters
+
+
+def coref_antecedent_decode(mentions: list[tuple[int, int, str]], doc_tokens: int,
+                            max_antecedents: int = 100,
+                            spans_per_word: float = 0.3) -> list[list[int]]:
+    """M6 deterministic antecedent path (coref.py:213-439 decode semantics):
+
+    * prune mentions to k = ceil(spans_per_word × doc_tokens), min 2
+      (coref.py:254-260), textual order restored;
+    * each kept mention scores up to `max_antecedents` PRECEDING kept
+      mentions (cap at #kept, coref.py:260); the deterministic pair score is
+      canonical-form equality (match → positive, closer antecedent preferred;
+      no match → null wins);
+    * greedy cluster decode from the per-mention argmax antecedent.
+
+    `mentions`: (doc_start, doc_end, canonical_text) in textual order.
+    Returns clusters as lists of indices into the PRUNED mention list.
+    """
+    n = len(mentions)
+    if n == 0:
+        return []
+    k = max(2, math.ceil(spans_per_word * doc_tokens))
+    kept = list(range(n))[: min(n, max(k, 2))] if n <= k else None
+    if kept is None:
+        # prune by mention score: canonical mentions all tie → keep first k
+        kept = list(range(k))
+    cap = min(max_antecedents, len(kept))
+    best: list[int] = []
+    for i_pos, i in enumerate(kept):
+        lo = max(0, i_pos - cap)
+        choice = -1
+        for j_pos in range(i_pos - 1, lo - 1, -1):  # nearest first
+            if mentions[kept[j_pos]][2] and mentions[kept[j_pos]][2] == mentions[i][2]:
+                choice = j_pos
+                break
+        best.append(choice)
+    return decode_antecedents(best)
+
+
 def propagate_cluster_labels(doc_ner: list[list[dict]], clusters: list[list[dict]],
                              sentence_starts: list[int], sentence_lens: list[int],
                              iterations: int = 1) -> list[list[dict]]:
@@ -529,8 +587,10 @@ class ExtractionKernel:
     `coref_prop` > 0 enables the M7 label-propagation pass."""
 
     def __init__(self, entity_lexicon=None, relation_patterns=None, event_triggers=None,
-                 coref_prop: int = 0):
+                 coref_prop: int = 0, coref_mode: str = "canonical"):
         import ray
+
+        assert coref_mode in ("canonical", "antecedent")
 
         def _resolve(x, default):
             if x is None:
@@ -547,6 +607,7 @@ class ExtractionKernel:
             _resolve(event_triggers, EVENT_TRIGGERS),
         )
         self.coref_prop = coref_prop
+        self.coref_mode = coref_mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sentences_col = batch.column("sentences").to_pylist()
@@ -560,26 +621,35 @@ class ExtractionKernel:
             try:
                 doc_ner, doc_rel, doc_evt = [], [], []
                 span_registry: dict[str, list[tuple[int, int]]] = {}
+                mention_seq: list[tuple[int, int, str]] = []
                 offset = 0
                 for sent in sentences:
                     ner, rels, evts = extract_sentence_fast(sent, self.scorer)
                     doc_ner.append(ner)
                     doc_rel.append(rels)
                     doc_evt.append(evts)
-                    # doc-level exact-canonical coref stand-in (M6): cluster
-                    # mentions whose canonicalized text matches
+                    # doc-level coref (M6): collect mentions with canonical key
                     for m in ner:
                         key = canonicalize(" ".join(sent[m["start"] : m["end"] + 1]))
                         if key:
                             span_registry.setdefault(key, []).append(
                                 (offset + m["start"], offset + m["end"])
                             )
+                        mention_seq.append((offset + m["start"], offset + m["end"], key))
                     offset += len(sent)
-                clusters = [
-                    [{"start": s, "end": e} for (s, e) in v]
-                    for v in span_registry.values()
-                    if len(v) >= 2
-                ]
+                if self.coref_mode == "antecedent":
+                    idx_clusters = coref_antecedent_decode(mention_seq, offset)
+                    clusters = [
+                        [{"start": mention_seq[i][0], "end": mention_seq[i][1]}
+                         for i in c]
+                        for c in idx_clusters
+                    ]
+                else:
+                    clusters = [
+                        [{"start": s, "end": e} for (s, e) in v]
+                        for v in span_registry.values()
+                        if len(v) >= 2
+                    ]
                 if self.coref_prop > 0:
                     starts = []
                     acc = 0
