@@ -126,16 +126,19 @@ def kg_triples(input_dir: str, concurrency=DEFAULT_KERNEL_CONCURRENCY,
 
 def span_counts(triples: "ray.data.Dataset", salt_buckets: int = 1) -> "ray.data.Dataset":
     """A1 — occurrences per canonicalized span, counting BOTH argument slots
-    (make_kb.py:198-212). Implemented as a cheap projection union + salted
-    partial/final count; the union doubles rows but each side is one string
-    column."""
-    subj = triples.select_columns(["subj_norm"]).map_batches(
-        lambda t: t.rename_columns(["span_norm"]), batch_format="pyarrow"
+    (make_kb.py:198-212). Single pass: each batch emits subj_norm ++ obj_norm
+    as one `span_norm` column. (A two-branch `union` of the same upstream
+    would re-run the whole kernel pipeline twice AND deadlock a fixed-size
+    actor pool — two branches × min-30 actors > the node's CPUs.)"""
+
+    def both_slots(t: pa.Table) -> pa.Table:
+        chunks = list(t.column("subj_norm").chunks) + list(t.column("obj_norm").chunks)
+        return pa.table({"span_norm": pa.chunked_array(chunks, pa.string())})
+
+    spans = triples.select_columns(["subj_norm", "obj_norm"]).map_batches(
+        both_slots, batch_format="pyarrow"
     )
-    obj = triples.select_columns(["obj_norm"]).map_batches(
-        lambda t: t.rename_columns(["span_norm"]), batch_format="pyarrow"
-    )
-    return grouped_count(subj.union(obj), ["span_norm"], out_name="count",
+    return grouped_count(spans, ["span_norm"], out_name="count",
                          salt_buckets=salt_buckets)
 
 
