@@ -328,6 +328,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["adaptive_topk_orders"] = adaptive_topk_orders
 
+    def events_value_stats(sf_dir: str):
+        from dygiepp_ray.aggregates import partial_final_agg
+
+        ds = _read(sf_dir, "events", ["event_type", "value"])
+        agg = partial_final_agg(ds, ["event_type"],
+                                [("min_value", "value", "min"),
+                                 ("max_value", "value", "max"),
+                                 ("avg_value", "value", "mean"),
+                                 ("n", None, "count")])
+        return _round_cols(agg, {"min_value": 4, "max_value": 4, "avg_value": 6})
+
+    q["events_value_stats"] = events_value_stats
+
+    def part_type_agg(sf_dir: str):
+        from dygiepp_ray.aggregates import partial_final_agg
+
+        ds = _read(sf_dir, "part", ["p_type", "p_retailprice", "p_size"])
+        agg = partial_final_agg(ds, ["p_type"],
+                                [("avg_price", "p_retailprice", "mean"),
+                                 ("max_size", "p_size", "max"),
+                                 ("n_parts", None, "count")])
+        return _round_cols(agg, {"avg_price": 6})
+
+    q["part_type_agg"] = part_type_agg
+
+    def doc_length_histogram(sf_dir: str):
+        # histogram of whitespace-token counts in 10-token buckets
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+            n = df["text"].str.split().str.len()
+            return pd.DataFrame({"len_bucket": (n // 10) * 10})
+
+        return grouped_count(
+            ds.map_batches(bucketize, batch_format="pandas"),
+            ["len_bucket"], out_name="n_docs",
+        )
+
+    q["doc_length_histogram"] = doc_length_histogram
+
     # ---- text analysis over documents
 
     def q_token_stats(sf_dir: str):
@@ -504,15 +544,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["collate_pack"] = q_collate
 
     def q_uncollate(sf_dir: str):
-        # P5→P6 round trip: reassembled docs == original docs (count check)
-        from dygiepp_ray.stages.collate import collate, uncollate
+        # P5→extract→P6 round trip: per-sentence predictions are invariant to
+        # packing; reports doc counts and total predicted-mention parity
+        from dygiepp_ray.stages.collate import collate, uncollate_predictions
 
-        docs = kgp.documents_dataset(documents_as_corpus(sf_dir))
-        packed = collate(docs)
-        back = uncollate(packed)
-        import pandas as _pd
-
-        return _pd.DataFrame({"n_docs": [back.count()], "n_docs_orig": [docs.count()]})
+        docs = kgp.documents_dataset(documents_as_corpus(sf_dir)).materialize()
+        direct = kgp.extract(docs, concurrency=(1, 2))
+        n_direct_mentions = direct.map_batches(
+            lambda t: pa.table({"n": [sum(len(s) for doc in
+                                          t.column("predicted_ner").to_pylist()
+                                          for s in doc)]}),
+            batch_format="pyarrow",
+        ).sum("n")
+        packed_pred = kgp.extract(collate(docs), concurrency=(1, 2))
+        back = uncollate_predictions(packed_pred)
+        n_back_mentions = back.map_batches(
+            lambda df: pd.DataFrame({"n": [sum(len(s) for doc in df["predicted_ner"]
+                                               for s in doc)]}),
+            batch_format="pandas",
+        ).sum("n")
+        return pd.DataFrame(
+            {
+                "n_docs": [back.count()],
+                "n_docs_orig": [docs.count()],
+                "n_mentions_direct": [int(n_direct_mentions or 0)],
+                "n_mentions_roundtrip": [int(n_back_mentions or 0)],
+            }
+        )
 
     q["uncollate_roundtrip"] = q_uncollate
 
@@ -789,6 +847,27 @@ def oracle_sql() -> dict[str, str]:
         "region_nation_join": """
             SELECT n.n_name AS n_name, r.r_name AS r_name
             FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        """,
+        "events_value_stats": """
+            SELECT event_type,
+                   round(min(value), 4) AS min_value,
+                   round(max(value), 4) AS max_value,
+                   round(avg(value), 6) AS avg_value,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "part_type_agg": """
+            SELECT p_type,
+                   round(avg(p_retailprice), 6) AS avg_price,
+                   max(p_size) AS max_size,
+                   count(*) AS n_parts
+            FROM part GROUP BY p_type
+        """,
+        "doc_length_histogram": """
+            SELECT (length(regexp_split_to_array(text, '\\s+')) // 10) * 10
+                       AS len_bucket,
+                   count(*) AS n_docs
+            FROM documents GROUP BY len_bucket
         """,
         "token_stats": """
             SELECT doc_id,

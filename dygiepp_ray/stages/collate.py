@@ -118,6 +118,59 @@ def collate(documents: "ray.data.Dataset", prefix: str = "collated",
     )
 
 
+PRED_SENT_COLS = ("predicted_ner", "predicted_relations", "predicted_events")
+
+
+def uncollate_predictions(collated_pred: "ray.data.Dataset") -> "ray.data.Dataset":
+    """The neural-stage round trip (reference predict path over collated
+    pseudo-docs): pseudo-doc rows carrying per-sentence `predicted_*` lists →
+    original documents with their sentences AND predictions restored, ordered
+    by `_orig_sent_ix`. Coref clusters are NOT carried — collate strips doc-
+    level coref state by design (collate.py:30-33)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        pred_cols = [c for c in PRED_SENT_COLS if c in batch.column_names]
+        rows: dict[str, list] = {"_orig_doc_key": [], "_orig_sent_ix": [], "tokens": []}
+        for c in pred_cols:
+            rows[c] = []
+        keys_col = batch.column("_orig_doc_keys").to_pylist()
+        ixs_col = batch.column("_orig_sent_ixs").to_pylist()
+        sents_col = batch.column("sentences").to_pylist()
+        preds = {c: batch.column(c).to_pylist() for c in pred_cols}
+        for r in range(batch.num_rows):
+            for j, (k, ix, s) in enumerate(zip(keys_col[r], ixs_col[r], sents_col[r])):
+                rows["_orig_doc_key"].append(k)
+                rows["_orig_sent_ix"].append(ix)
+                rows["tokens"].append(s)
+                for c in pred_cols:
+                    rows[c].append(preds[c][r][j])
+        out = {
+            "_orig_doc_key": pa.array(rows["_orig_doc_key"], pa.string()),
+            "_orig_sent_ix": pa.array(rows["_orig_sent_ix"], pa.int32()),
+            "tokens": pa.array(rows["tokens"], pa.list_(pa.string())),
+        }
+        for c in pred_cols:
+            out[c] = pa.array(rows[c], batch.schema.field(c).type.value_type)
+        return pa.table(out)
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("_orig_sent_ix")
+        ixs = df["_orig_sent_ix"].tolist()
+        key = df["_orig_doc_key"].iloc[0]
+        assert ixs == list(range(len(ixs))), f"doc {key!r}: missing sentences {ixs}"
+        row = {"doc_key": key, "sentences": df["tokens"].tolist()}
+        for c in PRED_SENT_COLS:
+            if c in df.columns:
+                row[c] = df[c].tolist()
+        return pd.DataFrame([row])
+
+    return (
+        collated_pred.map_batches(explode, batch_format="pyarrow")
+        .groupby("_orig_doc_key")
+        .map_groups(reassemble, batch_format="pandas")
+    )
+
+
 def uncollate(collated: "ray.data.Dataset",
               expected_counts: dict[str, int] | None = None) -> "ray.data.Dataset":
     """Reassemble original documents; error on missing sentences when the
