@@ -91,6 +91,45 @@ def jaccard(a: str, b: str) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def head_token(text: str) -> str:
+    """F4 stand-in — the reference uses the spaCy dep-parse ROOT
+    (eval_utils.py:220-226); with no parser in this environment we use the
+    right-headed-compound rule: the LAST non-stopword token (correct for the
+    noun phrases these KBs contain: 'hash join' → 'join')."""
+    toks = [t for t in text.lower().split() if t not in _STOP]
+    return toks[-1] if toks else ""
+
+
+def head_match(a: str, b: str) -> bool:
+    """F4 — head-token equality."""
+    ha, hb = head_token(a), head_token(b)
+    return bool(ha) and ha == hb
+
+
+def _lcs_len(a: list[str], b: list[str]) -> int:
+    # O(len(a)*len(b)) DP, single-row
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0]
+        for j, y in enumerate(b, 1):
+            cur.append(prev[j - 1] + 1 if x == y else max(prev[j], cur[-1]))
+        prev = cur
+    return prev[-1]
+
+
+def rouge_l_f(a: str, b: str, beta: float = 1.2) -> float:
+    """F5 — ROUGE-L F-measure (Lin 2004): LCS over whitespace tokens,
+    P = LCS/|b|, R = LCS/|a|, F = (1+β²)PR / (R + β²P)."""
+    ta, tb = a.lower().split(), b.lower().split()
+    lcs = _lcs_len(ta, tb)
+    if lcs == 0:
+        return 0.0
+    p, r = lcs / len(tb), lcs / len(ta)
+    return (1 + beta * beta) * p * r / (r + beta * beta * p)
+
+
 def refind_span(span: str) -> str:
     """F10 — eval_metrics.py:31-39: lowercase, strip a leading article
     ('a '/'the '), drop stray bracket/dash-space sequences."""

@@ -20,7 +20,14 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
-from ..functions.strings import exact_match, jaccard, partial_span_score, substring_match
+from ..functions.strings import (
+    exact_match,
+    head_match,
+    jaccard,
+    partial_span_score,
+    rouge_l_f,
+    substring_match,
+)
 
 
 def compute_f1(n_pred: int, n_gold: int, n_matched: int) -> tuple[float, float, float]:
@@ -122,7 +129,13 @@ def span_match(a: str, b: str, metric: str = "exact", threshold: float = 0.5) ->
     if metric == "partial":
         # F10 — partial_match_score threshold 0.3 (eval_metrics.py:59-76)
         return partial_span_score(a, b) >= 0.3
-    raise ValueError(f"unknown metric {metric!r} (head/rouge unavailable here)")
+    if metric == "head":
+        # F4 — rule-based head (reference: spaCy ROOT, eval_utils.py:220-226)
+        return head_match(a, b)
+    if metric == "rouge":
+        # F5 — ROUGE-L F vs threshold (eval_utils.py:227-231)
+        return rouge_l_f(a, b) >= threshold
+    raise ValueError(f"unknown metric {metric!r}")
 
 
 def relation_matching(gold_rows: list[dict], pred_rows: list[dict], metric: str = "exact",

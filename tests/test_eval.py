@@ -30,8 +30,24 @@ def test_span_match_metrics():
     assert span_match("join", "hash join", "substring")
     assert span_match("a b c", "b c d", "jaccard", threshold=0.5)
     assert not span_match("a b c", "x y z", "jaccard", threshold=0.5)
+    # F4 head: last non-stopword token
+    assert span_match("the hash join", "a blocked hash join", "head")
+    assert not span_match("hash join", "merge sort", "head")
+    # F5 ROUGE-L F vs threshold
+    assert span_match("fast hash join", "fast hash join", "rouge", threshold=0.99)
+    assert not span_match("fast hash join", "slow merge sort", "rouge", threshold=0.3)
     with pytest.raises(ValueError):
-        span_match("a", "b", "rouge")
+        span_match("a", "b", "bogus_metric")
+
+
+def test_rouge_l_values():
+    from dygiepp_ray.functions.strings import rouge_l_f
+
+    assert rouge_l_f("a b c d", "a b c d") == pytest.approx(1.0)
+    assert rouge_l_f("a b c d", "a c") > 0  # subsequence, not substring
+    assert rouge_l_f("a b", "x y") == 0.0
+    # LCS order matters: reversed tokens share only a length-1 subsequence
+    assert rouge_l_f("a b c", "c b a") < rouge_l_f("a b c", "a b c")
 
 
 def test_relation_matching_greedy_dedup():
