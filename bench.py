@@ -30,10 +30,9 @@ def _init_ray(num_cpus: int):
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
                  logging_level="ERROR")
-    from ray.data import DataContext
+    from dygiepp_ray.context import configure_for_scale
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    configure_for_scale()
 
 
 def _consume(res) -> int:

@@ -18,16 +18,26 @@ from ..state.broadcast import resolve
 
 
 def build_alias_table(entities: dict[str, list[str]]) -> dict:
-    """entity_id → aliases list, compiled to lookup maps:
-    exact alias → id, canonical alias → id (first-id-wins determinism)."""
+    """entity_id → aliases list, compiled to lookup maps: exact alias → id,
+    canonical alias → id (first-id-wins determinism), and a token→candidates
+    inverted index so fuzzy scoring only touches entities sharing ≥1 token
+    with the mention (blocking — O(candidates), not O(lexicon))."""
     exact: dict[str, str] = {}
     canon: dict[str, str] = {}
+    token_index: dict[str, list[tuple[str, str]]] = {}
     for eid in sorted(entities):
         for alias in entities[eid]:
             a = alias.lower()
             exact.setdefault(a, eid)
             canon.setdefault(canonicalize(alias), eid)
-    return {"exact": exact, "canon": canon, "entities": {k: list(v) for k, v in entities.items()}}
+            for tok in set(a.split()):
+                token_index.setdefault(tok, []).append((eid, a))
+    return {
+        "exact": exact,
+        "canon": canon,
+        "token_index": token_index,
+        "entities": {k: list(v) for k, v in entities.items()},
+    }
 
 
 class EntityLinker:
@@ -39,6 +49,7 @@ class EntityLinker:
         self.exact = table["exact"]
         self.canon = table["canon"]
         self.entities = table["entities"]
+        self.token_index = table.get("token_index")
         self.mention_col = mention_col
         self.min_score = min_score
 
@@ -51,12 +62,20 @@ class EntityLinker:
         eid = self.canon.get(c)
         if eid is not None:
             return eid, 0.8
+        # fuzzy fallback: blocked candidate set (entities sharing ≥1 token)
+        if self.token_index is not None:
+            candidates: set[tuple[str, str]] = set()
+            for tok in set(m.split()):
+                candidates.update(self.token_index.get(tok, ()))
+            pairs = sorted(candidates)  # sorted → deterministic tie-break
+        else:
+            pairs = [(eid, alias) for eid in sorted(self.entities)
+                     for alias in self.entities[eid]]
         best_id, best_score = None, 0.0
-        for eid in sorted(self.entities):  # sorted → deterministic tie-break
-            for alias in self.entities[eid]:
-                s = jaccard(mention, alias)
-                if s > best_score:
-                    best_id, best_score = eid, s
+        for eid, alias in pairs:
+            s = jaccard(mention, alias)
+            if s > best_score:
+                best_id, best_score = eid, s
         if best_score >= self.min_score:
             return best_id, round(best_score, 6)
         return None, 0.0

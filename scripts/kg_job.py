@@ -46,9 +46,9 @@ def main() -> None:
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
                  include_dashboard=False, logging_level="ERROR",
                  ignore_reinit_error=True)
-    from ray.data import DataContext
+    from dygiepp_ray.context import configure_for_scale
 
-    DataContext.get_current().enable_progress_bars = False
+    configure_for_scale()
 
     from dygiepp_ray.pipelines.kg import build_kg, kg_triples, pair_counts, span_counts
 
