@@ -511,6 +511,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_entity_links"] = q_kg_linked
 
+    def q_kg_graph_edges(sf_dir: str):
+        return kgp.graph_edges(_synth_triples(sf_dir))
+
+    q["kg_graph_edges"] = q_kg_graph_edges
+
+    def q_kg_graph_nodes(sf_dir: str):
+        return kgp.graph_nodes(_synth_triples(sf_dir), salt_buckets=8)
+
+    q["kg_graph_nodes"] = q_kg_graph_nodes
+
     def q_kg_closure(sf_dir: str):
         tri = _synth_triples(sf_dir)
         return transitive_closure(

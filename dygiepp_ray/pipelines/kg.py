@@ -149,6 +149,41 @@ def pair_counts(triples: "ray.data.Dataset", salt_buckets: int = 1) -> "ray.data
                          salt_buckets=salt_buckets)
 
 
+def graph_edges(triples: "ray.data.Dataset", salt_buckets: int = 1) -> "ray.data.Dataset":
+    """Graph materialization (make_kb.py:97-103's MultiDiGraph, as a table):
+    one edge row per (subj_norm, pred, obj_norm) with weight = occurrence
+    count, conf_max / conf_mean aggregates and provenance doc count.
+    Partial+final — no all-rows shuffle."""
+    from ..aggregates import partial_final_agg
+
+    edges = partial_final_agg(
+        triples.select_columns(["subj_norm", "pred", "obj_norm", "conf"]),
+        ["subj_norm", "pred", "obj_norm"],
+        [("weight", None, "count"), ("conf_max", "conf", "max"),
+         ("conf_mean", "conf", "mean")],
+    )
+
+    def round6(df):
+        from ..functions.strings import round_half_up
+
+        df["conf_mean"] = round_half_up(df["conf_mean"].astype("float64"), 6)
+        df["conf_max"] = round_half_up(df["conf_max"].astype("float64"), 6)
+        return df
+
+    import pandas as pd  # noqa: F811
+
+    return edges.map_batches(round6, batch_format="pandas")
+
+
+def graph_nodes(triples: "ray.data.Dataset", salt_buckets: int = 1) -> "ray.data.Dataset":
+    """Node table: (span_norm, mention_count) — the KB node-weight table
+    (kb_spans.txt twin), both argument slots counted."""
+    return span_counts(triples, salt_buckets=salt_buckets).map_batches(
+        lambda t: t.rename_columns(["span_norm", "mention_count"]),
+        batch_format="pyarrow",
+    )
+
+
 def build_kg(input_dir: str, out_dir: str, n_buckets: int = 16, resume: bool = True,
              concurrency=DEFAULT_KERNEL_CONCURRENCY,
              batch_size: int = DEFAULT_KERNEL_BATCH_SIZE) -> dict:
