@@ -54,15 +54,50 @@ def exact_duplicates(docs: "ray.data.Dataset", id_col: str = "doc_id",
 # ---------------------------------------------------------------- minhash
 
 
+_token_hash_cache: dict[str, int] = {}
+_M64 = (1 << 64) - 1
+
+
+def _mix64(z: int) -> int:
+    # scalar splitmix64 finalizer (python-int twin of _splitmix64)
+    z = (z + 0x9E3779B97F4A7C15) & _M64
+    z ^= z >> 30
+    z = (z * 0xBF58476D1CE4E5B9) & _M64
+    z ^= z >> 27
+    z = (z * 0x94D049BB133111EB) & _M64
+    z ^= z >> 31
+    return z
+
+
+def _token_hash(tok: str) -> int:
+    h = _token_hash_cache.get(tok)
+    if h is None:
+        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        if len(_token_hash_cache) < 1_000_000:
+            _token_hash_cache[tok] = h
+    return h
+
+
 def _shingles(text: str, k: int) -> set[int]:
+    """Word k-gram shingle set. Each shingle's value is a rolling splitmix64
+    combine of CACHED per-token hashes — one blake2b per distinct token, not
+    one per shingle occurrence (order-sensitive: 'a b' != 'b a')."""
     toks = text.split()
-    if len(toks) < k:
-        return {hash_shingle(" ".join(toks))} if toks else set()
-    return {hash_shingle(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)}
-
-
-def hash_shingle(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big") % _MERSENNE
+    if not toks:
+        return set()
+    hs = [_token_hash(t) for t in toks]
+    if len(hs) < k:
+        v = 0
+        for h in hs:
+            v = _mix64(v ^ h)
+        return {v}
+    out = set()
+    for i in range(len(hs) - k + 1):
+        v = 0
+        for h in hs[i : i + k]:
+            v = _mix64(v ^ h)
+        out.add(v)
+    return out
 
 
 def _splitmix64(z: np.ndarray) -> np.ndarray:
