@@ -175,7 +175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return t.append_column("rev", pc.multiply(t["l_extendedprice"], t["l_discount"]))
 
         total = ds.map_batches(prep, batch_format="pyarrow").aggregate(Sum("rev", alias_name="revenue"))
-        return pd.DataFrame({"revenue": [round(total["revenue"] or 0.0, 2)]})
+        from dygiepp_ray.functions.strings import round_half_up
+
+        return pd.DataFrame({"revenue": [float(round_half_up(total["revenue"] or 0.0, 2))]})
 
     q["filter_project_revenue"] = filter_project_revenue
 

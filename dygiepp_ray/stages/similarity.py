@@ -96,24 +96,29 @@ def knn_lsh(embeddings: "ray.data.Dataset", query: np.ndarray, k: int = 10,
 
 
 def embedding_near_dups(embeddings: "ray.data.Dataset", threshold: float = 0.95,
-                        n_bits: int = 10, id_col: str = "vec_id",
-                        vec_col: str = "embedding", seed: int = 11) -> "ray.data.Dataset":
-    """Cosine near-dup pairs (id_a < id_b, cosine ≥ threshold) via LSH-bucket
-    groupby + in-bucket pair scan. High-cosine pairs share all/most hyperplane
-    signs, so bucket collision recall is high at n_bits≈10."""
-    # hyperplanes need the dim; built inside the stage from each batch's own
-    # dim with a fixed seed — identical planes everywhere, no broadcast needed.
+                        n_bits: int = 10, n_tables: int = 8,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        seed: int = 11) -> "ray.data.Dataset":
+    """Cosine near-dup pairs (id_a < id_b, cosine ≥ threshold) via MULTI-TABLE
+    random-hyperplane LSH: a pair is a candidate if it collides in ANY of the
+    `n_tables` independent sign-signatures. One table at n_bits=10 only
+    catches ~(1-θ/π)^10 ≈ 22% of cosine-0.9 pairs; 8 tables lift recall to
+    ~86% (and ~99.8% at cosine 0.97). Pairs are exact-verified in-bucket and
+    deduped across tables. Shuffle key = (table, sig); rows = n_tables × n."""
+
+    # hyperplanes built per batch from the fixed seed — identical everywhere
     def sig_block(batch: pd.DataFrame) -> pd.DataFrame:
         m = _normalize(_batch_matrix(batch, vec_col))
-        planes = _hyperplanes(m.shape[1], n_bits, seed)
-        sigs = _lsh_sig(m, planes)
-        return pd.DataFrame(
-            {
-                "sig": sigs.astype("uint64"),
-                id_col: batch[id_col].values,
-                vec_col: [np.asarray(v, dtype=np.float32) for v in batch[vec_col]],
-            }
-        )
+        vecs = [np.asarray(v, dtype=np.float32) for v in batch[vec_col]]
+        rows = {"table_sig": [], id_col: [], vec_col: []}
+        for t in range(n_tables):
+            planes = _hyperplanes(m.shape[1], n_bits, seed + 101 * t)
+            sigs = _lsh_sig(m, planes)
+            for i, s in enumerate(sigs):
+                rows["table_sig"].append(f"{t}:{int(s):x}")
+                rows[id_col].append(batch[id_col].values[i])
+                rows[vec_col].append(vecs[i])
+        return pd.DataFrame(rows)
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         ids = group[id_col].tolist()
@@ -132,4 +137,10 @@ def embedding_near_dups(embeddings: "ray.data.Dataset", threshold: float = 0.95,
     sigs = embeddings.select_columns([id_col, vec_col]).map_batches(
         sig_block, batch_format="pandas"
     )
-    return sigs.groupby("sig").map_groups(verify, batch_format="pandas")
+    pairs = sigs.groupby("table_sig").map_groups(verify, batch_format="pandas")
+
+    # a pair can collide in several tables → exact dedup on the pair key
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")

@@ -63,3 +63,24 @@ def test_embedding_near_dups_finds_planted(emb_df):
     assert (100, 101) in pairs and (102, 103) in pairs
     # oracle: no other pair of random gaussians reaches 0.999
     assert pairs == {(100, 101), (102, 103)}
+
+
+def test_embedding_near_dups_multitable_recall():
+    # moderately-similar pair (cos ≈ 0.93): one 10-bit table would miss it
+    # ~78% of the time; 8 tables must find it
+    rng = np.random.RandomState(8)
+    vecs = rng.standard_normal((100, 16)).astype(np.float32)
+    v = vecs[50] / np.linalg.norm(vecs[50])
+    noise = rng.standard_normal(16).astype(np.float32)
+    noise -= (noise @ v) * v  # orthogonal component
+    noise /= np.linalg.norm(noise)
+    target_cos = 0.93
+    vecs[51] = target_cos * v + np.sqrt(1 - target_cos**2) * noise
+    df = pd.DataFrame({"vec_id": np.arange(100), "embedding": list(vecs)})
+    got = embedding_near_dups(ray.data.from_pandas(df), threshold=0.9).to_pandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (50, 51) in pairs
+    # each surviving pair is truly above threshold (exact verification)
+    assert (got["cosine"] >= 0.9).all()
+    # no duplicate pair rows despite multi-table collisions
+    assert len(pairs) == len(got)
