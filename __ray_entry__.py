@@ -445,8 +445,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ngram_jaccard_dups"] = q_ngram
 
     def q_emb_neardup(sf_dir: str):
-        return embedding_near_dups(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
-                                   threshold=0.9)
+        # the testdata embeddings have no natural near-dups (max cosine≈0.48),
+        # so plant exact duplicates of vec_id<20 under offset ids: the
+        # operator must find exactly those 20 pairs at threshold 0.9
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+        def dup_first20(t: pa.Table) -> pa.Table:
+            mask = pc.less(t["vec_id"], 20)
+            d = t.filter(mask)
+            if d.num_rows == 0:
+                return t
+            dup = pa.table({
+                "vec_id": pc.add(d["vec_id"], 1_000_000),
+                "embedding": d["embedding"],
+            })
+            return pa.concat_tables([t, dup])
+
+        return embedding_near_dups(
+            emb.map_batches(dup_first20, batch_format="pyarrow"), threshold=0.9
+        )
 
     q["embedding_neardups"] = q_emb_neardup
 
