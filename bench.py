@@ -82,7 +82,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-SCALING_FILES = int(os.environ.get("GRAFT_SCALE_FILES", "120000"))
+SCALING_FILES = int(os.environ.get("GRAFT_SCALE_FILES", "240000"))
 
 
 def _scaling_corpus() -> str:
