@@ -993,6 +993,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY sha256(text)
         """,
+        "lang_id": f"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(lower(text), '\\s+') AS toks,
+                       length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
+                FROM documents
+            ), s AS (
+                SELECT doc_id, text, cjk,
+                       greatest(length(toks), 1)::DOUBLE AS n,
+                       length(list_filter(toks, x -> x IN
+                           ('the','and','of','to','is','are','was','with','for','that')
+                       ))::DOUBLE AS c_en,
+                       length(list_filter(toks, x -> x IN
+                           ('le','la','les','des','et','est','une','pour','dans','que')
+                       ))::DOUBLE AS c_fr,
+                       length(list_filter(toks, x -> x IN
+                           ('el','los','las','es','una','por','para','con','del','como')
+                       ))::DOUBLE AS c_es,
+                       length(list_filter(toks, x -> x IN
+                           ('der','die','das','und','ist','mit','für','ein','nicht','von')
+                       ))::DOUBLE AS c_de
+                FROM t
+            ), sc AS (
+                SELECT doc_id, text, cjk,
+                       c_en/n AS s_en, c_fr/n AS s_fr, c_es/n AS s_es, c_de/n AS s_de
+                FROM s
+            )
+            SELECT doc_id,
+                   CASE WHEN cjk > 0.2 * length(text) THEN 'zh'
+                        WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'unknown'
+                        WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                        WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                        WHEN s_es >= s_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   round(CASE WHEN cjk > 0.2 * length(text)
+                              THEN cjk::DOUBLE / greatest(length(text), 1)
+                              ELSE greatest(s_en, s_fr, s_es, s_de) END, 6) AS lang_conf
+            FROM sc
+        """,
         "knn_cosine": """
             SELECT vec_id,
                    round(list_cosine_similarity(

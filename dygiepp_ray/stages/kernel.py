@@ -608,6 +608,15 @@ class ExtractionKernel:
         )
         self.coref_prop = coref_prop
         self.coref_mode = coref_mode
+        self._canon_cache: dict[str, str] = {}
+
+    def _canon(self, text: str) -> str:
+        v = self._canon_cache.get(text)
+        if v is None:
+            v = canonicalize(text)
+            if len(self._canon_cache) < 500_000:
+                self._canon_cache[text] = v
+        return v
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sentences_col = batch.column("sentences").to_pylist()
@@ -622,6 +631,7 @@ class ExtractionKernel:
                 doc_ner, doc_rel, doc_evt = [], [], []
                 span_registry: dict[str, list[tuple[int, int]]] = {}
                 mention_seq: list[tuple[int, int, str]] = []
+                want_seq = self.coref_mode == "antecedent"
                 offset = 0
                 for sent in sentences:
                     ner, rels, evts = extract_sentence_fast(sent, self.scorer)
@@ -630,12 +640,15 @@ class ExtractionKernel:
                     doc_evt.append(evts)
                     # doc-level coref (M6): collect mentions with canonical key
                     for m in ner:
-                        key = canonicalize(" ".join(sent[m["start"] : m["end"] + 1]))
+                        key = self._canon(" ".join(sent[m["start"] : m["end"] + 1]))
                         if key:
                             span_registry.setdefault(key, []).append(
                                 (offset + m["start"], offset + m["end"])
                             )
-                        mention_seq.append((offset + m["start"], offset + m["end"], key))
+                        if want_seq:
+                            mention_seq.append(
+                                (offset + m["start"], offset + m["end"], key)
+                            )
                     offset += len(sent)
                 if self.coref_mode == "antecedent":
                     idx_clusters = coref_antecedent_decode(mention_seq, offset)

@@ -101,7 +101,7 @@ class LangId:
             cjk = sum(1 for ch in text if "一" <= ch <= "鿿")
             if cjk > 0.2 * len(text):
                 langs.append("zh")
-                confs.append(round(cjk / max(1, len(text)), 6))
+                confs.append(float(round_half_up(cjk / max(1, len(text)), 6)))
                 continue
             scores = {
                 lang: sum(t in marks for t in toks) / n
@@ -110,7 +110,7 @@ class LangId:
             }
             best = max(sorted(scores), key=lambda k: scores[k])
             langs.append(best if scores[best] > 0 else "unknown")
-            confs.append(round(scores[best], 6))
+            confs.append(float(round_half_up(scores[best], 6)))
         return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": langs, "lang_conf": confs})
 
 
