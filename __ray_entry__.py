@@ -322,6 +322,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_sessions"] = events_sessions
 
+    def running_order_total(sf_dir: str):
+        # window family: running sum per customer ordered by date
+        from dygiepp_ray.functions.strings import round_half_up
+        from dygiepp_ray.windows import running_sum
+
+        ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate",
+                                      "o_totalprice"])
+        out = running_sum(ds, "o_custkey", ["o_orderdate", "o_orderkey"],
+                          "o_totalprice", out_col="running_total")
+
+        def project(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "o_custkey": df["o_custkey"],
+                "o_orderkey": df["o_orderkey"],
+                "running_total": round_half_up(df["running_total"].astype("float64"), 2),
+            })
+
+        return out.map_batches(project, batch_format="pandas")
+
+    q["running_order_total"] = running_order_total
+
+    def bloom_anti_join_orders(sf_dir: str):
+        # approximate anti-join via broadcast Bloom filter (fpr 1e-4):
+        # the scale path for key sets too big to broadcast exactly
+        from dygiepp_ray.state.broadcast import bloom_anti_join
+
+        lkeys = _read(sf_dir, "lineitem", ["l_orderkey"]).unique("l_orderkey")
+        return bloom_anti_join(_read(sf_dir, "orders", ["o_orderkey"]),
+                               lkeys, "o_orderkey", fpr=1e-4)
+
+    q["bloom_anti_join_orders"] = bloom_anti_join_orders
+
     def adaptive_topk_orders(sf_dir: str):
         from dygiepp_ray.stages.misc import adaptive_cutoff_filter
 
@@ -980,6 +1012,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, sum(new_session)::BIGINT AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id
+        """,
+        "running_order_total": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey), 2) AS running_total
+            FROM orders
         """,
         "adaptive_topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders

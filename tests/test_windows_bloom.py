@@ -1,0 +1,67 @@
+"""Window family + Bloom-filter broadcast membership."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from dygiepp_ray.state.broadcast import BloomFilter, bloom_anti_join
+from dygiepp_ray.windows import lag_diff, row_number, running_sum, top_n_per_key
+
+
+def _df():
+    rng = np.random.RandomState(4)
+    return pd.DataFrame({
+        "k": rng.randint(0, 10, size=200),
+        "ts": rng.permutation(200),
+        "v": rng.randint(0, 100, size=200).astype(float),
+    })
+
+
+def test_row_number():
+    got = row_number(ray.data.from_pandas(_df()), "k", "ts").to_pandas()
+    for k, g in got.groupby("k"):
+        g = g.sort_values("ts")
+        assert g["rn"].tolist() == list(range(1, len(g) + 1))
+
+
+def test_top_n_per_key():
+    df = _df()
+    got = top_n_per_key(ray.data.from_pandas(df), "k", "v", 3).to_pandas()
+    for k, g in df.groupby("k"):
+        want = set(g.nlargest(3, "v")["v"])  # may have ties; compare counts
+        assert len(got[got["k"] == k]) == min(3, len(g))
+        assert set(got[got["k"] == k]["v"]) <= set(g["v"])
+
+
+def test_running_sum_and_lag():
+    df = _df()
+    rs = running_sum(ray.data.from_pandas(df), "k", "ts", "v").to_pandas()
+    for k, g in rs.groupby("k"):
+        g = g.sort_values("ts")
+        assert np.allclose(g["running"], g["v"].cumsum())
+    ld = lag_diff(ray.data.from_pandas(df), "k", "ts", "v").to_pandas()
+    for k, g in ld.groupby("k"):
+        g = g.sort_values("ts")
+        assert g["delta"].iloc[0] != g["delta"].iloc[0]  # NaN first row
+        assert np.allclose(g["delta"].iloc[1:], g["v"].diff().iloc[1:])
+
+
+def test_bloom_no_false_negatives():
+    keys = [f"key{i}" for i in range(5000)]
+    bf = BloomFilter.from_keys(keys, fpr=0.01)
+    assert all(k in bf for k in keys)
+    # false-positive rate near spec
+    fp = sum(f"other{i}" in bf for i in range(10000)) / 10000
+    assert fp < 0.03, fp
+
+
+def test_bloom_anti_join():
+    ds = ray.data.from_pandas(pd.DataFrame({"id": [f"row{i}" for i in range(1000)]}))
+    member_keys = [f"row{i}" for i in range(0, 1000, 2)]  # evens
+    got = bloom_anti_join(ds, member_keys, "id", fpr=0.001).to_pandas()
+    ids = set(got["id"])
+    # no member survives (no false negatives)
+    assert not ids & set(member_keys)
+    # nearly all non-members survive (false positives ≤ ~0.1%+slack)
+    assert len(ids) >= 490
