@@ -322,6 +322,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_sessions"] = events_sessions
 
+    def orders_monthly(sf_dir: str):
+        ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"month": df["o_orderdate"].dt.strftime("%Y-%m"),
+                                 "o_totalprice": df["o_totalprice"]})
+
+        from dygiepp_ray.aggregates import partial_final_agg
+
+        agg = partial_final_agg(ds.map_batches(prep, batch_format="pandas"),
+                                ["month"],
+                                [("n_orders", None, "count"),
+                                 ("sum_total", "o_totalprice", "sum")])
+        return _round_cols(agg, {"sum_total": 2})
+
+    q["orders_monthly"] = orders_monthly
+
+    def customer_acctbal_stats(sf_dir: str):
+        from dygiepp_ray.aggregates import partial_final_agg
+
+        ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+        agg = partial_final_agg(ds, ["c_nationkey"],
+                                [("n", None, "count"),
+                                 ("min_bal", "c_acctbal", "min"),
+                                 ("max_bal", "c_acctbal", "max"),
+                                 ("avg_bal", "c_acctbal", "mean")])
+        return _round_cols(agg, {"min_bal": 2, "max_bal": 2, "avg_bal": 6})
+
+    q["customer_acctbal_stats"] = customer_acctbal_stats
+
     def running_order_total(sf_dir: str):
         # window family: running sum per customer ordered by date
         from dygiepp_ray.functions.strings import round_half_up
@@ -1012,6 +1042,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, sum(new_session)::BIGINT AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id
+        """,
+        "orders_monthly": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_total
+            FROM orders GROUP BY month
+        """,
+        "customer_acctbal_stats": """
+            SELECT c_nationkey,
+                   count(*) AS n,
+                   round(min(c_acctbal), 2) AS min_bal,
+                   round(max(c_acctbal), 2) AS max_bal,
+                   round(avg(c_acctbal), 6) AS avg_bal
+            FROM customer GROUP BY c_nationkey
         """,
         "running_order_total": """
             SELECT o_custkey, o_orderkey,
