@@ -592,6 +592,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_entity_links"] = q_kg_linked
 
+    def q_kg_build_resume(sf_dir: str):
+        # resumable materialization: build twice; second run must skip every
+        # bucket via its lineage manifest; re-read row count from the sink
+        import glob
+
+        import pyarrow.parquet as pq
+
+        out_dir = f"/tmp/dygiepp_ray_kg/{_sf_tag(sf_dir)}"
+        first = kgp.build_kg(_synth_corpus_dir(sf_dir), out_dir, n_buckets=16,
+                             concurrency=_kernel_conc())
+        second = kgp.build_kg(_synth_corpus_dir(sf_dir), out_dir, n_buckets=16,
+                              concurrency=_kernel_conc())
+        rows = sum(pq.read_metadata(f).num_rows
+                   for f in glob.glob(os.path.join(out_dir, "bucket=*", "*.parquet")))
+        return pd.DataFrame([{
+            "first_written": len(first["written_buckets"]) + len(first["skipped_buckets"]),
+            "second_skipped": len(second["skipped_buckets"]),
+            "second_written": len(second["written_buckets"]),
+            "triple_rows": rows,
+        }])
+
+    q["kg_build_resume"] = q_kg_build_resume
+
     def q_kg_graph_edges(sf_dir: str):
         return kgp.graph_edges(_synth_triples(sf_dir))
 
