@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Sum
 
 from dygiepp_ray.aggregates import distinct_first, grouped_count, top_k
 from dygiepp_ray.corpus import ENTITY_LEXICON, EVENT_TRIGGERS, RELATION_PATTERNS, write_corpus
