@@ -592,6 +592,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_entity_links"] = q_kg_linked
 
+    def q_standoff_convert(sf_dir: str):
+        # S7-S9 core: synthesize char-offset standoff annotations over the
+        # documents text (first occurrence of each lexicon term, plus one
+        # deliberately misaligned span per doc), convert, report drops
+        from dygiepp_ray.sources.standoff import convert_standoff_batch
+
+        terms = sorted(DOC_LEXICON)
+
+        def synth(t: pa.Table) -> pa.Table:
+            ent_t = pa.list_(pa.struct([("start_char", pa.int32()),
+                                        ("end_char", pa.int32()),
+                                        ("label", pa.string())]))
+            rel_t = pa.list_(pa.struct([("e1", pa.int32()), ("e2", pa.int32()),
+                                        ("label", pa.string())]))
+            keys, texts, ents, rels = [], [], [], []
+            for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                    t.column("text").to_pylist()):
+                es = []
+                for term in terms:
+                    p = text.find(term)
+                    if p >= 0:
+                        es.append({"start_char": p, "end_char": p + len(term),
+                                   "label": DOC_LEXICON[term]})
+                # one guaranteed-misaligned span (mid-token start)
+                if len(text) > 3:
+                    es.append({"start_char": 1, "end_char": 3, "label": "BAD"})
+                rs = [{"e1": 0, "e2": 1, "label": "REL"}] if len(es) >= 2 else []
+                keys.append(f"doc_{doc_id}")
+                texts.append(text)
+                ents.append(es)
+                rels.append(rs)
+            return pa.table({
+                "doc_key": pa.array(keys, pa.string()),
+                "text": pa.array(texts, pa.string()),
+                "entities": pa.array(ents, ent_t),
+                "relations": pa.array(rels, rel_t),
+            })
+
+        converted = (
+            _read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(synth, batch_format="pyarrow")
+            .map_batches(convert_standoff_batch, batch_format="pyarrow")
+        )
+
+        def summarize(t: pa.Table) -> pa.Table:
+            ner = t.column("ner").to_pylist()
+            return pa.table({
+                "doc_key": t.column("doc_key"),
+                "n_aligned": pa.array([sum(len(s) for s in doc) for doc in ner], pa.int64()),
+                "n_entities_dropped": t.column("n_entities_dropped"),
+            })
+
+        return converted.map_batches(summarize, batch_format="pyarrow")
+
+    q["standoff_convert"] = q_standoff_convert
+
     def q_kg_build_resume(sf_dir: str):
         # resumable materialization: build twice; second run must skip every
         # bucket via its lineage manifest; re-read row count from the sink
