@@ -61,7 +61,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "minhash_lsh_dups", "simhash_dups", "exact_dedup",
         "knn_cosine", "embedding_neardups",
         "token_stats", "quality_score", "lang_id",
-        "tpch_q1_agg", "broadcast_join_orders", "events_user_daily", "topk_orders",
+        "tpch_q1_agg", "broadcast_join_orders", "lineitem_orders_join",
+        "events_user_daily", "running_order_total", "topk_orders",
     ]
     times: dict[str, float] = {}
     counts: dict[str, int] = {}
