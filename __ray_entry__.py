@@ -83,6 +83,73 @@ def _synth_triples(sf_dir: str) -> "ray.data.Dataset":
     return kgp.kg_triples(_synth_corpus_dir(sf_dir), concurrency=_kernel_conc())
 
 
+# ---------------------------------------------------------- oracle plumbing
+#
+# Independent pure-python recomputations (dygiepp_ray/oracle.py) written as
+# parquet under /tmp so oracle_sql() can `read_parquet` them — this gives the
+# non-relational queries (the kg_* flagship family, dedup, standoff, ...)
+# full value-hash driver checks instead of rows-only. Only generated at the
+# correctness scales (sf0.001 / sf0.01); bench runs at sf0.1 skip it.
+
+_ORACLE_CACHE: dict = {}
+
+
+def _oracle_enabled(sf_dir: str) -> bool:
+    return _sf_tag(sf_dir) in ("sf0.001", "sf0.01")
+
+
+def _reduced_entity_lexicon() -> dict:
+    return {k: v for i, (k, v) in enumerate(sorted(ENTITY_LEXICON.items()))
+            if i % 4 != 0}
+
+
+def _oracle_triples_table(sf_dir: str, reduced: bool = False):
+    from dygiepp_ray import oracle as _o
+
+    key = (_sf_tag(sf_dir), "tri_reduced" if reduced else "tri")
+    if key not in _ORACLE_CACHE:
+        lex = _reduced_entity_lexicon() if reduced else None
+        _ORACLE_CACHE[key] = _o.expected_triples(_synth_corpus_dir(sf_dir),
+                                                 entity_lexicon=lex)
+    return _ORACLE_CACHE[key]
+
+
+def _oracle_docs_table(sf_dir: str, max_doc_id: int | None = None):
+    from dygiepp_ray import oracle as _o
+
+    key = (_sf_tag(sf_dir), "docs", max_doc_id)
+    if key not in _ORACLE_CACHE:
+        _ORACLE_CACHE[key] = _o.prep_documents_from_docs_table(sf_dir, max_doc_id)
+    return _ORACLE_CACHE[key]
+
+
+def _oracle_corpus_docs(sf_dir: str):
+    from dygiepp_ray import oracle as _o
+
+    key = (_sf_tag(sf_dir), "corpus_docs")
+    if key not in _ORACLE_CACHE:
+        _ORACLE_CACHE[key] = _o.prep_documents(_synth_corpus_dir(sf_dir))
+    return _ORACLE_CACHE[key]
+
+
+def _write_oracle(sf_dir: str, name: str, build) -> None:
+    """Write `<name>.parquet` to the oracle dir (once per sf per process);
+    `build` is a zero-arg callable returning a pyarrow Table."""
+    if not _oracle_enabled(sf_dir):
+        return
+    key = (_sf_tag(sf_dir), "file", name)
+    if key in _ORACLE_CACHE:
+        return
+    from dygiepp_ray import oracle as _o
+
+    _o.write_oracle(name, build())
+    _ORACLE_CACHE[key] = True
+
+
+def _ensure_triples_oracle(sf_dir: str) -> None:
+    _write_oracle(sf_dir, "kg_triples", lambda: _oracle_triples_table(sf_dir))
+
+
 def _docs_predicted(sf_dir: str) -> "ray.data.Dataset":
     """documents table → corpus shape → prep → extraction kernel (DOC lexicon)."""
     corpus = documents_as_corpus(sf_dir)
@@ -203,13 +270,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["broadcast_join_orders"] = broadcast_join_orders
 
     def anti_join_orders(sf_dir: str):
-        # orders with no lineitem rows (broadcast key-set anti-join, J5)
+        # orders with no lineitem rows (broadcast key-set anti-join, J5).
+        # The key set is broadcast ONCE as a ready-made Arrow array — not
+        # rebuilt from a Python list in every batch.
         lkeys = _read(sf_dir, "lineitem", ["l_orderkey"]).unique("l_orderkey")
-        lkeys_ref = ray.put(sorted(lkeys))
+        lkeys_ref = ray.put(pa.array(sorted(lkeys)))
 
         def drop_with_items(t: pa.Table) -> pa.Table:
-            keys = ray.get(lkeys_ref)
-            mask = pc.invert(pc.is_in(t["o_orderkey"], value_set=pa.array(keys)))
+            mask = pc.invert(pc.is_in(t["o_orderkey"], value_set=ray.get(lkeys_ref)))
             return t.filter(mask)
 
         return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
@@ -475,6 +543,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lang_id"] = q_langid
 
     def q_fingerprint(sf_dir: str):
+        from dygiepp_ray import oracle as _o
+
+        _write_oracle(sf_dir, "fingerprint", lambda: _o.expected_fingerprint(sf_dir))
         return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
             fingerprint, batch_format="pandas"
         )
@@ -489,18 +560,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["exact_dedup"] = q_exact_dedup
 
     def q_minhash(sf_dir: str):
+        from dygiepp_ray import oracle as _o
+
+        _write_oracle(sf_dir, "minhash_dups", lambda: _o.expected_minhash_pairs(sf_dir))
         return minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
                                  jaccard_threshold=0.8, concurrency=_kernel_conc())
 
     q["minhash_lsh_dups"] = q_minhash
 
     def q_simhash(sf_dir: str):
+        from dygiepp_ray import oracle as _o
+
+        _write_oracle(sf_dir, "simhash_dups", lambda: _o.expected_simhash_pairs(sf_dir))
         return simhash_near_dups(_read(sf_dir, "documents", ["doc_id", "text"]),
                                  concurrency=_kernel_conc())
 
     q["simhash_dups"] = q_simhash
 
     def q_ngram(sf_dir: str):
+        from dygiepp_ray import oracle as _o
+
+        _write_oracle(sf_dir, "ngram_dups", lambda: _o.expected_ngram_pairs(sf_dir))
         return ngram_jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
                                    threshold=0.5)
 
@@ -523,6 +603,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             })
             return pa.concat_tables([t, dup])
 
+        from dygiepp_ray import oracle as _o
+
+        _write_oracle(sf_dir, "embedding_neardups",
+                      lambda: _o.expected_embedding_neardups(sf_dir))
         return embedding_near_dups(
             emb.map_batches(dup_first20, batch_format="pyarrow"), threshold=0.9
         )
@@ -545,6 +629,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_knn_lsh(sf_dir: str):
         import pyarrow.parquet as pq
 
+        from dygiepp_ray import oracle as _o
+
+        _write_oracle(sf_dir, "knn_lsh", lambda: _o.expected_knn_lsh(sf_dir))
+
         t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
         qvec = np.asarray(t.filter(pc.equal(t["vec_id"], 0)).column("embedding").to_pylist()[0],
                           dtype=np.float64)
@@ -556,21 +644,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ---- KG construction (the flagship path; non-SQL → rows-only checks)
 
     def q_kg_triples(sf_dir: str):
+        _ensure_triples_oracle(sf_dir)
         return _synth_triples(sf_dir)
 
     q["kg_triples"] = q_kg_triples
 
     def q_kg_span_counts(sf_dir: str):
+        _ensure_triples_oracle(sf_dir)
         return kgp.span_counts(_synth_triples(sf_dir), salt_buckets=8)
 
     q["kg_span_counts"] = q_kg_span_counts
 
     def q_kg_pair_counts(sf_dir: str):
+        _ensure_triples_oracle(sf_dir)
         return kgp.pair_counts(_synth_triples(sf_dir), salt_buckets=8)
 
     q["kg_pair_counts"] = q_kg_pair_counts
 
     def q_kg_mentions(sf_dir: str):
+        from dygiepp_ray import oracle as _o
+
+        _write_oracle(sf_dir, "kg_mention_counts",
+                      lambda: _o.expected_mention_counts(
+                          _oracle_docs_table(sf_dir),
+                          {**ENTITY_LEXICON, **DOC_LEXICON}))
         predicted = _docs_predicted(sf_dir)
         mentions = predicted.map_batches(flatten_ner_mentions, batch_format="pyarrow")
         return grouped_count(mentions.select_columns(["mention_norm", "label"]),
@@ -579,9 +676,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_mention_counts"] = q_kg_mentions
 
     def q_kg_linked(sf_dir: str):
-        alias_ref = ray.put(build_alias_table(
-            {f"E{i:03d}": [name] for i, name in enumerate(sorted({**ENTITY_LEXICON, **DOC_LEXICON}))}
-        ))
+        from dygiepp_ray import oracle as _o
+
+        alias_entities = {f"E{i:03d}": [name] for i, name in
+                          enumerate(sorted({**ENTITY_LEXICON, **DOC_LEXICON}))}
+        _write_oracle(sf_dir, "kg_entity_links",
+                      lambda: _o.expected_entity_link_counts(
+                          _oracle_docs_table(sf_dir),
+                          {**ENTITY_LEXICON, **DOC_LEXICON}, alias_entities))
+        alias_ref = ray.put(build_alias_table(alias_entities))
         predicted = _docs_predicted(sf_dir)
         mentions = predicted.map_batches(flatten_ner_mentions, batch_format="pyarrow")
         linked = mentions.map_batches(
@@ -630,6 +733,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "relations": pa.array(rels, rel_t),
             })
 
+        from dygiepp_ray import oracle as _o
+
+        _write_oracle(sf_dir, "standoff_convert",
+                      lambda: _o.expected_standoff_summary(sf_dir, DOC_LEXICON))
         converted = (
             _read(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(synth, batch_format="pyarrow")
@@ -672,16 +779,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_build_resume"] = q_kg_build_resume
 
     def q_kg_graph_edges(sf_dir: str):
+        _ensure_triples_oracle(sf_dir)
         return kgp.graph_edges(_synth_triples(sf_dir))
 
     q["kg_graph_edges"] = q_kg_graph_edges
 
     def q_kg_graph_nodes(sf_dir: str):
+        _ensure_triples_oracle(sf_dir)
         return kgp.graph_nodes(_synth_triples(sf_dir), salt_buckets=8)
 
     q["kg_graph_nodes"] = q_kg_graph_nodes
 
     def q_kg_closure(sf_dir: str):
+        from dygiepp_ray import oracle as _o
+
+        _write_oracle(sf_dir, "kg_closure",
+                      lambda: _o.expected_closure(_oracle_triples_table(sf_dir)))
         tri = _synth_triples(sf_dir)
         return transitive_closure(
             tri.select_columns(["doc_id", "subj", "obj", "pred", "conf"])
@@ -708,6 +821,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_collate(sf_dir: str):
         import pandas as _pd
 
+        from dygiepp_ray import oracle as _o
+
+        _write_oracle(sf_dir, "collate_pack",
+                      lambda: _o.expected_collate_total(_oracle_docs_table(sf_dir)))
         res = q_collate_stats(sf_dir)
         return _pd.DataFrame({"total_sentences": [res["total_sentences"]]})
 
@@ -718,6 +835,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # packing; reports doc counts and total predicted-mention parity
         from dygiepp_ray.stages.collate import collate, uncollate_predictions
 
+        from dygiepp_ray import oracle as _o
+
+        _write_oracle(sf_dir, "uncollate_roundtrip",
+                      lambda: _o.expected_uncollate_counts(
+                          _oracle_docs_table(sf_dir), ENTITY_LEXICON))
         docs = kgp.documents_dataset(documents_as_corpus(sf_dir)).materialize()
         direct = kgp.extract(docs, concurrency=(1, 2))
         n_direct_mentions = direct.map_batches(
@@ -760,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_schema_map(sf_dir: str):
         # P7 over the extracted predictions: remap predicted relation labels,
         # drop the rest; count per mapped label
+        _ensure_triples_oracle(sf_dir)
         tri = _synth_triples(sf_dir)
         mapped = tri.map_batches(
             lambda t: t.filter(pc.is_in(t["pred"], value_set=pa.array(["USED-FOR"]))),
@@ -774,10 +897,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["schema_map_relations"] = q_schema_map
 
     def q_coref_merge(sf_dir: str):
-        # J2+D1: two models' cluster sets zip-joined on doc_key and merged
+        # J2+D1: two models' cluster sets zip-joined on doc_key and merged.
+        # Subset by doc_id < 200 (deterministic), not limit() (block-order
+        # dependent under parallel reads).
 
-        corpus = documents_as_corpus(sf_dir)
-        docs = kgp.documents_dataset(corpus).limit(200)
+        from dygiepp_ray import oracle as _o
+
+        _write_oracle(sf_dir, "coref_cluster_merge",
+                      lambda: _o.expected_cluster_merge(
+                          _oracle_docs_table(sf_dir, max_doc_id=200),
+                          {**ENTITY_LEXICON, **DOC_LEXICON}, DOC_LEXICON))
+        corpus = documents_as_corpus(sf_dir, max_doc_id=200)
+        docs = kgp.documents_dataset(corpus)
         a = kgp.extract(docs, concurrency=(1, 2),
                         entity_lexicon={**ENTITY_LEXICON, **DOC_LEXICON})
         b = kgp.extract(docs, concurrency=(1, 2), entity_lexicon=DOC_LEXICON)
@@ -831,7 +962,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_kg_eval_prf(sf_dir: str):
         # J3+A2: corpus-level P/R/F1 of the reduced-lexicon model against the
         # full-lexicon model's triples (exact-match metric, greedy dedup)
+        from dygiepp_ray import oracle as _o
         from dygiepp_ray.pipelines.evaluate import triple_prf
+
+        _write_oracle(sf_dir, "kg_eval_prf",
+                      lambda: pa.Table.from_pylist([_o.expected_triple_prf(
+                          _oracle_triples_table(sf_dir),
+                          _oracle_triples_table(sf_dir, reduced=True))]))
 
         def shape(ds):
             return ds.map_batches(
@@ -848,21 +985,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_kg_p_at_k(sf_dir: str):
         # T2 — global confidence ranking, precision@{50,100,150,200}
-        # (eval_utils.py:763-783 sweep semantics)
-        gold = _synth_triples(sf_dir).to_pandas()
-        pred = _reduced_triples(sf_dir).to_pandas()
-        gold_set = set(zip(gold["doc_id"], gold["subj_norm"], gold["pred"], gold["obj_norm"]))
-        ranked = pred.sort_values(["conf", "doc_id", "subj_norm", "obj_norm"],
-                                  ascending=[False, True, True, True])
+        # (eval_utils.py:763-783 sweep semantics), fully streaming:
+        # gold membership broadcast once as an Arrow key array, block-local
+        # top-K prune on the pred side, one small global sort of
+        # num_blocks x K rows. (At 100 TB swap the exact gold key array for
+        # the Bloom broadcast in state/broadcast.py.)
+        from dygiepp_ray import oracle as _o
+
+        _write_oracle(sf_dir, "kg_p_at_k",
+                      lambda: _o.expected_p_at_k(
+                          _oracle_triples_table(sf_dir),
+                          _oracle_triples_table(sf_dir, reduced=True)))
+
+        K = 200
+        SORT_COLS = ["conf", "doc_id", "subj_norm", "obj_norm", "pred"]
+
+        def key_col(t: pa.Table) -> "pa.ChunkedArray":
+            return pc.binary_join_element_wise(
+                t["doc_id"], t["subj_norm"], t["pred"], t["obj_norm"], "\x1f"
+            )
+
+        gold_keys = (
+            _synth_triples(sf_dir)
+            .map_batches(lambda t: pa.table({"k": key_col(t)}), batch_format="pyarrow")
+            .unique("k")
+        )
+        gold_ref = ray.put(pa.array(sorted(gold_keys)))
+
+        def stamp_and_prune(t: pa.Table) -> pa.Table:
+            hit = pc.is_in(key_col(t), value_set=ray.get(gold_ref))
+            sub = pa.table({
+                "conf": t["conf"], "doc_id": t["doc_id"],
+                "subj_norm": t["subj_norm"], "obj_norm": t["obj_norm"],
+                "pred": t["pred"], "hit": hit,
+            })
+            if sub.num_rows > K:
+                idx = pc.select_k_unstable(
+                    sub, k=K,
+                    sort_keys=[("conf", "descending")] +
+                              [(c, "ascending") for c in SORT_COLS[1:]],
+                )
+                sub = sub.take(idx)
+            return sub
+
+        top = (
+            _reduced_triples(sf_dir)
+            .map_batches(stamp_and_prune, batch_format="pyarrow")
+            .sort(SORT_COLS, descending=[True, False, False, False, False])
+            .limit(K)
+            .to_pandas()
+        )
         rows = []
         for k in (50, 100, 150, 200):
-            top = ranked.head(k)
-            hits = sum(
-                (d, s, p, o) in gold_set
-                for d, s, p, o in zip(top["doc_id"], top["subj_norm"],
-                                      top["pred"], top["obj_norm"])
-            )
-            rows.append({"k": k, "precision_at_k": round(hits / max(1, len(top)), 6)})
+            topk = top.head(k)
+            rows.append({"k": k,
+                         "precision_at_k": round(float(topk["hit"].sum()) / max(1, len(topk)), 6)})
         return pd.DataFrame(rows)
 
     q["kg_p_at_k"] = q_kg_p_at_k
@@ -870,15 +1047,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_kg_event_f1(sf_dir: str):
         # A4 — all four event-match variants: reduced-trigger model scored
         # against the full model's events (zip-joined on doc_key)
+        from dygiepp_ray import oracle as _o
         from dygiepp_ray.pipelines.evaluate import event_f1
         from dygiepp_ray.joins import zip_join_assert
 
-        corpus = ray.data.read_parquet(_synth_corpus_dir(sf_dir))
-        docs = kgp.documents_dataset(corpus)
-        full = kgp.extract(docs, concurrency=(1, 2))
         red_trig = {k: v for i, (k, v) in enumerate(sorted(EVENT_TRIGGERS.items()))
                     if i % 3 != 0}
-        red = kgp.extract(docs, concurrency=(1, 2), event_triggers=red_trig)
+        _write_oracle(sf_dir, "kg_event_f1",
+                      lambda: _o.expected_event_f1(
+                          _oracle_corpus_docs(sf_dir), EVENT_TRIGGERS, red_trig))
+        corpus = ray.data.read_parquet(_synth_corpus_dir(sf_dir))
+        docs = kgp.documents_dataset(corpus)
+        full = kgp.extract(docs, concurrency=_kernel_conc())
+        red = kgp.extract(docs, concurrency=_kernel_conc(), event_triggers=red_trig)
         red_ren = red.select_columns(["doc_key", "predicted_events"]).map_batches(
             lambda t: t.rename_columns(["doc_key", "events_pred"]),
             batch_format="pyarrow",
@@ -902,16 +1083,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_coref_scores(sf_dir: str):
         # A5 — MUC/B³/CEAF-φ4/CoNLL of the reduced-lexicon model's clusters
         # against the full-lexicon model's, per-doc counters streamed
+        from dygiepp_ray import oracle as _o
         from dygiepp_ray.pipelines.coref_metrics import coref_scores
         from dygiepp_ray.joins import zip_join_assert
 
-        corpus = documents_as_corpus(sf_dir)
-        docs = kgp.documents_dataset(corpus).limit(200)
-        full = kgp.extract(docs, concurrency=(1, 2),
-                           entity_lexicon={**ENTITY_LEXICON, **DOC_LEXICON})
         reduced_lex = {k: v for i, (k, v) in enumerate(sorted(DOC_LEXICON.items()))
                        if i % 3 != 0}
-        red = kgp.extract(docs, concurrency=(1, 2), entity_lexicon=reduced_lex)
+        _write_oracle(sf_dir, "coref_scores",
+                      lambda: _o.expected_coref_scores(
+                          _oracle_docs_table(sf_dir, max_doc_id=200),
+                          {**ENTITY_LEXICON, **DOC_LEXICON}, reduced_lex))
+        corpus = documents_as_corpus(sf_dir, max_doc_id=200)
+        docs = kgp.documents_dataset(corpus)
+        full = kgp.extract(docs, concurrency=_kernel_conc(),
+                           entity_lexicon={**ENTITY_LEXICON, **DOC_LEXICON})
+        red = kgp.extract(docs, concurrency=_kernel_conc(), entity_lexicon=reduced_lex)
         red_ren = red.select_columns(["doc_key", "predicted_clusters"]).map_batches(
             lambda t: t.rename_columns(["doc_key", "clusters_pred"]),
             batch_format="pyarrow",
@@ -936,6 +1122,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ---- multimodal plumbing (stubbed decode, real Ray plumbing)
 
     def q_media_features(sf_dir: str):
+        from dygiepp_ray import oracle as _o
+
+        _write_oracle(sf_dir, "media_features",
+                      lambda: _o.expected_media_features(32, feature_dim=16))
         media = ray.data.from_arrow(synth_media_table(32, seed=5))
         feats = media.map_batches(
             ImageDecoder, fn_constructor_kwargs=dict(feature_dim=16),
@@ -1202,5 +1392,117 @@ def oracle_sql() -> dict[str, str]:
                        AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        # -- broadcast-Bloom anti-join: deterministic hash family, zero false
+        #    positives on this key set -> exact anti-join is the oracle
+        "bloom_anti_join_orders": """
+            SELECT o_orderkey FROM orders
+            WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+        """,
+        "seeded_split": """
+            WITH c AS (SELECT count(*) AS total FROM documents)
+            SELECT 'train' AS split, CAST(floor(total * 0.8) AS BIGINT) AS n FROM c
+            UNION ALL
+            SELECT 'dev', CAST(floor(total * 0.1) AS BIGINT) FROM c
+            UNION ALL
+            SELECT 'test', total - CAST(floor(total * 0.8) AS BIGINT)
+                         - CAST(floor(total * 0.1) AS BIGINT) FROM c
+        """,
+        # -- pure-python recomputation oracles (dygiepp_ray/oracle.py writes
+        #    these parquets from an independent single-threaded re-derivation
+        #    of the corpus semantics before the Ray query runs)
+        "fingerprint": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/fingerprint.parquet')
+        """,
+        "knn_lsh": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/knn_lsh.parquet')
+        """,
+        "minhash_lsh_dups": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/minhash_dups.parquet')
+        """,
+        "simhash_dups": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/simhash_dups.parquet')
+        """,
+        "ngram_jaccard_dups": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/ngram_dups.parquet')
+        """,
+        "embedding_neardups": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/embedding_neardups.parquet')
+        """,
+        "kg_triples": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+        """,
+        "kg_span_counts": """
+            SELECT span_norm, count(*) AS count FROM (
+                SELECT subj_norm AS span_norm
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+                UNION ALL
+                SELECT obj_norm
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            ) GROUP BY span_norm
+        """,
+        "kg_pair_counts": """
+            SELECT subj_norm, obj_norm, count(*) AS count
+            FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            GROUP BY subj_norm, obj_norm
+        """,
+        "kg_graph_edges": """
+            SELECT subj_norm, pred, obj_norm,
+                   count(*) AS weight,
+                   round(max(conf::DOUBLE), 6) AS conf_max,
+                   round((sum(CAST(round(conf::DOUBLE * 10000) AS BIGINT)) / 10000.0)
+                         / count(*), 6) AS conf_mean
+            FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            GROUP BY subj_norm, pred, obj_norm
+        """,
+        "kg_graph_nodes": """
+            SELECT span_norm, count(*) AS mention_count FROM (
+                SELECT subj_norm AS span_norm
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+                UNION ALL
+                SELECT obj_norm
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            ) GROUP BY span_norm
+        """,
+        "schema_map_relations": """
+            SELECT 'MECHANISM' AS pred, count(*) AS n
+            FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            WHERE pred = 'USED-FOR'
+        """,
+        "kg_closure": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_closure.parquet')
+        """,
+        "kg_mention_counts": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_mention_counts.parquet')
+        """,
+        "kg_entity_links": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_entity_links.parquet')
+        """,
+        "kg_eval_prf": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_eval_prf.parquet')
+        """,
+        "kg_p_at_k": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_p_at_k.parquet')
+        """,
+        "kg_event_f1": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_event_f1.parquet')
+        """,
+        "coref_scores": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/coref_scores.parquet')
+        """,
+        "coref_cluster_merge": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/coref_cluster_merge.parquet')
+        """,
+        "standoff_convert": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/standoff_convert.parquet')
+        """,
+        "collate_pack": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/collate_pack.parquet')
+        """,
+        "uncollate_roundtrip": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/uncollate_roundtrip.parquet')
+        """,
+        "media_features": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/media_features.parquet')
         """,
     }

@@ -28,7 +28,12 @@ from ray.data.aggregate import Sum
 def _block_partial_count(keys: list[str]):
     def fn(batch: pa.Table) -> pa.Table:
         g = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
-        return g.rename_columns(keys + ["partial_count"])
+        # rename ONLY the count column by name — pyarrow's key/aggregate
+        # column ordering has varied across versions, so a positional rename
+        # could silently swap keys and counts
+        return g.rename_columns(
+            ["partial_count" if n == "count_all" else n for n in g.column_names]
+        )
 
     return fn
 

@@ -1,0 +1,845 @@
+"""Independent pure-python oracles for driver-side value-hash verification.
+
+These re-derive the EXPECTED outputs of the flagship KG queries from the
+corpus semantics alone — straight single-threaded scans over the parquet
+files, no Ray, no kernel/beam machinery, no batching — and are written to
+parquet so the DuckDB oracle can `read_parquet` them (`oracle_sql()` in
+`__ray_entry__.py`). This converts the kg_* family from rows-only checks to
+full row-count + schema + value-hash checks against an implementation that
+shares only the leaf string helpers (tokenize / canonicalize / sha256) with
+the engine.
+
+Decode semantics mirrored here (reference file:line cited for parity):
+  - span enumeration width <= 8      (template.libsonnet:35)
+  - pruner k = ceil(0.5 * n_tokens), ties to lower index, textual re-sort
+                                     (relation.py:112-131, entity_beam_pruner.py:168-171)
+  - relation = forward pattern pair among pruned lexicon spans
+  - trigger beam floor(0.3*n) in [1,15]; argument beam floor(0.8*n) in [1,30]
+                                     (events.py:133-152)
+  - scores rounded to 4 decimals     (document.py:10-11)
+  - canonicalization / coref substitution per make_kb.py:90-172
+  - doc splitter <= 500 tokens at sentence boundaries (document.py:184-236)
+"""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .corpus import ENTITY_LEXICON, EVENT_TRIGGERS, RELATION_PATTERNS
+from .functions.strings import (
+    canonicalize,
+    contains_reference,
+    sentence_split,
+    sha256_hex,
+    stable_hash64,
+    tokenize,
+    word_normalize,
+)
+from .schema import (
+    ARG_BEAM_MAX,
+    ARG_BEAM_MIN,
+    ARG_BEAM_RATIO,
+    ARG_ROLES,
+    EVENT_TYPES,
+    MAX_SPAN_WIDTH,
+    MAX_TOKENS_PER_DOC,
+    NER_LABELS,
+    RELATION_LABELS,
+    TRIGGER_BEAM_MAX,
+    TRIGGER_BEAM_MIN,
+    TRIGGER_BEAM_RATIO,
+    TRIPLE_SCHEMA,
+)
+from .stages.prep import extract_text
+
+
+def _jitter(text: str) -> float:
+    # deterministic stand-in noise on mention scores (kernel.py:_jitter)
+    return (stable_hash64(text) % 1000) / 10000.0
+
+
+def _softmax_at(raw: float, vec: np.ndarray, idx: int) -> float:
+    # softmax over [0 (null), vec...] at position idx+1 — same numpy
+    # evaluation order as the engine so the float64 bits agree exactly
+    full = np.concatenate([[0.0], vec])
+    m = full.max()
+    exp = np.exp(full - m)
+    return float(exp[idx + 1] / exp.sum())
+
+
+def _rel_conf(m12: float, lab: int) -> float:
+    raw = 6.0 + m12
+    vec = np.full(len(RELATION_LABELS), -10.0 + m12)
+    vec[lab] = raw
+    return round(_softmax_at(raw, vec, lab), 4)
+
+
+# --------------------------------------------------------------- corpus prep
+
+
+def corpus_rows(corpus_dir: str):
+    """Yield (repo, path, commit, lang, content) over sorted parquet shards."""
+    for f in sorted(glob.glob(os.path.join(corpus_dir, "*.parquet"))):
+        t = pq.read_table(f)
+        yield from zip(*[t.column(c).to_pylist()
+                         for c in ("repo", "path", "commit", "lang", "content")])
+
+
+def prep_documents(corpus_dir: str):
+    """Corpus rows -> (doc_key, sentences, sha) after P1-P4 prep + P3 split.
+    Independent re-walk of the prep semantics (shares only leaf helpers)."""
+    out = []
+    for repo, path, commit, lang, content in corpus_rows(corpus_dir):
+        sha = sha256_hex(content)
+        text = extract_text(content, lang)
+        sents = [[word_normalize(t) for t in tokenize(s)] for s in sentence_split(text)]
+        sents = [s for s in sents if s]
+        if not sents or any(t == "" for s in sents for t in s):
+            continue
+        key = f"{repo}:{path}@{commit[:8]}"
+        total = sum(len(s) for s in sents)
+        if total <= MAX_TOKENS_PER_DOC:
+            out.append((key, sents, sha))
+            continue
+        # greedy sentence-boundary splitter, over-long sentences truncated
+        chunks, cur, cur_n = [], [], 0
+        for s in sents:
+            if len(s) > MAX_TOKENS_PER_DOC:
+                s = s[:MAX_TOKENS_PER_DOC]
+            if cur and cur_n + len(s) > MAX_TOKENS_PER_DOC:
+                chunks.append(cur)
+                cur, cur_n = [], 0
+            cur.append(s)
+            cur_n += len(s)
+        if cur:
+            chunks.append(cur)
+        if len(chunks) == 1:
+            out.append((key, chunks[0], sha))
+        else:
+            for i, c in enumerate(chunks):
+                out.append((f"{key}_SPLIT_{i}", c, sha))
+    return out
+
+
+# ------------------------------------------------------------------- decode
+
+
+def find_hits(lower: list[str], lexicon: dict[str, int]) -> list[tuple[int, int, int]]:
+    """All lexicon occurrences as (start, end_inclusive, label_idx), in
+    (start, end) order — derived by direct width-scan, not the engine's
+    first-token index."""
+    n = len(lower)
+    hits = []
+    for s in range(n):
+        for w in range(1, MAX_SPAN_WIDTH + 1):
+            e = s + w - 1
+            if e >= n:
+                break
+            lab = lexicon.get(" ".join(lower[s : e + 1]))
+            if lab is not None:
+                hits.append((s, e, lab))
+    return hits
+
+
+def decode_doc(sentences: list[list[str]],
+               entity_lexicon: dict[str, str] | None = None,
+               relation_patterns: dict[str, str] | None = None,
+               event_triggers: dict[str, str] | None = None):
+    """Full per-document decode: returns (ner, rels, events, clusters) in the
+    engine's JSON shapes. ner/rels/events are per-sentence lists; clusters are
+    doc-level {start, end} mention groups (canonical-equality registry)."""
+    entity_lexicon = ENTITY_LEXICON if entity_lexicon is None else entity_lexicon
+    relation_patterns = RELATION_PATTERNS if relation_patterns is None else relation_patterns
+    event_triggers = EVENT_TRIGGERS if event_triggers is None else event_triggers
+    lex = {k.lower(): NER_LABELS.index(v) for k, v in entity_lexicon.items()}
+    patterns = {k.lower(): RELATION_LABELS.index(v) for k, v in relation_patterns.items()}
+    trig_tab = {k.lower(): EVENT_TYPES.index(v) for k, v in event_triggers.items()}
+    max_pat = max((len(k.split()) for k in relation_patterns), default=0)
+
+    doc_ner, doc_rel, doc_evt = [], [], []
+    registry: dict[str, list[tuple[int, int]]] = {}
+    offset = 0
+    for sent in sentences:
+        n = len(sent)
+        lower = [t.lower() for t in sent]
+        hits = find_hits(lower, lex)
+        mentions = [2.0 + _jitter(" ".join(lower[s : e + 1])) for (s, e, _) in hits]
+
+        def top(beam: int) -> list[int]:
+            if len(hits) <= beam:
+                return list(range(len(hits)))
+            order = sorted(range(len(hits)), key=lambda i: (-mentions[i], i))[:beam]
+            return sorted(order)
+
+        ner = [{"start": s, "end": e, "label": NER_LABELS[lab]} for (s, e, lab) in hits]
+        kept = top(max(1, math.ceil(0.5 * n)))
+        rels = []
+        for ai in kept:
+            s1, e1, _ = hits[ai]
+            for bi in kept:
+                if ai == bi:
+                    continue
+                s2, e2, _ = hits[bi]
+                if e1 < s2 and (s2 - e1 - 1) <= max_pat:
+                    lab = patterns.get(" ".join(lower[e1 + 1 : s2]))
+                    if lab is not None:
+                        rels.append({
+                            "s1": s1, "e1": e1, "s2": s2, "e2": e2,
+                            "label": RELATION_LABELS[lab],
+                            "conf": _rel_conf(mentions[ai] + mentions[bi], lab),
+                        })
+        trig_beam = int(min(TRIGGER_BEAM_MAX, max(TRIGGER_BEAM_MIN,
+                                                  math.floor(TRIGGER_BEAM_RATIO * n))))
+        arg_beam = int(min(ARG_BEAM_MAX, max(ARG_BEAM_MIN,
+                                             math.floor(ARG_BEAM_RATIO * n))))
+        triggers = [(i, trig_tab[t]) for i, t in enumerate(lower) if t in trig_tab][:trig_beam]
+        arg_hits = top(arg_beam)
+        evts = []
+        for trig_ix, lab in triggers:
+            args = []
+            for hi in arg_hits:
+                s, e, _ = hits[hi]
+                if e < trig_ix:
+                    role = ARG_ROLES[0]
+                elif s == trig_ix + 1:
+                    role = ARG_ROLES[1]
+                elif s > trig_ix + 1:
+                    role = ARG_ROLES[2]
+                else:
+                    continue  # overlaps the trigger -> null
+                args.append({"start": s, "end": e, "role": role})
+            evts.append({"trigger_tok": trig_ix, "event_type": EVENT_TYPES[lab],
+                         "args": args})
+        doc_ner.append(ner)
+        doc_rel.append(rels)
+        doc_evt.append(evts)
+        for m in ner:  # doc-level canonical registry for coref
+            key = canonicalize(" ".join(sent[m["start"] : m["end"] + 1]))
+            if key:
+                registry.setdefault(key, []).append((offset + m["start"], offset + m["end"]))
+        offset += n
+    clusters = [v for v in registry.values() if len(v) >= 2]
+    return doc_ner, doc_rel, doc_evt, clusters
+
+
+# ------------------------------------------------------------------ triples
+
+
+def expected_triples(corpus_dir: str,
+                     entity_lexicon: dict[str, str] | None = None,
+                     relation_patterns: dict[str, str] | None = None,
+                     event_triggers: dict[str, str] | None = None,
+                     documents=None) -> pa.Table:
+    """Expected kg_triples output (TRIPLE_SCHEMA) for a corpus dir."""
+    docs = prep_documents(corpus_dir) if documents is None else documents
+    cols = {n: [] for n in TRIPLE_SCHEMA.names}
+    for key, sentences, sha in docs:
+        _, doc_rel, _, clusters = decode_doc(
+            sentences, entity_lexicon, relation_patterns, event_triggers)
+        flat = [t for s in sentences for t in s]
+        rep_of: dict[str, str] = {}
+        for cluster in clusters:
+            rep = " ".join(flat[cluster[0][0] : cluster[0][1] + 1])
+            for (ms, me) in cluster[1:]:
+                mention = " ".join(flat[ms : me + 1])
+                if contains_reference(mention):
+                    rep_of[mention] = rep
+        for sent, rels in zip(sentences, doc_rel):
+            sent_text = " ".join(sent)
+            for r in rels:
+                subj = " ".join(sent[r["s1"] : r["e1"] + 1])
+                obj = " ".join(sent[r["s2"] : r["e2"] + 1])
+                subj = rep_of.get(subj, subj)
+                obj = rep_of.get(obj, obj)
+                cols["doc_id"].append(key)
+                cols["sentence"].append(sent_text)
+                cols["subj"].append(subj)
+                cols["obj"].append(obj)
+                cols["pred"].append(r["label"])
+                cols["subj_norm"].append(canonicalize(subj))
+                cols["obj_norm"].append(canonicalize(obj))
+                cols["conf"].append(r["conf"])
+                cols["content_sha256"].append(sha)
+    return pa.table({n: pa.array(cols[n], TRIPLE_SCHEMA.field(n).type)
+                     for n in TRIPLE_SCHEMA.names})
+
+
+def expected_mention_counts(documents,
+                            entity_lexicon: dict[str, str]) -> pa.Table:
+    """Expected (mention_norm, label, n) counts over prepped documents."""
+    lex = {k.lower(): NER_LABELS.index(v) for k, v in entity_lexicon.items()}
+    counts: Counter = Counter()
+    for _key, sentences, _sha in documents:
+        for sent in sentences:
+            lower = [t.lower() for t in sent]
+            for (s, e, lab) in find_hits(lower, lex):
+                mention = " ".join(sent[s : e + 1])
+                counts[(canonicalize(mention), NER_LABELS[lab])] += 1
+    keys = sorted(counts)
+    return pa.table({
+        "mention_norm": pa.array([k[0] for k in keys], pa.string()),
+        "label": pa.array([k[1] for k in keys], pa.string()),
+        "n": pa.array([counts[k] for k in keys], pa.int64()),
+    })
+
+
+def expected_entity_link_counts(documents, entity_lexicon: dict[str, str],
+                                alias_entities: dict[str, list[str]],
+                                min_score: float = 0.5) -> pa.Table:
+    """Expected (entity_id, n) counts: every mention linked by the alias
+    rules (exact -> canonical -> token-Jaccard >= min_score, ties by id)."""
+    lex = {k.lower(): NER_LABELS.index(v) for k, v in entity_lexicon.items()}
+    exact: dict[str, str] = {}
+    canon: dict[str, str] = {}
+    for eid in sorted(alias_entities):
+        for alias in alias_entities[eid]:
+            exact.setdefault(alias.lower(), eid)
+            canon.setdefault(canonicalize(alias), eid)
+
+    def link(mention: str):
+        m = mention.lower()
+        if m in exact:
+            return exact[m]
+        c = canonicalize(mention)
+        if c in canon:
+            return canon[c]
+        best_id, best = None, 0.0
+        toks_m = set(m.split())
+        for eid in sorted(alias_entities):
+            for alias in alias_entities[eid]:
+                ta = set(alias.lower().split())
+                if not toks_m and not ta:
+                    continue
+                j = len(toks_m & ta) / len(toks_m | ta)
+                if j > best:
+                    best_id, best = eid, j
+        return best_id if best >= min_score else None
+
+    counts: Counter = Counter()
+    cache: dict[str, str | None] = {}
+    for _key, sentences, _sha in documents:
+        for sent in sentences:
+            lower = [t.lower() for t in sent]
+            for (s, e, _lab) in find_hits(lower, lex):
+                mention = " ".join(sent[s : e + 1])
+                if mention not in cache:
+                    cache[mention] = link(mention)
+                counts[cache[mention]] += 1
+    keys = sorted(counts, key=lambda k: (k is None, k))
+    return pa.table({
+        "entity_id": pa.array([k for k in keys], pa.string()),
+        "n": pa.array([counts[k] for k in keys], pa.int64()),
+    })
+
+
+def expected_closure(triples: pa.Table) -> pa.Table:
+    """Expected transitive-closure output over the expected triples: per-doc
+    fixpoint on rows sorted by (subj, obj, pred, conf) — the engine sorts
+    each group identically before the worklist, so both sides are
+    deterministic. Reuses the pure `closure_rows` worklist function."""
+    from .pipelines.evaluate import closure_rows
+
+    by_doc: dict[str, list[dict]] = {}
+    for d, s, o, p, c in zip(triples.column("doc_id").to_pylist(),
+                             triples.column("subj").to_pylist(),
+                             triples.column("obj").to_pylist(),
+                             triples.column("pred").to_pylist(),
+                             triples.column("conf").to_pylist()):
+        by_doc.setdefault(d, []).append(
+            {"doc_id": d, "arg0": s, "arg1": o, "rel": p, "conf": np.float32(c)})
+    cols = {"doc_id": [], "subj": [], "obj": [], "pred": [], "conf": []}
+    for d in by_doc:
+        rows = sorted(by_doc[d], key=lambda r: (r["arg0"], r["arg1"], r["rel"],
+                                                float(r["conf"])))
+        for r in closure_rows(rows):
+            cols["doc_id"].append(r["doc_id"])
+            cols["subj"].append(r["arg0"])
+            cols["obj"].append(r["arg1"])
+            cols["pred"].append(r["rel"])
+            cols["conf"].append(float(r["conf"]))
+    return pa.table({
+        "doc_id": pa.array(cols["doc_id"], pa.string()),
+        "subj": pa.array(cols["subj"], pa.string()),
+        "obj": pa.array(cols["obj"], pa.string()),
+        "pred": pa.array(cols["pred"], pa.string()),
+        "conf": pa.array(cols["conf"], pa.float64()),
+    })
+
+
+# ----------------------------------------------------- documents-table prep
+
+
+def _prep_one(key: str, lang: str, content: str):
+    """One corpus row -> [(doc_key, sentences)] after P1-P3 (no sha here)."""
+    text = extract_text(content, lang)
+    sents = [[word_normalize(t) for t in tokenize(s)] for s in sentence_split(text)]
+    sents = [s for s in sents if s]
+    if not sents or any(t == "" for s in sents for t in s):
+        return []
+    total = sum(len(s) for s in sents)
+    if total <= MAX_TOKENS_PER_DOC:
+        return [(key, sents)]
+    chunks, cur, cur_n = [], [], 0
+    for s in sents:
+        if len(s) > MAX_TOKENS_PER_DOC:
+            s = s[:MAX_TOKENS_PER_DOC]
+        if cur and cur_n + len(s) > MAX_TOKENS_PER_DOC:
+            chunks.append(cur)
+            cur, cur_n = [], 0
+        cur.append(s)
+        cur_n += len(s)
+    if cur:
+        chunks.append(cur)
+    if len(chunks) == 1:
+        return [(key, chunks[0])]
+    return [(f"{key}_SPLIT_{i}", c) for i, c in enumerate(chunks)]
+
+
+def prep_documents_from_docs_table(sf_dir: str, max_doc_id: int | None = None):
+    """The docs_adapter twin: documents.parquet -> corpus rows -> prepped
+    (doc_key, sentences, sha) list. Optional doc_id cutoff for the
+    deterministic-subset queries."""
+    import hashlib
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text", "source"])
+    out = []
+    for doc_id, text, source in zip(t.column("doc_id").to_pylist(),
+                                    t.column("text").to_pylist(),
+                                    t.column("source").to_pylist()):
+        if max_doc_id is not None and doc_id >= max_doc_id:
+            continue
+        content = text if text.endswith(".") else text + " ."
+        commit = hashlib.sha1(f"{doc_id}:{text}".encode()).hexdigest()
+        key = f"docs/{source}:doc_{doc_id}.md@{commit[:8]}"
+        sha = sha256_hex(content)
+        for k, sents in _prep_one(key, "markdown", content):
+            out.append((k, sents, sha))
+    return out
+
+
+# -------------------------------------------------- eval-family recomputes
+
+
+def _exact(a: str, b: str) -> bool:
+    return a.strip().lower() == b.strip().lower()
+
+
+def expected_triple_prf(gold: pa.Table, pred: pa.Table) -> dict:
+    """Greedy exact-match P/R/F1 twin of triple_prf: per-doc cross product
+    with fwd/rev arg matching and seen-set dedup over rows sorted by
+    (arg0, arg1, rel) — the same deterministic order the engine imposes."""
+    def rows_by_doc(t: pa.Table):
+        by: dict[str, list[tuple[str, str, str]]] = {}
+        for d, a0, a1, r in zip(t.column("doc_id").to_pylist(),
+                                t.column("subj").to_pylist(),
+                                t.column("obj").to_pylist(),
+                                t.column("pred").to_pylist()):
+            by.setdefault(d, []).append((a0, a1, r))
+        for d in by:
+            by[d].sort()
+        return by
+
+    g_by, p_by = rows_by_doc(gold), rows_by_doc(pred)
+    n_gold = sum(len(v) for v in g_by.values())
+    n_pred = sum(len(v) for v in p_by.values())
+    n_matched = 0
+    for d, gs in g_by.items():
+        ps = p_by.get(d, [])
+        seen_g: set[int] = set()
+        seen_p: set[int] = set()
+        for gi, (ga0, ga1, gr) in enumerate(gs):
+            for pi, (pa0, pa1, pr) in enumerate(ps):
+                if gi in seen_g or pi in seen_p or gr != pr:
+                    continue
+                fwd = _exact(ga0, pa0) and _exact(ga1, pa1)
+                rev = _exact(ga0, pa1) and _exact(ga1, pa0)
+                if fwd or rev:
+                    n_matched += 1
+                    seen_g.add(gi)
+                    seen_p.add(pi)
+    precision = n_matched / n_pred if n_pred else 0.0
+    recall = n_matched / n_gold if n_gold else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {"precision": round(precision, 6), "recall": round(recall, 6),
+            "f1": round(f1, 6), "n_gold": n_gold, "n_pred": n_pred,
+            "n_matched": n_matched}
+
+
+def expected_p_at_k(gold: pa.Table, pred: pa.Table,
+                    ks=(50, 100, 150, 200)) -> pa.Table:
+    """Precision@K of pred triples ranked by (conf desc, doc_id, subj_norm,
+    obj_norm, pred asc) against the gold normalized-triple set."""
+    gold_set = set(zip(gold.column("doc_id").to_pylist(),
+                       gold.column("subj_norm").to_pylist(),
+                       gold.column("pred").to_pylist(),
+                       gold.column("obj_norm").to_pylist()))
+    rows = list(zip(pred.column("conf").to_pylist(),
+                    pred.column("doc_id").to_pylist(),
+                    pred.column("subj_norm").to_pylist(),
+                    pred.column("obj_norm").to_pylist(),
+                    pred.column("pred").to_pylist()))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2], r[3], r[4]))
+    out_k, out_p = [], []
+    for k in ks:
+        top = rows[:k]
+        hits = sum((d, sn, p, on) in gold_set for (_c, d, sn, on, p) in top)
+        out_k.append(k)
+        out_p.append(round(hits / max(1, len(top)), 6))
+    return pa.table({"k": pa.array(out_k, pa.int64()),
+                     "precision_at_k": pa.array(out_p, pa.float64())})
+
+
+def _event_sets(doc_events, variant: str) -> set:
+    out = set()
+    for sent_ix, sent in enumerate(doc_events):
+        for ev in sent:
+            if variant == "trig_id":
+                out.add((sent_ix, ev["trigger_tok"]))
+            elif variant == "trig_class":
+                out.add((sent_ix, ev["trigger_tok"], ev["event_type"]))
+            else:
+                for a in ev["args"]:
+                    key = (sent_ix, a["start"], a["end"], ev["event_type"])
+                    out.add(key if variant == "arg_id" else (*key, a["role"]))
+    return out
+
+
+def expected_event_f1(documents, full_triggers: dict[str, str],
+                      reduced_triggers: dict[str, str]) -> pa.Table:
+    """Four-variant event P/R/F1 of a reduced-trigger decode vs the full
+    decode over the same prepped documents."""
+    per_doc = []
+    for _key, sentences, _sha in documents:
+        evts_full = decode_doc(sentences, event_triggers=full_triggers)[2]
+        evts_red = decode_doc(sentences, event_triggers=reduced_triggers)[2]
+        per_doc.append((evts_full, evts_red))
+    rows = {"variant": [], "precision": [], "recall": [], "f1": []}
+    for variant in ("trig_id", "trig_class", "arg_id", "arg_class"):
+        tp = fp = fn = 0
+        for evts_full, evts_red in per_doc:
+            gs = _event_sets(evts_full, variant)
+            ps = _event_sets(evts_red, variant)
+            tp += len(gs & ps)
+            fp += len(ps - gs)
+            fn += len(gs - ps)
+        p = tp / (tp + fp) if tp + fp else 0.0
+        r = tp / (tp + fn) if tp + fn else 0.0
+        f1 = 2 * p * r / (p + r) if p + r else 0.0
+        rows["variant"].append(variant)
+        rows["precision"].append(round(p, 6))
+        rows["recall"].append(round(r, 6))
+        rows["f1"].append(round(f1, 6))
+    return pa.table({"variant": pa.array(rows["variant"], pa.string()),
+                     "precision": pa.array(rows["precision"], pa.float64()),
+                     "recall": pa.array(rows["recall"], pa.float64()),
+                     "f1": pa.array(rows["f1"], pa.float64())})
+
+
+def expected_coref_scores(documents, full_lexicon: dict[str, str],
+                          reduced_lexicon: dict[str, str]) -> pa.Table:
+    """MUC/B3/CEAF-phi4/CoNLL of the reduced-lexicon decode's clusters vs the
+    full decode's, per-doc counters summed. Cluster derivation is this
+    module's independent decode; the metric arithmetic reuses the pure
+    per-document counter functions (unit-tested math, no Ray plumbing)."""
+    from .pipelines.coref_metrics import _doc_counts, finalize
+
+    sums = {k: 0.0 for k in _doc_counts([], [])}
+    for _key, sentences, _sha in documents:
+        full_cl = decode_doc(sentences, entity_lexicon=full_lexicon)[3]
+        red_cl = decode_doc(sentences, entity_lexicon=reduced_lexicon)[3]
+        g = [[{"start": s, "end": e} for (s, e) in c] for c in full_cl]
+        p = [[{"start": s, "end": e} for (s, e) in c] for c in red_cl]
+        for k, v in _doc_counts(g, p).items():
+            sums[k] += v
+    sc = finalize(sums)
+    flat = {"muc_f1": sc["muc"]["f1"], "b3_f1": sc["b3"]["f1"],
+            "ceaf_e_f1": sc["ceaf_e"]["f1"], "conll_f1": sc["conll_f1"],
+            "mention_recall": sc["mention_recall"]}
+    return pa.table({k: pa.array([round(v, 6)], pa.float64()) for k, v in flat.items()})
+
+
+# ------------------------------------------- documents-table op recomputes
+
+
+def _read_docs(sf_dir: str):
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    return t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+
+
+def expected_fingerprint(sf_dir: str) -> pa.Table:
+    """Per-byte Horner-loop twin of the vectorized engine fingerprint."""
+    B, M = 1000003, 0xFFFFFFFFFFFFFFFF
+    ids, texts = _read_docs(sf_dir)
+    fps = []
+    for text in texts:
+        h = 1469598103934665603
+        for tok in text.split():
+            for b in tok.encode("utf-8"):
+                h = (h * B + b) & M
+            h = (h * B + 32) & M
+        fps.append(h)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "fp64": pa.array(fps, pa.uint64())})
+
+
+def expected_minhash_pairs(sf_dir: str, n_perm: int = 64, n_bands: int = 16,
+                           shingle_k: int = 3, threshold: float = 0.8) -> pa.Table:
+    """All-pairs brute force twin of the LSH pipeline: a pair is emitted iff
+    it shares >= 1 full band AND its signature-estimated Jaccard passes the
+    threshold. Signatures reuse the same hash family (they define the
+    operator); the banding/shuffle/dedup plumbing is what this verifies."""
+    from .stages.dedup import MinHasher
+
+    ids, texts = _read_docs(sf_dir)
+    mh = MinHasher(n_perm=n_perm, shingle_k=shingle_k)
+    sigs = [mh.signature(t) for t in texts]
+    r = n_perm // n_bands
+    out = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if ids[i] == ids[j]:
+                continue
+            eq = sigs[i] == sigs[j]
+            if not any(eq[b * r : (b + 1) * r].all() for b in range(n_bands)):
+                continue
+            est = float(np.mean(eq))
+            if est >= threshold:
+                a, b = sorted((ids[i], ids[j]))
+                out.append((a, b, round(est, 6)))
+    out.sort()
+    return pa.table({"id_a": pa.array([x[0] for x in out], pa.int64()),
+                     "id_b": pa.array([x[1] for x in out], pa.int64()),
+                     "est_jaccard": pa.array([x[2] for x in out], pa.float64())})
+
+
+def expected_simhash_pairs(sf_dir: str, n_blocks: int = 4,
+                           max_hamming: int = 3) -> pa.Table:
+    from .stages.dedup import SimHasher
+
+    ids, texts = _read_docs(sf_dir)
+    sh = SimHasher()
+    hs = [sh.simhash(t) for t in texts]
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    out = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if ids[i] == ids[j]:
+                continue
+            if not any(((hs[i] >> (b * width)) & mask) == ((hs[j] >> (b * width)) & mask)
+                       for b in range(n_blocks)):
+                continue
+            d = bin(hs[i] ^ hs[j]).count("1")
+            if d <= max_hamming:
+                a, b = sorted((ids[i], ids[j]))
+                out.append((a, b, d))
+    out.sort()
+    return pa.table({"id_a": pa.array([x[0] for x in out], pa.int64()),
+                     "id_b": pa.array([x[1] for x in out], pa.int64()),
+                     "hamming": pa.array([x[2] for x in out], pa.int64())})
+
+
+def expected_ngram_pairs(sf_dir: str, shingle_k: int = 3,
+                         threshold: float = 0.5) -> pa.Table:
+    """Exact shingle-set Jaccard over the minhash candidate pairs (candidate
+    recall stage mirrors the engine's lowered-threshold LSH)."""
+    from .stages.dedup import _shingles
+
+    cand = expected_minhash_pairs(sf_dir, n_perm=64, n_bands=32,
+                                  shingle_k=shingle_k,
+                                  threshold=max(0.0, threshold - 0.2))
+    _ids, texts = _read_docs(sf_dir)
+    text_of = dict(zip(_ids, texts))
+    sh_cache: dict[int, set] = {}
+
+    def sh(i):
+        if i not in sh_cache:
+            sh_cache[i] = _shingles(text_of[i], shingle_k)
+        return sh_cache[i]
+
+    out = []
+    for a, b in zip(cand.column("id_a").to_pylist(), cand.column("id_b").to_pylist()):
+        sa, sb = sh(a), sh(b)
+        j = len(sa & sb) / max(1, len(sa | sb))
+        if j >= threshold:
+            out.append((a, b, round(j, 6)))
+    out.sort()
+    return pa.table({"id_a": pa.array([x[0] for x in out], pa.int64()),
+                     "id_b": pa.array([x[1] for x in out], pa.int64()),
+                     "jaccard": pa.array([x[2] for x in out], pa.float64())})
+
+
+def expected_embedding_neardups(sf_dir: str, threshold: float = 0.9,
+                                n_bits: int = 10, n_tables: int = 8,
+                                seed: int = 11) -> pa.Table:
+    """Brute-force twin of the multi-table LSH near-dup pipeline over the
+    planted-duplicate embedding set (vec_id < 20 duplicated at +1e6)."""
+    from .stages.similarity import _hyperplanes, _lsh_sig, _normalize
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    embs = [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+    for i in range(len(ids)):
+        if ids[i] < 20:
+            ids.append(ids[i] + 1_000_000)
+            embs.append(embs[i])
+    m = _normalize(np.stack(embs))
+    sig_tables = [
+        _lsh_sig(m, _hyperplanes(m.shape[1], n_bits, seed + 101 * tt))
+        for tt in range(n_tables)
+    ]
+    out = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if ids[i] == ids[j]:
+                continue
+            if not any(st[i] == st[j] for st in sig_tables):
+                continue
+            cos = float(np.dot(m[i], m[j]))
+            if cos >= threshold:
+                a, b = sorted((ids[i], ids[j]))
+                out.append((a, b, round(cos, 6)))
+    out.sort()
+    return pa.table({"id_a": pa.array([x[0] for x in out], pa.int64()),
+                     "id_b": pa.array([x[1] for x in out], pa.int64()),
+                     "cosine": pa.array([x[2] for x in out], pa.float64())})
+
+
+def expected_knn_lsh(sf_dir: str, k: int = 10, n_bits: int = 8,
+                     seed: int = 11) -> pa.Table:
+    """Single-threaded twin of the LSH ANN query: scan every vector, keep
+    those whose sign-signature is within Hamming 1 of the query's, rank by
+    float64 cosine (rounded 6), top-k with vec_id tie-break."""
+    from .functions.strings import round_half_up
+    from .stages.similarity import _hyperplanes, _lsh_sig, _normalize
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    embs = [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+    q32 = np.asarray(embs[ids.index(0)], dtype=np.float32)
+    planes = _hyperplanes(q32.shape[0], n_bits, seed)
+    qsig = int(_lsh_sig(_normalize(q32.reshape(1, -1)), planes)[0])
+    near = {qsig} | {qsig ^ (1 << b) for b in range(n_bits)}
+    m = _normalize(np.stack(embs))
+    sigs = _lsh_sig(m, planes)
+    # the engine normalizes the broadcast query in float32 (knn_lsh casts the
+    # query vector to float32 before signing); match that bit-for-bit
+    qv = _normalize(q32.reshape(1, -1))[0]
+    rows = [
+        (int(ids[i]), float(round_half_up(float(np.dot(m[i], qv)), 6)))
+        for i in range(len(ids)) if int(sigs[i]) in near
+    ]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    rows = rows[:k]
+    return pa.table({"vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                     "cosine": pa.array([r[1] for r in rows], pa.float64())})
+
+
+def expected_standoff_summary(sf_dir: str, doc_lexicon: dict[str, str]) -> pa.Table:
+    """Twin of the standoff_convert query: synthesize the same char-offset
+    annotations over each document, then count which align to token
+    boundaries within one sentence (independent counting over the shared
+    offset walk)."""
+    from .sources.standoff import tokenize_with_offsets
+
+    ids, texts = _read_docs(sf_dir)
+    terms = sorted(doc_lexicon)
+    keys, aligned, dropped = [], [], []
+    for doc_id, text in zip(ids, texts):
+        spans = []
+        for term in terms:
+            p = text.find(term)
+            if p >= 0:
+                spans.append((p, p + len(term)))
+        if len(text) > 3:
+            spans.append((1, 3))
+        _sents, offsets = tokenize_with_offsets(text)
+        starts = {s: si for si, offs in enumerate(offsets) for (s, _e) in offs}
+        ends = {e: si for si, offs in enumerate(offsets) for (_s, e) in offs}
+        n_ok = sum(
+            1 for (s, e) in spans
+            if s in starts and e in ends and starts[s] == ends[e]
+        )
+        keys.append(f"doc_{doc_id}")
+        aligned.append(n_ok)
+        dropped.append(len(spans) - n_ok)
+    return pa.table({"doc_key": pa.array(keys, pa.string()),
+                     "n_aligned": pa.array(aligned, pa.int64()),
+                     "n_entities_dropped": pa.array(dropped, pa.int32())})
+
+
+def expected_media_features(n: int = 32, feature_dim: int = 16) -> pa.Table:
+    kinds = ["image", "audio", "video"]
+    return pa.table({
+        "media_id": pa.array([f"m{i:04d}" for i in range(n)], pa.string()),
+        "kind": pa.array([kinds[i % 3] for i in range(n)], pa.string()),
+        "dim": pa.array([feature_dim] * n, pa.int64()),
+    })
+
+
+def expected_collate_total(documents) -> pa.Table:
+    total = sum(len(sents) for (_k, sents, _sha) in documents)
+    return pa.table({"total_sentences": pa.array([total], pa.int64())})
+
+
+def expected_uncollate_counts(documents, entity_lexicon: dict[str, str]) -> pa.Table:
+    """Roundtrip invariants: doc counts and total predicted mentions are
+    identical between the direct and the collate->extract->uncollate paths."""
+    lex = {k.lower(): NER_LABELS.index(v) for k, v in entity_lexicon.items()}
+    n_docs = len(documents)
+    n_mentions = 0
+    for _k, sentences, _sha in documents:
+        for sent in sentences:
+            n_mentions += len(find_hits([t.lower() for t in sent], lex))
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_docs_orig": pa.array([n_docs], pa.int64()),
+        "n_mentions_direct": pa.array([n_mentions], pa.int64()),
+        "n_mentions_roundtrip": pa.array([n_mentions], pa.int64()),
+    })
+
+
+def expected_cluster_merge(documents, full_lexicon: dict[str, str],
+                           weak_lexicon: dict[str, str]) -> pa.Table:
+    """Twin of coref_cluster_merge: full-model clusters merged with the
+    half-split weak-model clusters via the pure worklist merge."""
+    from .stages.coref import merge_clusters
+
+    keys, counts = [], []
+    for key, sentences, _sha in documents:
+        a_cl = [list(c) for c in decode_doc(sentences, entity_lexicon=full_lexicon)[3]]
+        b_raw = [list(c) for c in decode_doc(sentences, entity_lexicon=weak_lexicon)[3]]
+        b_cl = []
+        for c in b_raw:
+            half = max(1, len(c) // 2)
+            b_cl.append(c[:half])
+            if c[half:]:
+                b_cl.append(c[half:])
+        keys.append(key)
+        counts.append(len(merge_clusters(a_cl, b_cl)))
+    return pa.table({"doc_key": pa.array(keys, pa.string()),
+                     "n_merged_clusters": pa.array(counts, pa.int64())})
+
+
+# ------------------------------------------------------------------ writers
+
+
+ORACLE_DIR = "/tmp/dygiepp_ray_oracle"
+
+
+def write_oracle(name: str, table: pa.Table) -> str:
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    path = os.path.join(ORACLE_DIR, f"{name}.parquet")
+    pq.write_table(table, path)
+    return path

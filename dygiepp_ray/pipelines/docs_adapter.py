@@ -67,8 +67,18 @@ def documents_to_corpus_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def documents_as_corpus(sf_dir: str) -> "ray.data.Dataset":
+def documents_as_corpus(sf_dir: str, max_doc_id: int | None = None) -> "ray.data.Dataset":
+    """documents table as corpus rows. `max_doc_id` selects a DETERMINISTIC
+    subset (doc_id < max_doc_id) — unlike `limit()`, which depends on block
+    arrival order under parallel reads."""
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
+    if max_doc_id is not None:
+        import pyarrow.compute as pc
+
+        docs = docs.map_batches(
+            lambda t: t.filter(pc.less(t.column("doc_id"), max_doc_id)),
+            batch_format="pyarrow",
+        )
     return docs.map_batches(documents_to_corpus_batch, batch_format="pyarrow")

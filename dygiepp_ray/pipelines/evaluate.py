@@ -178,8 +178,12 @@ def triple_prf(gold: "ray.data.Dataset", pred: "ray.data.Dataset",
     cols = ["doc_id", "arg0", "arg1", "rel", "_side"]
 
     def count_group(df: pd.DataFrame) -> pd.DataFrame:
-        gs = df[df["_side"] == "g"].to_dict("records")
-        ps = df[df["_side"] == "p"].to_dict("records")
+        # sort each side so the greedy matcher sees a deterministic order
+        # regardless of block arrival order (matters when fwd/rev matches
+        # overlap — greedy outcomes are order-dependent)
+        order = ["arg0", "arg1", "rel"]
+        gs = df[df["_side"] == "g"].sort_values(order).to_dict("records")
+        ps = df[df["_side"] == "p"].sort_values(order).to_dict("records")
         m = relation_matching(gs, ps, metric=metric)
         return pd.DataFrame({"n_gold": [len(gs)], "n_pred": [len(ps)], "n_matched": [m]})
 
@@ -293,7 +297,12 @@ def transitive_closure(triples: "ray.data.Dataset") -> "ray.data.Dataset":
     """groupby(doc_id) → per-doc closure; no global iteration."""
 
     def per_doc(df: pd.DataFrame) -> pd.DataFrame:
-        rows = df.rename(columns={"subj": "arg0", "obj": "arg1", "pred": "rel"}).to_dict("records")
+        # deterministic worklist: base-edge overwrite on duplicate (arg0,
+        # arg1) pairs and new-edge conf both depend on row order, so sort
+        # before building the edge dict (block arrival order is arbitrary)
+        df = df.rename(columns={"subj": "arg0", "obj": "arg1", "pred": "rel"})
+        df = df.sort_values(["arg0", "arg1", "rel", "conf"])
+        rows = df.to_dict("records")
         out = closure_rows(rows)
         res = pd.DataFrame(out)
         return res.rename(columns={"arg0": "subj", "arg1": "obj", "rel": "pred"})

@@ -152,34 +152,52 @@ def pair_counts(triples: "ray.data.Dataset", salt_buckets: int = 1) -> "ray.data
 def graph_edges(triples: "ray.data.Dataset", salt_buckets: int = 1) -> "ray.data.Dataset":
     """Graph materialization (make_kb.py:97-103's MultiDiGraph, as a table):
     one edge row per (subj_norm, pred, obj_norm) with weight = occurrence
-    count, conf_max / conf_mean aggregates and provenance doc count.
-    Partial+final — no all-rows shuffle."""
-    from ..aggregates import partial_final_agg
+    count, conf_max / conf_mean aggregates. Partial+final — no all-rows
+    shuffle.
 
+    conf_mean is computed from INTEGER-scaled confidences (conf is rounded to
+    4 decimals upstream, so conf*10000 is an exact integer): the integer sum
+    is order-independent, making the mean bit-deterministic across block
+    orders — a float64 sum would drift in the last ulp and flip the
+    6-decimal rounding against the DuckDB oracle."""
+    from ..aggregates import partial_final_agg
+    from ..functions.strings import round_half_up
+
+    def prep(t: pa.Table) -> pa.Table:
+        conf64 = pc.cast(t.column("conf"), pa.float64())
+        conf_i = pc.cast(pc.round(pc.multiply(conf64, 10000.0)), pa.int64())
+        return pa.table({
+            "subj_norm": t.column("subj_norm"), "pred": t.column("pred"),
+            "obj_norm": t.column("obj_norm"), "conf": conf64, "conf_i": conf_i,
+        })
+
+    base = triples.select_columns(["subj_norm", "pred", "obj_norm", "conf"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
     edges = partial_final_agg(
-        triples.select_columns(["subj_norm", "pred", "obj_norm", "conf"]),
+        base,
         ["subj_norm", "pred", "obj_norm"],
         [("weight", None, "count"), ("conf_max", "conf", "max"),
-         ("conf_mean", "conf", "mean")],
+         ("conf_isum", "conf_i", "sum")],
     )
 
-    def round6(df):
-        from ..functions.strings import round_half_up
-
-        df["conf_mean"] = round_half_up(df["conf_mean"].astype("float64"), 6)
+    def finish(df):
         df["conf_max"] = round_half_up(df["conf_max"].astype("float64"), 6)
-        return df
+        df["conf_mean"] = round_half_up(
+            (df["conf_isum"] / 10000.0) / df["weight"], 6
+        )
+        return df.drop(columns=["conf_isum"])
 
-    import pandas as pd  # noqa: F811
-
-    return edges.map_batches(round6, batch_format="pandas")
+    return edges.map_batches(finish, batch_format="pandas")
 
 
 def graph_nodes(triples: "ray.data.Dataset", salt_buckets: int = 1) -> "ray.data.Dataset":
     """Node table: (span_norm, mention_count) — the KB node-weight table
     (kb_spans.txt twin), both argument slots counted."""
     return span_counts(triples, salt_buckets=salt_buckets).map_batches(
-        lambda t: t.rename_columns(["span_norm", "mention_count"]),
+        lambda t: t.rename_columns(
+            ["mention_count" if n == "count" else n for n in t.column_names]
+        ),
         batch_format="pyarrow",
     )
 

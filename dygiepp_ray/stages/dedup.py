@@ -297,6 +297,10 @@ def simhash_near_dups(docs: "ray.data.Dataset", n_blocks: int = 4,
                 rows["block_key"].append(f"{b}:{block:x}")
                 rows[id_col].append(doc_id)
                 rows["simhash"].append(sh)
+        # explicit uint64: a plain int column would be inferred as object /
+        # float64 crossing the Arrow block boundary, silently destroying the
+        # signature's low bits (wrong Hamming distances downstream)
+        rows["simhash"] = pd.array(rows["simhash"], dtype="uint64")
         return pd.DataFrame(rows)
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:

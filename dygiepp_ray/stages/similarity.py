@@ -121,8 +121,12 @@ def embedding_near_dups(embeddings: "ray.data.Dataset", threshold: float = 0.95,
         return pd.DataFrame(rows)
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
+        # float64 verification math: float32 dots differ in the last ulp
+        # across BLAS shapes, which would flip the 6-decimal rounding between
+        # buckets (and against the independent oracle); double precision puts
+        # the rounding boundary ~1e10 x further away
         ids = group[id_col].tolist()
-        m = _normalize(np.stack([np.asarray(v, dtype=np.float32) for v in group[vec_col]]))
+        m = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in group[vec_col]]))
         cos = m @ m.T
         out_a, out_b, cs = [], [], []
         for i in range(len(ids)):

@@ -114,16 +114,31 @@ class LangId:
         return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": langs, "lang_conf": confs})
 
 
+_FP_B = np.uint64(1000003)
+_FP_H0 = np.uint64(1469598103934665603)
+
+
 def fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
-    """(doc_id, fp64) — rolling (Rabin-style) hash over whitespace tokens:
-    deterministic 64-bit document fingerprint."""
-    B, M = 1000003, 0xFFFFFFFFFFFFFFFF
+    """(doc_id, fp64) — rolling (Rabin-style) polynomial hash over whitespace
+    tokens (each token's UTF-8 bytes followed by a 0x20 separator), i.e.
+    h = h0*B^n + Σ byte_i * B^(n-1-i)  (mod 2^64).
+
+    Vectorized: the Horner recurrence is expanded into a power-weighted dot
+    product per document (numpy uint64 wraps mod 2^64 like the scalar loop);
+    no per-byte Python. The per-byte loop twin lives in the oracle module."""
     fps = []
     for text in batch["text"]:
-        h = 1469598103934665603
-        for tok in text.split():
-            for b in tok.encode("utf-8"):
-                h = (h * B + b) & M
-            h = (h * B + 32) & M
-        fps.append(h)
+        toks = text.split()
+        if not toks:
+            fps.append(int(_FP_H0))
+            continue
+        data = b" ".join(t.encode("utf-8") for t in toks) + b" "
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        n = len(arr)
+        pw = np.full(n, _FP_B, dtype=np.uint64)
+        pw[0] = np.uint64(1)
+        with np.errstate(over="ignore"):  # mod-2^64 wraparound is the point
+            np.cumprod(pw, out=pw)  # pw[i] = B^i (mod 2^64)
+            h = _FP_H0 * pw[-1] * _FP_B + np.dot(arr, pw[::-1])
+        fps.append(int(h))
     return pd.DataFrame({"doc_id": batch["doc_id"], "fp64": pd.array(fps, dtype="uint64")})
