@@ -1067,6 +1067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         joined = zip_join_assert(
             full.select_columns(["doc_key", "predicted_events"]),
             red_ren, "doc_key", ["events_pred"],
+            a_cols=["doc_key", "predicted_events"],
         ).materialize()
         rows = []
         for variant in ("trig_id", "trig_class", "arg_id", "arg_class"):
@@ -1105,6 +1106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         joined = zip_join_assert(
             full.select_columns(["doc_key", "predicted_clusters"]),
             red_ren, "doc_key", ["clusters_pred"],
+            a_cols=["doc_key", "predicted_clusters"],
         )
         scores = coref_scores(joined, gold_col="predicted_clusters",
                               pred_col="clusters_pred")
@@ -1224,23 +1226,32 @@ def oracle_sql() -> dict[str, str]:
             FROM part GROUP BY p_type
         """,
         "doc_length_histogram": """
-            SELECT (length(regexp_split_to_array(text, '\\s+')) // 10) * 10
+            SELECT (length(list_filter(regexp_split_to_array(text, '\\s+'),
+                                       x -> x <> '')) // 10) * 10
                        AS len_bucket,
                    count(*) AS n_docs
             FROM documents GROUP BY len_bucket
         """,
         "token_stats": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            )
             SELECT doc_id,
-                   length(regexp_split_to_array(text, '\\s+'))::BIGINT AS n_tokens,
+                   length(toks)::BIGINT AS n_tokens,
                    length(text)::BIGINT AS n_chars,
                    round(length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
-                         / greatest(length(regexp_split_to_array(text, '\\s+')), 1),
+                         / greatest(length(toks), 1),
                          6) AS avg_token_len
-            FROM documents
+            FROM t
         """,
         "quality_score": f"""
             WITH t AS (
-                SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
                 FROM documents
             ), s AS (
                 SELECT doc_id,
@@ -1348,7 +1359,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": f"""
             WITH t AS (
                 SELECT doc_id, text,
-                       regexp_split_to_array(lower(text), '\\s+') AS toks,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks,
                        length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
                 FROM documents
             ), s AS (

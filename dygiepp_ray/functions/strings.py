@@ -22,8 +22,10 @@ STOPWORDS = (
 ).split()
 _STOP = frozenset(STOPWORDS)
 
-_PUNCT_RE = re.compile(r"[^\w\s]")
-_WS_RE = re.compile(r"\s+")
+# ASCII-anchored: the DuckDB oracles' character classes ([^a-z0-9_\s], \s)
+# are ASCII, so Unicode word characters must strip identically on both sides
+_PUNCT_RE = re.compile(r"[^\w\s]", re.ASCII)
+_WS_RE = re.compile(r"\s+", re.ASCII)
 _TOKEN_RE = re.compile(r"\w+(?:'\w+)?|[^\w\s]")
 _SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+|\n{2,}")
 

@@ -8,13 +8,16 @@
   no driver materialization. Salt knob: raise B for hot keys; a single bucket
   only ever holds ~|A|/B + |B|/B rows.
 - `zip_join_assert` — J2 shard-collect semantics: 1:1 key join with
-  multiplicity asserts (03_collect_shards.py:36-46).
+  multiplicity asserts (03_collect_shards.py:36-46), bucketed so each group
+  is a B-th of the keys (vectorized merge), not one tiny pandas frame per key.
 """
 
 from __future__ import annotations
 
+import hashlib
 from typing import Literal
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -38,49 +41,73 @@ def broadcast_lookup(big: "ray.data.Dataset", small_df: pd.DataFrame, key: str,
     return big.map_batches(add, batch_format="pandas")
 
 
+def _bucket_array(key, n_buckets: int) -> pa.Array:
+    """Deterministic per-row bucket ids for an int or string key column.
+
+    Integer keys: masked modulo, fully vectorized. String keys:
+    dictionary-encode first, blake2b ONLY the (small) per-chunk dictionary,
+    then gather per-row buckets through the indices — no per-row Python in
+    the hot path. Null keys land in bucket 0 (they never match in the merge)."""
+    if isinstance(key, pa.ChunkedArray) and pa.types.is_integer(key.type):
+        vals = pc.cast(key, pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.array((vals.astype(np.int64) & ((1 << 62) - 1)) % n_buckets, pa.int32())
+    if not isinstance(key, pa.ChunkedArray):
+        key = pa.chunked_array([key])
+    if pa.types.is_integer(key.type):
+        vals = pc.cast(key, pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.array((vals.astype(np.int64) & ((1 << 62) - 1)) % n_buckets, pa.int32())
+    enc = pc.dictionary_encode(key)
+    chunks = enc.chunks if isinstance(enc, pa.ChunkedArray) else [enc]
+    out = []
+    for chunk in chunks:
+        d = chunk.dictionary.to_pylist()
+        small = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(str(v).encode(), digest_size=4).digest(), "big"
+                ) % n_buckets
+                for v in d
+            ),
+            dtype=np.int64, count=len(d),
+        )
+        idx = chunk.indices.fill_null(0).to_numpy(zero_copy_only=False)
+        out.append(small[idx.astype(np.int64)])
+    merged = np.concatenate(out) if out else np.zeros(0, dtype=np.int64)
+    return pa.array(merged, pa.int32())
+
+
 def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               on: str, n_buckets: int = 32,
               how: Literal["inner", "left"] = "inner",
               left_cols: list[str] | None = None,
-              right_cols: list[str] | None = None) -> "ray.data.Dataset":
-    """Bucketed hash join of two large Datasets on an integer/string key."""
+              right_cols: list[str] | None = None,
+              left_types: dict | None = None,
+              right_types: dict | None = None) -> "ray.data.Dataset":
+    """Bucketed hash join of two large Datasets on an integer/string key.
+
+    `left_types` / `right_types` ({col: pyarrow.DataType}) skip the
+    `Dataset.schema()` probes — on a lazy non-read input, schema inference
+    executes the whole upstream plan once just to learn the column types, so
+    callers chaining joins off expensive pipelines should pass them."""
 
     def stamp(side: str):
         def fn(t: pa.Table) -> pa.Table:
-            key = t.column(on)
-            if pa.types.is_integer(key.type):
-                import numpy as np
-
-                vals = pc.cast(key, pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
-                buckets = pa.array((vals & ((1 << 62) - 1)) % n_buckets)
-            else:
-                # deterministic string bucket: length+first-byte mix is too
-                # weak; use arrow's 64-bit hash via dictionary indices fallback
-                import numpy as np
-
-                vals = key.to_pylist()
-                import hashlib
-
-                buckets = pa.array(
-                    np.fromiter(
-                        (
-                            int.from_bytes(
-                                hashlib.blake2b(str(v).encode(), digest_size=4).digest(), "big"
-                            )
-                            % n_buckets
-                            for v in vals
-                        ),
-                        dtype=np.int64,
-                        count=len(vals),
-                    )
-                )
-            t = t.append_column("_bucket", pc.cast(buckets, pa.int32()))
+            t = t.append_column("_bucket", _bucket_array(t.column(on), n_buckets))
             return t.append_column("_side", pa.array([side] * t.num_rows, pa.string()))
 
         return fn
 
-    lcols = sorted(set(left_cols or left.schema().names) | {on})
-    rcols = sorted(set(right_cols or right.schema().names) | {on})
+    lcols = sorted(set(left_cols or (left_types or left.schema().names)) | {on})
+    rcols = sorted(set(right_cols or (right_types or right.schema().names)) | {on})
+    overlap = (set(lcols) & set(rcols)) - {on}
+    if overlap:
+        # a shared non-key column would come out _x/_y-suffixed from some
+        # buckets and unsuffixed from empty ones — reject up front
+        raise ValueError(
+            f"hash_join: non-key columns {sorted(overlap)} exist on both sides; "
+            "pass left_cols/right_cols (or rename) to disambiguate"
+        )
+
     def _types(ds) -> dict:
         # Dataset.schema() reports numpy dtypes for pandas-backed blocks —
         # normalize everything to Arrow DataTypes for the null padding
@@ -95,8 +122,8 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
             out[name] = typ
         return out
 
-    l_schema = _types(left)
-    r_schema = _types(right)
+    l_schema = left_types if left_types is not None else _types(left)
+    r_schema = right_types if right_types is not None else _types(right)
     all_cols = sorted(set(lcols) | set(rcols))
 
     def align(keep: list[str], types: dict):
@@ -125,20 +152,39 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         align(rcols, r_schema), batch_format="pyarrow"
     )
 
+    def _restore_int_dtypes(df: pd.DataFrame, cols: list[str], schema: dict) -> pd.DataFrame:
+        # the union pads one-sided columns with nulls, so pandas inflates
+        # their int columns to float64 (NaN) — cast back once the side's own
+        # (null-free) rows are selected
+        for c in cols:
+            typ = schema.get(c)
+            if typ is not None and pa.types.is_integer(typ) and df[c].dtype.kind == "f":
+                df[c] = df[c].astype(typ.to_pandas_dtype())
+        return df
+
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        ldf = df[df["_side"] == "l"][lcols]
-        rdf = df[df["_side"] == "r"][rcols]
+        ldf = _restore_int_dtypes(df[df["_side"] == "l"][lcols].copy(), lcols, l_schema)
+        rdf = _restore_int_dtypes(df[df["_side"] == "r"][rcols].copy(), rcols, r_schema)
         return ldf.merge(rdf, on=on, how=how)
 
     return l.union(r).groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
 
 
 def zip_join_assert(a: "ray.data.Dataset", b: "ray.data.Dataset", on: str,
-                    b_cols: list[str]) -> "ray.data.Dataset":
-    """J2 — 1:1 join with uniqueness asserts (shard-collect semantics)."""
+                    b_cols: list[str], n_buckets: int = 64,
+                    a_cols: list[str] | None = None) -> "ray.data.Dataset":
+    """J2 — 1:1 join with uniqueness asserts (shard-collect semantics).
+
+    Bucketed by hash(key) % B: each map_groups call merges a B-th of the key
+    space with ONE vectorized pandas merge (per-side key uniqueness + key-set
+    equality asserted per bucket), instead of building a one-row DataFrame
+    per key — millions of tiny groups at scale. Pass `a_cols` to skip the
+    schema probe (which executes a lazy upstream plan)."""
+    a_cols = list(a_cols) if a_cols is not None else list(a.schema().names)
 
     def stamp(side: str):
         def fn(t: pa.Table) -> pa.Table:
+            t = t.append_column("_bucket", _bucket_array(t.column(on), n_buckets))
             return t.append_column("_side", pa.array([side] * t.num_rows, pa.string()))
 
         return fn
@@ -146,13 +192,15 @@ def zip_join_assert(a: "ray.data.Dataset", b: "ray.data.Dataset", on: str,
     a2 = a.map_batches(stamp("a"), batch_format="pyarrow")
     b2 = b.select_columns([on, *b_cols]).map_batches(stamp("b"), batch_format="pyarrow")
 
-    def zip_group(df: pd.DataFrame) -> pd.DataFrame:
+    def zip_bucket(df: pd.DataFrame) -> pd.DataFrame:
         av = df[df["_side"] == "a"]
         bv = df[df["_side"] == "b"]
-        assert len(av) == 1 and len(bv) == 1, f"{on}={df[on].iloc[0]!r} not unique 1:1"
-        row = av.drop(columns=["_side"]).iloc[0].to_dict()
-        for c in b_cols:
-            row[c] = bv.iloc[0][c]
-        return pd.DataFrame([row])
+        assert av[on].is_unique and bv[on].is_unique, f"{on} not unique (1:1 zip join)"
+        assert len(av) == len(bv) and set(av[on]) == set(bv[on]), (
+            f"{on} key sets differ between zip-join sides"
+        )
+        merged = av[a_cols].merge(bv[[on, *b_cols]], on=on, how="inner")
+        assert len(merged) == len(av)
+        return merged
 
-    return a2.union(b2).groupby(on).map_groups(zip_group, batch_format="pandas")
+    return a2.union(b2).groupby("_bucket").map_groups(zip_bucket, batch_format="pandas")

@@ -92,26 +92,12 @@ def micro_f1(ds: "ray.data.Dataset", task: str = "ner") -> dict:
 def join_gold_pred(gold: "ray.data.Dataset", pred: "ray.data.Dataset",
                    pred_cols: list[str]) -> "ray.data.Dataset":
     """J1 — hash join on doc_key; asserts 1:1 multiplicity per key
-    (data_structures.py:26-42's zip+assert, shuffle-keyed here)."""
-    g = gold.map_batches(lambda t: t.append_column("_side", pa.array(["g"] * t.num_rows)),
-                         batch_format="pyarrow")
-    keep = ["doc_key", *pred_cols]
-    p = pred.select_columns(keep).map_batches(
-        lambda t: t.append_column("_side", pa.array(["p"] * t.num_rows)),
-        batch_format="pyarrow")
+    (data_structures.py:26-42's zip+assert). Delegates to the bucketed
+    `zip_join_assert`, so each shuffle group is a bucket of keys merged
+    vectorized — not one pandas frame per document."""
+    from ..joins import zip_join_assert
 
-    def zip_group(df: pd.DataFrame) -> pd.DataFrame:
-        gs = df[df["_side"] == "g"]
-        ps = df[df["_side"] == "p"]
-        assert len(gs) == 1 and len(ps) == 1, (
-            f"doc_key {df['doc_key'].iloc[0]!r} not 1:1 between gold and pred"
-        )
-        row = gs.drop(columns=["_side"]).iloc[0].to_dict()
-        for c in pred_cols:
-            row[c] = ps.iloc[0][c]
-        return pd.DataFrame([row])
-
-    return g.union(p).groupby("doc_key").map_groups(zip_group, batch_format="pandas")
+    return zip_join_assert(gold, pred, "doc_key", pred_cols)
 
 
 # ------------------------------------------------------ pred×gold matching

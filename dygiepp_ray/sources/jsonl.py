@@ -54,11 +54,19 @@ def from_scierc_json(js: dict) -> dict:
     lengths = [len(s) for s in sentences]
     starts = cumsum_shifted(lengths)
 
-    def rel_span(s: int, e: int) -> tuple[int, int, int]:
+    def rel_span(s: int, e: int, expect_sent: int | None = None) -> tuple[int, int, int]:
         si = _sentence_of(starts, lengths, s)
         se = _sentence_of(starts, lengths, e)
         if si != se:
             raise DocumentValidationError(f"span ({s},{e}) crosses sentences")
+        if expect_sent is not None and si != expect_sent:
+            # annotation filed under the wrong sentence list position: its
+            # offsets would silently be interpreted relative to a different
+            # sentence — reject the row (drop-with-report path)
+            raise DocumentValidationError(
+                f"span ({s},{e}) lies in sentence {si} but is filed under "
+                f"sentence {expect_sent}"
+            )
         return si, s - starts[si], e - starts[si]
 
     row = {
@@ -73,15 +81,15 @@ def from_scierc_json(js: dict) -> dict:
         out = [[] for _ in sentences]
         for sent_ix, sent_ner in enumerate(js["ner"]):
             for s, e, label in sent_ner:
-                si, rs, re_ = rel_span(s, e)
+                si, rs, re_ = rel_span(s, e, expect_sent=sent_ix)
                 out[sent_ix].append({"start": rs, "end": re_, "label": label})
         row["ner"] = out
     if "relations" in js:
         out = [[] for _ in sentences]
         for sent_ix, sent_rel in enumerate(js["relations"]):
             for s1, e1, s2, e2, label in sent_rel:
-                _, rs1, re1 = rel_span(s1, e1)
-                _, rs2, re2 = rel_span(s2, e2)
+                _, rs1, re1 = rel_span(s1, e1, expect_sent=sent_ix)
+                _, rs2, re2 = rel_span(s2, e2, expect_sent=sent_ix)
                 out[sent_ix].append(
                     {"s1": rs1, "e1": re1, "s2": rs2, "e2": re2, "label": label}
                 )
@@ -91,13 +99,14 @@ def from_scierc_json(js: dict) -> dict:
         for sent_ix, sent_events in enumerate(js["events"]):
             for event in sent_events:
                 (trig_tok, etype), *args = event
-                si, rtrig, _ = rel_span(trig_tok, trig_tok)
+                si, rtrig, _ = rel_span(trig_tok, trig_tok, expect_sent=sent_ix)
                 out[sent_ix].append(
                     {
                         "trigger_tok": rtrig,
                         "event_type": etype,
                         "args": [
-                            {"start": rel_span(s, e)[1], "end": rel_span(s, e)[2],
+                            {"start": rel_span(s, e, expect_sent=sent_ix)[1],
+                             "end": rel_span(s, e, expect_sent=sent_ix)[2],
                              "role": role}
                             for s, e, role in args
                         ],

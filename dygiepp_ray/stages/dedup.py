@@ -78,26 +78,38 @@ def _token_hash(tok: str) -> int:
     return h
 
 
+def _token_hash_array(toks: list[str]) -> np.ndarray:
+    return np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64,
+                       count=len(toks))
+
+
+def _shingle_values(hs: np.ndarray, k: int) -> np.ndarray:
+    """Unique k-gram shingle values over a token-hash array: the k-step fold
+    v = splitmix64(v ^ h) evaluated for ALL windows at once (k vectorized
+    passes over the array instead of a Python loop per shingle — this was
+    ~40% of the minhash pipeline's runtime as per-shingle scalar folds)."""
+    n = len(hs)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if n < k:
+        v = 0
+        for h in hs:
+            v = _mix64(int(v) ^ int(h))
+        return np.array([v], dtype=np.uint64)
+    m = n - k + 1
+    v = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        v = _splitmix64(v ^ hs[j : j + m])
+    return np.unique(v)
+
+
 def _shingles(text: str, k: int) -> set[int]:
-    """Word k-gram shingle set. Each shingle's value is a rolling splitmix64
-    combine of CACHED per-token hashes — one blake2b per distinct token, not
-    one per shingle occurrence (order-sensitive: 'a b' != 'b a')."""
+    """Word k-gram shingle set (set view of `_shingle_values`; order-sensitive:
+    'a b' != 'b a'). One blake2b per distinct token via the cache."""
     toks = text.split()
     if not toks:
         return set()
-    hs = [_token_hash(t) for t in toks]
-    if len(hs) < k:
-        v = 0
-        for h in hs:
-            v = _mix64(v ^ h)
-        return {v}
-    out = set()
-    for i in range(len(hs) - k + 1):
-        v = 0
-        for h in hs[i : i + k]:
-            v = _mix64(v ^ h)
-        out.add(v)
-    return out
+    return set(map(int, _shingle_values(_token_hash_array(toks), k)))
 
 
 def _splitmix64(z: np.ndarray) -> np.ndarray:
@@ -133,10 +145,10 @@ class MinHasher:
         self.id_col = id_col
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.k)
-        if not sh:
+        toks = text.split()
+        if not toks:
             return np.full(self.n_perm, _MERSENNE, dtype=np.int64)
-        x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+        x = _shingle_values(_token_hash_array(toks), self.k)
         vals = _splitmix64(x[:, None] ^ self.seeds[None, :]).min(axis=0)
         # monotonic shift into int64 range for Arrow-friendly signatures
         return (vals >> np.uint64(2)).astype(np.int64)
@@ -149,31 +161,67 @@ class MinHasher:
 
 
 def minhash_bands(sig_df: pd.DataFrame, n_bands: int, id_col: str = "doc_id") -> pd.DataFrame:
-    """Explode signatures into (band_key, doc_id) rows; band_key is the hash
-    of one band's slice — the LSH bucket key (the shuffle key)."""
+    """Explode signatures into (band_key, doc_id) rows; band_key is the
+    int64 hash of one band's slice — the LSH bucket key (the shuffle key)."""
     rows_id, rows_key = [], []
     for doc_id, sig in zip(sig_df[id_col], sig_df["minhash"]):
         sig = np.asarray(sig)
         r = len(sig) // n_bands
         for b in range(n_bands):
             band = sig[b * r : (b + 1) * r]
-            key = hashlib.blake2b(
-                band.tobytes() + bytes([b]), digest_size=8
-            ).hexdigest()
+            key = int.from_bytes(
+                hashlib.blake2b(band.tobytes() + bytes([b]), digest_size=8).digest(),
+                "big",
+            ) >> 2
             rows_id.append(doc_id)
             rows_key.append(key)
-    return pd.DataFrame({"band_key": rows_key, id_col: rows_id})
+    return pd.DataFrame({"band_key": pd.array(rows_key, dtype="int64"),
+                         id_col: rows_id})
+
+
+def _pair_bucket_stamp(n_buckets: int):
+    """Vectorized (id_a, id_b) -> coarse bucket for the cross-band pair
+    dedup shuffle."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            df["_pb"] = pd.array([], dtype="int32")
+            return df
+        ha = pd.util.hash_pandas_object(df["id_a"], index=False).to_numpy()
+        hb = pd.util.hash_pandas_object(df["id_b"], index=False).to_numpy()
+        df["_pb"] = (((ha * np.uint64(0x9E3779B9)) ^ hb) % np.uint64(n_buckets)).astype("int32")
+        return df
+
+    return fn
+
+
+def _dedup_pairs(pairs: "ray.data.Dataset", n_buckets: int = 64) -> "ray.data.Dataset":
+    """Global (id_a, id_b) dedup: coarse-bucket shuffle + vectorized
+    per-bucket drop_duplicates (duplicate pair rows are identical by
+    construction, so keeping any one is exact)."""
+
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["id_a", "id_b"]).drop(columns=["_pb"])
+
+    return (
+        pairs.map_batches(_pair_bucket_stamp(n_buckets), batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(dedup_bucket, batch_format="pandas")
+    )
 
 
 def minhash_lsh_pairs(docs: "ray.data.Dataset", n_perm: int = 64, n_bands: int = 16,
                       shingle_k: int = 3, jaccard_threshold: float = 0.8,
                       id_col: str = "doc_id", text_col: str = "text",
-                      concurrency=(1, 8)) -> "ray.data.Dataset":
+                      concurrency=(1, 8), n_buckets: int = 64) -> "ray.data.Dataset":
     """Near-duplicate pairs (id_a < id_b, est_jaccard ≥ threshold).
 
-    shingle→minhash (actor pool) → band explode → groupby(band_key) →
-    in-bucket exact verification on minhash-estimated Jaccard. Buckets are
-    small by construction; the shuffle key is the band hash.
+    shingle→minhash (actor pool) → band explode → ONE shuffle on a COARSE
+    bucket of the band hash → per-bucket pandas groupby over the exact band
+    keys → pairwise signature verification inside each band group. The
+    coarse bucket keeps the Ray group count at `n_buckets` (vectorized
+    per-group work inside), instead of one tiny pandas frame per distinct
+    band hash — millions of near-singleton groups at corpus scale.
     """
     sigs = docs.select_columns([id_col, text_col]).map_batches(
         MinHasher, fn_constructor_kwargs=dict(
@@ -184,47 +232,60 @@ def minhash_lsh_pairs(docs: "ray.data.Dataset", n_perm: int = 64, n_bands: int =
     # signatures travel WITH the band rows (512 B each at 64 perms): one
     # shuffle total; in-bucket verification needs no second join.
     banded_with_sig = sigs.map_batches(
-        lambda df: minhash_bands_with_sig(df, n_bands, id_col), batch_format="pandas"
+        lambda df: minhash_bands_with_sig(df, n_bands, id_col, n_buckets),
+        batch_format="pandas",
     )
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].tolist()
-        sigs_ = [np.asarray(s) for s in group["minhash"]]
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, est = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                sim = float(np.mean(sigs_[i] == sigs_[j]))
-                if sim >= jaccard_threshold:
+        for _key, group in df.groupby("band_key", sort=False):
+            if len(group) < 2:
+                continue
+            ids = group[id_col].tolist()
+            sig_m = np.stack([np.asarray(s) for s in group["minhash"]])
+            for i in range(len(ids)):
+                eq = (sig_m[i + 1 :] == sig_m[i]).mean(axis=1)
+                for dj in np.flatnonzero(eq >= jaccard_threshold):
+                    j = i + 1 + int(dj)
+                    if ids[i] == ids[j]:
+                        continue
                     a, b = sorted((ids[i], ids[j]))
                     out_a.append(a)
                     out_b.append(b)
-                    est.append(round(sim, 6))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": est})
+                    est.append(round(float(eq[dj]), 6))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                             "est_jaccard": est}).drop_duplicates(["id_a", "id_b"])
 
-    pairs = banded_with_sig.groupby("band_key").map_groups(verify, batch_format="pandas")
-
-    # a pair can surface from several bands → exact dedup on the pair key
-    def dedup_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_first, batch_format="pandas")
+    pairs = banded_with_sig.groupby("_bucket").map_groups(
+        verify_bucket, batch_format="pandas"
+    )
+    # a pair can surface from bands in DIFFERENT coarse buckets → global dedup
+    return _dedup_pairs(pairs, n_buckets)
 
 
 def minhash_bands_with_sig(sig_df: pd.DataFrame, n_bands: int,
-                           id_col: str = "doc_id") -> pd.DataFrame:
+                           id_col: str = "doc_id",
+                           n_buckets: int = 64) -> pd.DataFrame:
     rows = {"band_key": [], id_col: [], "minhash": []}
     for doc_id, sig in zip(sig_df[id_col], sig_df["minhash"]):
         arr = np.asarray(sig)
         r = len(arr) // n_bands
         for b in range(n_bands):
             band = arr[b * r : (b + 1) * r]
-            key = hashlib.blake2b(band.tobytes() + bytes([b]), digest_size=8).hexdigest()
+            key = int.from_bytes(
+                hashlib.blake2b(band.tobytes() + bytes([b]), digest_size=8).digest(),
+                "big",
+            ) >> 2
             rows["band_key"].append(key)
             rows[id_col].append(doc_id)
             rows["minhash"].append(sig)
-    return pd.DataFrame(rows)
+    df = pd.DataFrame({
+        "band_key": pd.array(rows["band_key"], dtype="int64"),
+        id_col: rows[id_col],
+        "minhash": rows["minhash"],
+    })
+    df["_bucket"] = (df["band_key"].to_numpy() % n_buckets).astype("int32")
+    return df
 
 
 # ---------------------------------------------------------------- simhash
@@ -278,9 +339,12 @@ class SimHasher:
 
 def simhash_near_dups(docs: "ray.data.Dataset", n_blocks: int = 4,
                       max_hamming: int = 3, id_col: str = "doc_id",
-                      text_col: str = "text", concurrency=(1, 8)) -> "ray.data.Dataset":
+                      text_col: str = "text", concurrency=(1, 8),
+                      n_buckets: int = 64) -> "ray.data.Dataset":
     """Near-dup pairs by simhash: docs sharing any of `n_blocks` 16-bit blocks
-    land in one bucket (block-value groupby); pairs verified by Hamming ≤ k."""
+    are candidates (block-permutation banding); pairs verified by Hamming ≤ k.
+    Same coarse-bucket shuffle shape as minhash_lsh_pairs: one shuffle on
+    hash(block)%B, vectorized per-block pandas groupby inside each bucket."""
     sigs = docs.select_columns([id_col, text_col]).map_batches(
         SimHasher, fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
         batch_format="pandas", concurrency=concurrency,
@@ -294,91 +358,101 @@ def simhash_near_dups(docs: "ray.data.Dataset", n_blocks: int = 4,
             sh = int(sh)
             for b in range(n_blocks):
                 block = (sh >> (b * width)) & ((1 << width) - 1)
-                rows["block_key"].append(f"{b}:{block:x}")
+                rows["block_key"].append((b << width) | block)
                 rows[id_col].append(doc_id)
                 rows["simhash"].append(sh)
         # explicit uint64: a plain int column would be inferred as object /
         # float64 crossing the Arrow block boundary, silently destroying the
         # signature's low bits (wrong Hamming distances downstream)
-        rows["simhash"] = pd.array(rows["simhash"], dtype="uint64")
-        return pd.DataFrame(rows)
+        out = pd.DataFrame({
+            "block_key": pd.array(rows["block_key"], dtype="int64"),
+            id_col: rows[id_col],
+            "simhash": pd.array(rows["simhash"], dtype="uint64"),
+        })
+        out["_bucket"] = (out["block_key"].to_numpy() % n_buckets).astype("int32")
+        return out
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].tolist()
-        hs = [int(x) for x in group["simhash"]]
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, ham = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                d = bin(hs[i] ^ hs[j]).count("1")
-                if d <= max_hamming:
-                    a, b = sorted((ids[i], ids[j]))
-                    out_a.append(a)
-                    out_b.append(b)
-                    ham.append(d)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": ham})
+        for _key, group in df.groupby("block_key", sort=False):
+            if len(group) < 2:
+                continue
+            ids = group[id_col].tolist()
+            hs = [int(x) for x in group["simhash"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if ids[i] == ids[j]:
+                        continue
+                    d = bin(hs[i] ^ hs[j]).count("1")
+                    if d <= max_hamming:
+                        a, b = sorted((ids[i], ids[j]))
+                        out_a.append(a)
+                        out_b.append(b)
+                        ham.append(d)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                             "hamming": ham}).drop_duplicates(["id_a", "id_b"])
 
-    pairs = sigs.map_batches(explode, batch_format="pandas").groupby("block_key").map_groups(
-        verify, batch_format="pandas"
+    pairs = sigs.map_batches(explode, batch_format="pandas").groupby("_bucket").map_groups(
+        verify_bucket, batch_format="pandas"
     )
-
-    def dedup_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_first, batch_format="pandas")
+    return _dedup_pairs(pairs, n_buckets)
 
 
 def ngram_jaccard_pairs(docs: "ray.data.Dataset", shingle_k: int = 3,
                         threshold: float = 0.5, id_col: str = "doc_id",
-                        text_col: str = "text") -> "ray.data.Dataset":
+                        text_col: str = "text",
+                        n_buckets: int = 32) -> "ray.data.Dataset":
     """EXACT n-gram-Jaccard near-dup pairs at bounded cost.
 
     1. Candidate pairs from minhash-LSH (high recall: threshold lowered by
        0.2, many bands) — never all-pairs.
-    2. Only the CANDIDATE ids' texts are pulled to the driver (the candidate
-       set is small by construction) and broadcast once via `ray.put`; exact
-       shingle-set Jaccard is verified per batch inside `map_batches`.
+    2. Candidate texts are attached by TWO bucketed `hash_join`s (id_a then
+       id_b) against the docs table — everything stays distributed. At real
+       web-corpus near-dup rates 30-50% of docs are candidates, so a
+       driver-side id->text dict would not fit; the joins shuffle only the
+       candidate rows plus one pass over the docs table each.
+    3. Exact shingle-set Jaccard verified per batch inside `map_batches`.
     """
-    import ray as _ray
+    from ..joins import hash_join
 
     candidates = minhash_lsh_pairs(
         docs, n_perm=64, n_bands=32, shingle_k=shingle_k,
         jaccard_threshold=max(0.0, threshold - 0.2), id_col=id_col, text_col=text_col,
-    ).materialize()
-    cand_pdf = candidates.to_pandas()  # small: verified near-dup candidates
-    cand_ids = sorted(set(cand_pdf["id_a"]) | set(cand_pdf["id_b"]))
-    id_set_ref = _ray.put(frozenset(cand_ids))
+    )
 
-    def keep_candidates(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def rename(cols: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(cols)
 
-        ids = _ray.get(id_set_ref)
-        mask = pc.is_in(batch.column(id_col), value_set=pa.array(list(ids)))
-        return batch.filter(mask)
+        return fn
 
-    cand_texts = {
-        r[id_col]: r[text_col]
-        for r in docs.select_columns([id_col, text_col])
-        .map_batches(keep_candidates, batch_format="pyarrow")
-        .take_all()  # bounded: only candidate rows survive the filter
-    }
-    texts_ref = _ray.put(cand_texts)
+    side = docs.select_columns([id_col, text_col])
+    a_docs = side.map_batches(rename(["id_a", "_text_a"]), batch_format="pyarrow")
+    b_docs = side.map_batches(rename(["id_b", "_text_b"]), batch_format="pyarrow")
+    # explicit types: schema probes on the lazy candidate/join datasets would
+    # execute the whole minhash pipeline once per probe
+    sch = docs.schema()
+    id_t = dict(zip(sch.names, sch.types))[id_col]
+    if not isinstance(id_t, pa.DataType):
+        id_t = pa.from_numpy_dtype(id_t)
+    cand_t = {"id_a": id_t, "id_b": id_t, "est_jaccard": pa.float64()}
+    side_a_t = {"id_a": id_t, "_text_a": pa.string()}
+    side_b_t = {"id_b": id_t, "_text_b": pa.string()}
+    with_a = hash_join(candidates, a_docs, on="id_a", n_buckets=n_buckets,
+                       left_types=cand_t, right_types=side_a_t)
+    with_ab = hash_join(with_a, b_docs, on="id_b", n_buckets=n_buckets,
+                        left_types={**cand_t, **side_a_t}, right_types=side_b_t)
 
-    class Verify:
-        def __init__(self):
-            self.texts = _ray.get(texts_ref)
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, jac = [], [], []
+        for a, b, ta, tb in zip(df["id_a"], df["id_b"], df["_text_a"], df["_text_b"]):
+            sa = _shingles(ta, shingle_k)
+            sb = _shingles(tb, shingle_k)
+            j = len(sa & sb) / max(1, len(sa | sb))
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                jac.append(round(j, 6))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": jac})
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            out_a, out_b, jac = [], [], []
-            for a, b in zip(df["id_a"], df["id_b"]):
-                sa = _shingles(self.texts[a], shingle_k)
-                sb = _shingles(self.texts[b], shingle_k)
-                j = len(sa & sb) / max(1, len(sa | sb))
-                if j >= threshold:
-                    out_a.append(a)
-                    out_b.append(b)
-                    jac.append(round(j, 6))
-            return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": jac})
-
-    return candidates.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+    return with_ab.map_batches(verify, batch_format="pandas")

@@ -106,6 +106,10 @@ def embedding_near_dups(embeddings: "ray.data.Dataset", threshold: float = 0.95,
     ~86% (and ~99.8% at cosine 0.97). Pairs are exact-verified in-bucket and
     deduped across tables. Shuffle key = (table, sig); rows = n_tables × n."""
 
+    from .dedup import _dedup_pairs
+
+    n_buckets = 64
+
     # hyperplanes built per batch from the fixed seed — identical everywhere
     def sig_block(batch: pd.DataFrame) -> pd.DataFrame:
         m = _normalize(_batch_matrix(batch, vec_col))
@@ -115,36 +119,43 @@ def embedding_near_dups(embeddings: "ray.data.Dataset", threshold: float = 0.95,
             planes = _hyperplanes(m.shape[1], n_bits, seed + 101 * t)
             sigs = _lsh_sig(m, planes)
             for i, s in enumerate(sigs):
-                rows["table_sig"].append(f"{t}:{int(s):x}")
+                rows["table_sig"].append((t << n_bits) | int(s))
                 rows[id_col].append(batch[id_col].values[i])
                 rows[vec_col].append(vecs[i])
-        return pd.DataFrame(rows)
+        out = pd.DataFrame({
+            "table_sig": pd.array(rows["table_sig"], dtype="int64"),
+            id_col: rows[id_col],
+            vec_col: rows[vec_col],
+        })
+        out["_bucket"] = (out["table_sig"].to_numpy() % n_buckets).astype("int32")
+        return out
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # float64 verification math: float32 dots differ in the last ulp
         # across BLAS shapes, which would flip the 6-decimal rounding between
         # buckets (and against the independent oracle); double precision puts
         # the rounding boundary ~1e10 x further away
-        ids = group[id_col].tolist()
-        m = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in group[vec_col]]))
-        cos = m @ m.T
         out_a, out_b, cs = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if cos[i, j] >= threshold and ids[i] != ids[j]:
-                    a, b = sorted((ids[i], ids[j]))
-                    out_a.append(a)
-                    out_b.append(b)
-                    cs.append(round(float(cos[i, j]), 6))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": cs})
+        for _key, group in df.groupby("table_sig", sort=False):
+            if len(group) < 2:
+                continue
+            ids = group[id_col].tolist()
+            m = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                     for v in group[vec_col]]))
+            cos = m @ m.T
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if cos[i, j] >= threshold and ids[i] != ids[j]:
+                        a, b = sorted((ids[i], ids[j]))
+                        out_a.append(a)
+                        out_b.append(b)
+                        cs.append(round(float(cos[i, j]), 6))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                             "cosine": cs}).drop_duplicates(["id_a", "id_b"])
 
     sigs = embeddings.select_columns([id_col, vec_col]).map_batches(
         sig_block, batch_format="pandas"
     )
-    pairs = sigs.groupby("table_sig").map_groups(verify, batch_format="pandas")
-
-    # a pair can collide in several tables → exact dedup on the pair key
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+    pairs = sigs.groupby("_bucket").map_groups(verify_bucket, batch_format="pandas")
+    # a pair can collide in tables landing in different coarse buckets
+    return _dedup_pairs(pairs, n_buckets)

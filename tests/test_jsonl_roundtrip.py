@@ -106,3 +106,12 @@ def test_file_roundtrip_and_drop_report(tmp_path):
     n = write_scierc_jsonl(ds, str(out))
     assert n == 1
     assert json.loads(open(out).readline()) == DOC
+
+
+def test_misfiled_sentence_index_rejected():
+    # an annotation whose offsets resolve to sentence 1 but which is filed
+    # under sentence 0 must be rejected, not silently re-based
+    doc = json.loads(json.dumps(DOC))
+    doc["ner"][0].append([7, 7, "Method"])  # span lives in sentence 1
+    with pytest.raises(DocumentValidationError, match="filed under"):
+        from_scierc_json(doc)
