@@ -755,6 +755,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["standoff_convert"] = q_standoff_convert
 
+    def q_chemprot_convert(sf_dir: str):
+        # S9 — full ChemProt-format path: documents → synthesized TSV fold
+        # (per batch, distributed) → parse_chemprot → token alignment with
+        # drop counters → per-doc summary
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.sources.formats import parse_chemprot
+        from dygiepp_ray.sources.standoff import convert_standoff_batch
+
+        _write_oracle(sf_dir, "chemprot_convert",
+                      lambda: _o.expected_chemprot_summary(sf_dir, DOC_LEXICON))
+
+        def synth_and_parse(t: pa.Table) -> pa.Table:
+            from dygiepp_ray.oracle import synth_chemprot_fold
+
+            a_tsv, e_tsv, r_tsv = synth_chemprot_fold(
+                t.column("doc_id").to_pylist(), t.column("text").to_pylist(),
+                DOC_LEXICON)
+            return parse_chemprot(a_tsv, e_tsv, r_tsv)
+
+        def summarize(t: pa.Table) -> pa.Table:
+            ner = t.column("ner").to_pylist()
+            return pa.table({
+                "doc_key": t.column("doc_key"),
+                "n_aligned": pa.array([sum(len(s) for s in doc) for doc in ner],
+                                      pa.int64()),
+                "n_entities_dropped": t.column("n_entities_dropped"),
+                "n_relations_dropped": t.column("n_relations_dropped"),
+            })
+
+        return (
+            _read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(synth_and_parse, batch_format="pyarrow")
+            .map_batches(convert_standoff_batch, batch_format="pyarrow")
+            .map_batches(summarize, batch_format="pyarrow")
+        )
+
+    q["chemprot_convert"] = q_chemprot_convert
+
     def q_kg_build_resume(sf_dir: str):
         # resumable materialization: build twice; second run must skip every
         # bucket via its lineage manifest; re-read row count from the sink
@@ -1080,6 +1118,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame(rows)
 
     q["kg_event_f1"] = q_kg_event_f1
+
+    def _kernel_as_args(ds):
+        return ds.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"], "arg0": t["subj"],
+                                "arg1": t["obj"], "rel": t["pred"],
+                                "conf": t["conf"]}),
+            batch_format="pyarrow",
+        )
+
+    def q_srl_baseline(sf_dir: str):
+        # M11 — deterministic SRL-frame stand-in over the corpus documents
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.pipelines.sweep import srl_baseline
+
+        _write_oracle(sf_dir, "srl_baseline",
+                      lambda: _o.expected_srl_baseline(_oracle_corpus_docs(sf_dir)))
+        corpus = ray.data.read_parquet(_synth_corpus_dir(sf_dir))
+        return srl_baseline(kgp.documents_dataset(corpus))
+
+    q["srl_baseline"] = q_srl_baseline
+
+    def q_kg_eval_sweep(sf_dir: str):
+        # the eval_metric.py sweep: models x match-metric x collapse (+P@K)
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.pipelines.sweep import eval_sweep, srl_baseline
+
+        def _oracle_sweep():
+            def shape_o(t):
+                return pa.table({"doc_id": t.column("doc_id"),
+                                 "arg0": t.column("subj"),
+                                 "arg1": t.column("obj"),
+                                 "rel": t.column("pred"),
+                                 "conf": t.column("conf")})
+
+            return _o.expected_eval_sweep(
+                shape_o(_oracle_triples_table(sf_dir)),
+                {"kernel_reduced": shape_o(_oracle_triples_table(sf_dir, reduced=True)),
+                 "srl": _o.expected_srl_baseline(_oracle_corpus_docs(sf_dir))},
+            )
+
+        _write_oracle(sf_dir, "kg_eval_sweep", _oracle_sweep)
+        corpus = ray.data.read_parquet(_synth_corpus_dir(sf_dir))
+        docs = kgp.documents_dataset(corpus)
+        # materialize the (small) triple tables: each sweep cell consumes its
+        # inputs once, and re-running the kernel per cell would dominate
+        gold = _kernel_as_args(_synth_triples(sf_dir)).materialize()
+        models = {
+            "kernel_reduced": _kernel_as_args(_reduced_triples(sf_dir)).materialize(),
+            "srl": srl_baseline(docs).materialize(),
+        }
+        return eval_sweep(gold, models)
+
+    q["kg_eval_sweep"] = q_kg_eval_sweep
 
     def q_coref_scores(sf_dir: str):
         # A5 — MUC/B³/CEAF-φ4/CoNLL of the reduced-lexicon model's clusters
@@ -1499,6 +1590,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_event_f1": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_event_f1.parquet')
         """,
+        "srl_baseline": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/srl_baseline.parquet')
+        """,
+        "kg_eval_sweep": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_eval_sweep.parquet')
+        """,
         "coref_scores": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/coref_scores.parquet')
         """,
@@ -1507,6 +1604,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "standoff_convert": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/standoff_convert.parquet')
+        """,
+        "chemprot_convert": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/chemprot_convert.parquet')
         """,
         "collate_pack": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/collate_pack.parquet')

@@ -83,7 +83,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-SCALING_FILES = int(os.environ.get("GRAFT_SCALE_FILES", "240000"))
+# 480k files ≈ 170 s of kernel compute at 8 cpus: large enough that the
+# ~5 s fixed per-run overhead (actor-pool spin-up + 256-shard read) stays
+# under ~2% of the 32-cpu wall time — at 240k files that fixed term alone
+# capped measurable efficiency at ~0.80 on this host
+SCALING_FILES = int(os.environ.get("GRAFT_SCALE_FILES", "480000"))
 
 
 def _scaling_corpus() -> str:

@@ -566,6 +566,135 @@ def expected_coref_scores(documents, full_lexicon: dict[str, str],
     return pa.table({k: pa.array([round(v, 6)], pa.float64()) for k, v in flat.items()})
 
 
+def expected_srl_baseline(documents) -> pa.Table:
+    """M11 twin: the pure per-sentence frame extractor applied in a plain
+    loop over the prepped docs (the Ray map_batches plumbing is what the
+    driver check verifies)."""
+    from .pipelines.sweep import srl_sentence_relations
+
+    cols = {"doc_id": [], "arg0": [], "arg1": [], "rel": [], "conf": []}
+    for key, sentences, _sha in documents:
+        for sent in sentences:
+            for r in srl_sentence_relations(sent):
+                cols["doc_id"].append(key)
+                cols["arg0"].append(r["arg0"])
+                cols["arg1"].append(r["arg1"])
+                cols["rel"].append(r["rel"])
+                cols["conf"].append(r["conf"])
+    return pa.table({
+        "doc_id": pa.array(cols["doc_id"], pa.string()),
+        "arg0": pa.array(cols["arg0"], pa.string()),
+        "arg1": pa.array(cols["arg1"], pa.string()),
+        "rel": pa.array(cols["rel"], pa.string()),
+        "conf": pa.array(cols["conf"], pa.float32()),
+    })
+
+
+def _span_match(a: str, b: str, metric: str, thresh: float) -> bool:
+    a_, b_ = a.strip().lower(), b.strip().lower()
+    if metric == "exact":
+        return a_ == b_
+    if metric == "substring":
+        return a_ in b_ or b_ in a_
+    if metric == "jaccard":
+        sa, sb = set(a.lower().split()), set(b.lower().split())
+        if not sa and not sb:
+            return False
+        return len(sa & sb) / len(sa | sb) >= thresh
+    raise ValueError(metric)
+
+
+def _greedy_prf(gold_rows: dict, pred_rows: dict, metric: str,
+                thresh: float) -> tuple[float, float, float]:
+    """Per-doc greedy matcher (fwd/rev, seen-set dedup) over rows sorted by
+    (arg0, arg1, rel) — the engine's deterministic order."""
+    n_gold = sum(len(v) for v in gold_rows.values())
+    n_pred = sum(len(v) for v in pred_rows.values())
+    matched = 0
+    for d, gs in gold_rows.items():
+        ps = pred_rows.get(d, [])
+        seen_g: set[int] = set()
+        seen_p: set[int] = set()
+        for gi, (ga0, ga1, gr) in enumerate(gs):
+            for pi, (pa0, pa1, pr) in enumerate(ps):
+                if gi in seen_g or pi in seen_p or gr != pr:
+                    continue
+                fwd = _span_match(ga0, pa0, metric, thresh) and _span_match(
+                    ga1, pa1, metric, thresh)
+                rev = _span_match(ga0, pa1, metric, thresh) and _span_match(
+                    ga1, pa0, metric, thresh)
+                if fwd or rev:
+                    matched += 1
+                    seen_g.add(gi)
+                    seen_p.add(pi)
+    p = matched / n_pred if n_pred else 0.0
+    r = matched / n_gold if n_gold else 0.0
+    f = 2 * p * r / (p + r) if p + r else 0.0
+    return p, r, f
+
+
+def expected_eval_sweep(gold: pa.Table, models: dict[str, pa.Table],
+                        metrics=("exact", "substring", "jaccard"),
+                        collapse_modes=(False, True), thresh: float = 0.5,
+                        topks=(50, 100, 150, 200)) -> pa.Table:
+    """Twin of pipelines.sweep.eval_sweep over (doc_id, arg0, arg1, rel,
+    conf) tables (gold/model tables come from this module's own
+    recomputations)."""
+
+    def rows_by_doc(t: pa.Table, collapse: bool):
+        by: dict[str, list] = {}
+        for d, a0, a1, r in zip(t.column("doc_id").to_pylist(),
+                                t.column("arg0").to_pylist(),
+                                t.column("arg1").to_pylist(),
+                                t.column("rel").to_pylist()):
+            by.setdefault(d, []).append((a0, a1, "" if collapse else r))
+        for d in by:
+            by[d].sort()
+        return by
+
+    out_rows = []
+    for name, pred in models.items():
+        model_rows = []
+        for collapse in collapse_modes:
+            g_by = rows_by_doc(gold, collapse)
+            p_by = rows_by_doc(pred, collapse)
+            for metric in metrics:
+                p, r, f = _greedy_prf(g_by, p_by, metric, thresh)
+                row = {"model": name, "match_metric": metric,
+                       "collapse": collapse, "threshold": thresh,
+                       "precision": round(p, 6), "recall": round(r, 6),
+                       "f1": round(f, 6)}
+                for k in topks:
+                    row[f"p_at_{k}"] = None
+                model_rows.append(row)
+        gold_keys = set(zip(gold.column("doc_id").to_pylist(),
+                            gold.column("arg0").to_pylist(),
+                            gold.column("arg1").to_pylist(),
+                            gold.column("rel").to_pylist()))
+        ranked = list(zip(pred.column("conf").to_pylist(),
+                          pred.column("doc_id").to_pylist(),
+                          pred.column("arg0").to_pylist(),
+                          pred.column("arg1").to_pylist(),
+                          pred.column("rel").to_pylist()))
+        ranked.sort(key=lambda r: (-r[0], r[1], r[2], r[3], r[4]))
+        hits = [(d, a0, a1, r) in gold_keys for (_c, d, a0, a1, r) in ranked]
+        for row in model_rows:
+            if not row["collapse"]:
+                for k in topks:
+                    top = hits[:k]
+                    row[f"p_at_{k}"] = round(sum(top) / max(1, len(top)), 6)
+        out_rows.extend(model_rows)
+    fields = ["model", "match_metric", "collapse", "threshold", "precision",
+              "recall", "f1"] + [f"p_at_{k}" for k in topks]
+    cols = {f: [r[f] for r in out_rows] for f in fields}
+    types = {"model": pa.string(), "match_metric": pa.string(),
+             "collapse": pa.bool_(), "threshold": pa.float64(),
+             "precision": pa.float64(), "recall": pa.float64(),
+             "f1": pa.float64()}
+    return pa.table({f: pa.array(cols[f], types.get(f, pa.float64()))
+                     for f in fields})
+
+
 # ------------------------------------------- documents-table op recomputes
 
 
@@ -777,6 +906,73 @@ def expected_standoff_summary(sf_dir: str, doc_lexicon: dict[str, str]) -> pa.Ta
     return pa.table({"doc_key": pa.array(keys, pa.string()),
                      "n_aligned": pa.array(aligned, pa.int64()),
                      "n_entities_dropped": pa.array(dropped, pa.int32())})
+
+
+def synth_chemprot_fold(doc_ids: list, texts: list,
+                        doc_lexicon: dict[str, str]) -> tuple[str, str, str]:
+    """Deterministic ChemProt-format fold over documents: title 'Doc <id>.',
+    abstract = the text; one entity per lexicon term's first occurrence
+    (Method/Task terms -> CHEMICAL, others -> GENE-Y/GENE-N alternating) and
+    a CPR:3 relation between the first two entities. Shared by the
+    chemprot_convert query (per batch) and its oracle (whole table)."""
+    terms = sorted(doc_lexicon)
+    abstracts, entities, relations = [], [], []
+    for doc_id, text in zip(doc_ids, texts):
+        title = f"Doc {doc_id}."
+        full = f"{title} {text}"
+        abstracts.append(f"{doc_id}\t{title}\t{text}")
+        tcount = 0
+        for term in terms:
+            p = full.find(term)
+            if p < 0:
+                continue
+            if doc_lexicon[term] in ("Method", "Task"):
+                label = "CHEMICAL"
+            else:
+                label = "GENE-Y" if tcount % 2 == 0 else "GENE-N"
+            entities.append(
+                f"{doc_id}\tT{tcount}\t{label}\t{p}\t{p + len(term)}\t{term}")
+            tcount += 1
+        if tcount >= 2:
+            relations.append(f"{doc_id}\tCPR:3\tY\tCPR:3\tArg1:T0\tArg2:T1")
+    return "\n".join(abstracts), "\n".join(entities), "\n".join(relations)
+
+
+def expected_chemprot_summary(sf_dir: str, doc_lexicon: dict[str, str]) -> pa.Table:
+    """Twin of the chemprot_convert query: re-derive the synth fold, then
+    count aligned/dropped entities and surviving relations independently."""
+    from .sources.standoff import tokenize_with_offsets
+
+    ids, texts = _read_docs(sf_dir)
+    a_tsv, e_tsv, r_tsv = synth_chemprot_fold(ids, texts, doc_lexicon)
+    ents_by_doc: dict[str, list] = {}
+    for line in e_tsv.splitlines():
+        d, _tid, _lab, s, e, _txt = line.split("\t")
+        ents_by_doc.setdefault(d, []).append((int(s), int(e)))
+    rel_docs = {line.split("\t")[0] for line in r_tsv.splitlines() if line}
+    keys, aligned, ent_drop, rel_drop = [], [], [], []
+    for line in a_tsv.splitlines():
+        d, title, abstract = line.split("\t")
+        text = f"{title} {abstract}"
+        _s, offsets = tokenize_with_offsets(text)
+        starts = {s: si for si, offs in enumerate(offsets) for (s, _e) in offs}
+        ends = {e: si for si, offs in enumerate(offsets) for (_s, e) in offs}
+        spans = ents_by_doc.get(d, [])
+        loc = {}
+        for j, (s, e) in enumerate(spans):
+            if s in starts and e in ends and starts[s] == ends[e]:
+                loc[j] = starts[s]
+        keys.append(d)
+        aligned.append(len(loc))
+        ent_drop.append(len(spans) - len(loc))
+        ok_rel = int(d in rel_docs and 0 in loc and 1 in loc and loc[0] == loc[1])
+        rel_drop.append(int(d in rel_docs) - ok_rel)
+    return pa.table({
+        "doc_key": pa.array([str(k) for k in keys], pa.string()),
+        "n_aligned": pa.array(aligned, pa.int64()),
+        "n_entities_dropped": pa.array(ent_drop, pa.int32()),
+        "n_relations_dropped": pa.array(rel_drop, pa.int32()),
+    })
 
 
 def expected_media_features(n: int = 32, feature_dim: int = 16) -> pa.Table:
