@@ -57,8 +57,28 @@ def _kernel_conc() -> tuple[int, int]:
     return (1, max(2, cpus - 2))
 
 
+_SCHEMA_CACHE: dict = {}
+
+
+def _clean_schema(path: str, columns: list[str] | None) -> "pa.Schema":
+    """Projected, metadata-free read schema: the b'pandas' metadata written
+    into the testdata parquet makes block schemas unhashable/unequal in
+    Ray's shuffle schema-dedup (per-block warning spam)."""
+    key = (path, tuple(columns) if columns else None)
+    if key not in _SCHEMA_CACHE:
+        import pyarrow.parquet as pq
+
+        full = pq.read_schema(path)
+        names = columns if columns else full.names
+        _SCHEMA_CACHE[key] = pa.schema(
+            [full.field(c).remove_metadata() for c in names])
+    return _SCHEMA_CACHE[key]
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    return ray.data.read_parquet(path, columns=columns,
+                                 schema=_clean_schema(path, columns))
 
 
 def _sf_tag(sf_dir: str) -> str:

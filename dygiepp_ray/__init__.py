@@ -18,3 +18,7 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Install the (narrow) Ray log filters on import — every entrypoint that
+# uses the engine gets a clean shuffle log (see context.py).
+from . import context as _context  # noqa: E402,F401

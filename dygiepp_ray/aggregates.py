@@ -25,8 +25,17 @@ import ray.data
 from ray.data.aggregate import Sum
 
 
+def strip_schema_metadata(t: pa.Table) -> pa.Table:
+    """Drop schema metadata before a shuffle: the b'pandas' metadata dict
+    that rides along from pandas-written parquet makes `pa.Schema`
+    unhashable in Ray's shuffle schema-dedup (warning spam per block) and
+    makes otherwise-identical block schemas compare unequal."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
 def _block_partial_count(keys: list[str]):
     def fn(batch: pa.Table) -> pa.Table:
+        batch = strip_schema_metadata(batch)
         g = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
         # rename ONLY the count column by name — pyarrow's key/aggregate
         # column ordering has varied across versions, so a positional rename
@@ -82,6 +91,7 @@ def partial_final_agg(ds: "ray.data.Dataset", keys: list[str],
     max_cols = sorted({col for _, col, op in spec if op == "max"})
 
     def block_agg(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
         aggs = [(c, "sum") for c in sum_cols]
         aggs += [(c, "min") for c in min_cols]
         aggs += [(c, "max") for c in max_cols]
@@ -136,6 +146,7 @@ def top_k(ds: "ray.data.Dataset", col: str, k: int, descending: bool = True) -> 
     """T2 global top-k: per-block prune to k candidates first so the global
     sort only sees num_blocks × k rows, then sort+limit."""
     def block_topk(batch: pa.Table) -> pa.Table:
+        batch = strip_schema_metadata(batch)
         idx = pc.select_k_unstable(batch, k=min(k, batch.num_rows),
                                    sort_keys=[(col, "descending" if descending else "ascending")])
         return batch.take(idx)

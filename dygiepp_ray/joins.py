@@ -92,6 +92,9 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
     def stamp(side: str):
         def fn(t: pa.Table) -> pa.Table:
+            from .aggregates import strip_schema_metadata
+
+            t = strip_schema_metadata(t)
             t = t.append_column("_bucket", _bucket_array(t.column(on), n_buckets))
             return t.append_column("_side", pa.array([side] * t.num_rows, pa.string()))
 
@@ -184,6 +187,9 @@ def zip_join_assert(a: "ray.data.Dataset", b: "ray.data.Dataset", on: str,
 
     def stamp(side: str):
         def fn(t: pa.Table) -> pa.Table:
+            from .aggregates import strip_schema_metadata
+
+            t = strip_schema_metadata(t)
             t = t.append_column("_bucket", _bucket_array(t.column(on), n_buckets))
             return t.append_column("_side", pa.array([side] * t.num_rows, pa.string()))
 

@@ -154,6 +154,25 @@ def _pair_counts(ds, params):
     return pair_counts(ds, salt_buckets=params.get("salt_buckets", 1))
 
 
+@register_stage("topk_decode")
+def _topk_decode(ds, params):
+    """T3 wired into the predict path (predict.py:94-111's TOPK_DECODE env
+    knob): adaptive threshold+count prune on the confidence column. `count`
+    defaults to the TOPK_DECODE environment variable (the reference's
+    user-facing switch), threshold to 0.0."""
+    import os
+
+    from ..stages.misc import adaptive_cutoff_filter
+
+    count = params.get("count")
+    if count is None:
+        count = int(os.environ.get("TOPK_DECODE", "15"))
+    return adaptive_cutoff_filter(
+        ds, params.get("column", "conf"),
+        threshold=float(params.get("threshold", 0.0)), count=count,
+    )
+
+
 @register_stage("filter_labels")
 def _filter_labels(ds, params):
     import pyarrow.compute as pc

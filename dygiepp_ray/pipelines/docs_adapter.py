@@ -71,8 +71,16 @@ def documents_as_corpus(sf_dir: str, max_doc_id: int | None = None) -> "ray.data
     """documents table as corpus rows. `max_doc_id` selects a DETERMINISTIC
     subset (doc_id < max_doc_id) — unlike `limit()`, which depends on block
     arrival order under parallel reads."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/documents.parquet"
+    cols = ["doc_id", "text", "source"]
+    full = pq.read_schema(path)
+    # projected metadata-free schema: pandas-written parquet metadata makes
+    # block schemas unhashable in Ray's shuffle schema-dedup
     docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        path, columns=cols,
+        schema=pa.schema([full.field(c).remove_metadata() for c in cols]),
     )
     if max_doc_id is not None:
         import pyarrow.compute as pc

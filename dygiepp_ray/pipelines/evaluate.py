@@ -152,31 +152,45 @@ def relation_matching(gold_rows: list[dict], pred_rows: list[dict], metric: str 
 
 
 def triple_prf(gold: "ray.data.Dataset", pred: "ray.data.Dataset",
-               metric: str = "exact") -> dict:
+               metric: str = "exact", n_buckets: int = 64) -> dict:
     """Corpus-level P/R/F1 of predicted triples vs gold triples, joined per
-    doc_id, matched with J3 semantics, counters partial+final."""
-    g = gold.map_batches(
-        lambda t: t.append_column("_side", pa.array(["g"] * t.num_rows)),
-        batch_format="pyarrow")
-    p = pred.map_batches(
-        lambda t: t.append_column("_side", pa.array(["p"] * t.num_rows)),
-        batch_format="pyarrow")
-    cols = ["doc_id", "arg0", "arg1", "rel", "_side"]
+    doc_id, matched with J3 semantics, counters partial+final.
 
-    def count_group(df: pd.DataFrame) -> pd.DataFrame:
-        # sort each side so the greedy matcher sees a deterministic order
-        # regardless of block arrival order (matters when fwd/rev matches
-        # overlap — greedy outcomes are order-dependent)
-        order = ["arg0", "arg1", "rel"]
-        gs = df[df["_side"] == "g"].sort_values(order).to_dict("records")
-        ps = df[df["_side"] == "p"].sort_values(order).to_dict("records")
-        m = relation_matching(gs, ps, metric=metric)
-        return pd.DataFrame({"n_gold": [len(gs)], "n_pred": [len(ps)], "n_matched": [m]})
+    doc_ids are coarse-bucketed (ONE shuffle, `n_buckets` groups) and the
+    per-doc matching runs inside a vectorized pandas groupby — not one Ray
+    group per document, which is millions of tiny frames at corpus scale."""
+    from ..joins import _bucket_array
+
+    def stamp(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.append_column("_bucket", _bucket_array(t.column("doc_id"), n_buckets))
+            return t.append_column("_side", pa.array([side] * t.num_rows))
+
+        return fn
+
+    cols = ["doc_id", "arg0", "arg1", "rel"]
+    g = gold.select_columns(cols).map_batches(stamp("g"), batch_format="pyarrow")
+    p = pred.select_columns(cols).map_batches(stamp("p"), batch_format="pyarrow")
+
+    def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        n_gold = n_pred = n_matched = 0
+        for _doc, sub in df.groupby("doc_id", sort=False):
+            # sort each side so the greedy matcher sees a deterministic
+            # order regardless of block arrival order (matters when fwd/rev
+            # matches overlap — greedy outcomes are order-dependent)
+            order = ["arg0", "arg1", "rel"]
+            gs = sub[sub["_side"] == "g"].sort_values(order).to_dict("records")
+            ps = sub[sub["_side"] == "p"].sort_values(order).to_dict("records")
+            n_gold += len(gs)
+            n_pred += len(ps)
+            n_matched += relation_matching(gs, ps, metric=metric)
+        return pd.DataFrame({"n_gold": [n_gold], "n_pred": [n_pred],
+                             "n_matched": [n_matched]})
 
     counts = (
-        g.select_columns(cols).union(p.select_columns(cols))
-        .groupby("doc_id")
-        .map_groups(count_group, batch_format="pandas")
+        g.union(p)
+        .groupby("_bucket")
+        .map_groups(count_bucket, batch_format="pandas")
         .aggregate(Sum("n_gold", alias_name="n_gold"), Sum("n_pred", alias_name="n_pred"),
                    Sum("n_matched", alias_name="n_matched"))
     )

@@ -33,11 +33,14 @@ _HASH32 = (1 << 32) - 1
 
 
 def _text_sha(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    from ..aggregates import strip_schema_metadata
+
     shas = [
         hashlib.sha256(t.encode("utf-8")).hexdigest()
         for t in batch.column(text_col).to_pylist()
     ]
-    return batch.append_column("text_sha", pa.array(shas, pa.string()))
+    return strip_schema_metadata(batch).append_column(
+        "text_sha", pa.array(shas, pa.string()))
 
 
 def exact_duplicates(docs: "ray.data.Dataset", id_col: str = "doc_id",

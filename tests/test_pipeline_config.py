@@ -60,3 +60,23 @@ def test_namespace_routing_mixed_batch():
     }
     # same surface form, different label namespace per dataset
     assert got == {"b": "Material", "a": "Method"} or got == {"a": "Method", "b": "Material"}
+
+
+def test_topk_decode_stage_env_knob(monkeypatch):
+    import pyarrow as pa
+    import ray.data
+
+    from dygiepp_ray.pipelines.config import build_pipeline
+
+    tri = ray.data.from_arrow(pa.table({
+        "pred": ["A"] * 10,
+        "conf": pa.array([0.9, 0.8, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1],
+                         pa.float64()),
+    }))
+    # explicit count: keep top 3 by conf, ties extend
+    run = build_pipeline({"stages": [{"stage": "topk_decode", "count": 3}]})
+    assert run(tri).count() == 3
+    # env knob (predict.py TOPK_DECODE semantics)
+    monkeypatch.setenv("TOPK_DECODE", "5")
+    run = build_pipeline({"stages": [{"stage": "topk_decode"}]})
+    assert run(tri).count() == 5
