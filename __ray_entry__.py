@@ -661,6 +661,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["knn_lsh"] = q_knn_lsh
 
+    def q_knn_lsh_indexed(sf_dir: str):
+        # the scale path for REPEATED queries: persisted signature-partitioned
+        # index; each query reads only its Hamming-radius partitions
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.similarity import build_lsh_index, knn_lsh_indexed
+
+        _write_oracle(sf_dir, "knn_lsh_indexed", lambda: _o.expected_knn_lsh(sf_dir))
+        idx = f"/tmp/dygiepp_ray_lshidx/{_sf_tag(sf_dir)}"
+        marker = os.path.join(idx, "_done")
+        if not os.path.exists(marker):
+            shutil.rmtree(idx, ignore_errors=True)
+            build_lsh_index(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), idx)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+        qvec = np.asarray(
+            t.filter(pc.equal(t["vec_id"], 0)).column("embedding").to_pylist()[0],
+            dtype=np.float64)
+        return knn_lsh_indexed(idx, qvec, k=10)
+
+    q["knn_lsh_indexed"] = q_knn_lsh_indexed
+
     # ---- KG construction (the flagship path; non-SQL → rows-only checks)
 
     def q_kg_triples(sf_dir: str):
@@ -1539,6 +1566,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_lsh": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/knn_lsh.parquet')
+        """,
+        "knn_lsh_indexed": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/knn_lsh_indexed.parquet')
         """,
         "minhash_lsh_dups": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/minhash_dups.parquet')

@@ -95,6 +95,70 @@ def knn_lsh(embeddings: "ray.data.Dataset", query: np.ndarray, k: int = 10,
     return scored.sort(["cosine", id_col], descending=[True, False]).limit(k)
 
 
+def build_lsh_index(embeddings: "ray.data.Dataset", out_dir: str,
+                    n_bits: int = 8, seed: int = 11, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> str:
+    """Materialize a PERSISTED signature-partitioned ANN index: vectors are
+    written as parquet partitioned by their random-hyperplane signature
+    (`sig=<s>/...`). A repeated query then reads ONLY its Hamming-radius
+    partitions — O(probed partitions) I/O instead of a full corpus re-scan
+    per query (the one-shot `knn_lsh` recomputes signatures every call)."""
+
+    def sig_stamp(batch: pd.DataFrame) -> pd.DataFrame:
+        planes = _hyperplanes(
+            len(np.asarray(batch[vec_col].iloc[0])), n_bits, seed)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        out = batch[[id_col, vec_col]].copy()
+        out["sig"] = _lsh_sig(m, planes).astype("int64")
+        return out
+
+    embeddings.select_columns([id_col, vec_col]).map_batches(
+        sig_stamp, batch_format="pandas"
+    ).write_parquet(out_dir, partition_cols=["sig"])
+    return out_dir
+
+
+def knn_lsh_indexed(index_dir: str, query: np.ndarray, k: int = 10,
+                    n_bits: int = 8, seed: int = 11, radius: int = 1,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> "ray.data.Dataset":
+    """ANN top-k over a persisted signature-partitioned index: only the
+    partitions within Hamming `radius` of the query signature are read.
+    Ranking math matches `knn_lsh` (float64 corpus rows x float32-normalized
+    query) so both paths return identical results."""
+    import os
+
+    query32 = np.asarray(query, dtype=np.float32)
+    planes = _hyperplanes(query32.shape[0], n_bits, seed)
+    qsig = int(_lsh_sig(_normalize(query32.reshape(1, -1)), planes)[0])
+    probe = {qsig}
+    if radius >= 1:
+        probe |= {qsig ^ (1 << b) for b in range(n_bits)}
+    import glob
+
+    files = [
+        f
+        for s in sorted(probe)
+        for f in sorted(glob.glob(os.path.join(index_dir, f"sig={s}", "*.parquet")))
+    ]
+    if not files:
+        return ray.data.from_pandas(pd.DataFrame({id_col: [], "cosine": []}))
+    ds = ray.data.read_parquet(files)
+    q_ref = ray.put(_normalize(query32.reshape(1, -1)))
+
+    def score_block(batch: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        cos = (m @ qm.T).ravel()
+        out = pd.DataFrame({id_col: batch[id_col].values,
+                            "cosine": round_half_up(cos, 6)})
+        return out.sort_values(["cosine", id_col],
+                               ascending=[False, True]).head(k)
+
+    return ds.map_batches(score_block, batch_format="pandas").sort(
+        ["cosine", id_col], descending=[True, False]).limit(k)
+
+
 def embedding_near_dups(embeddings: "ray.data.Dataset", threshold: float = 0.95,
                         n_bits: int = 10, n_tables: int = 8,
                         id_col: str = "vec_id", vec_col: str = "embedding",

@@ -84,3 +84,31 @@ def test_embedding_near_dups_multitable_recall():
     assert (got["cosine"] >= 0.9).all()
     # no duplicate pair rows despite multi-table collisions
     assert len(pairs) == len(got)
+
+
+def test_lsh_index_matches_one_shot():
+    # the persisted signature-partitioned index must return exactly what the
+    # one-shot LSH scan returns (same planes/seed/radius/ranking math)
+    import shutil
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from dygiepp_ray.stages.similarity import (
+        build_lsh_index,
+        knn_lsh,
+        knn_lsh_indexed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.asarray(t.column("embedding").to_pylist()[0], dtype=np.float64)
+    emb = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    idx = "/tmp/test_lsh_index"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_lsh_index(emb, idx)
+    a = knn_lsh_indexed(idx, qvec, k=10).to_pandas().reset_index(drop=True)
+    b = knn_lsh(emb, qvec, k=10).to_pandas().reset_index(drop=True)
+    assert a.equals(b) and len(a) == 10
