@@ -508,18 +508,59 @@ def decode_antecedents(antecedent_best: list[int]) -> list[list[int]]:
     return clusters
 
 
+def bucket_distance(d: int, num_identity: int = 4, num_total: int = 10) -> int:
+    """AllenNLP `util.bucket_values` twin (the reference's 10 antecedent
+    distance buckets, coref.py:60-66, 541-543): identity for d ≤ 4, then
+    floor(log2(d)) + 3, clamped to num_total - 1."""
+    if d <= num_identity:
+        return d
+    return min(num_total - 1, int(math.floor(math.log2(d))) + 3)
+
+
+# Deterministic antecedent-scorer weights (the learned FFNN stand-in):
+# canonical equality dominates; partial canonical-token overlap is weaker
+# evidence; each distance bucket subtracts a step so NEARER antecedents win
+# ties and far partial matches fall below the null score (0).
+_COREF_SIM_EXACT = 4.0
+_COREF_SIM_PARTIAL = 1.0     # × token-Jaccard of the canonical forms (≥ 0.5)
+_COREF_DIST_WEIGHT = -0.1    # per distance bucket
+
+
+def antecedent_pair_score(canon_i: str, canon_j: str, pos_distance: int,
+                          mention_j: float = 0.0) -> float:
+    """M6 pair score (coref.py:515-559 shape): similarity term + distance
+    bucket embedding + antecedent mention score, against a null score of 0.
+    The learned span-pair FFNN is replaced by a deterministic similarity
+    (exact canonical match, else token-Jaccard ≥ 0.5), keeping the decode
+    arithmetic — argmax over [null=0, antecedents...] − 1 — intact."""
+    if not canon_i or not canon_j:
+        return float("-inf")
+    if canon_i == canon_j:
+        sim = _COREF_SIM_EXACT
+    else:
+        ti, tj = set(canon_i.split()), set(canon_j.split())
+        j = len(ti & tj) / len(ti | tj) if (ti or tj) else 0.0
+        if j < 0.5:
+            return float("-inf")
+        sim = _COREF_SIM_PARTIAL * j
+    return sim + _COREF_DIST_WEIGHT * bucket_distance(pos_distance) + mention_j
+
+
 def coref_antecedent_decode(mentions: list[tuple[int, int, str]], doc_tokens: int,
                             max_antecedents: int = 100,
-                            spans_per_word: float = 0.3) -> list[list[int]]:
+                            spans_per_word: float = 0.3,
+                            mention_scores: list[float] | None = None) -> list[list[int]]:
     """M6 deterministic antecedent path (coref.py:213-439 decode semantics):
 
     * prune mentions to k = ceil(spans_per_word × doc_tokens), min 2
-      (coref.py:254-260), textual order restored;
+      (coref.py:241), textual order restored;
     * each kept mention scores up to `max_antecedents` PRECEDING kept
-      mentions (cap at #kept, coref.py:260); the deterministic pair score is
-      canonical-form equality (match → positive, closer antecedent preferred;
-      no match → null wins);
-    * greedy cluster decode from the per-mention argmax antecedent.
+      mentions (cap at #kept, coref.py:260) with `antecedent_pair_score`
+      (similarity + 10-bucket distance term + antecedent mention score —
+      the reference's feature shape with deterministic weights);
+    * predicted antecedent = argmax over [null=0, antecedents...] − 1
+      (coref.py:315-321), ties toward the NEARER antecedent;
+    * greedy cluster decode from the per-mention argmax.
 
     `mentions`: (doc_start, doc_end, canonical_text) in textual order.
     Returns clusters as lists of indices into the PRUNED mention list.
@@ -528,19 +569,19 @@ def coref_antecedent_decode(mentions: list[tuple[int, int, str]], doc_tokens: in
     if n == 0:
         return []
     k = max(2, math.ceil(spans_per_word * doc_tokens))
-    kept = list(range(n))[: min(n, max(k, 2))] if n <= k else None
-    if kept is None:
-        # prune by mention score: canonical mentions all tie → keep first k
-        kept = list(range(k))
+    kept = list(range(min(n, max(k, 2))))
     cap = min(max_antecedents, len(kept))
     best: list[int] = []
     for i_pos, i in enumerate(kept):
         lo = max(0, i_pos - cap)
-        choice = -1
-        for j_pos in range(i_pos - 1, lo - 1, -1):  # nearest first
-            if mentions[kept[j_pos]][2] and mentions[kept[j_pos]][2] == mentions[i][2]:
-                choice = j_pos
-                break
+        choice, best_score = -1, 0.0  # null antecedent scores 0
+        for j_pos in range(i_pos - 1, lo - 1, -1):  # nearest first (tie-break)
+            j = kept[j_pos]
+            m_j = mention_scores[j] if mention_scores is not None else 0.0
+            s = antecedent_pair_score(mentions[i][2], mentions[j][2],
+                                      i_pos - j_pos, m_j)
+            if s > best_score:
+                choice, best_score = j_pos, s
         best.append(choice)
     return decode_antecedents(best)
 

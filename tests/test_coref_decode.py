@@ -54,3 +54,44 @@ def test_kernel_antecedent_mode():
     out = kernel(batch)
     clusters = out.column("predicted_clusters").to_pylist()[0]
     assert clusters == [[{"start": 0, "end": 1}, {"start": 4, "end": 5}]]
+
+
+def test_bucket_distance_allennlp_twin():
+    from dygiepp_ray.stages.kernel import bucket_distance
+
+    # identity region ≤ 4, then floor(log2(d)) + 3, clamped at 9
+    assert [bucket_distance(d) for d in (0, 1, 2, 3, 4)] == [0, 1, 2, 3, 4]
+    assert bucket_distance(5) == 5 and bucket_distance(7) == 5
+    assert bucket_distance(8) == 6 and bucket_distance(15) == 6
+    assert bucket_distance(16) == 7 and bucket_distance(64) == 9
+    assert bucket_distance(10_000) == 9
+
+
+def test_antecedent_scored_partial_match_links_when_close():
+    from dygiepp_ray.stages.kernel import antecedent_pair_score, coref_antecedent_decode
+
+    # partial canonical overlap (jaccard ≥ 0.5) links only at close range:
+    # sim (1.0·j) - 0.1·bucket crosses the null score (0) with distance
+    assert antecedent_pair_score("hash join", "hash join index", 1) > 0
+    assert antecedent_pair_score("hash join", "hash join index", 10_000) < 0
+    # below the 0.5 jaccard floor → never links
+    assert antecedent_pair_score("hash join", "merge sort", 1) == float("-inf")
+
+    mentions = [(0, 1, "hash join"), (3, 5, "hash join index"),
+                (90, 92, "hash join tree")]
+    clusters = coref_antecedent_decode(mentions, doc_tokens=400)
+    # each links to its predecessor (pruned-list distance 1)
+    assert clusters == [[0, 1, 2]]
+
+
+def test_antecedent_mention_score_prefers_stronger_antecedent():
+    from dygiepp_ray.stages.kernel import coref_antecedent_decode
+
+    # two exact-match antecedents one position apart: the farther one wins
+    # when its mention score outweighs the distance-bucket step
+    mentions = [(0, 1, "x y"), (5, 6, "x y"), (10, 11, "x y")]
+    near = coref_antecedent_decode(mentions, doc_tokens=100)
+    assert near == [[0, 1, 2]]  # chain via nearest
+    boosted = coref_antecedent_decode(
+        mentions, doc_tokens=100, mention_scores=[0.5, 0.0, 0.0])
+    assert boosted == [[0, 1, 2]]  # same clusters, antecedent 0 preferred
