@@ -77,3 +77,24 @@ def read_coref_table(path: str, max_mates: int = 9) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(fold, batch_format="pyarrow")
+
+
+def write_kb_tsv(triples: "ray.data.Dataset", out_dir: str,
+                 include_header: bool = False) -> str:
+    """S5 — literal TSV KB sink (dygie_pred_to_tsv.py:23-34,
+    make_kb.py:175-197 column order): one TSV shard per block, so a failed
+    run can re-emit per shard. The Parquet sink (`pipelines/kg.py:build_kg`)
+    stays the scale path; this writer exists for byte-compatibility with the
+    reference's downstream TSV consumers."""
+    cols = ["doc_id", "sentence", "subj", "obj", "pred", "conf"]
+
+    def _opts():
+        # WriteOptions isn't picklable — build it inside the write task
+        import pyarrow.csv as pacsv
+
+        return {"write_options": pacsv.WriteOptions(
+            include_header=include_header, delimiter="\t",
+            quoting_style="none")}
+
+    triples.select_columns(cols).write_csv(out_dir, arrow_csv_args_fn=_opts)
+    return out_dir

@@ -54,3 +54,31 @@ def test_coref_table_strips_padding(tsv_dir):
     mates = {r["id"]: list(r["mates"]) for _, r in df.iterrows()}
     assert mates["d1"] == ["the system", "it"]
     assert mates["d2"] == ["this approach", "that", "it"]
+
+
+def test_write_kb_tsv_roundtrip(tmp_path):
+    import glob
+
+    import pyarrow as pa
+    import ray.data
+
+    from dygiepp_ray.sources.tsv import write_kb_tsv
+
+    tri = ray.data.from_arrow(pa.table({
+        "doc_id": ["d1", "d2"], "sentence": ["a b .", "c d ."],
+        "subj": ["a", "c"], "obj": ["b", "d"],
+        "pred": ["USED-FOR", "PART-OF"],
+        "conf": pa.array([0.9, 0.8], pa.float32()),
+        "subj_norm": ["a", "c"], "obj_norm": ["b", "d"],
+        "content_sha256": ["x", "y"],
+    }))
+    out = str(tmp_path / "kb")
+    write_kb_tsv(tri, out)
+    lines = []
+    for f in glob.glob(out + "/*"):
+        with open(f) as fh:
+            lines += [l.rstrip("\n") for l in fh if l.strip()]
+    assert sorted(lines) == [
+        "d1\ta b .\ta\tb\tUSED-FOR\t0.9",
+        "d2\tc d .\tc\td\tPART-OF\t0.8",
+    ]
