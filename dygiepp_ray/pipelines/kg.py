@@ -103,9 +103,45 @@ class ExtractToTriples:
         self.do_prep = do_prep
 
     def __call__(self, batch):
-        if self.do_prep:
-            batch = split_long_documents(corpus_to_documents(stamp_sha256(batch)))
-        return self.flatten(self.kernel(batch))
+        if not self.do_prep:
+            return self.flatten(self.kernel(batch))
+        # fully-fused Python path: corpus rows → triples with ZERO
+        # intermediate Arrow materialization — the prep/kernel/flatten stages
+        # otherwise round-trip the (wide, nested) document and prediction
+        # structures through pyarrow twice per hop, which profiled at ~45% of
+        # the stage's wall time. Semantics identical to
+        # stamp_sha256 → corpus_to_documents → split_long_documents →
+        # kernel.decode_document → FlattenTriples.rows_for_doc.
+        from ..functions.strings import sentence_split, sha256_hex, tokenize, word_normalize
+        from ..schema import MAX_TOKENS_PER_DOC
+        from ..stages.prep import extract_text, split_document
+
+        out = self.flatten.empty_out()
+        has_bucket = "bucket" in batch.column_names
+        buckets = batch.column("bucket").to_pylist() if has_bucket else None
+        for i, (repo, path, commit, lang, content) in enumerate(zip(
+            batch.column("repo").to_pylist(), batch.column("path").to_pylist(),
+            batch.column("commit").to_pylist(), batch.column("lang").to_pylist(),
+            batch.column("content").to_pylist(),
+        )):
+            sha = sha256_hex(content)
+            text = extract_text(content, lang)
+            sents = [[word_normalize(t) for t in tokenize(s)]
+                     for s in sentence_split(text)]
+            sents = [s for s in sents if s]
+            if not sents or any(t == "" for s in sents for t in s):
+                continue
+            key = f"{repo}:{path}@{commit[:8]}"
+            total = sum(len(s) for s in sents)
+            parts = ([(key, sents)] if total <= MAX_TOKENS_PER_DOC
+                     else split_document(key, sents))
+            bucket = buckets[i] if buckets is not None else None
+            for child_key, chunk in parts:
+                _ner, doc_rel, _evt, clusters, _failed = \
+                    self.kernel.decode_document(chunk)
+                self.flatten.rows_for_doc(out, child_key, chunk, doc_rel,
+                                          clusters, sha, bucket)
+        return self.flatten.to_table(out, has_bucket)
 
 
 def kg_triples(input_dir: str, concurrency=DEFAULT_KERNEL_CONCURRENCY,

@@ -376,6 +376,40 @@ def _trig_softmax(lab: int) -> float:
     return v
 
 
+# Relation / event-arg softmaxes depend only on (mention-sum, label) — both
+# drawn from the small jitter grid — so memoize on the EXACT float key
+# (same float in → same float out; no quantized keys, which could alias
+# inputs differing in the last ulp and drift from the independent oracle).
+_REL_SOFTMAX_CACHE: dict[tuple[float, int], float] = {}
+_ARG_SOFTMAX_CACHE: dict[tuple[float, int], float] = {}
+
+
+def _rel_softmax(m12: float, lab: int) -> float:
+    key = (m12, lab)
+    v = _REL_SOFTMAX_CACHE.get(key)
+    if v is None:
+        raw = 6.0 + m12
+        vec = np.full(len(RELATION_LABELS), -10.0 + m12)
+        vec[lab] = raw
+        v = softmax_with_null(raw, vec, lab)
+        if len(_REL_SOFTMAX_CACHE) < 1_000_000:
+            _REL_SOFTMAX_CACHE[key] = v
+    return v
+
+
+def _arg_softmax(mention: float, rlab: int) -> float:
+    key = (mention, rlab)
+    v = _ARG_SOFTMAX_CACHE.get(key)
+    if v is None:
+        raw = 3.0 + mention
+        vec = np.full(len(ARG_ROLES), -10.0 + mention)
+        vec[rlab] = raw
+        v = softmax_with_null(raw, vec, rlab)
+        if len(_ARG_SOFTMAX_CACHE) < 1_000_000:
+            _ARG_SOFTMAX_CACHE[key] = v
+    return v
+
+
 def extract_sentence_fast(tokens: list[str], scorer: LexiconScorer):
     """Output-identical fast path of `extract_sentence` (the slow version is
     the executable spec; tests/test_kernel_decode.py asserts equivalence).
@@ -419,7 +453,6 @@ def extract_sentence_fast(tokens: list[str], scorer: LexiconScorer):
     k = max(1, math.ceil(RELATION_SPANS_PER_WORD * n))
     kept = top_hits(k)
     pred_rels = []
-    n_rel = len(RELATION_LABELS)
     for ai in kept:
         s1, e1, _ = hits[ai]
         for bi in kept:
@@ -430,15 +463,12 @@ def extract_sentence_fast(tokens: list[str], scorer: LexiconScorer):
                 lab = scorer.rel_label.get(" ".join(lower[e1 + 1 : s2]))
                 if lab is not None:
                     m12 = mentions[ai] + mentions[bi]
-                    raw = 6.0 + m12
-                    vec = np.full(n_rel, -10.0 + m12)
-                    vec[lab] = raw
                     pred_rels.append(
                         {
                             "s1": s1, "e1": e1, "s2": s2, "e2": e2,
                             "label": RELATION_LABELS[lab],
-                            "raw_score": _round(raw),
-                            "softmax_score": _round(softmax_with_null(raw, vec, lab)),
+                            "raw_score": _round(6.0 + m12),
+                            "softmax_score": _round(_rel_softmax(m12, lab)),
                         }
                     )
 
@@ -449,7 +479,6 @@ def extract_sentence_fast(tokens: list[str], scorer: LexiconScorer):
     arg_beam = beam_size(n, ARG_BEAM_RATIO, ARG_BEAM_MIN, ARG_BEAM_MAX)
     arg_hits = top_hits(arg_beam)
     pred_events = []
-    n_roles = len(ARG_ROLES)
     for trig_ix, lab in triggers:
         args = []
         for hi in arg_hits:
@@ -462,14 +491,11 @@ def extract_sentence_fast(tokens: list[str], scorer: LexiconScorer):
                 rlab = 2
             else:
                 continue  # span overlaps the trigger → all roles null
-            raw = 3.0 + mentions[hi]
-            vec = np.full(n_roles, -10.0 + mentions[hi])
-            vec[rlab] = raw
             args.append(
                 {
                     "start": s, "end": e, "role": ARG_ROLES[rlab],
-                    "raw_score": _round(raw),
-                    "softmax_score": _round(softmax_with_null(raw, vec, rlab)),
+                    "raw_score": _round(3.0 + mentions[hi]),
+                    "softmax_score": _round(_arg_softmax(mentions[hi], rlab)),
                 }
             )
         pred_events.append(
@@ -659,68 +685,72 @@ class ExtractionKernel:
                 self._canon_cache[text] = v
         return v
 
+    def decode_document(self, sentences: list[list[str]]):
+        """Per-document decode in plain Python: returns
+        (doc_ner, doc_rel, doc_evt, clusters, failed). Shared by the Arrow
+        `__call__` stage and the fully-fused `ExtractToTriples` path (which
+        never materializes the wide nested prediction columns).
+
+        Poison-pill policy (SURVEY §4): one bad document becomes a
+        `failed=True` marker, never a dead batch — mirroring the reference's
+        _FAILED_PREDICTION skip markers (03_collect_shards.py:23, 44-50)."""
+        try:
+            doc_ner, doc_rel, doc_evt = [], [], []
+            span_registry: dict[str, list[tuple[int, int]]] = {}
+            mention_seq: list[tuple[int, int, str]] = []
+            want_seq = self.coref_mode == "antecedent"
+            offset = 0
+            for sent in sentences:
+                ner, rels, evts = extract_sentence_fast(sent, self.scorer)
+                doc_ner.append(ner)
+                doc_rel.append(rels)
+                doc_evt.append(evts)
+                # doc-level coref (M6): collect mentions with canonical key
+                for m in ner:
+                    key = self._canon(" ".join(sent[m["start"] : m["end"] + 1]))
+                    if key:
+                        span_registry.setdefault(key, []).append(
+                            (offset + m["start"], offset + m["end"])
+                        )
+                    if want_seq:
+                        mention_seq.append(
+                            (offset + m["start"], offset + m["end"], key)
+                        )
+                offset += len(sent)
+            if self.coref_mode == "antecedent":
+                idx_clusters = coref_antecedent_decode(mention_seq, offset)
+                clusters = [
+                    [{"start": mention_seq[i][0], "end": mention_seq[i][1]}
+                     for i in c]
+                    for c in idx_clusters
+                ]
+            else:
+                clusters = [
+                    [{"start": s, "end": e} for (s, e) in v]
+                    for v in span_registry.values()
+                    if len(v) >= 2
+                ]
+            if self.coref_prop > 0:
+                starts = []
+                acc = 0
+                for sent in sentences:
+                    starts.append(acc)
+                    acc += len(sent)
+                doc_ner = propagate_cluster_labels(
+                    doc_ner, clusters, starts, [len(s) for s in sentences],
+                    iterations=self.coref_prop,
+                )
+            return doc_ner, doc_rel, doc_evt, clusters, False
+        except Exception:  # noqa: BLE001 — per-row containment is the point
+            empty = [[] for _ in sentences]
+            return empty, [[] for _ in sentences], [[] for _ in sentences], [], True
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         sentences_col = batch.column("sentences").to_pylist()
         pred_ner_col, pred_rel_col, pred_evt_col, clusters_col = [], [], [], []
         failed_col = []
         for sentences in sentences_col:
-            # poison-pill policy (SURVEY §4): one bad document becomes a
-            # `_failed_prediction=True` marker row, never a dead batch —
-            # mirroring the reference's _FAILED_PREDICTION skip markers
-            # (03_collect_shards.py:23, 44-50)
-            try:
-                doc_ner, doc_rel, doc_evt = [], [], []
-                span_registry: dict[str, list[tuple[int, int]]] = {}
-                mention_seq: list[tuple[int, int, str]] = []
-                want_seq = self.coref_mode == "antecedent"
-                offset = 0
-                for sent in sentences:
-                    ner, rels, evts = extract_sentence_fast(sent, self.scorer)
-                    doc_ner.append(ner)
-                    doc_rel.append(rels)
-                    doc_evt.append(evts)
-                    # doc-level coref (M6): collect mentions with canonical key
-                    for m in ner:
-                        key = self._canon(" ".join(sent[m["start"] : m["end"] + 1]))
-                        if key:
-                            span_registry.setdefault(key, []).append(
-                                (offset + m["start"], offset + m["end"])
-                            )
-                        if want_seq:
-                            mention_seq.append(
-                                (offset + m["start"], offset + m["end"], key)
-                            )
-                    offset += len(sent)
-                if self.coref_mode == "antecedent":
-                    idx_clusters = coref_antecedent_decode(mention_seq, offset)
-                    clusters = [
-                        [{"start": mention_seq[i][0], "end": mention_seq[i][1]}
-                         for i in c]
-                        for c in idx_clusters
-                    ]
-                else:
-                    clusters = [
-                        [{"start": s, "end": e} for (s, e) in v]
-                        for v in span_registry.values()
-                        if len(v) >= 2
-                    ]
-                if self.coref_prop > 0:
-                    starts = []
-                    acc = 0
-                    for sent in sentences:
-                        starts.append(acc)
-                        acc += len(sent)
-                    doc_ner = propagate_cluster_labels(
-                        doc_ner, clusters, starts, [len(s) for s in sentences],
-                        iterations=self.coref_prop,
-                    )
-                failed = False
-            except Exception:  # noqa: BLE001 — per-row containment is the point
-                doc_ner = [[] for _ in sentences]
-                doc_rel = [[] for _ in sentences]
-                doc_evt = [[] for _ in sentences]
-                clusters = []
-                failed = True
+            doc_ner, doc_rel, doc_evt, clusters, failed = self.decode_document(sentences)
             pred_ner_col.append(doc_ner)
             pred_rel_col.append(doc_rel)
             pred_evt_col.append(doc_evt)

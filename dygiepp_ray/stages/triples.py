@@ -35,11 +35,77 @@ class FlattenTriples:
                  use_coref_substitution: bool = True):
         self.label_map = label_map
         self.use_coref = use_coref_substitution
+        self._canon_cache: dict[str, str] = {}
+
+    def _canon(self, text: str) -> str:
+        # argument surfaces repeat heavily (Zipfian keys): cache per actor
+        v = self._canon_cache.get(text)
+        if v is None:
+            v = canonicalize(text)
+            if len(self._canon_cache) < 500_000:
+                self._canon_cache[text] = v
+        return v
+
+    def rows_for_doc(self, out: dict, doc_key: str, sentences: list[list[str]],
+                     doc_rels: list[list[dict]], clusters, sha: str,
+                     bucket=None) -> None:
+        """Append one document's triple rows to the `out` column dict —
+        plain-Python core shared by the Arrow `__call__` stage and the fused
+        `ExtractToTriples` path."""
+        # flat token stream + doc-level span text lookup for coref reps
+        rep_of: dict[str, str] = {}
+        if self.use_coref and clusters:
+            flat = [t for s in sentences for t in s]
+            for cluster in clusters:
+                if not cluster:
+                    continue
+                rep = " ".join(flat[cluster[0]["start"] : cluster[0]["end"] + 1])
+                for m in cluster[1:]:
+                    mention = " ".join(flat[m["start"] : m["end"] + 1])
+                    # only referring mentions get rewritten (make_kb.py:148-172)
+                    if contains_reference(mention):
+                        rep_of[mention] = rep
+        for sent_ix, rels in enumerate(doc_rels):
+            if not rels:
+                continue
+            sent_text = " ".join(sentences[sent_ix])
+            for r in rels:
+                label = r["label"]
+                if self.label_map is not None:
+                    if label not in self.label_map:
+                        continue
+                    label = self.label_map[label]
+                subj = _span_text(sentences, sent_ix, r["s1"], r["e1"])
+                obj = _span_text(sentences, sent_ix, r["s2"], r["e2"])
+                subj = rep_of.get(subj, subj)
+                obj = rep_of.get(obj, obj)
+                out["doc_id"].append(doc_key)
+                out["sentence"].append(sent_text)
+                out["subj"].append(subj)
+                out["obj"].append(obj)
+                out["pred"].append(label)
+                out["subj_norm"].append(self._canon(subj))
+                out["obj_norm"].append(self._canon(obj))
+                out["conf"].append(r["softmax_score"])
+                out["content_sha256"].append(sha)
+                out["bucket"].append(bucket)
+
+    @staticmethod
+    def empty_out() -> dict:
+        out = {name: [] for name in TRIPLE_SCHEMA.names}
+        out["bucket"] = []
+        return out
+
+    @staticmethod
+    def to_table(out: dict, has_bucket: bool) -> pa.Table:
+        cols = {n: pa.array(out[n], TRIPLE_SCHEMA.field(n).type) for n in TRIPLE_SCHEMA.names}
+        if has_bucket:
+            cols["bucket"] = pa.array(out["bucket"], pa.int32())
+        return pa.table(cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_keys = batch.column("doc_key").to_pylist()
         sentences_col = batch.column("sentences").to_pylist()
-        starts_col = batch.column("sentence_starts").to_pylist()
         shas = batch.column("content_sha256").to_pylist()
         rels_col = batch.column("predicted_relations").to_pylist()
         clusters_col = (
@@ -51,50 +117,12 @@ class FlattenTriples:
         has_bucket = "bucket" in batch.column_names
         buckets = batch.column("bucket").to_pylist() if has_bucket else [None] * len(doc_keys)
 
-        out = {name: [] for name in TRIPLE_SCHEMA.names}
-        out["bucket"] = []
-        for doc_key, sentences, starts, sha, doc_rels, clusters, bucket in zip(
-            doc_keys, sentences_col, starts_col, shas, rels_col, clusters_col, buckets
+        out = self.empty_out()
+        for doc_key, sentences, sha, doc_rels, clusters, bucket in zip(
+            doc_keys, sentences_col, shas, rels_col, clusters_col, buckets
         ):
-            # flat token stream + doc-level span text lookup for coref reps
-            flat = [t for s in sentences for t in s]
-            rep_of: dict[str, str] = {}
-            if clusters:
-                for cluster in clusters:
-                    if not cluster:
-                        continue
-                    rep = " ".join(flat[cluster[0]["start"] : cluster[0]["end"] + 1])
-                    for m in cluster[1:]:
-                        mention = " ".join(flat[m["start"] : m["end"] + 1])
-                        # only referring mentions get rewritten (make_kb.py:148-172)
-                        if contains_reference(mention):
-                            rep_of[mention] = rep
-            for sent_ix, rels in enumerate(doc_rels):
-                sent_text = " ".join(sentences[sent_ix])
-                for r in rels:
-                    label = r["label"]
-                    if self.label_map is not None:
-                        if label not in self.label_map:
-                            continue
-                        label = self.label_map[label]
-                    subj = _span_text(sentences, sent_ix, r["s1"], r["e1"])
-                    obj = _span_text(sentences, sent_ix, r["s2"], r["e2"])
-                    subj = rep_of.get(subj, subj)
-                    obj = rep_of.get(obj, obj)
-                    out["doc_id"].append(doc_key)
-                    out["sentence"].append(sent_text)
-                    out["subj"].append(subj)
-                    out["obj"].append(obj)
-                    out["pred"].append(label)
-                    out["subj_norm"].append(canonicalize(subj))
-                    out["obj_norm"].append(canonicalize(obj))
-                    out["conf"].append(r["softmax_score"])
-                    out["content_sha256"].append(sha)
-                    out["bucket"].append(bucket)
-        cols = {n: pa.array(out[n], TRIPLE_SCHEMA.field(n).type) for n in TRIPLE_SCHEMA.names}
-        if has_bucket:
-            cols["bucket"] = pa.array(out["bucket"], pa.int32())
-        return pa.table(cols)
+            self.rows_for_doc(out, doc_key, sentences, doc_rels, clusters, sha, bucket)
+        return self.to_table(out, has_bucket)
 
 
 def flatten_ner_mentions(batch: pa.Table) -> pa.Table:
