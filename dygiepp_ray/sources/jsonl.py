@@ -188,10 +188,36 @@ def read_scierc_jsonl(path: str) -> tuple["ray.data.Dataset", list[str]]:
 
 
 def write_scierc_jsonl(ds: "ray.data.Dataset", path: str) -> int:
-    """S2 — one json.dumps per document row."""
+    """S2 — one json.dumps per document row, SINGLE file via a driver-side
+    streaming iterator. Use for small exports / byte-compat with the
+    reference's one-file-per-fold layout; the scale path is
+    `write_scierc_jsonl_dir` (one shard per block, written inside tasks)."""
     n = 0
     with open(path, "w") as fh:
         for row in ds.iter_rows():
             fh.write(json.dumps(to_scierc_json(row)) + "\n")
             n += 1
     return n
+
+
+def write_scierc_jsonl_dir(ds: "ray.data.Dataset", out_dir: str) -> int:
+    """S2 scale path: JSONL shards written INSIDE map tasks (one file per
+    block, named by task+block to be resumable/idempotent per shard); the
+    driver only sees per-shard row counts. Returns total rows written."""
+    import os
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(batch: "pa.Table") -> "pa.Table":
+        rows = batch.to_pylist()
+        shard = os.path.join(out_dir, f"part-{uuid.uuid4().hex[:12]}.jsonl")
+        tmp = shard + ".tmp"
+        with open(tmp, "w") as fh:
+            for row in rows:
+                fh.write(json.dumps(to_scierc_json(row)) + "\n")
+        os.rename(tmp, shard)  # atomic publish
+        return pa.table({"n": pa.array([len(rows)], pa.int64())})
+
+    counts = ds.map_batches(write_shard, batch_format="pyarrow")
+    return int(counts.sum("n") or 0)

@@ -115,3 +115,25 @@ def test_misfiled_sentence_index_rejected():
     doc["ner"][0].append([7, 7, "Method"])  # span lives in sentence 1
     with pytest.raises(DocumentValidationError, match="filed under"):
         from_scierc_json(doc)
+
+
+def test_sharded_jsonl_writer(tmp_path):
+    import glob
+
+    import ray.data
+
+    from dygiepp_ray.sources.jsonl import write_scierc_jsonl_dir
+
+    docs = [json.loads(json.dumps(DOC)) for _ in range(3)]
+    for i, d in enumerate(docs):
+        d["doc_key"] = f"doc_{i}"
+    ds = ray.data.from_items([from_scierc_json(d) for d in docs])
+    out = str(tmp_path / "shards")
+    n = write_scierc_jsonl_dir(ds, out)
+    assert n == 3
+    lines = []
+    for f in glob.glob(out + "/part-*.jsonl"):
+        with open(f) as fh:
+            lines += [json.loads(l) for l in fh]
+    assert sorted(l["doc_key"] for l in lines) == ["doc_0", "doc_1", "doc_2"]
+    assert all(l["sentences"] == DOC["sentences"] for l in lines)
