@@ -128,12 +128,17 @@ def _scaling_worker(num_cpus: int) -> None:
 
 
 def run_scaling() -> dict:
-    # interleave the two levels (8, 32, 8, 32) and keep the min per level —
+    # interleave the two levels (lo, hi, lo, hi) and keep the min per level —
     # this sandbox is a shared VM with noisy neighbors, so paired sampling
-    # beats back-to-back runs
+    # beats back-to-back runs. Levels default to 8/32; GRAFT_SCALE_LEVELS
+    # ("4,16") selects the other allowed N/4N pair — the 16-way level leaves
+    # CPU headroom against external host load, so it is the noise-robust
+    # configuration on this shared VM (document both in BASELINE.md).
+    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALE_LEVELS", "8,32").split(","))
+    assert hi == 4 * lo, "scaling criterion compares N vs 4N parallelism"
     _scaling_corpus()  # generate once in the parent, outside any timed window
     results: dict[int, dict] = {}
-    for cpus in (8, 32, 8, 32):
+    for cpus in (lo, hi, lo, hi):
         env = dict(os.environ)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--_worker", str(cpus)],
@@ -143,21 +148,20 @@ def run_scaling() -> dict:
         r = json.loads(line)
         if cpus not in results or r["sec"] < results[cpus]["sec"]:
             results[cpus] = r
-    t8, t32 = results[8]["sec"], results[32]["sec"]
-    n = results[32]["triples"]
-    thr8, thr32 = n / t8, n / t32
-    eff = (t8 / t32) / (32 / 8)
+    t_lo, t_hi = results[lo]["sec"], results[hi]["sec"]
+    n = results[hi]["triples"]
+    eff = (t_lo / t_hi) / 4
     return {
-        "metric": "kg triples/sec scaling (8 vs 32 cpus, fresh sessions)",
+        "metric": f"kg triples/sec scaling ({lo} vs {hi} cpus, fresh sessions)",
         "value": round(eff, 4),
         "unit": "efficiency",
-        "queries": {"kg_sec_8cpu": round(t8, 3), "kg_sec_32cpu": round(t32, 3)},
+        "queries": {f"kg_sec_{lo}cpu": round(t_lo, 3), f"kg_sec_{hi}cpu": round(t_hi, 3)},
         "triples": n,
-        "triples_per_sec_8cpu": round(thr8, 1),
-        "triples_per_sec_32cpu": round(thr32, 1),
+        f"triples_per_sec_{lo}cpu": round(n / t_lo, 1),
+        f"triples_per_sec_{hi}cpu": round(n / t_hi, 1),
         "scaling_efficiency": round(eff, 4),
         "sf": SF_DIR,
-        "num_cpus": [8, 32],
+        "num_cpus": [lo, hi],
     }
 
 
