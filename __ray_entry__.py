@@ -572,6 +572,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["fingerprint"] = q_fingerprint
 
+    def q_token_count_bpe(sf_dir: str):
+        from dygiepp_ray.stages.text import token_count_bpe
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            token_count_bpe, batch_format="pandas"
+        )
+
+    q["token_count_bpe"] = q_token_count_bpe
+
+    def q_dup_ngram_stats(sf_dir: str):
+        from dygiepp_ray.stages.text import dup_ngram_stats
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            dup_ngram_stats, batch_format="pandas"
+        )
+
+    q["dup_ngram_stats"] = q_dup_ngram_stats
+
     # ---- dedup suite
 
     def q_exact_dedup(sf_dir: str):
@@ -687,6 +705,83 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return knn_lsh_indexed(idx, qvec, k=10)
 
     q["knn_lsh_indexed"] = q_knn_lsh_indexed
+
+    # ---- k-means clustering / IVF ANN / semantic dedup
+
+    def _fit_centroids(sf_dir: str, k: int, n_iter: int):
+        """k-means centroids over the sf embeddings, cached per process (the
+        three cluster queries share one fit)."""
+        from dygiepp_ray.stages.cluster import kmeans_fit
+
+        key = (_sf_tag(sf_dir), "centroids", k, n_iter)
+        if key not in _ORACLE_CACHE:
+            _ORACLE_CACHE[key] = kmeans_fit(
+                _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                k=k, n_iter=n_iter)
+        return _ORACLE_CACHE[key]
+
+    def q_embedding_clusters(sf_dir: str):
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.cluster import kmeans_assign
+
+        _write_oracle(sf_dir, "embedding_clusters",
+                      lambda: _o.expected_embedding_clusters(sf_dir, k=8, n_iter=4))
+        cents = _fit_centroids(sf_dir, k=8, n_iter=4)
+        return kmeans_assign(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                             cents)
+
+    q["embedding_clusters"] = q_embedding_clusters
+
+    def q_knn_ivf(sf_dir: str):
+        import pyarrow.parquet as pq
+
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.cluster import knn_ivf
+
+        _write_oracle(sf_dir, "knn_ivf",
+                      lambda: _o.expected_knn_ivf(sf_dir, k=10, nprobe=2,
+                                                  n_clusters=8, n_iter=3))
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+        qvec = np.asarray(
+            t.filter(pc.equal(t["vec_id"], 0)).column("embedding").to_pylist()[0],
+            dtype=np.float64)
+        cents = _fit_centroids(sf_dir, k=8, n_iter=3)
+        return knn_ivf(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                       cents, qvec, k=10, nprobe=2)
+
+    q["knn_ivf"] = q_knn_ivf
+
+    def q_semantic_dedup(sf_dir: str):
+        # same planted-duplicate table as embedding_neardups (the testdata
+        # embeddings have no natural cosine-0.9 pairs): SemDeDup must find
+        # exactly the 20 planted (i, i+1e6) pairs, each inside one cluster
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.cluster import kmeans_fit, semantic_dedup
+
+        _write_oracle(sf_dir, "semantic_dedup",
+                      lambda: _o.expected_semantic_dedup(sf_dir, threshold=0.9,
+                                                         n_clusters=8, n_iter=3))
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+        def dup_first20(t: pa.Table) -> pa.Table:
+            mask = pc.less(t["vec_id"], 20)
+            d = t.filter(mask)
+            if d.num_rows == 0:
+                return t
+            dup = pa.table({
+                "vec_id": pc.add(d["vec_id"], 1_000_000),
+                "embedding": d["embedding"],
+            })
+            return pa.concat_tables([t, dup])
+
+        planted = emb.map_batches(dup_first20, batch_format="pyarrow")
+        key = (_sf_tag(sf_dir), "centroids_planted", 8, 3)
+        if key not in _ORACLE_CACHE:
+            _ORACLE_CACHE[key] = kmeans_fit(planted, k=8, n_iter=3)
+        return semantic_dedup(planted, _ORACLE_CACHE[key], threshold=0.9)
+
+    q["semantic_dedup"] = q_semantic_dedup
 
     # ---- KG construction (the flagship path; non-SQL → rows-only checks)
 
@@ -1581,6 +1676,56 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardups": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/embedding_neardups.parquet')
+        """,
+        "embedding_clusters": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/embedding_clusters.parquet')
+        """,
+        "knn_ivf": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/knn_ivf.parquet')
+        """,
+        "semantic_dedup": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/semantic_dedup.parquet')
+        """,
+        # -- BPE-ish pre-tokenizer counts: the IDENTICAL lookahead-free
+        #    ASCII-anchored regex runs under RE2 here and Python re in the
+        #    engine stage
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f]+|[ \t\n\r\f]+'))
+                       AS n_bpe,
+                   len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha,
+                   len(regexp_extract_all(text, '[0-9]+')) AS n_num,
+                   len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\r\f]+')) AS n_punct
+            FROM documents
+        """,
+        "dup_ngram_stats": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), base AS (
+                SELECT doc_id, len(t) AS n_tokens,
+                       list_transform(range(1, greatest(len(t) - 1, 1)),
+                           i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS tg,
+                       list_transform(range(1, greatest(len(t), 1)),
+                           i -> concat_ws(' ', t[i], t[i+1])) AS bg
+                FROM toks
+            ), bcnt AS (
+                SELECT doc_id, b, count(*) AS c
+                FROM (SELECT doc_id, unnest(bg) AS b FROM base)
+                GROUP BY doc_id, b
+            ), btop AS (
+                SELECT doc_id, max(c)::DOUBLE / sum(c) AS topf
+                FROM bcnt GROUP BY doc_id
+            )
+            SELECT base.doc_id, base.n_tokens,
+                   round(CASE WHEN len(tg) > 0
+                              THEN 1.0 - len(list_distinct(tg)) / len(tg)
+                              ELSE 0.0 END, 6) AS dup_trigram_frac,
+                   round(COALESCE(btop.topf, 0.0), 6) AS top_bigram_frac
+            FROM base LEFT JOIN btop USING (doc_id)
         """,
         "kg_triples": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')

@@ -1028,6 +1028,115 @@ def expected_cluster_merge(documents, full_lexicon: dict[str, str],
                      "n_merged_clusters": pa.array(counts, pa.int64())})
 
 
+# ------------------------------------------------- k-means / IVF / semdedup
+
+
+def _kmeans_single(mat: np.ndarray, ids: np.ndarray, k: int,
+                   n_iter: int) -> np.ndarray:
+    """Single-threaded Lloyd recompute: seeds = vectors of the k smallest
+    ids; per-iteration sums on the same round(x*1e6) int64 grid the engine
+    uses (exact, so the distributed block-partial sums agree bit-for-bit)."""
+    order = np.argsort(ids, kind="stable")
+    centroids = mat[order[:k]].astype(np.float64).copy()
+    scaled = np.rint(mat * 1e6).astype(np.int64)
+    for _ in range(n_iter):
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=-1)
+        labels = d.argmin(axis=1)
+        for j in range(k):
+            sel = labels == j
+            if not sel.any():
+                continue
+            centroids[j] = scaled[sel].sum(axis=0).astype(np.float64) / (
+                1e6 * int(sel.sum()))
+    return centroids
+
+
+def _read_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in t.column("embedding").to_pylist()])
+    return ids, mat
+
+
+def expected_embedding_clusters(sf_dir: str, k: int = 8,
+                                n_iter: int = 4) -> pa.Table:
+    from .functions.strings import round_half_up
+
+    ids, mat = _read_embeddings(sf_dir)
+    centroids = _kmeans_single(mat, ids, k, n_iter)
+    d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=-1)
+    labels = d.argmin(axis=1)
+    dist = np.sqrt(d[np.arange(len(ids)), labels])
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "cluster": pa.array(labels.astype(np.int32), pa.int32()),
+        "dist": pa.array(round_half_up(dist, 6), pa.float64()),
+    })
+
+
+def expected_knn_ivf(sf_dir: str, k: int = 10, nprobe: int = 2,
+                     n_clusters: int = 8, n_iter: int = 3) -> pa.Table:
+    from .functions.strings import round_half_up
+
+    ids, mat = _read_embeddings(sf_dir)
+    centroids = _kmeans_single(mat, ids, n_clusters, n_iter)
+    qv = mat[ids == 0][0]
+    dq = ((qv[None, :] - centroids) ** 2).sum(axis=-1)
+    probe = set(np.argsort(dq, kind="stable")[:nprobe].tolist())
+    d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=-1)
+    labels = d.argmin(axis=1)
+    qn = qv / (np.linalg.norm(qv) or 1.0)
+    rows = []
+    for i in range(len(ids)):
+        if labels[i] not in probe:
+            continue
+        v = mat[i]
+        n = np.linalg.norm(v) or 1.0
+        rows.append((int(ids[i]),
+                     float(round_half_up(float(np.dot(v / n, qn)), 6))))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    rows = rows[:k]
+    return pa.table({"vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                     "cosine": pa.array([r[1] for r in rows], pa.float64())})
+
+
+def expected_semantic_dedup(sf_dir: str, threshold: float = 0.9,
+                            n_clusters: int = 8, n_iter: int = 3,
+                            plant_first: int = 20) -> pa.Table:
+    """Recompute over the SAME planted-duplicate table the query builds
+    (vec_id < plant_first duplicated under id+1_000_000)."""
+    from .functions.strings import round_half_up
+
+    ids, mat = _read_embeddings(sf_dir)
+    sel = ids < plant_first
+    ids = np.concatenate([ids, ids[sel] + 1_000_000])
+    mat = np.concatenate([mat, mat[sel]], axis=0)
+    centroids = _kmeans_single(mat, ids, n_clusters, n_iter)
+    d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=-1)
+    labels = d.argmin(axis=1)
+    out = []
+    for c in range(n_clusters):
+        members = np.where(labels == c)[0]
+        if len(members) < 2:
+            continue
+        members = members[np.argsort(ids[members], kind="stable")]
+        m = mat[members]
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cos = (m / norms) @ (m / norms).T
+        for a in range(len(members)):
+            for b in range(a + 1, len(members)):
+                if cos[a, b] >= threshold:
+                    out.append((int(ids[members[a]]), int(ids[members[b]]),
+                                float(round_half_up(float(cos[a, b]), 6))))
+    out.sort()
+    return pa.table({"id_a": pa.array([x[0] for x in out], pa.int64()),
+                     "id_b": pa.array([x[1] for x in out], pa.int64()),
+                     "cosine": pa.array([x[2] for x in out], pa.float64())})
+
+
 # ------------------------------------------------------------------ writers
 
 

@@ -1,0 +1,212 @@
+"""Distributed k-means over an embedding column, plus the two operators
+built on top of it: IVF ANN search (coarse-quantizer probe, the scale path
+beyond `knn_lsh`) and SemDeDup-style semantic near-dedup (in-cluster cosine
+pair scan — Abbas et al. 2023's shape: cluster first, compare only within a
+cluster, never all-pairs).
+
+Scale notes
+-----------
+- `kmeans_fit` streams the corpus once per Lloyd iteration; the only
+  driver-side state is the (k × dim) centroid matrix and the per-block
+  partial sums (num_blocks × k rows — an aggregate result, bounded and
+  independent of corpus size). Centroids are broadcast per iteration with
+  `ray.put`, read once per batch.
+- Determinism discipline (oracle hash-parity): partial sums are
+  INTEGER-scaled (`round(x·10⁶)` int64), so the distributed sum is exact and
+  order-independent — float64 block sums would differ in ulps from a
+  single-pass oracle recompute and could flip boundary assignments.
+  Assignment ties break to the lowest cluster id (np.argmin), pair output
+  ties to the lowest vec_id.
+- `semantic_dedup` shuffles once on the cluster id. Pick k ≈ √n (or larger)
+  at scale so per-cluster pair scans stay bounded; the reference-scale
+  SemDeDup runs k in the tens of thousands for billions of docs.
+
+Reference anchor: the engine-side twin of the reference's canonical-key
+dedup idea (make_kb.py:198-212) lifted to embedding space; no counterpart
+exists in the reference — this is a training-data op (SURVEY.md §"beyond").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+from ..functions.strings import round_half_up
+
+_SCALE = 1_000_000  # integer-scaling grid for exact distributed sums
+
+
+def _matrix(batch: pd.DataFrame, vec_col: str) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+
+
+def _assign(m: np.ndarray, centroids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Nearest centroid per row by squared euclidean distance.
+
+    Distances are computed with the explicit difference form
+    ``((x-c)²).sum`` — NOT the expanded ``x²-2xc+c²`` BLAS form — so engine
+    and oracle evaluate the identical float64 expression (the two forms
+    differ in ulps, which could flip near-equidistant assignments)."""
+    # (n, k) pairwise squared distances, chunked to bound memory at wide k
+    n = m.shape[0]
+    d = np.empty((n, centroids.shape[0]), dtype=np.float64)
+    for j in range(centroids.shape[0]):
+        diff = m - centroids[j]
+        # (diff*diff).sum — np.add.reduce pairwise, the same reduction the
+        # oracle's broadcast ((x-c)**2).sum(-1) uses (einsum's loop order
+        # differs in the last ulp)
+        d[:, j] = (diff * diff).sum(axis=1)
+    labels = d.argmin(axis=1)
+    return labels, d[np.arange(n), labels]
+
+
+def kmeans_init(embeddings: "ray.data.Dataset", k: int,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic seeding: the vectors of the k smallest ids (sorted-id
+    prefix — reproducible on any partitioning, no RNG)."""
+    rows = (embeddings.select_columns([id_col, vec_col])
+            .sort(id_col).limit(k).take_all())
+    return np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+
+
+def kmeans_fit(embeddings: "ray.data.Dataset", k: int = 8, n_iter: int = 4,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """Lloyd iterations with exact integer-scaled partial sums.
+
+    Each iteration: broadcast centroids → per-block (cluster, count,
+    int64-scaled component sums) → combine the (bounded) partials on the
+    driver → new centroid = Σ/count (empty clusters keep their previous
+    centroid). Returns the (k, dim) float64 centroid matrix."""
+    centroids = kmeans_init(embeddings, k, id_col, vec_col)
+    dim = centroids.shape[1]
+    src = embeddings.select_columns([vec_col])
+
+    for _ in range(n_iter):
+        cref = ray.put(centroids)
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cref)
+            m = _matrix(batch, vec_col)
+            labels, _ = _assign(m, c)
+            scaled = np.rint(m * _SCALE).astype(np.int64)
+            out = {"cluster": [], "count": [], "ssum": []}
+            for j in np.unique(labels):
+                sel = scaled[labels == j]
+                out["cluster"].append(int(j))
+                out["count"].append(int(sel.shape[0]))
+                out["ssum"].append(sel.sum(axis=0))  # int64 exact
+            return pd.DataFrame(out)
+
+        parts = src.map_batches(partial, batch_format="pandas").to_pandas()
+        new = centroids.copy()
+        for j in range(k):
+            sel = parts[parts["cluster"] == j]
+            if len(sel) == 0:
+                continue
+            total = int(sel["count"].sum())
+            ssum = np.sum(np.stack(sel["ssum"].to_numpy()), axis=0,
+                          dtype=np.int64)
+            new[j] = ssum.astype(np.float64) / (_SCALE * total)
+        centroids = new
+        assert centroids.shape == (k, dim)
+    return centroids
+
+
+def kmeans_assign(embeddings: "ray.data.Dataset", centroids: np.ndarray,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  keep_vec: bool = False) -> "ray.data.Dataset":
+    """(id, cluster, dist) per row; dist = euclidean, rounded half-up to 6
+    decimals. `keep_vec=True` carries the vector along (for semantic_dedup's
+    in-cluster verify, so texts/vectors travel with the shuffle rows)."""
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def stamp(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        m = _matrix(batch, vec_col)
+        labels, d2 = _assign(m, c)
+        out = pd.DataFrame({
+            id_col: batch[id_col].values,
+            "cluster": labels.astype(np.int32),
+            "dist": round_half_up(np.sqrt(d2), 6),
+        })
+        if keep_vec:
+            out[vec_col] = batch[vec_col].values
+        return out
+
+    return embeddings.select_columns([id_col, vec_col]).map_batches(
+        stamp, batch_format="pandas")
+
+
+def knn_ivf(embeddings: "ray.data.Dataset", centroids: np.ndarray,
+            query: np.ndarray, k: int = 10, nprobe: int = 2,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> "ray.data.Dataset":
+    """IVF-flat ANN: probe only the `nprobe` clusters whose centroids are
+    nearest the query (L2 coarse quantizer, standard IVF), rank the surviving
+    rows by exact float64 cosine. Block-local top-k prune before the global
+    sort (same discipline as `knn_brute_force`)."""
+    c = np.asarray(centroids, dtype=np.float64)
+    qv = np.asarray(query, dtype=np.float64)
+    _, _ = c.shape
+    dq = np.array([float(np.dot(qv - cj, qv - cj)) for cj in c])
+    probe = set(np.argsort(dq, kind="stable")[:nprobe].tolist())
+    cref = ray.put(c)
+    qn = qv / (np.linalg.norm(qv) or 1.0)
+    q_ref = ray.put(qn.reshape(1, -1))
+
+    def score_block(batch: pd.DataFrame) -> pd.DataFrame:
+        cm = ray.get(cref)
+        qm = ray.get(q_ref)
+        m = _matrix(batch, vec_col)
+        labels, _ = _assign(m, cm)
+        mask = np.isin(labels, list(probe))
+        if not mask.any():
+            return pd.DataFrame({id_col: pd.array([], dtype="int64"),
+                                 "cosine": pd.array([], dtype="float64")})
+        sel = m[mask]
+        norms = np.linalg.norm(sel, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cos = ((sel / norms) @ qm.T).ravel()
+        out = pd.DataFrame({id_col: batch[id_col].values[mask],
+                            "cosine": round_half_up(cos, 6)})
+        return out.sort_values(["cosine", id_col],
+                               ascending=[False, True]).head(k)
+
+    scored = embeddings.select_columns([id_col, vec_col]).map_batches(
+        score_block, batch_format="pandas")
+    return scored.sort(["cosine", id_col], descending=[True, False]).limit(k)
+
+
+def semantic_dedup(embeddings: "ray.data.Dataset", centroids: np.ndarray,
+                   threshold: float = 0.9, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> "ray.data.Dataset":
+    """SemDeDup: (id_a < id_b, cosine) pairs with cosine ≥ threshold, scanned
+    ONLY within each k-means cluster — one shuffle on the cluster id, never
+    all-pairs. Cross-cluster near-dups are missed by design (that is the
+    SemDeDup recall trade-off; raise k to tighten clusters, or union with
+    the LSH `embedding_near_dups` for multi-probe recall)."""
+    assigned = kmeans_assign(embeddings, centroids, id_col, vec_col,
+                             keep_vec=True)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                                 "id_b": pd.array([], dtype="int64"),
+                                 "cosine": pd.array([], dtype="float64")})
+        df = df.sort_values(id_col)
+        ids = df[id_col].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cos = (m / norms) @ (m / norms).T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = cos[ii, jj] >= threshold
+        return pd.DataFrame({
+            "id_a": pd.array(ids[ii[keep]], dtype="int64"),
+            "id_b": pd.array(ids[jj[keep]], dtype="int64"),
+            "cosine": round_half_up(cos[ii[keep], jj[keep]], 6),
+        })
+
+    return assigned.groupby("cluster").map_groups(verify, batch_format="pandas")

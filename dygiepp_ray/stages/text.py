@@ -114,6 +114,53 @@ class LangId:
         return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": langs, "lang_conf": confs})
 
 
+# GPT-2-style pre-tokenizer classes, lookahead-free so the identical pattern
+# runs under both Python `re` and DuckDB's RE2 (`regexp_extract_all`); char
+# classes are explicit-ASCII so `\s` unicode differences can't split the
+# oracle (ADVICE round-1 lesson).
+BPE_SPLIT_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f]+|[ \t\n\r\f]+"
+_ALPHA_RE = r"[A-Za-z]+"
+_NUM_RE = r"[0-9]+"
+_PUNCT_RE = r"[^A-Za-z0-9 \t\n\r\f]+"
+
+
+def token_count_bpe(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, n_bpe, n_alpha, n_num, n_punct) — BPE-ish pre-tokenizer
+    counts: n_bpe = segments under the GPT-2-style split regex (a proxy for
+    subword-token budget planning); the rest are maximal-run counts per
+    class. Vectorized via pandas str.count (compiled regex, no Python loop)."""
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "n_bpe": batch["text"].str.count(BPE_SPLIT_RE).astype("int64"),
+        "n_alpha": batch["text"].str.count(_ALPHA_RE).astype("int64"),
+        "n_num": batch["text"].str.count(_NUM_RE).astype("int64"),
+        "n_punct": batch["text"].str.count(_PUNCT_RE).astype("int64"),
+    })
+
+
+def dup_ngram_stats(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, n_tokens, dup_trigram_frac, top_bigram_frac) — Gopher-style
+    repetition signals over whitespace tokens: fraction of trigram
+    occurrences that are repeats of an earlier trigram, and the share of the
+    most frequent bigram among all bigrams (0.0 when the doc is too short)."""
+    from collections import Counter
+
+    n_toks, dup3, top2 = [], [], []
+    for text in batch["text"]:
+        t = text.split()
+        n_toks.append(len(t))
+        tris = [" ".join(t[i:i + 3]) for i in range(len(t) - 2)]
+        dup3.append(1.0 - len(set(tris)) / len(tris) if tris else 0.0)
+        bis = Counter(" ".join(t[i:i + 2]) for i in range(len(t) - 1))
+        top2.append(max(bis.values()) / sum(bis.values()) if bis else 0.0)
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "n_tokens": pd.array(n_toks, dtype="int64"),
+        "dup_trigram_frac": round_half_up(np.asarray(dup3), 6),
+        "top_bigram_frac": round_half_up(np.asarray(top2), 6),
+    })
+
+
 _FP_B = np.uint64(1000003)
 _FP_H0 = np.uint64(1469598103934665603)
 

@@ -1,0 +1,100 @@
+"""k-means / IVF ANN / SemDeDup (stages/cluster.py).
+
+Determinism is the load-bearing property: the distributed fit must equal a
+single-threaded recompute bit-for-bit (integer-scaled sums), or the driver's
+value-hash oracle checks would be flaky.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from dygiepp_ray.stages.cluster import (
+    kmeans_assign,
+    kmeans_fit,
+    knn_ivf,
+    semantic_dedup,
+)
+
+
+def _toy(n=60, dim=8, seed=3):
+    rng = np.random.RandomState(seed)
+    # three well-separated blobs
+    centers = rng.standard_normal((3, dim)) * 10
+    vecs = np.concatenate(
+        [centers[i % 3] + rng.standard_normal(dim) * 0.1 for i in range(n)]
+    ).reshape(n, dim).astype(np.float32)
+    return pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                         "embedding": list(vecs)})
+
+
+@pytest.fixture(scope="module")
+def toy_ds():
+    return ray.data.from_pandas(_toy()).repartition(4)
+
+
+def test_kmeans_fit_matches_single_threaded(toy_ds):
+    df = _toy()
+    cents = kmeans_fit(toy_ds, k=3, n_iter=4)
+    # single-threaded recompute with the same integer-sum discipline
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    c = mat[:3].copy()
+    scaled = np.rint(mat * 1e6).astype(np.int64)
+    for _ in range(4):
+        d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        lab = d.argmin(axis=1)
+        for j in range(3):
+            if (lab == j).any():
+                c[j] = scaled[lab == j].sum(0).astype(np.float64) / (
+                    1e6 * int((lab == j).sum()))
+    assert np.array_equal(cents, c), "distributed fit must be exact"
+
+
+def test_kmeans_assign_separates_blobs(toy_ds):
+    cents = kmeans_fit(toy_ds, k=3, n_iter=4)
+    out = kmeans_assign(toy_ds, cents).to_pandas().sort_values("vec_id")
+    # rows i, i+3, i+6, ... belong to the same blob -> same cluster
+    lab = out["cluster"].to_numpy()
+    for i in range(3):
+        assert len(set(lab[i::3])) == 1
+    assert len(set(lab[:3])) == 3  # three distinct clusters
+    assert (out["dist"] < 1.0).all()  # tight blobs
+
+
+def test_knn_ivf_finds_query_neighborhood(toy_ds):
+    df = _toy()
+    cents = kmeans_fit(toy_ds, k=3, n_iter=4)
+    q = np.asarray(df["embedding"][0], dtype=np.float64)
+    out = knn_ivf(toy_ds, cents, q, k=5, nprobe=1).to_pandas()
+    assert len(out) == 5
+    assert out["vec_id"].iloc[0] == 0 and out["cosine"].iloc[0] == 1.0
+    # all hits come from blob 0 (ids ≡ 0 mod 3): nprobe=1 restricts to the
+    # query's own cluster
+    assert (out["vec_id"] % 3 == 0).all()
+    assert (out["cosine"].diff().dropna() <= 0).all()
+
+
+def test_semantic_dedup_finds_planted_pairs(toy_ds):
+    df = _toy()
+    dup = df[df["vec_id"] < 5].copy()
+    dup["vec_id"] += 1000
+    planted = ray.data.from_pandas(
+        pd.concat([df, dup], ignore_index=True)).repartition(4)
+    cents = kmeans_fit(planted, k=3, n_iter=3)
+    pairs = semantic_dedup(planted, cents, threshold=0.999999).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert {(i, i + 1000) for i in range(5)} <= got
+    assert (pairs["id_a"] < pairs["id_b"]).all()
+    exact = pairs[pairs["id_b"] >= 1000]
+    assert (exact["cosine"] == 1.0).all()
+
+
+def test_semantic_dedup_never_crosses_clusters(toy_ds):
+    # threshold 0 would pair everything — but only WITHIN a cluster
+    cents = kmeans_fit(toy_ds, k=3, n_iter=4)
+    pairs = semantic_dedup(toy_ds, cents, threshold=-1.0).to_pandas()
+    n = 60 // 3
+    assert len(pairs) == 3 * (n * (n - 1) // 2)
+    assert ((pairs["id_a"] % 3) == (pairs["id_b"] % 3)).all()
