@@ -374,10 +374,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         from dygiepp_ray.aggregates import partial_final_agg
 
-        joined = hash_join(li, orders, on="l_orderkey", n_buckets=16)
+        def per_bucket_agg(df: pd.DataFrame) -> pd.DataFrame:
+            # aggregate-pushdown: reduce inside the join bucket so the full
+            # joined rows never leave the task — only ≤5 partial rows per
+            # bucket travel to the (tiny) final combine
+            return df.groupby("o_orderpriority", as_index=False).agg(
+                n_items=("revenue", "size"), sum_revenue=("revenue", "sum"))
+
+        joined = hash_join(li, orders, on="l_orderkey", n_buckets=16,
+                           bucket_post=per_bucket_agg)
         agg = partial_final_agg(joined, ["o_orderpriority"],
-                                [("n_items", None, "count"),
-                                 ("sum_revenue", "revenue", "sum")])
+                                [("n_items", "n_items", "sum"),
+                                 ("sum_revenue", "sum_revenue", "sum")])
         return _round_cols(agg, {"sum_revenue": 2})
 
     q["lineitem_orders_join"] = lineitem_orders_join

@@ -4,9 +4,14 @@ Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
 
---scaling: runs the headline KG pipeline twice in FRESH processes
-(num_cpus=8 then num_cpus=32) on the same input and reports both throughputs
-plus scaling efficiency = (T_8 / T_32) / (32/8).
+--scaling: runs the headline KG pipeline at two parallelism levels (N and
+4N cpus, fresh process per run) on the same input and reports both
+throughputs plus scaling efficiency = (T_N / T_4N) / 4. Levels default to
+4/16 (GRAFT_SCALE_LEVELS="8,32" selects the other pair): on this SHARED
+host, a plain-python fork microbenchmark shows 32-way concurrency is
+externally capped (0.63 ceiling on a loaded day vs 0.92 for 16-way), so the
+4/16 pair measures the PIPELINE rather than the neighbors. Both pairs are
+recorded in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -95,14 +100,16 @@ SCALING_FILES = int(os.environ.get("GRAFT_SCALE_FILES", "1440000"))
 def _scaling_corpus() -> str:
     """A corpus heavy enough that kernel compute dominates session startup —
     otherwise the 32-cpu run is measured on its actor-pool spin-up."""
-    from dygiepp_ray.corpus import write_corpus
+    from dygiepp_ray.corpus import write_corpus_sharded
 
     path = f"/tmp/dygiepp_ray_corpus/scaling_{SCALING_FILES}"
     marker = os.path.join(path, "_done")
     if not os.path.exists(marker):
         # 256 shards → enough task granularity that the actor-pool waves
-        # don't quantize (64 blocks / 30 actors = 2.1 waves = idle tails)
-        write_corpus(path, n_files=SCALING_FILES, seed=42, n_shards=256)
+        # don't quantize (64 blocks / 30 actors = 2.1 waves = idle tails);
+        # parallel per-shard generation with atomic publish → a killed
+        # generation resumes instead of restarting
+        write_corpus_sharded(path, n_files=SCALING_FILES, seed=42, n_shards=256)
         with open(marker, "w") as fh:
             fh.write("ok")
     return path
@@ -113,13 +120,19 @@ def _scaling_worker(num_cpus: int) -> None:
     from dygiepp_ray.pipelines.kg import kg_triples
 
     corpus = _scaling_corpus()
-    conc = (max(2, num_cpus - 2), max(2, num_cpus - 2))
+    # actor pool exactly = cpu count so BOTH levels get proportional kernel
+    # parallelism (a fixed -2 reserve would handicap the small level: 4 cpus
+    # → 2 actors is 50% of the level, 32 → 30 is 94%). Each actor reserves
+    # 0.85 cpu: N full-cpu actors would hold every scheduler slot and starve
+    # the read tasks (fixed-pool deadlock); the 0.15·N slack admits reads at
+    # a rate proportional to the level.
+    conc = (num_cpus, num_cpus)
     # warmup: spin up the worker/actor pool on a slice so the timed runs
     # measure steady-state throughput, not process startup; report best-of-2
     # to shave scheduler jitter
-    kg_triples(corpus, concurrency=conc, batch_size=256).limit(1).count()
+    kg_triples(corpus, concurrency=conc, batch_size=256, actor_num_cpus=0.85).limit(1).count()
     t0 = time.time()
-    n = kg_triples(corpus, concurrency=conc, batch_size=256).count()
+    n = kg_triples(corpus, concurrency=conc, batch_size=256, actor_num_cpus=0.85).count()
     dt = time.time() - t0
     print(json.dumps({"num_cpus": num_cpus, "sec": dt, "triples": n}))
     import ray
@@ -130,11 +143,11 @@ def _scaling_worker(num_cpus: int) -> None:
 def run_scaling() -> dict:
     # interleave the two levels (lo, hi, lo, hi) and keep the min per level —
     # this sandbox is a shared VM with noisy neighbors, so paired sampling
-    # beats back-to-back runs. Levels default to 8/32; GRAFT_SCALE_LEVELS
-    # ("4,16") selects the other allowed N/4N pair — the 16-way level leaves
-    # CPU headroom against external host load, so it is the noise-robust
-    # configuration on this shared VM (document both in BASELINE.md).
-    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALE_LEVELS", "8,32").split(","))
+    # beats back-to-back runs. Levels default to 4/16; GRAFT_SCALE_LEVELS
+    # ("8,32") selects the other N/4N pair — the 16-way level leaves CPU
+    # headroom against external host load, so 4/16 is the noise-robust
+    # configuration on this shared VM (ceiling analysis in BASELINE.md).
+    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALE_LEVELS", "4,16").split(","))
     assert hi == 4 * lo, "scaling criterion compares N vs 4N parallelism"
     _scaling_corpus()  # generate once in the parent, outside any timed window
     results: dict[int, dict] = {}

@@ -170,3 +170,40 @@ def write_corpus(path: str, n_files: int = 200, seed: int = 42, n_shards: int = 
     for s in range(0, t.num_rows, per):
         pq.write_table(t.slice(s, per), f"{path}/part-{s // per:05d}.parquet")
     return path
+
+
+def _write_shard(args: tuple) -> str:
+    path, shard, n_in_shard, seed = args
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = f"{path}/part-{shard:05d}.parquet"
+    if os.path.exists(out):  # resumable: finished shards are skipped
+        return out
+    t = generate_corpus(n_in_shard, seed=seed * 10_007 + shard)
+    tmp = out + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, out)  # atomic publish
+    return out
+
+
+def write_corpus_sharded(path: str, n_files: int, seed: int = 42,
+                         n_shards: int = 256, workers: int | None = None) -> str:
+    """Parallel, RESUMABLE generator for the big scaling corpora: each shard
+    is generated independently from a derived seed (duplicate files reference
+    earlier files of the SAME shard) and published atomically, so a killed
+    run skips completed shards on restart. `write_corpus` (single global rng
+    stream) stays the generator for the small correctness corpora — the two
+    streams differ and are not interchangeable."""
+    import os
+    from concurrent.futures import ProcessPoolExecutor
+
+    os.makedirs(path, exist_ok=True)
+    per = (n_files + n_shards - 1) // n_shards
+    sizes = [min(per, n_files - s * per) for s in range(n_shards)]
+    jobs = [(path, s, sizes[s], seed) for s in range(n_shards) if sizes[s] > 0]
+    workers = workers or max(1, (os.cpu_count() or 4) - 2)
+    with ProcessPoolExecutor(max_workers=workers) as ex:
+        list(ex.map(_write_shard, jobs, chunksize=4))
+    return path

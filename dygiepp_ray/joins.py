@@ -82,13 +82,20 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               left_cols: list[str] | None = None,
               right_cols: list[str] | None = None,
               left_types: dict | None = None,
-              right_types: dict | None = None) -> "ray.data.Dataset":
+              right_types: dict | None = None,
+              bucket_post=None) -> "ray.data.Dataset":
     """Bucketed hash join of two large Datasets on an integer/string key.
 
     `left_types` / `right_types` ({col: pyarrow.DataType}) skip the
     `Dataset.schema()` probes — on a lazy non-read input, schema inference
     executes the whole upstream plan once just to learn the column types, so
-    callers chaining joins off expensive pipelines should pass them."""
+    callers chaining joins off expensive pipelines should pass them.
+
+    `bucket_post(df) -> df` is the aggregate-pushdown hook: it runs on each
+    bucket's merged rows INSIDE the join task. A downstream reduction (e.g.
+    a grouped count/sum whose result is tiny) passed here means the full
+    joined rows never leave the task — only the per-bucket partials travel,
+    turning join→aggregate into ONE shuffle plus a trivial final combine."""
 
     def stamp(side: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -168,7 +175,8 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
         ldf = _restore_int_dtypes(df[df["_side"] == "l"][lcols].copy(), lcols, l_schema)
         rdf = _restore_int_dtypes(df[df["_side"] == "r"][rcols].copy(), rcols, r_schema)
-        return ldf.merge(rdf, on=on, how=how)
+        merged = ldf.merge(rdf, on=on, how=how)
+        return bucket_post(merged) if bucket_post is not None else merged
 
     return l.union(r).groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
 

@@ -33,10 +33,15 @@ DEFAULT_KERNEL_CONCURRENCY = (1, 8)
 DEFAULT_KERNEL_BATCH_SIZE = 64
 
 
-def read_corpus(input_dir: str) -> "ray.data.Dataset":
+def read_corpus(input_dir: str, read_num_cpus: float | None = None) -> "ray.data.Dataset":
     # all five corpus columns are needed downstream (content for prep+sha,
-    # repo/path/commit for keys+buckets, lang for extraction dispatch)
-    return ray.data.read_parquet(input_dir)
+    # repo/path/commit for keys+buckets, lang for extraction dispatch).
+    # `read_num_cpus < 1` lets read tasks schedule into fractional headroom
+    # left by a session-CPU-sized actor pool (see kg_triples.actor_num_cpus).
+    kwargs = {}
+    if read_num_cpus is not None:
+        kwargs["ray_remote_args"] = {"num_cpus": read_num_cpus}
+    return ray.data.read_parquet(input_dir, **kwargs)
 
 
 def documents_dataset(corpus: "ray.data.Dataset", n_buckets: int | None = None,
@@ -147,16 +152,25 @@ class ExtractToTriples:
 def kg_triples(input_dir: str, concurrency=DEFAULT_KERNEL_CONCURRENCY,
                batch_size: int = DEFAULT_KERNEL_BATCH_SIZE,
                label_map: dict[str, str] | None = None,
+               actor_num_cpus: float = 1,
                **kernel_kwargs) -> "ray.data.Dataset":
     """Corpus dir → streaming triples Dataset (no sink); prep+kernel+flatten
-    fully fused into the actor pool (raw corpus rows in, triple rows out)."""
-    return read_corpus(input_dir).map_batches(
+    fully fused into the actor pool (raw corpus rows in, triple rows out).
+
+    `actor_num_cpus < 1` lets the pool span ALL session CPUs while leaving
+    fractional headroom for the read tasks — a pool of exactly
+    session-CPU-count 1-cpu actors would starve the reads (no free slots).
+    When fractional, read tasks are made fractional too (half the actor
+    share), so the leftover headroom can actually schedule them at ANY
+    session size (0.15·4 cpus of slack can't fit a 1-cpu read task)."""
+    read_cpus = None if actor_num_cpus >= 1 else actor_num_cpus / 2
+    return read_corpus(input_dir, read_num_cpus=read_cpus).map_batches(
         ExtractToTriples,
         fn_constructor_kwargs=dict(label_map=label_map, do_prep=True, **kernel_kwargs),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-        num_cpus=1,
+        num_cpus=actor_num_cpus,
     )
 
 

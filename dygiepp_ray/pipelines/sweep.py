@@ -153,10 +153,12 @@ def eval_sweep(gold: "ray.data.Dataset",
     from .evaluate import compute_f1, relation_matching
 
     def _grid_counts(g: "ray.data.Dataset", p: "ray.data.Dataset") -> dict:
-        """ONE shuffle for the whole metric list: doc_ids coarse-bucketed,
-        per-bucket pandas groupby over doc_id, the greedy matcher run once
-        per metric inside each doc group (the matchers share the sorted row
-        lists). Returns {n_gold, n_pred, matched_<metric>...}."""
+        """ONE shuffle for the whole metric × collapse grid: doc_ids
+        coarse-bucketed, per-bucket pandas groupby over doc_id, the greedy
+        matcher run once per (metric, collapse) inside each doc group (all
+        cells share the sorted row lists, and the expensive upstream
+        gold/pred pipelines execute ONCE per model instead of once per
+        collapse mode). Returns {n_gold, n_pred, matched_<metric>_<c>...}."""
 
         def stamp(side: str):
             def fn(t: pa.Table) -> pa.Table:
@@ -169,16 +171,31 @@ def eval_sweep(gold: "ray.data.Dataset",
         def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
             acc = {"n_gold": 0, "n_pred": 0}
             for m in metrics:
-                acc[f"matched_{m}"] = 0
+                for collapse in collapse_modes:
+                    acc[f"matched_{m}_{int(collapse)}"] = 0
             for _doc, sub in df.groupby("doc_id", sort=False):
                 order = ["arg0", "arg1", "rel"]
                 gs = sub[sub["_side"] == "g"].sort_values(order).to_dict("records")
                 ps = sub[sub["_side"] == "p"].sort_values(order).to_dict("records")
                 acc["n_gold"] += len(gs)
                 acc["n_pred"] += len(ps)
+                variants = {}
+                for collapse in collapse_modes:
+                    if collapse:
+                        # blank the label (eval_metric.py's collapse mode);
+                        # re-sort so the greedy order matches the shaped
+                        # two-pass pipeline exactly
+                        blank = lambda rows_: sorted(
+                            ({**r, "rel": ""} for r in rows_),
+                            key=lambda r: (r["arg0"], r["arg1"]))
+                        variants[collapse] = (blank(gs), blank(ps))
+                    else:
+                        variants[collapse] = (gs, ps)
                 for m in metrics:
-                    acc[f"matched_{m}"] += relation_matching(
-                        gs, ps, metric=m, threshold=jaccard_thresh)
+                    for collapse in collapse_modes:
+                        gv, pv = variants[collapse]
+                        acc[f"matched_{m}_{int(collapse)}"] += relation_matching(
+                            gv, pv, metric=m, threshold=jaccard_thresh)
             return pd.DataFrame([acc])
 
         u = (
@@ -187,19 +204,19 @@ def eval_sweep(gold: "ray.data.Dataset",
             .groupby("_bucket")
             .map_groups(count_bucket, batch_format="pandas")
         )
-        keys = ["n_gold", "n_pred"] + [f"matched_{m}" for m in metrics]
+        keys = ["n_gold", "n_pred"] + [
+            f"matched_{m}_{int(c)}" for m in metrics for c in collapse_modes]
         sums = u.aggregate(*[Sum(k, alias_name=k) for k in keys])
         return {k: (sums[k] or 0) for k in keys}
 
     rows = []
     for name, pred in models.items():
+        counts = _grid_counts(_shape(gold, False), _shape(pred, False))
         for collapse in collapse_modes:
-            g = _shape(gold, collapse)
-            p = _shape(pred, collapse)
-            counts = _grid_counts(g, p)
             for metric in metrics:
-                prec, rec, f1 = compute_f1(counts["n_pred"], counts["n_gold"],
-                                           counts[f"matched_{metric}"])
+                prec, rec, f1 = compute_f1(
+                    counts["n_pred"], counts["n_gold"],
+                    counts[f"matched_{metric}_{int(collapse)}"])
                 row = {
                     "model": name, "match_metric": metric,
                     "collapse": collapse, "threshold": jaccard_thresh,

@@ -52,6 +52,23 @@ def test_hash_join_string_key():
     assert sorted(zip(got["k"], got["x"], got["y"])) == sorted(zip(want["k"], want["x"], want["y"]))
 
 
+def test_hash_join_bucket_post_aggregate(tables):
+    # aggregate-pushdown: per-bucket reduction inside the join task sums to
+    # the same totals as aggregating the full joined rows
+    left, right = tables
+    got = hash_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        on="k", n_buckets=8,
+        bucket_post=lambda df: df.groupby("rv", as_index=False).agg(
+            n=("lv", "size"), s=("lv", "sum")),
+    ).to_pandas().groupby("rv", as_index=False)[["n", "s"]].sum()
+    want = (left.merge(right, on="k", how="inner")
+            .groupby("rv", as_index=False).agg(n=("lv", "size"), s=("lv", "sum")))
+    pd.testing.assert_frame_equal(
+        got.sort_values("rv").reset_index(drop=True),
+        want.sort_values("rv").reset_index(drop=True), check_dtype=False)
+
+
 def test_broadcast_lookup(tables):
     left, right = tables
     got = broadcast_lookup(ray.data.from_pandas(left), right, "k", ["rv"]).to_pandas()
