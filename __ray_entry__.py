@@ -990,6 +990,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_closure"] = q_kg_closure
 
+    def _distinct_edge_ds(sf_dir: str):
+        # distinct (subj_norm -> obj_norm) KG edge set: per-block dedup then
+        # a partial+final grouped count, so the shuffle moves <= one row per
+        # (pair, block) — the input both graph-analytics fixpoints run over
+        tri = _synth_triples(sf_dir)
+        return grouped_count(tri.select_columns(["subj_norm", "obj_norm"]),
+                             ["subj_norm", "obj_norm"], out_name="_w"
+                             ).select_columns(["subj_norm", "obj_norm"])
+
+    def q_kg_components(sf_dir: str):
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.graph import connected_components
+
+        _write_oracle(sf_dir, "kg_components",
+                      lambda: _o.expected_components(_oracle_triples_table(sf_dir)))
+        # KG node vocab is lexicon-bounded -> broadcast mode, no auto-count
+        return connected_components(_distinct_edge_ds(sf_dir),
+                                    src="subj_norm", dst="obj_norm",
+                                    mode="broadcast")
+
+    q["kg_components"] = q_kg_components
+
+    def q_kg_pagerank(sf_dir: str):
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.graph import pagerank_fixedpoint
+
+        _write_oracle(sf_dir, "kg_pagerank",
+                      lambda: _o.expected_pagerank(_oracle_triples_table(sf_dir)))
+        return pagerank_fixedpoint(_distinct_edge_ds(sf_dir),
+                                   src="subj_norm", dst="obj_norm",
+                                   mode="broadcast")
+
+    q["kg_pagerank"] = q_kg_pagerank
+
     def q_collate_stats(sf_dir: str):
         # P5 collate over the documents-as-docs table: sentence conservation
         from dygiepp_ray.stages.collate import collate
@@ -1777,6 +1811,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_closure": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_closure.parquet')
+        """,
+        "kg_components": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_components.parquet')
+        """,
+        "kg_pagerank": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_pagerank.parquet')
         """,
         "kg_mention_counts": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_mention_counts.parquet')

@@ -1137,6 +1137,76 @@ def expected_semantic_dedup(sf_dir: str, threshold: float = 0.9,
                      "cosine": pa.array([x[2] for x in out], pa.float64())})
 
 
+# --------------------------------------------------------- graph analytics
+
+GRAPH_UNITS = 1_000_000_000  # mirrors stages/graph.py UNITS
+
+
+def _distinct_edges(triples: pa.Table) -> list:
+    """Distinct (subj_norm, obj_norm) pairs, sorted — the KG edge set the
+    graph-analytics queries run over."""
+    return sorted(set(zip(triples.column("subj_norm").to_pylist(),
+                          triples.column("obj_norm").to_pylist())))
+
+
+def expected_components(triples: pa.Table) -> pa.Table:
+    """(node, component) via single-threaded union-find; component = the
+    minimum member id — the fixpoint stages/graph.py's min-label propagation
+    converges to, and `min` over a set is order-independent, so the two
+    evaluations must agree exactly."""
+    edges = _distinct_edges(triples)
+    nodes = sorted({n for e in edges for n in e})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "component": pa.array([comp_min[find(n)] for n in nodes], pa.string()),
+    })
+
+
+def expected_pagerank(triples: pa.Table, n_iter: int = 10) -> pa.Table:
+    """Integer fixed-point PageRank recompute (stages/graph.py spec): int64
+    micro-units, floor-divided shares, no dangling/rounding redistribution.
+    Single-threaded dict arithmetic is exact int64, so it must hash-match
+    the distributed evaluation bit for bit."""
+    from .functions.strings import round_half_up
+
+    edges = _distinct_edges(triples)
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    outdeg: dict = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base = (n * GRAPH_UNITS) * 15 // (100 * n)
+    units = {v: GRAPH_UNITS for v in nodes}
+    for _ in range(n_iter):
+        share = {u: units[u] * 85 // (100 * d) for u, d in outdeg.items()}
+        nxt = {v: base for v in nodes}
+        for u, v in edges:
+            nxt[v] += share[u]
+        units = nxt
+    return pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "rank_units": pa.array([units[v] for v in nodes], pa.int64()),
+        "rank": pa.array([float(round_half_up(units[v] / (n * GRAPH_UNITS), 9))
+                          for v in nodes], pa.float64()),
+    })
+
+
 # ------------------------------------------------------------------ writers
 
 

@@ -1,0 +1,383 @@
+"""Graph analytics over the materialized KG edge table (the step after
+`pipelines/kg.py:graph_edges` — SURVEY.md §3.2's `networkx.MultiDiGraph`
+consumer, re-expressed as distributed fixpoint iterations; reference builds
+the graph at make_kb.py:97-103 but offers no analytics beyond counts).
+
+Two execution modes, dispatched on the node-vocabulary size (`mode="auto"`):
+
+- **broadcast** (|V| fits in a worker's heap — the common case for a KG,
+  whose nodes are canonicalized entity spans, a vocabulary orders of
+  magnitude smaller than the edge set): the per-node state (label / rank
+  units) lives in ONE numpy array `ray.put` once per iteration; each
+  iteration is a single vectorized `map_batches` pass over the int-indexed
+  edge blocks emitting tiny compacted partials, streamed to the driver with
+  `iter_batches` and merged with `np.minimum.at` / int64 adds. Zero
+  shuffles per iteration; the edge set streams at any size.
+- **shuffle** (|V| itself exceeds memory — e.g. URL-graph scale): the
+  bucketed-`hash_join` + partial+final-aggregation fixpoint below; each
+  iteration is a bounded number of key-partitioned shuffles, never a
+  driver-side adjacency structure.
+
+Determinism discipline (driver value-hash oracles hold in BOTH modes):
+
+- connected components: min-label propagation; `min` is order-independent,
+  so distributed evaluation matches a single-threaded union-find exactly.
+  Node indices are assigned in sorted-name order, so index-min == name-min.
+- PageRank: FIXED-POINT integer arithmetic — ranks live as int64
+  micro-units (Σ = N × 10⁹ initially) and every share uses floor division
+  (`units * 85 // (100 * outdeg)`), so partial sums are exact int64 and
+  order-independent. This is a deterministic spec (documented mass loss to
+  rounding and dangling nodes), not IEEE-float PageRank — the float `rank`
+  column is derived from the integers, identically on engine and oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..aggregates import partial_final_agg, strip_schema_metadata
+from ..joins import hash_join
+
+UNITS = 1_000_000_000  # 1.0 of rank mass, in micro-units
+DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+
+
+def _nodes_of(edges: "ray.data.Dataset", src: str, dst: str) -> "ray.data.Dataset":
+    """Distinct node set of an edge table (both endpoints), via per-block
+    dedup then a grouped count (shuffle moves ≤ one row per (node, block))."""
+
+    def both(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        chunks = list(t.column(src).chunks) + list(t.column(dst).chunks)
+        arr = pa.chunked_array(chunks, t.column(src).type)
+        return pa.table({"node": arr.unique()})
+
+    from ..aggregates import grouped_count
+
+    return grouped_count(edges.map_batches(both, batch_format="pyarrow"),
+                         ["node"], out_name="_n").select_columns(["node"])
+
+
+def _index_edges(edges: "ray.data.Dataset", src: str, dst: str):
+    """(names, indexed_edges) — names is the sorted node vocabulary (numpy
+    object array, bounded by the broadcast-mode assumption |V| ≪ |E|);
+    indexed_edges is the edge set re-expressed as int32 (s, d) columns,
+    materialized once so every fixpoint iteration is pure numpy over it."""
+    name_rows = _nodes_of(edges, src, dst).take_all()
+    names = np.array(sorted(r["node"] for r in name_rows), dtype=object)
+    idx_ref = ray.put({n: i for i, n in enumerate(names)})
+
+    def to_idx(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(idx_ref)
+        return pd.DataFrame({
+            "s": df[src].map(m).to_numpy(dtype=np.int32),
+            "d": df[dst].map(m).to_numpy(dtype=np.int32),
+        })
+
+    indexed = edges.select_columns([src, dst]).map_batches(
+        to_idx, batch_format="pandas").materialize()
+    return names, indexed
+
+
+def _components_broadcast(edges: "ray.data.Dataset", src: str, dst: str,
+                          max_iter: int) -> "ray.data.Dataset":
+    """Broadcast-mode CC: labels = one int64 array over the sorted node
+    vocabulary; each round is one vectorized pass over the edge blocks
+    (updates compacted per block with np.unique+minimum) streamed to the
+    driver, then driver-side pointer compression (labels[labels]) — so
+    rounds ≈ O(log diameter), not diameter."""
+    names, indexed = _index_edges(edges, src, dst)
+    labels = np.arange(len(names), dtype=np.int64)
+
+    for _ in range(max_iter):
+        lab_ref = ray.put(labels)
+
+        def step(df: pd.DataFrame) -> pd.DataFrame:
+            lab = ray.get(lab_ref)
+            s = df["s"].to_numpy()
+            d = df["d"].to_numpy()
+            ls, ld = lab[s], lab[d]
+            m = np.minimum(ls, ld)
+            up_n = np.concatenate([s[m < ls], d[m < ld]])
+            up_v = np.concatenate([m[m < ls], m[m < ld]])
+            # compact per block: one (node, min) row per touched node
+            uniq, inv = np.unique(up_n, return_inverse=True)
+            best = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(best, inv, up_v)
+            return pd.DataFrame({"n": uniq.astype(np.int64), "v": best})
+
+        changed = False
+        updates = indexed.map_batches(step, batch_format="pandas")
+        for batch in updates.iter_batches(batch_format="numpy"):
+            n, v = batch["n"], batch["v"]
+            if len(n):
+                before = labels[n].copy()
+                np.minimum.at(labels, n, v)
+                changed = changed or bool((labels[n] < before).any())
+        # pointer compression (pure acceleration; fixpoint is unchanged)
+        while True:
+            nxt = np.minimum(labels, labels[labels])
+            if (nxt == labels).all():
+                break
+            labels = nxt
+        if not changed:
+            break
+
+    out = pa.table({"node": pa.array(list(names), pa.string()),
+                    "component": pa.array(list(names[labels]), pa.string())})
+    return ray.data.from_arrow(out)
+
+
+def _pagerank_broadcast(edges: "ray.data.Dataset", src: str, dst: str,
+                        n_iter: int) -> "ray.data.Dataset":
+    """Broadcast-mode PageRank: per-iteration = one pass over the indexed
+    edge blocks with the share vector broadcast; per-block int64 dense
+    accumulate (bounded by |V| — the mode's admission criterion) compacted
+    to nonzero rows, streamed to the driver and summed exactly in int64."""
+    from ..functions.strings import round_half_up
+
+    names, indexed = _index_edges(edges, src, dst)
+    n_nodes = len(names)
+    base = (n_nodes * UNITS) * (DAMP_DEN - DAMP_NUM) // (DAMP_DEN * n_nodes)
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        uniq, cnt = np.unique(df["s"].to_numpy(), return_counts=True)
+        return pd.DataFrame({"n": uniq.astype(np.int64),
+                             "c": cnt.astype(np.int64)})
+
+    outdeg = np.zeros(n_nodes, dtype=np.int64)
+    for batch in indexed.map_batches(
+            deg_partial, batch_format="pandas").iter_batches(batch_format="numpy"):
+        np.add.at(outdeg, batch["n"], batch["c"])
+
+    units = np.full(n_nodes, UNITS, dtype=np.int64)
+    for _ in range(n_iter):
+        share = np.zeros(n_nodes, dtype=np.int64)
+        nz = outdeg > 0
+        share[nz] = units[nz] * DAMP_NUM // (DAMP_DEN * outdeg[nz])
+        share_ref = ray.put(share)
+
+        def deliver(df: pd.DataFrame) -> pd.DataFrame:
+            sh = ray.get(share_ref)
+            acc = np.zeros(len(sh), dtype=np.int64)
+            np.add.at(acc, df["d"].to_numpy(), sh[df["s"].to_numpy()])
+            touched = np.nonzero(acc)[0]
+            return pd.DataFrame({"n": touched.astype(np.int64),
+                                 "v": acc[touched]})
+
+        incoming = np.zeros(n_nodes, dtype=np.int64)
+        for batch in indexed.map_batches(
+                deliver, batch_format="pandas").iter_batches(batch_format="numpy"):
+            np.add.at(incoming, batch["n"], batch["v"])
+        units = base + incoming
+
+    rank = round_half_up(units.astype(np.float64) / (n_nodes * UNITS), 9)
+    out = pa.table({"node": pa.array(list(names), pa.string()),
+                    "rank_units": pa.array(units, pa.int64()),
+                    "rank": pa.array(rank, pa.float64())})
+    return ray.data.from_arrow(out)
+
+
+def _broadcast_fits(edges: "ray.data.Dataset", src: str, dst: str,
+                    max_nodes: int) -> bool:
+    """auto-mode admission: node vocabulary small enough to broadcast. The
+    distinct-count is one partial+final aggregation (cheap: ≤ one row per
+    (node, block) shuffles)."""
+    return _nodes_of(edges, src, dst).count() <= max_nodes
+
+
+def connected_components(edges: "ray.data.Dataset", src: str = "src",
+                         dst: str = "dst", max_iter: int = 50,
+                         n_buckets: int = 32, mode: str = "auto",
+                         broadcast_max_nodes: int = 5_000_000
+                         ) -> "ray.data.Dataset":
+    """(node, component) — component = the MINIMUM node id (lexicographic
+    for strings) of the node's weakly-connected component.
+
+    `mode`: "broadcast" (label array broadcast, zero shuffles/round),
+    "shuffle" (bucketed-join fixpoint for huge vocabularies), or "auto"."""
+    if mode == "auto":
+        mode = ("broadcast"
+                if _broadcast_fits(edges, src, dst, broadcast_max_nodes)
+                else "shuffle")
+    if mode == "broadcast":
+        return _components_broadcast(edges, src, dst, max_iter)
+    return _components_shuffle(edges, src, dst, max_iter, n_buckets)
+
+
+def _components_shuffle(edges: "ray.data.Dataset", src: str,
+                        dst: str, max_iter: int,
+                        n_buckets: int) -> "ray.data.Dataset":
+    """Shuffle-mode CC (|V| beyond broadcast): min-label propagation to
+    fixpoint — each iteration joins current labels onto the (symmetrized)
+    edges and takes the grouped min of neighbor labels vs own label.
+    Iterations are driver-coordinated but all data motion is bucketed
+    shuffles; per-iteration convergence is detected with a tiny changed-row
+    count. Label diameter bounds iterations (≤ graph diameter); `max_iter`
+    is a safety stop."""
+
+    def sym(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        typ = t.column(src).type
+        a = pa.chunked_array(
+            list(t.column(src).chunks) + list(t.column(dst).chunks), typ)
+        b = pa.chunked_array(
+            list(t.column(dst).chunks) + list(t.column(src).chunks), typ)
+        return pa.table({"u": a, "v": b})
+
+    sym_edges = edges.select_columns([src, dst]).map_batches(
+        sym, batch_format="pyarrow").materialize()
+    labels = _nodes_of(edges, src, dst).map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "label": t.column("node")}),
+        batch_format="pyarrow").materialize()
+    node_type = pa.string()
+
+    for _ in range(max_iter):
+        # neighbor labels: label(u) delivered to v
+        nbr = hash_join(
+            sym_edges, labels.map_batches(
+                lambda t: t.rename_columns(["u", "label"]),
+                batch_format="pyarrow"),
+            on="u", n_buckets=n_buckets,
+            left_types={"u": node_type, "v": node_type},
+            right_types={"u": node_type, "label": node_type},
+            bucket_post=lambda df: df.groupby("v", as_index=False)
+                                     .agg(nbr_min=("label", "min")),
+        )
+        cand = partial_final_agg(
+            nbr.map_batches(lambda t: t.rename_columns(["node", "nbr_min"]),
+                            batch_format="pyarrow"),
+            ["node"], [("nbr_min", "nbr_min", "min")])
+        merged = hash_join(
+            labels, cand, on="node", n_buckets=n_buckets, how="left",
+            left_types={"node": node_type, "label": node_type},
+            right_types={"node": node_type, "nbr_min": node_type},
+        )
+
+        def take_min(t: pa.Table) -> pa.Table:
+            new = pc.min_element_wise(t.column("label"),
+                                      t.column("nbr_min"),
+                                      skip_nulls=True)
+            return pa.table({
+                "node": t.column("node"), "label": new,
+                "_changed": pc.cast(pc.not_equal(new, t.column("label")),
+                                    pa.int32()),
+            })
+
+        stepped = merged.map_batches(take_min, batch_format="pyarrow").materialize()
+        changed = stepped.sum("_changed") or 0
+        labels = stepped.select_columns(["node", "label"])
+        if changed == 0:
+            break
+    return labels.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "component": t.column("label")}),
+        batch_format="pyarrow")
+
+
+def pagerank_fixedpoint(edges: "ray.data.Dataset", src: str = "src",
+                        dst: str = "dst", n_iter: int = 10,
+                        n_buckets: int = 32, mode: str = "auto",
+                        broadcast_max_nodes: int = 5_000_000
+                        ) -> "ray.data.Dataset":
+    """(node, rank_units, rank) after `n_iter` fixed-point iterations.
+
+    `mode` as in `connected_components` (identical result either way).
+
+    Spec (exact integer arithmetic, see module docstring):
+      units⁰(v)   = UNITS
+      share(u)    = units(u) * 85 // (100 * outdeg(u))
+      unitsᵗ⁺¹(v) = base + Σ_{(u,v)∈E} share(u),
+      base        = (N * UNITS) * 15 // (100 * N)
+    Mass lost to floor rounding and dangling nodes is NOT redistributed
+    (deterministic spec choice; documented). `rank` = units / (N * UNITS)
+    rounded half-up to 9 decimals — derived from the integers, so it hashes
+    identically everywhere."""
+    if mode == "auto":
+        mode = ("broadcast"
+                if _broadcast_fits(edges, src, dst, broadcast_max_nodes)
+                else "shuffle")
+    if mode == "broadcast":
+        return _pagerank_broadcast(edges, src, dst, n_iter)
+    return _pagerank_shuffle(edges, src, dst, n_iter, n_buckets)
+
+
+def _pagerank_shuffle(edges: "ray.data.Dataset", src: str, dst: str,
+                      n_iter: int, n_buckets: int) -> "ray.data.Dataset":
+    """Shuffle-mode PageRank (|V| beyond broadcast): each iteration = two
+    bucketed joins (rank⋈outdeg → share; share delivered along edges with
+    the grouped sum pushed into the join task) + one partial+final sum."""
+    from ..functions.strings import round_half_up
+
+    e = edges.select_columns([src, dst]).map_batches(
+        lambda t: strip_schema_metadata(t).rename_columns(["u", "v"]),
+        batch_format="pyarrow").materialize()
+    nodes = _nodes_of(edges, src, dst).materialize()
+    n_nodes = nodes.count()
+    base = (n_nodes * UNITS) * (DAMP_DEN - DAMP_NUM) // (DAMP_DEN * n_nodes)
+    node_type = pa.string()
+
+    outdeg = partial_final_agg(
+        e.map_batches(lambda t: pa.table({"node": t.column("u")}),
+                      batch_format="pyarrow"),
+        ["node"], [("outdeg", None, "count")]).materialize()
+
+    ranks = nodes.map_batches(
+        lambda t: t.append_column("units",
+                                  pa.array(np.full(t.num_rows, UNITS),
+                                           pa.int64())),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(n_iter):
+        # share per source node (rank joined to outdeg — both keyed by node)
+        shares = hash_join(
+            ranks, outdeg, on="node", n_buckets=n_buckets,
+            left_types={"node": node_type, "units": pa.int64()},
+            right_types={"node": node_type, "outdeg": pa.int64()},
+            bucket_post=lambda df: pd.DataFrame({
+                "node": df["node"],
+                "share": (df["units"].to_numpy() * DAMP_NUM)
+                         // (DAMP_DEN * df["outdeg"].to_numpy()),
+            }),
+        )
+        # deliver shares along edges, sum per destination
+        delivered = hash_join(
+            e, shares.map_batches(lambda t: t.rename_columns(["u", "share"]),
+                                  batch_format="pyarrow"),
+            on="u", n_buckets=n_buckets,
+            left_types={"u": node_type, "v": node_type},
+            right_types={"u": node_type, "share": pa.int64()},
+            bucket_post=lambda df: df.groupby("v", as_index=False)
+                                     .agg(in_sum=("share", "sum")),
+        )
+        summed = partial_final_agg(
+            delivered.map_batches(lambda t: t.rename_columns(["node", "in_sum"]),
+                                  batch_format="pyarrow"),
+            ["node"], [("in_sum", "in_sum", "sum")])
+        joined = hash_join(
+            nodes, summed, on="node", n_buckets=n_buckets, how="left",
+            left_types={"node": node_type},
+            right_types={"node": node_type, "in_sum": pa.int64()},
+        )
+
+        def refresh(df: pd.DataFrame) -> pd.DataFrame:
+            s = df["in_sum"].fillna(0).astype("int64")
+            return pd.DataFrame({"node": df["node"],
+                                 "units": (base + s).astype("int64")})
+
+        ranks = joined.map_batches(refresh, batch_format="pandas").materialize()
+
+    def finalize(t: pa.Table) -> pa.Table:
+        units = t.column("units").to_numpy(zero_copy_only=False)
+        rank = round_half_up(units.astype(np.float64) / (n_nodes * UNITS), 9)
+        return pa.table({"node": t.column("node"),
+                         "rank_units": t.column("units"),
+                         "rank": pa.array(rank, pa.float64())})
+
+    return ranks.map_batches(finalize, batch_format="pyarrow")

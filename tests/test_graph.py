@@ -1,10 +1,13 @@
-"""Graph materialization tables vs pandas oracles."""
+"""Graph materialization tables and graph analytics vs pure-python oracles."""
 
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
 
 from dygiepp_ray.pipelines.kg import graph_edges, graph_nodes
+from dygiepp_ray.stages.graph import connected_components, pagerank_fixedpoint
+from dygiepp_ray import oracle as o
 
 
 def _triples():
@@ -31,3 +34,67 @@ def test_graph_nodes_counts_both_slots():
     counts = dict(zip(got["span_norm"], got["mention_count"]))
     # a: 3 subj + 1 obj; b: 1 subj + 3 obj; c: 1 subj + 1 obj
     assert counts == {"a": 4, "b": 4, "c": 2}
+
+
+def _edge_ds(pairs):
+    return ray.data.from_pandas(pd.DataFrame(
+        {"src": [p[0] for p in pairs], "dst": [p[1] for p in pairs]}))
+
+
+def _pairs_table(pairs):
+    return pa.table({"subj_norm": pa.array([p[0] for p in pairs], pa.string()),
+                     "obj_norm": pa.array([p[1] for p in pairs], pa.string())})
+
+
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_connected_components_min_label(mode):
+    # two components: {a,b,c,d} (direction must not matter) and {x,y}
+    pairs = [("b", "a"), ("b", "c"), ("c", "d"), ("x", "y")]
+    got = connected_components(_edge_ds(pairs), n_buckets=4, mode=mode).to_pandas()
+    comp = dict(zip(got["node"], got["component"]))
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_connected_components_matches_union_find_oracle(mode):
+    # a denser deterministic graph incl. a cycle and a self-loop
+    pairs = [("n%d" % i, "n%d" % ((i * 3) % 7)) for i in range(7)]
+    pairs += [("m1", "m2"), ("m2", "m1"), ("z", "z")]
+    got = connected_components(_edge_ds(pairs), n_buckets=4, mode=mode).to_pandas()
+    exp = o.expected_components(_pairs_table(pairs)).to_pandas()
+    got = got.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_pagerank_fixedpoint_matches_integer_oracle(mode):
+    # star + chain + dangling node (b has no out-edges via "d")
+    pairs = [("a", "b"), ("a", "c"), ("c", "a"), ("c", "b"), ("d", "a")]
+    got = pagerank_fixedpoint(_edge_ds(pairs), n_iter=5, n_buckets=4,
+                              mode=mode).to_pandas()
+    exp = o.expected_pagerank(_pairs_table(pairs), n_iter=5).to_pandas()
+    got = got.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # exact integer mass conservation sanity: every unit value positive
+    assert (got["rank_units"] > 0).all()
+
+
+def test_graph_modes_agree_on_random_graph():
+    # 40-node pseudo-random digraph: both execution modes must be
+    # bit-identical on both operators (same deterministic spec)
+    pairs = [("v%02d" % ((i * 7) % 40), "v%02d" % ((i * 13 + 5) % 40))
+             for i in range(120)]
+    ds = _edge_ds(pairs)
+    cc_b = connected_components(ds, mode="broadcast").to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    cc_s = connected_components(ds, mode="shuffle").to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(cc_b, cc_s)
+    pr_b = pagerank_fixedpoint(ds, n_iter=4, mode="broadcast").to_pandas(
+        ).sort_values("node").reset_index(drop=True)
+    pr_s = pagerank_fixedpoint(ds, n_iter=4, mode="shuffle").to_pandas(
+        ).sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(pr_b, pr_s)
