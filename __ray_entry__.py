@@ -469,6 +469,120 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["running_order_total"] = running_order_total
 
+    def asof_join_orders(sf_dir: str):
+        # as-of join: each event matched to the user's latest order at-or-
+        # before the event time. Right side pre-reduced to unique
+        # (custkey, orderdate) — max orderkey as the deterministic tie
+        # representative — so SQL-ASOF (tie-ambiguous) parity holds.
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.joins import asof_join
+
+        events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        orders = partial_final_agg(
+            _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"]),
+            ["o_custkey", "o_orderdate"], [("o_orderkey", "o_orderkey", "max")])
+        orders = orders.map_batches(
+            lambda t: pa.table({"user_id": t.column("o_custkey"),
+                                "o_orderdate": pc.cast(t.column("o_orderdate"),
+                                                       pa.timestamp("us")),
+                                "o_orderkey": t.column("o_orderkey")}),
+            batch_format="pyarrow")
+        return asof_join(events, orders, by="user_id",
+                         left_on="ts", right_on="o_orderdate",
+                         left_cols=["event_id"], right_cols=["o_orderkey"],
+                         n_buckets=16,
+                         left_types={"user_id": pa.int64(),
+                                     "ts": pa.timestamp("us"),
+                                     "event_id": pa.int64()},
+                         right_types={"user_id": pa.int64(),
+                                      "o_orderdate": pa.timestamp("us"),
+                                      "o_orderkey": pa.int64()})
+
+    q["asof_join_orders"] = asof_join_orders
+
+    def range_join_events(sf_dir: str):
+        # range (interval) join: pairs of events of the same user within a
+        # 10-minute trailing window (half-open, self-pairs excluded),
+        # counted per user. Window replication factor <= 2 at the 10-min
+        # band width; the grouped count collapses the pair table.
+        from dygiepp_ray.joins import interval_join
+
+        win_us = 600_000_000  # 10 minutes in micros
+
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        left = ev.map_batches(
+            lambda t: pa.table({
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            }), batch_format="pyarrow")
+        right = ev.map_batches(
+            lambda t: pa.table({
+                "user_id": t.column("user_id"),
+                "eid_b": t.column("event_id"),
+                "win_start": pc.cast(t.column("ts"), pa.int64()),
+                "win_end": pc.add(pc.cast(t.column("ts"), pa.int64()),
+                                  pa.scalar(win_us, pa.int64())),
+            }), batch_format="pyarrow")
+        pairs = interval_join(
+            left, right, on="user_id", left_ts="ts_us",
+            right_start="win_start", right_end="win_end",
+            left_cols=["event_id"], right_cols=["eid_b"],
+            bucket_width=win_us, n_buckets=16,
+            post_filter=lambda df: df[df["event_id"] != df["eid_b"]])
+        return grouped_count(pairs.select_columns(["user_id"]), ["user_id"],
+                             out_name="n")
+
+    q["range_join_events"] = range_join_events
+
+    def quantiles_price(sf_dir: str):
+        # exact distributed quantiles by histogram refinement (3 streaming
+        # passes, no sort) — DuckDB quantile_disc rank semantics
+        from dygiepp_ray.aggregates import distributed_quantiles
+
+        ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+        return distributed_quantiles(ds, "l_extendedprice",
+                                     [0.25, 0.5, 0.75, 0.9, 0.99],
+                                     by="l_returnflag")
+
+    q["quantiles_price"] = quantiles_price
+
+    def approx_distinct_users(sf_dir: str):
+        # HyperLogLog count-distinct (p=12, ~1.6% s.e.): partial registers
+        # per block -> (group, register) max merge -> per-group estimate
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.sketch import hll_ndv
+
+        _write_oracle(sf_dir, "approx_distinct_users",
+                      lambda: _o.expected_hll_ndv(sf_dir))
+        ev = _read(sf_dir, "events", ["event_type", "user_id"])
+        return hll_ndv(ev, "user_id", by="event_type")
+
+    q["approx_distinct_users"] = approx_distinct_users
+
+    def events_props_sum(sf_dir: str):
+        # JSON field extraction (vectorized regex fast path) -> grouped sum
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.stages.misc import json_extract_int
+
+        ev = _read(sf_dir, "events", ["event_type", "props"])
+        ext = json_extract_int(ev, "props", "k", "k_val")
+        return partial_final_agg(ext.select_columns(["event_type", "k_val"]),
+                                 ["event_type"], [("k_sum", "k_val", "sum")])
+
+    q["events_props_sum"] = events_props_sum
+
+    def pivot_status_priority(sf_dir: str):
+        # long->wide pivot of grouped counts (closed category list)
+        from dygiepp_ray.aggregates import pivot_counts
+
+        ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+        return pivot_counts(ds, "o_orderstatus", "o_orderpriority",
+                            ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                             "4-NOT SPECIFIED", "5-LOW"])
+
+    q["pivot_status_priority"] = pivot_status_priority
+
     def bloom_anti_join_orders(sf_dir: str):
         # approximate anti-join via broadcast Bloom filter (fpr 1e-4):
         # the scale path for key sets too big to broadcast exactly
@@ -1626,6 +1740,49 @@ def oracle_sql() -> dict[str, str]:
                     SELECT o_totalprice FROM orders
                     WHERE o_totalprice >= 100000
                     ORDER BY o_totalprice DESC LIMIT 50))
+        """,
+        "asof_join_orders": """
+            SELECT e.event_id, e.user_id, e.ts, o.o_orderdate, o.o_orderkey
+            FROM events e ASOF LEFT JOIN (
+                SELECT o_custkey AS user_id, o_orderdate,
+                       max(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY o_custkey, o_orderdate
+            ) o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+        """,
+        "range_join_events": """
+            SELECT a.user_id, count(*) AS n
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts <= a.ts
+             AND a.ts < b.ts + INTERVAL 10 MINUTE
+             AND a.event_id <> b.event_id
+            GROUP BY a.user_id
+        """,
+        "quantiles_price": """
+            SELECT l_returnflag,
+                   unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE,
+                           0.9::DOUBLE, 0.99::DOUBLE]) AS q,
+                   unnest(quantile_disc(l_extendedprice,
+                                        [0.25, 0.5, 0.75, 0.9, 0.99])) AS v
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "approx_distinct_users": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/approx_distinct_users.parquet')
+        """,
+        "events_props_sum": """
+            SELECT event_type,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS k_sum
+            FROM events GROUP BY event_type
+        """,
+        "pivot_status_priority": """
+            SELECT o_orderstatus,
+                   count(*) FILTER (o_orderpriority = '1-URGENT') AS n_1_urgent,
+                   count(*) FILTER (o_orderpriority = '2-HIGH') AS n_2_high,
+                   count(*) FILTER (o_orderpriority = '3-MEDIUM') AS n_3_medium,
+                   count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED')
+                       AS n_4_not_specified,
+                   count(*) FILTER (o_orderpriority = '5-LOW') AS n_5_low
+            FROM orders GROUP BY o_orderstatus
         """,
         "exact_dedup": """
             SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -68,6 +68,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "token_stats", "quality_score", "lang_id",
         "tpch_q1_agg", "broadcast_join_orders", "lineitem_orders_join",
         "events_user_daily", "running_order_total", "topk_orders",
+        # round-2 additions (kept after the comparable round-1 17)
+        "asof_join_orders", "range_join_events", "quantiles_price",
+        "kg_components", "kg_pagerank",
     ]
     times: dict[str, float] = {}
     counts: dict[str, int] = {}

@@ -18,9 +18,11 @@ Both phases stream; nothing is materialized on the driver.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data
 from ray.data.aggregate import Sum
 
@@ -153,3 +155,191 @@ def top_k(ds: "ray.data.Dataset", col: str, k: int, descending: bool = True) -> 
 
     pruned = ds.map_batches(block_topk, batch_format="pyarrow")
     return pruned.sort(col, descending=descending).limit(k)
+
+
+def distributed_quantiles(ds: "ray.data.Dataset", col: str,
+                          qs: list[float], by: str | None = None,
+                          n_bins: int = 4096):
+    """Exact distributed quantiles by histogram refinement (3 streaming
+    passes, no sort, no full materialization):
+
+      1. (group,) min / max / count — partial per block, tiny combine.
+      2. (group, bin) exact counts over `n_bins` equal-width bins — per-block
+         `np.bincount` partials streamed to the driver (driver state =
+         n_bins × groups int64, bounded).
+      3. rank-walk the histogram to find each target bin, then pull ONLY the
+         candidate bins' DISTINCT (value, count) pairs (per-block compacted)
+         and walk to the exact rank inside the bin.
+
+    Rank semantics match DuckDB `quantile_disc`: value at 1-indexed rank
+    `ceil(q*n)` (clamped to >= 1) in ascending order — so a SQL oracle
+    hash-matches bit for bit (returned values are actual data values, never
+    bin midpoints; float bin assignment only routes values, consistently in
+    passes 2 and 3).
+
+    Scale assumptions (documented): the group count is modest (driver holds
+    groups × n_bins counts) and a candidate bin's DISTINCT value set fits on
+    the driver — heavy duplication collapses in the per-block compaction,
+    and a wider `n_bins` shrinks per-bin cardinality. Returns a pandas
+    DataFrame [(by,) q, v] sorted by (group, q)."""
+    import math
+
+    import pandas as pd
+
+    group_cols = [by] if by else []
+
+    # ---- pass 1: per-group min / max / count
+    def mmc(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        if by:
+            g = t.group_by([by]).aggregate([(col, "min"), (col, "max"),
+                                            ([], "count_all")])
+            return g
+        v = t.column(col)
+        return pa.table({f"{col}_min": [pc.min(v).as_py()],
+                         f"{col}_max": [pc.max(v).as_py()],
+                         "count_all": [t.num_rows]})
+
+    stats: dict = {}
+    for b in ds.map_batches(mmc, batch_format="pyarrow").iter_batches(
+            batch_format="pandas"):
+        for _, row in b.iterrows():
+            k = row[by] if by else None
+            lo, hi, n = (row[f"{col}_min"], row[f"{col}_max"],
+                         int(row["count_all"]))
+            if k in stats:
+                p = stats[k]
+                stats[k] = (min(p[0], lo), max(p[1], hi), p[2] + n)
+            else:
+                stats[k] = (lo, hi, n)
+
+    def bin_of(vals: np.ndarray, lo: float, hi: float) -> np.ndarray:
+        width = (hi - lo) or 1.0
+        b = np.floor((vals - lo) / width * n_bins).astype(np.int64)
+        return np.clip(b, 0, n_bins - 1)
+
+    stats_ref = ray.put(stats)
+
+    # ---- pass 2: per-(group, bin) exact counts
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(stats_ref)
+        out_g, out_b, out_c = [], [], []
+        groups = df.groupby(by) if by else [(None, df)]
+        for k, g in groups:
+            lo, hi, _ = st[k]
+            cnt = np.bincount(bin_of(g[col].to_numpy(np.float64),
+                                     float(lo), float(hi)),
+                              minlength=n_bins)
+            nz = np.nonzero(cnt)[0]
+            out_g.extend([k] * len(nz))
+            out_b.extend(nz.tolist())
+            out_c.extend(cnt[nz].tolist())
+        res = {"_bin": np.asarray(out_b, np.int64),
+               "_cnt": np.asarray(out_c, np.int64)}
+        if by:
+            res = {by: out_g, **res}
+        return pd.DataFrame(res)
+
+    hists = {k: np.zeros(n_bins, dtype=np.int64) for k in stats}
+    for b in ds.map_batches(hist, batch_format="pandas").iter_batches(
+            batch_format="numpy"):
+        keys = b[by] if by else np.array([None] * len(b["_bin"]), object)
+        for k in (np.unique(keys) if by else [None]):
+            m = keys == k if by else slice(None)
+            np.add.at(hists[k], b["_bin"][m], b["_cnt"][m])
+
+    # ---- rank-walk: target (group, bin, rank-within-bin) per quantile
+    targets: dict = {}  # (k, bin) -> [(q, rank_in_bin)]
+    for k, (lo, hi, n) in stats.items():
+        cum = np.cumsum(hists[k])
+        for q in qs:
+            r = max(1, math.ceil(q * n))  # DuckDB quantile_disc rank
+            bin_ix = int(np.searchsorted(cum, r, side="left"))
+            r_in = r - (int(cum[bin_ix - 1]) if bin_ix else 0)
+            targets.setdefault((k, bin_ix), []).append((q, r_in))
+    targets_ref = ray.put({k_b: None for k_b in targets})
+
+    # ---- pass 3: distinct (value, count) inside candidate bins only
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(stats_ref)
+        want = ray.get(targets_ref)
+        out_g, out_v, out_c = [], [], []
+        groups = df.groupby(by) if by else [(None, df)]
+        for k, g in groups:
+            lo, hi, _ = st[k]
+            vals = g[col].to_numpy(np.float64)
+            bins = bin_of(vals, float(lo), float(hi))
+            keep = np.isin(bins, [bb for (kk, bb) in want if kk == k])
+            uniq, cnt = np.unique(vals[keep], return_counts=True)
+            out_g.extend([k] * len(uniq))
+            out_v.extend(uniq.tolist())
+            out_c.extend(cnt.tolist())
+        res = {"_v": np.asarray(out_v, np.float64),
+               "_c": np.asarray(out_c, np.int64)}
+        if by:
+            res = {by: out_g, **res}
+        return pd.DataFrame(res)
+
+    from collections import defaultdict
+
+    val_counts: dict = defaultdict(lambda: defaultdict(int))
+    for b in ds.map_batches(candidates, batch_format="pandas").iter_batches(
+            batch_format="numpy"):
+        keys = b[by] if by else [None] * len(b["_v"])
+        for k, v, c in zip(keys, b["_v"], b["_c"]):
+            val_counts[k][float(v)] += int(c)
+
+    rows = []
+    for k, (lo, hi, n) in stats.items():
+        vc = sorted(val_counts[k].items())
+        vals = np.array([v for v, _ in vc])
+        cnts = np.array([c for _, c in vc], dtype=np.int64)
+        vbins = bin_of(vals, float(lo), float(hi))
+        for (kk, bb), wants in targets.items():
+            if kk != k:
+                continue
+            m = vbins == bb
+            bvals, bcum = vals[m], np.cumsum(cnts[m])
+            for q, r_in in wants:
+                ix = int(np.searchsorted(bcum, r_in, side="left"))
+                rows.append({**({by: k} if by else {}), "q": float(q),
+                             "v": float(bvals[ix])})
+    out = pd.DataFrame(rows).sort_values(
+        [*group_cols, "q"]).reset_index(drop=True)
+    return out
+
+
+def pivot_counts(ds: "ray.data.Dataset", row_key: str, col_key: str,
+                 col_values: list[str], prefix: str = "n_",
+                 salt_buckets: int = 1) -> "ray.data.Dataset":
+    """Pivot (long -> wide) of grouped counts: one row per `row_key`, one
+    int64 column per entry of `col_values` named `prefix + slug(value)`.
+
+    One partial+final count shuffle over (row_key, col_key) — the wide
+    reshape runs in a single final task because the counted table is tiny
+    (|rows| × |cols|); `col_values` must be the closed category list (rows
+    with other values are dropped, like SQL conditional aggregation)."""
+    import re
+
+    import pandas as pd
+
+    def slug(v: str) -> str:
+        return prefix + re.sub(r"[^a-z0-9]+", "_", str(v).lower()).strip("_")
+
+    names = {v: slug(v) for v in col_values}
+    counted = grouped_count(ds.select_columns([row_key, col_key]),
+                            [row_key, col_key], out_name="_n",
+                            salt_buckets=salt_buckets)
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[col_key].isin(col_values)]
+        wide = df.pivot_table(index=row_key, columns=col_key, values="_n",
+                              aggfunc="sum", fill_value=0)
+        out = pd.DataFrame({row_key: wide.index})
+        for v in col_values:
+            out[names[v]] = (wide[v].to_numpy(dtype=np.int64)
+                             if v in wide.columns
+                             else np.zeros(len(wide), np.int64))
+        return out
+
+    return counted.repartition(1).map_batches(widen, batch_format="pandas")

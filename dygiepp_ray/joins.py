@@ -76,6 +76,54 @@ def _bucket_array(key, n_buckets: int) -> pa.Array:
     return pa.array(merged, pa.int32())
 
 
+def _restore_int_dtypes(df: pd.DataFrame, cols: list[str], schema: dict) -> pd.DataFrame:
+    """The union pads one-sided columns with typed nulls, so pandas inflates
+    their int columns to float64 (NaN) — cast back once the side's own
+    (null-free) rows are selected."""
+    for c in cols:
+        typ = schema.get(c)
+        if typ is not None and pa.types.is_integer(typ) and df[c].dtype.kind == "f":
+            df[c] = df[c].astype(typ.to_pandas_dtype())
+    return df
+
+
+def _arrow_types(ds: "ray.data.Dataset") -> dict:
+    """{col: pyarrow.DataType} from a Dataset schema (numpy dtypes from
+    pandas-backed blocks normalized to Arrow)."""
+    sch = ds.schema()
+    out = {}
+    for name, typ in zip(sch.names, sch.types):
+        if not isinstance(typ, pa.DataType):
+            try:
+                typ = pa.from_numpy_dtype(typ)
+            except (pa.ArrowNotImplementedError, TypeError):
+                typ = pa.string()
+        out[name] = typ
+    return out
+
+
+def _align_to(all_cols: list[str], keep: list[str], types: dict,
+              extra: list[str]):
+    """Arrow-side union aligner: project to `all_cols` padding the columns
+    this side lacks with TYPED nulls (so the union schema is stable and
+    ints survive), carrying `extra` stamp columns through."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        arrays, names = [], []
+        for c in all_cols:
+            if c in keep:
+                arrays.append(t.column(c))
+            else:
+                arrays.append(pa.nulls(t.num_rows, types.get(c, pa.string())))
+            names.append(c)
+        for c in extra:
+            arrays.append(t.column(c))
+            names.append(c)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return fn
+
+
 def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               on: str, n_buckets: int = 32,
               how: Literal["inner", "left"] = "inner",
@@ -162,16 +210,6 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         align(rcols, r_schema), batch_format="pyarrow"
     )
 
-    def _restore_int_dtypes(df: pd.DataFrame, cols: list[str], schema: dict) -> pd.DataFrame:
-        # the union pads one-sided columns with nulls, so pandas inflates
-        # their int columns to float64 (NaN) — cast back once the side's own
-        # (null-free) rows are selected
-        for c in cols:
-            typ = schema.get(c)
-            if typ is not None and pa.types.is_integer(typ) and df[c].dtype.kind == "f":
-                df[c] = df[c].astype(typ.to_pandas_dtype())
-        return df
-
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
         ldf = _restore_int_dtypes(df[df["_side"] == "l"][lcols].copy(), lcols, l_schema)
         rdf = _restore_int_dtypes(df[df["_side"] == "r"][rcols].copy(), rcols, r_schema)
@@ -218,3 +256,195 @@ def zip_join_assert(a: "ray.data.Dataset", b: "ray.data.Dataset", on: str,
         return merged
 
     return a2.union(b2).groupby("_bucket").map_groups(zip_bucket, batch_format="pandas")
+
+
+def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              by: str, left_on: str, right_on: str,
+              left_cols: list[str], right_cols: list[str],
+              n_buckets: int = 32,
+              direction: Literal["backward", "forward"] = "backward",
+              left_types: dict | None = None,
+              right_types: dict | None = None) -> "ray.data.Dataset":
+    """As-of join: for each left row, the single right row with the same
+    `by` key and the greatest `right_on` <= `left_on` (direction=backward;
+    forward = smallest >=). Left-outer semantics (unmatched -> nulls).
+
+    Ray Data has no native as-of join; this is the bucketed composition:
+    stamp `_bucket = hash(by) % B` on BOTH sides (all history of a key is
+    co-located with all its probes), union, groupby(_bucket), then one
+    vectorized `pandas.merge_asof` per bucket over sorted frames. ONE
+    shuffle; per-bucket cost ~(|L|+|R|)/B log. Partitioning assumption: a
+    single `by` key's history fits in one task (band-partition `right_on`
+    within the key for pathological single-key streams).
+
+    Determinism: ties on (by, right_on) are broken by sorting the right
+    side on (right_on, *right_cols) — the LAST row wins in merge_asof, so
+    the max of `right_cols` under lexicographic order is the deterministic
+    representative. Keep (by, right_on) unique on the right for SQL-ASOF
+    parity (SQL leaves the tie representative unspecified).
+
+    Pass `left_types` / `right_types` ({col: pa.DataType}) when a side is a
+    lazy pipeline — the default `.schema()` probe executes the upstream
+    plan once just to learn column types."""
+    lcols = [by, left_on, *left_cols]
+    rcols = [by, right_on, *right_cols]
+    overlap = set(lcols) & set(rcols) - {by}
+    if overlap:
+        raise ValueError(f"asof_join: overlapping non-key columns {sorted(overlap)}")
+
+    def stamp(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            from .aggregates import strip_schema_metadata
+
+            t = strip_schema_metadata(t)
+            t = t.append_column("_bucket", _bucket_array(t.column(by), n_buckets))
+            return t.append_column("_side", pa.array([side] * t.num_rows, pa.string()))
+
+        return fn
+
+    # pad each side with TYPED null columns of the other so the union is
+    # schema-stable (merge_asof runs on the split frames, not the union)
+    all_cols = [*lcols, *[c for c in rcols if c != by]]
+    l_schema = {c: t for c, t in
+                (left_types or _arrow_types(left)).items() if c in lcols}
+    r_schema = {c: t for c, t in
+                (right_types or _arrow_types(right)).items() if c in rcols}
+    types = {**r_schema, **l_schema}
+
+    l = (left.select_columns(lcols)
+         .map_batches(stamp("l"), batch_format="pyarrow")
+         .map_batches(_align_to(all_cols, lcols, types, ["_bucket", "_side"]),
+                      batch_format="pyarrow"))
+    r = (right.select_columns(rcols)
+         .map_batches(stamp("r"), batch_format="pyarrow")
+         .map_batches(_align_to(all_cols, rcols, types, ["_bucket", "_side"]),
+                      batch_format="pyarrow"))
+
+    def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ldf = _restore_int_dtypes(df[df["_side"] == "l"][lcols].copy(),
+                                  lcols, l_schema)
+        rdf = _restore_int_dtypes(df[df["_side"] == "r"][rcols].copy(),
+                                  rcols, r_schema)
+        if rdf.empty:
+            for c in rcols:
+                if c != by:
+                    ldf[c] = None
+            return ldf
+        # datetime resolutions may diverge across the union ([s] vs [us]);
+        # merge_asof requires identical on-key dtypes — upcast losslessly
+        if (ldf[left_on].dtype.kind == "M" and
+                rdf[right_on].dtype != ldf[left_on].dtype):
+            rdf[right_on] = rdf[right_on].astype(ldf[left_on].dtype)
+        rdf = rdf.sort_values([right_on, *right_cols], kind="mergesort")
+        ldf = ldf.sort_values(left_on, kind="mergesort")
+        out = pd.merge_asof(ldf, rdf, left_on=left_on, right_on=right_on,
+                            by=by, direction=direction)
+        return out
+
+    return l.union(r).groupby("_bucket").map_groups(asof_bucket,
+                                                    batch_format="pandas")
+
+
+def interval_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                  on: str, left_ts: str, right_start: str, right_end: str,
+                  left_cols: list[str], right_cols: list[str],
+                  bucket_width: int, n_buckets: int = 32,
+                  post_filter=None, left_types: dict | None = None,
+                  right_types: dict | None = None) -> "ray.data.Dataset":
+    """Range (interval) join: left row ⨝ right row when `on` keys are equal
+    and right_start <= left_ts < right_end (half-open). All three time
+    columns are int64 (e.g. epoch micros).
+
+    Ray Data has no native range join; this is the banding composition:
+    each left row is stamped with its single time band g = ts //
+    bucket_width; each right row is REPLICATED to every band its interval
+    overlaps (replication factor = interval_len / bucket_width + 1 — pick
+    `bucket_width` near the typical interval length to bound it). Both
+    sides then hash-bucket on (on, g) — ONE shuffle — and each bucket does
+    a vectorized pandas equi-merge + exact range filter. A (left, right)
+    pair meets in exactly one band (the left row's), so no dedup pass is
+    needed. `post_filter(df) -> df` runs in-bucket (e.g. drop self-pairs)."""
+    lcols = [on, left_ts, *left_cols]
+    rcols = [on, right_start, right_end, *right_cols]
+    overlap = set(lcols) & set(rcols) - {on}
+    if overlap:
+        raise ValueError(f"interval_join: overlapping columns {sorted(overlap)}")
+
+    def stamp_left(t: pa.Table) -> pa.Table:
+        from .aggregates import strip_schema_metadata
+
+        t = strip_schema_metadata(t)
+        g = pc.divide(pc.cast(t.column(left_ts), pa.int64()),
+                      pa.scalar(bucket_width, pa.int64()))
+        return t.append_column("_g", pc.cast(g, pa.int64()))
+
+    def replicate_right(t: pa.Table) -> pa.Table:
+        from .aggregates import strip_schema_metadata
+
+        t = strip_schema_metadata(t)
+        s = np.asarray(t.column(right_start).to_numpy(zero_copy_only=False),
+                       dtype=np.int64) // bucket_width
+        # end is exclusive: the band of (end - 1)
+        e = (np.asarray(t.column(right_end).to_numpy(zero_copy_only=False),
+                        dtype=np.int64) - 1) // bucket_width
+        reps = np.maximum(e - s + 1, 0).astype(np.int64)
+        idx = np.repeat(np.arange(t.num_rows), reps)
+        offs = np.concatenate([np.arange(n) for n in reps]) if len(reps) else \
+            np.zeros(0, dtype=np.int64)
+        out = t.take(pa.array(idx, pa.int64()))
+        return out.append_column("_g", pa.array(np.repeat(s, reps) + offs,
+                                                pa.int64()))
+
+    def stamp_bucket(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            key = pc.add(
+                pc.multiply(_bucket_array(t.column(on), n_buckets).cast(pa.int64()),
+                            pa.scalar(1 << 20, pa.int64())),
+                pc.cast(pc.bit_wise_and(t.column("_g"),
+                                        pa.scalar((1 << 20) - 1, pa.int64())),
+                        pa.int64()))
+            t = t.append_column("_bucket", pc.cast(key, pa.int64()))
+            return t.append_column("_side", pa.array([side] * t.num_rows,
+                                                     pa.string()))
+
+        return fn
+
+    all_cols = [*lcols, *[c for c in rcols if c != on]]
+    l_schema = {c: t for c, t in
+                (left_types or _arrow_types(left)).items() if c in lcols}
+    r_schema = {c: t for c, t in
+                (right_types or _arrow_types(right)).items() if c in rcols}
+    types = {**r_schema, **l_schema}
+
+    l = (left.select_columns(lcols)
+         .map_batches(stamp_left, batch_format="pyarrow")
+         .map_batches(stamp_bucket("l"), batch_format="pyarrow")
+         .map_batches(_align_to(all_cols, lcols, types,
+                                ["_g", "_bucket", "_side"]),
+                      batch_format="pyarrow"))
+    r = (right.select_columns(rcols)
+         .map_batches(replicate_right, batch_format="pyarrow")
+         .map_batches(stamp_bucket("r"), batch_format="pyarrow")
+         .map_batches(_align_to(all_cols, rcols, types,
+                                ["_g", "_bucket", "_side"]),
+                      batch_format="pyarrow"))
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ldf = _restore_int_dtypes(df[df["_side"] == "l"][[*lcols, "_g"]].copy(),
+                                  lcols, l_schema)
+        rdf = _restore_int_dtypes(df[df["_side"] == "r"][[*rcols, "_g"]].copy(),
+                                  rcols, r_schema)
+        merged = ldf.merge(rdf, on=[on, "_g"], how="inner")
+        ts = merged[left_ts].to_numpy(dtype=np.int64, na_value=0) \
+            if len(merged) else np.zeros(0, dtype=np.int64)
+        if len(merged):
+            keep = ((merged[right_start].to_numpy(dtype=np.int64) <= ts)
+                    & (ts < merged[right_end].to_numpy(dtype=np.int64)))
+            merged = merged[keep]
+        merged = merged.drop(columns=["_g"])
+        if post_filter is not None:
+            merged = post_filter(merged)
+        return merged
+
+    return l.union(r).groupby("_bucket").map_groups(join_bucket,
+                                                    batch_format="pandas")

@@ -1207,6 +1207,26 @@ def expected_pagerank(triples: pa.Table, n_iter: int = 10) -> pa.Table:
     })
 
 
+def expected_hll_ndv(sf_dir: str, p: int = 12) -> pa.Table:
+    """Single-threaded HLL recompute over the events table: same hash /
+    register / estimator spec as stages/sketch.py but evaluated in ONE pass
+    per group (no partial merge) — register max is order-independent, so the
+    distributed run must match exactly."""
+    from .stages.sketch import hll_estimate, hll_partial_registers
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=["event_type", "user_id"])
+    df = t.to_pandas()
+    keys, ndvs = [], []
+    for k in sorted(df["event_type"].unique()):
+        vals = df.loc[df["event_type"] == k, "user_id"].to_numpy()
+        nz, regs = hll_partial_registers(vals, p)
+        keys.append(k)
+        ndvs.append(hll_estimate(nz, regs, p))
+    return pa.table({"event_type": pa.array(keys, pa.string()),
+                     "ndv": pa.array(ndvs, pa.int64())})
+
+
 # ------------------------------------------------------------------ writers
 
 

@@ -115,3 +115,47 @@ def mean_over_namespaces(metrics: dict[str, dict[str, float]]) -> dict[str, floa
         f"MEAN__{k}": sum(m.get(k, 0.0) for m in metrics.values()) / len(metrics)
         for k in keys
     }
+
+
+def json_extract_int(ds: "ray.data.Dataset", col: str, field: str,
+                     out_col: str) -> "ray.data.Dataset":
+    """Extract an integer field from a flat-JSON string column.
+
+    Vectorized regex fast path (`"field": <int>` — covers flat scalar
+    payloads without a per-row parser); rows the regex misses (nested,
+    string-quoted, absent) fall back to `json.loads` only for that subset,
+    so the hot path stays C-speed. Output is nullable Int64 (absent field
+    -> null)."""
+    import re
+
+    import pandas as pd
+
+    pattern = re.compile(r'"%s"\s*:\s*(-?\d+)\s*[,}]' % re.escape(field))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        vals = pd.to_numeric(df[col].str.extract(pattern, expand=False),
+                             errors="coerce")
+        # a nested container anywhere past the opening brace means the regex
+        # could have matched a non-top-level key — route to the real parser
+        nested = df[col].str.slice(1).str.contains(r"[{\[]", regex=True,
+                                                   na=False)
+        vals = vals.mask(nested)
+        miss = vals.isna() & df[col].notna()
+        if miss.any():
+            import json as _json
+
+            def slow(s):
+                try:
+                    v = _json.loads(s).get(field)
+                except (ValueError, AttributeError):
+                    return None
+                return v if isinstance(v, int) else None
+
+            vals = vals.astype("object")
+            vals.loc[miss] = df.loc[miss, col].map(slow)
+            vals = pd.to_numeric(vals, errors="coerce")
+        df[out_col] = vals.astype("Int64") if vals.isna().any() \
+            else vals.astype("int64")
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")

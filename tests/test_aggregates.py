@@ -59,3 +59,52 @@ def test_top_k(skewed_df):
     got = top_k(ds, "v", 17).to_pandas()
     want = skewed_df["v"].nlargest(17).tolist()
     assert sorted(got["v"].tolist(), reverse=True) == want
+
+
+def _rank_quantile(vals, q):
+    # DuckDB quantile_disc: 1-indexed rank ceil(q*n), clamped >= 1
+    import math
+
+    s = sorted(vals)
+    return s[max(1, math.ceil(q * len(s))) - 1]
+
+
+def test_distributed_quantiles_exact_vs_rank_oracle():
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from dygiepp_ray.aggregates import distributed_quantiles
+
+    rng = np.random.RandomState(3)
+    vals = np.concatenate([rng.uniform(0, 100, 500),
+                           np.full(300, 42.5),  # heavy duplication
+                           rng.uniform(1000, 1001, 7)])  # outlier bin
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    qs = [0.0, 0.1, 0.5, 0.77, 0.9, 1.0]
+    got = distributed_quantiles(ds, "v", qs, n_bins=16)  # few bins: forces
+    # multi-value candidate bins and the exact in-bin rank walk
+    for q, v in zip(got["q"], got["v"]):
+        assert v == _rank_quantile(vals, q), q
+
+
+def test_distributed_quantiles_grouped_and_degenerate():
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from dygiepp_ray.aggregates import distributed_quantiles
+
+    df = pd.DataFrame({
+        "g": ["a"] * 10 + ["b"] * 4,
+        "v": list(np.arange(10, dtype=float)) + [7.0, 7.0, 7.0, 7.0],
+    })  # group b: min == max (degenerate single-bin group)
+    got = distributed_quantiles(ray.data.from_pandas(df).repartition(3),
+                                "v", [0.25, 0.5, 1.0], by="g", n_bins=8)
+    by_key = {(g, q): v for g, q, v in zip(got["g"], got["q"], got["v"])}
+    assert by_key[("a", 0.25)] == 2.0  # rank ceil(2.5)=3 -> sorted[2]
+    assert by_key[("a", 0.5)] == 4.0
+    assert by_key[("a", 1.0)] == 9.0
+    assert all(by_key[("b", q)] == 7.0 for q in (0.25, 0.5, 1.0))

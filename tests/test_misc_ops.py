@@ -77,3 +77,44 @@ def test_mean_over_namespaces():
     })
     assert out["MEAN__precision"] == 0.7
     assert abs(out["MEAN__f1"] - 0.583) < 1e-3
+
+
+def test_json_extract_int_fast_and_fallback():
+    import pandas as pd
+
+    import ray.data
+
+    from dygiepp_ray.stages.misc import json_extract_int
+
+    df = pd.DataFrame({"p": ['{"k": 7}', '{"k": -3, "z": 1}',
+                             '{"z": {"k": 9}, "k": 4}',
+                             '{"k": "str"}', '{"z": 1}', None,
+                             '{ "k" : 12 }']})
+    got = json_extract_int(ray.data.from_pandas(df), "p", "k",
+                           "kv").to_pandas()
+    assert got["kv"].tolist()[:3] == [7, -3, 4]
+    assert pd.isna(got["kv"].iloc[3]) and pd.isna(got["kv"].iloc[4])
+    assert pd.isna(got["kv"].iloc[5]) and got["kv"].iloc[6] == 12
+
+
+def test_pivot_counts_wide_shape():
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from dygiepp_ray.aggregates import pivot_counts
+
+    df = pd.DataFrame({
+        "s": ["O", "O", "O", "F", "F", "P"],
+        "p": ["1-URGENT", "1-URGENT", "5-LOW", "5-LOW", "other", "1-URGENT"],
+    })
+    got = pivot_counts(ray.data.from_pandas(df).repartition(3), "s", "p",
+                       ["1-URGENT", "5-LOW"]).to_pandas()
+    got = got.sort_values("s").reset_index(drop=True)
+    assert list(got.columns) == ["s", "n_1_urgent", "n_5_low"]
+    m = got.set_index("s")
+    assert m.loc["O"].tolist() == [2, 1]
+    assert m.loc["F"].tolist() == [0, 1]  # "other" dropped, zero filled
+    assert m.loc["P"].tolist() == [1, 0]
+    assert got["n_1_urgent"].dtype == np.int64
