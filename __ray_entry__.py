@@ -583,6 +583,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["pivot_status_priority"] = pivot_status_priority
 
+    def rollup_status_priority(sf_dir: str):
+        # GROUP BY ROLLUP twin: one scan at the finest level, coarser levels
+        # re-aggregated from the (tiny) finest result
+        from dygiepp_ray.aggregates import rollup_count
+
+        ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+        return rollup_count(ds, ["o_orderstatus", "o_orderpriority"],
+                            out_name="n")
+
+    q["rollup_status_priority"] = rollup_status_priority
+
+    def semi_join_orders(sf_dir: str):
+        # broadcast semi-join (WHERE EXISTS): orders of customers with
+        # acctbal > 5000; the small side is a broadcast key set, the big
+        # side streams — no shuffle
+        from dygiepp_ray.state.broadcast import BroadcastSetFilter
+
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+        keys = cust.map_batches(
+            lambda t: t.filter(pc.greater(t["c_acctbal"], pa.scalar(5000.0)))
+                       .select(["c_custkey"]),
+            batch_format="pyarrow",
+        ).unique("c_custkey")
+        keys_ref = ray.put(keys)
+        return _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+            BroadcastSetFilter,
+            fn_constructor_kwargs={"keys_ref": keys_ref, "column": "o_custkey",
+                                   "keep_if_member": True},
+            batch_format="pyarrow", concurrency=(1, 4),
+        )
+
+    q["semi_join_orders"] = semi_join_orders
+
+    def events_hopping_windows(sf_dir: str):
+        # hopping-window aggregate (size 2h, hop 1h): each event lands in
+        # exactly 2 windows — replicate in the map stage, then one salted
+        # partial+final grouped aggregate
+        from dygiepp_ray.aggregates import partial_final_agg
+
+        ds = _read(sf_dir, "events", ["ts", "value"])
+
+        def explode(df: pd.DataFrame) -> pd.DataFrame:
+            h = df["ts"].dt.floor("h")
+            out = pd.DataFrame({
+                "window_start": pd.concat(
+                    [h, h - pd.Timedelta(hours=1)], ignore_index=True),
+                "value": pd.concat([df["value"], df["value"]],
+                                   ignore_index=True),
+            })
+            out["window_start"] = out["window_start"].dt.strftime(
+                "%Y-%m-%d %H:%M:%S")
+            return out
+
+        agg = partial_final_agg(
+            ds.map_batches(explode, batch_format="pandas"),
+            ["window_start"],
+            [("n_events", None, "count"), ("sum_value", "value", "sum")])
+        return _round_cols(agg, {"sum_value": 2})
+
+    q["events_hopping_windows"] = events_hopping_windows
+
     def bloom_anti_join_orders(sf_dir: str):
         # approximate anti-join via broadcast Bloom filter (fpr 1e-4):
         # the scale path for key sets too big to broadcast exactly
@@ -1783,6 +1844,29 @@ def oracle_sql() -> dict[str, str]:
                        AS n_4_not_specified,
                    count(*) FILTER (o_orderpriority = '5-LOW') AS n_5_low
             FROM orders GROUP BY o_orderstatus
+        """,
+        "rollup_status_priority": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "semi_join_orders": """
+            SELECT o_orderkey, o_custkey FROM orders o
+            WHERE EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey
+                            AND c.c_acctbal > 5000)
+        """,
+        "events_hopping_windows": """
+            WITH w AS (
+                SELECT date_trunc('hour', ts) AS ws, value FROM events
+                UNION ALL
+                SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, value
+                FROM events
+            )
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM w GROUP BY ws
         """,
         "exact_dedup": """
             SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, count(*) AS n_copies

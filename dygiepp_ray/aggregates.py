@@ -74,6 +74,41 @@ def grouped_count(ds: "ray.data.Dataset", keys: list[str], out_name: str = "coun
     return partial.groupby(keys).aggregate(Sum("partial_count", alias_name=out_name))
 
 
+def rollup_count(ds: "ray.data.Dataset", keys: list[str], out_name: str = "n",
+                 key_types: dict | None = None) -> "ray.data.Dataset":
+    """`GROUP BY ROLLUP(keys...)` counts: finest level + every prefix level +
+    grand total, collapsed key columns emitted as typed nulls (SQL ROLLUP
+    shape).
+
+    The raw rows are scanned ONCE (partial+final grouped count at the finest
+    level); every coarser level is re-aggregated from the finest result,
+    which is small by definition (one row per distinct key combination) —
+    so it is materialized and the rollup levels are tiny follow-on
+    groupbys, not extra passes over the input."""
+    types = {k: (key_types or {}).get(k, pa.string()) for k in keys}
+    finest = grouped_count(ds, keys, out_name=out_name).materialize()
+
+    def pad(keep: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (pc.cast(t.column(k), types[k]) if k in keep
+                           else pa.nulls(t.num_rows, types[k]))
+            cols[out_name] = pc.cast(t.column(out_name), pa.int64())
+            return pa.table(cols)
+        return fn
+
+    levels = [finest.map_batches(pad(keys), batch_format="pyarrow")]
+    for i in range(len(keys) - 1, 0, -1):
+        lvl = finest.groupby(keys[:i]).aggregate(Sum(out_name, alias_name=out_name))
+        levels.append(lvl.map_batches(pad(keys[:i]), batch_format="pyarrow"))
+    total = finest.aggregate(Sum(out_name, alias_name=out_name))[out_name]
+    total_tbl = pa.table({**{k: pa.nulls(1, types[k]) for k in keys},
+                          out_name: pa.array([total], pa.int64())})
+    levels.append(ray.data.from_arrow(total_tbl))
+    return levels[0].union(*levels[1:])
+
+
 def partial_final_agg(ds: "ray.data.Dataset", keys: list[str],
                       spec: list[tuple[str, str | None, str]]) -> "ray.data.Dataset":
     """Generic partial+final grouped aggregation.

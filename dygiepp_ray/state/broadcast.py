@@ -89,15 +89,18 @@ class BroadcastSetFilter:
     not) in the broadcast set (J5 — check_dataset.py:24-49 style membership)."""
 
     def __init__(self, keys_ref: Any, column: str, keep_if_member: bool = True):
-        self.keys = frozenset(resolve(keys_ref))
+        import pyarrow as pa
+
+        # build the Arrow value-set ONCE per actor — rebuilding it per batch
+        # was a measurable per-batch cost on large key sets
+        self.value_set = pa.array(sorted(set(resolve(keys_ref))))
         self.column = column
         self.keep = keep_if_member
 
     def __call__(self, batch):
-        import pyarrow as pa
         import pyarrow.compute as pc
 
-        mask = pc.is_in(batch.column(self.column), value_set=pa.array(list(self.keys)))
+        mask = pc.is_in(batch.column(self.column), value_set=self.value_set)
         if not self.keep:
             mask = pc.invert(mask)
         return batch.filter(mask)

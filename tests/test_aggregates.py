@@ -108,3 +108,45 @@ def test_distributed_quantiles_grouped_and_degenerate():
     assert by_key[("a", 0.5)] == 4.0
     assert by_key[("a", 1.0)] == 9.0
     assert all(by_key[("b", q)] == 7.0 for q in (0.25, 0.5, 1.0))
+
+
+def test_rollup_count(skewed_df):
+    from dygiepp_ray.aggregates import rollup_count
+
+    df = skewed_df.assign(parity=(skewed_df["v"] % 2).astype(str))
+    ds = ray.data.from_pandas(df)
+    got = rollup_count(ds, ["k", "parity"], out_name="n").to_pandas()
+
+    finest = df.groupby(["k", "parity"]).size().rename("n").reset_index()
+    lvl1 = df.groupby("k").size().rename("n").reset_index().assign(parity=None)
+    total = pd.DataFrame({"k": [None], "parity": [None], "n": [len(df)]})
+    want = pd.concat([finest, lvl1, total], ignore_index=True)[
+        ["k", "parity", "n"]]
+
+    key = lambda f: f.fillna("\x00").sort_values(["k", "parity"]).reset_index(
+        drop=True)  # noqa: E731
+    got_s, want_s = key(got), key(want)
+    assert len(got_s) == len(want_s)
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+
+
+def test_broadcast_set_filter_semi_and_anti():
+    import ray as _ray
+
+    from dygiepp_ray.state.broadcast import BroadcastSetFilter
+
+    df = pd.DataFrame({"id": range(100), "v": range(100)})
+    ds = ray.data.from_pandas(df)
+    keys_ref = _ray.put([5, 7, 11, 200])
+    semi = ds.map_batches(
+        BroadcastSetFilter,
+        fn_constructor_kwargs={"keys_ref": keys_ref, "column": "id",
+                               "keep_if_member": True},
+        batch_format="pyarrow", concurrency=1).to_pandas()
+    assert sorted(semi["id"]) == [5, 7, 11]
+    anti = ds.map_batches(
+        BroadcastSetFilter,
+        fn_constructor_kwargs={"keys_ref": keys_ref, "column": "id",
+                               "keep_if_member": False},
+        batch_format="pyarrow", concurrency=1).to_pandas()
+    assert len(anti) == 97 and not {5, 7, 11} & set(anti["id"])
