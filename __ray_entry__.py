@@ -773,6 +773,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["dup_ngram_stats"] = q_dup_ngram_stats
 
+    def q_bigram_counts(sf_dir: str):
+        # corpus-wide n-gram count table (salted partial+final shuffle)
+        from dygiepp_ray.stages.text import bigram_counts
+
+        ds = _read(sf_dir, "documents", ["text"])
+        return bigram_counts(ds, min_count=20, salt_buckets=8)
+
+    q["bigram_counts"] = q_bigram_counts
+
+    def q_heavy_hitters_users(sf_dir: str):
+        # exact frequent-items (count > N/k): Misra-Gries candidates from
+        # per-block summaries, then an exact recount of candidates only
+        from dygiepp_ray.stages.text import heavy_hitters
+
+        ev = _read(sf_dir, "events", ["user_id"])
+        return heavy_hitters(ev, "user_id", k=20, m=64)
+
+    q["heavy_hitters_users"] = q_heavy_hitters_users
+
+    def q_tfidf_top_terms(sf_dir: str):
+        # per-doc top-3 terms by integer-scaled TF-IDF (exact, no float log)
+        from dygiepp_ray.stages.text import tfidf_top_terms
+
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        return tfidf_top_terms(ds, top_n=3)
+
+    q["tfidf_top_terms"] = q_tfidf_top_terms
+
     # ---- dedup suite
 
     def q_exact_dedup(sf_dir: str):
@@ -2009,6 +2037,52 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS dup_trigram_frac,
                    round(COALESCE(btop.topf, 0.0), 6) AS top_bigram_frac
             FROM base LEFT JOIN btop USING (doc_id)
+        """,
+        "bigram_counts": r"""
+            WITH t AS (
+                SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), b AS (
+                SELECT unnest(list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i+1]))
+                           AS bigram
+                FROM t WHERE len(toks) >= 2
+            )
+            SELECT bigram, count(*) AS n FROM b
+            GROUP BY bigram HAVING count(*) >= 20
+        """,
+        "heavy_hitters_users": """
+            WITH c AS (
+                SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+            ), tot AS (SELECT count(*) AS total FROM events)
+            SELECT c.user_id, c.n FROM c, tot WHERE c.n * 20 > tot.total
+        """,
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '')) AS token
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM toks GROUP BY doc_id, token
+            ), df AS (
+                SELECT token, count(DISTINCT doc_id) AS df
+                FROM toks GROUP BY token
+            ), nd AS (SELECT count(*) AS n_docs FROM documents),
+            s AS (
+                SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                       (tf.tf * nd.n_docs * 1000) // df.df AS score_scaled
+                FROM tf JOIN df USING (token) CROSS JOIN nd
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score_scaled DESC, token ASC) AS rk
+                FROM s
+            )
+            SELECT doc_id, token, tf, df, score_scaled FROM r WHERE rk <= 3
         """,
         "kg_triples": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')

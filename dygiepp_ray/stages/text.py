@@ -161,6 +161,191 @@ def dup_ngram_stats(batch: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+# -- corpus n-gram counts ----------------------------------------------------
+
+
+def bigram_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """(bigram,) — one row per adjacent lowercased whitespace-token pair.
+    Vectorized: all docs' tokens are flattened into one object array, doc
+    boundaries masked out, and the pair strings built with pandas C-level
+    concat — no per-token Python."""
+    toks = df["text"].str.lower().str.split()
+    lists = toks.tolist()
+    lens = np.fromiter((len(x) for x in lists), dtype=np.int64,
+                       count=len(lists))
+    total = int(lens.sum())
+    if total < 2:
+        return pd.DataFrame({"bigram": pd.Series([], dtype=object)})
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for x in lists:
+        flat[pos:pos + len(x)] = x
+        pos += len(x)
+    valid = np.ones(total - 1, dtype=bool)
+    ends = np.cumsum(lens)
+    last = ends - 1  # last token index of each doc — no bigram across docs
+    last = last[(last >= 0) & (last < total - 1)]
+    valid[last] = False
+    left = pd.Series(flat[:-1][valid])
+    right = pd.Series(flat[1:][valid])
+    return pd.DataFrame({"bigram": left.str.cat(right, sep=" ")})
+
+
+def bigram_counts(ds, min_count: int = 1, salt_buckets: int = 8):
+    """Corpus-wide bigram count table (n-gram LM / repetition analysis):
+    flat-map to one row per bigram, salted partial+final grouped count,
+    then a threshold filter. The partial combine bounds any bigram's
+    shuffle fan-in to the block count regardless of its popularity."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..aggregates import grouped_count
+
+    rows = ds.map_batches(bigram_batch, batch_format="pandas")
+    counts = grouped_count(rows, ["bigram"], out_name="n",
+                           salt_buckets=salt_buckets)
+    if min_count > 1:
+        counts = counts.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n"],
+                                                pa.scalar(min_count))),
+            batch_format="pyarrow")
+    return counts
+
+
+# -- frequent items (heavy hitters) ------------------------------------------
+
+
+def heavy_hitters(ds, col: str, k: int = 20, m: int | None = None):
+    """Exact φ-frequent items (count > N/k) in two streaming passes — the
+    Misra-Gries candidate pattern:
+
+    pass 1: per block, keep values whose block count × (m+1) > block rows
+            (≤ m survivors per block — the MG summary computed from exact
+            per-block counts). A value absent from EVERY block summary has
+            global count ≤ Σ n_b/(m+1) = N/(m+1), so with m ≥ k−1 the union
+            of block summaries provably contains every answer. The union is
+            bounded by blocks × m, never by the key cardinality.
+    pass 2: exact recount of the candidate set only (broadcast is_in
+            filter → salted partial+final count), then the exact
+            n × k > N threshold.
+
+    Returns (col, n) with exact counts — oracle-matchable against plain SQL
+    `HAVING count(*)*k > total`."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..aggregates import grouped_count
+
+    if m is None:
+        m = max(4 * k, k - 1)
+    assert m >= k - 1, "MG capacity must be >= k-1 for the candidate guarantee"
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        from ..aggregates import strip_schema_metadata
+
+        t = strip_schema_metadata(t)
+        g = t.select([col]).group_by([col]).aggregate([([], "count_all")])
+        n_b = t.num_rows
+        keep = pc.greater(pc.multiply(pc.cast(g["count_all"], pa.int64()),
+                                      pa.scalar(m + 1, pa.int64())),
+                          pa.scalar(n_b, pa.int64()))
+        cand = g.filter(keep)
+        return pa.table({col: cand[col],
+                         "_block_rows": pa.array([n_b] * cand.num_rows,
+                                                 pa.int64())})
+
+    # candidates: bounded by blocks × m rows — a driver-side collect of an
+    # aggregate-sized result, not of the input
+    summary = ds.map_batches(block_summary, batch_format="pyarrow").to_pandas()
+    total = ds.count()
+    cand = sorted(set(summary[col])) if len(summary) else []
+    if not cand:
+        # nothing can exceed N/(m+1): empty result with the input's key type
+        return ds.map_batches(
+            lambda t: pa.table({col: t[col].slice(0, 0),
+                                "n": pa.array([], pa.int64())}),
+            batch_format="pyarrow").limit(1)
+    cand_set = pa.array(cand)
+
+    filtered = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[col], value_set=cand_set)),
+        batch_format="pyarrow")
+    counts = grouped_count(filtered, [col], out_name="n", salt_buckets=4)
+    return counts.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(pc.cast(t["n"], pa.int64()), pa.scalar(k, pa.int64())),
+            pa.scalar(total, pa.int64()))),
+        batch_format="pyarrow")
+
+
+# -- TF-IDF ------------------------------------------------------------------
+
+
+def doc_term_freqs(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, token, tf) — per-document term frequencies over lowercased
+    whitespace tokens. A document's rows never leave its batch (tf is
+    row-local), so this is shuffle-free."""
+    toks = df["text"].str.lower().str.split()
+    e = df[["doc_id"]].assign(token=toks).explode("token")
+    e = e[e["token"].notna()]
+    tf = e.groupby(["doc_id", "token"], as_index=False).size()
+    return tf.rename(columns={"size": "tf"})
+
+
+def tfidf_top_terms(ds, top_n: int = 3, df_broadcast_limit: int = 5_000_000):
+    """Per-document top-n terms by integer-scaled TF-IDF:
+
+        score_scaled = tf × n_docs × 1000 // df      (exact int arithmetic)
+
+    so Ray and a SQL oracle agree bit-for-bit (no float log). Two passes:
+    (1) document-frequency table via per-doc-distinct flat-map + salted
+    grouped count, broadcast as a dict (vocabulary ≪ corpus; for
+    vocabularies beyond `df_broadcast_limit` a bucketed hash_join on token
+    is the scale path); (2) per-doc tf + in-batch top-n (ties broken by
+    token asc). Returns (doc_id, token, tf, df, score_scaled)."""
+    import ray
+
+    from ..aggregates import grouped_count
+
+    def doc_distinct(df_: pd.DataFrame) -> pd.DataFrame:
+        toks = df_["text"].str.lower().str.split().map(
+            lambda ws: sorted(set(ws)))
+        e = df_[["doc_id"]].assign(token=toks).explode("token")
+        return e[e["token"].notna()][["token"]]
+
+    df_tbl = grouped_count(
+        ds.map_batches(doc_distinct, batch_format="pandas"),
+        ["token"], out_name="df", salt_buckets=4).to_pandas()
+    if len(df_tbl) > df_broadcast_limit:
+        raise NotImplementedError(
+            "vocabulary too large to broadcast — use a bucketed hash_join "
+            "of the tf rows against the df table on token")
+    n_docs = ds.count()
+    df_ref = ray.put(dict(zip(df_tbl["token"], df_tbl["df"].astype(int))))
+
+    def topn(df_: pd.DataFrame) -> pd.DataFrame:
+        tf = doc_term_freqs(df_)
+        if not len(tf):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "token": pd.Series([], dtype=object),
+                                 "tf": pd.Series([], dtype="int64"),
+                                 "df": pd.Series([], dtype="int64"),
+                                 "score_scaled": pd.Series([], dtype="int64")})
+        dfs = ray.get(df_ref)
+        tf["df"] = tf["token"].map(dfs).astype("int64")
+        tf["score_scaled"] = (tf["tf"].astype("int64") * n_docs * 1000
+                              ) // tf["df"]
+        tf = tf.sort_values(["doc_id", "score_scaled", "token"],
+                            ascending=[True, False, True])
+        out = tf.groupby("doc_id", as_index=False).head(top_n).copy()
+        out["tf"] = out["tf"].astype("int64")
+        return out.reset_index(drop=True)
+
+    return ds.map_batches(topn, batch_format="pandas")
+
+
 _FP_B = np.uint64(1000003)
 _FP_H0 = np.uint64(1469598103934665603)
 

@@ -92,3 +92,70 @@ def test_dup_ngram_stats_repetition():
 def test_stages_run_on_dataset():
     ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "c d e"]}))
     assert ds.map_batches(token_stats, batch_format="pandas").count() == 2
+
+
+def test_bigram_batch_boundaries():
+    from dygiepp_ray.stages.text import bigram_batch
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "text": ["A b c", "", "x", "y z"]})
+    out = bigram_batch(df)
+    # no bigram crosses a document boundary; lowercased
+    assert sorted(out["bigram"]) == ["a b", "b c", "y z"]
+
+
+def test_bigram_counts_vs_pandas():
+    from collections import Counter
+
+    from dygiepp_ray.stages.text import bigram_counts
+
+    texts = ["a b a b c", "b c b c", "a b", ""]
+    want = Counter()
+    for t in texts:
+        ws = t.split()
+        want.update(" ".join(ws[i:i + 2]) for i in range(len(ws) - 1))
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts})).repartition(3)
+    got = bigram_counts(ds, min_count=2, salt_buckets=4).to_pandas()
+    want2 = {k: v for k, v in want.items() if v >= 2}
+    assert dict(zip(got["bigram"], got["n"])) == want2
+
+
+def test_heavy_hitters_exact_threshold():
+    import numpy as np
+
+    from dygiepp_ray.stages.text import heavy_hitters
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate([
+        np.full(500, 1), np.full(300, 2), np.full(60, 3),
+        rng.randint(100, 200, size=140),  # long tail
+    ])
+    rng.shuffle(vals)
+    df = pd.DataFrame({"k": vals})
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = heavy_hitters(ds, "k", k=10, m=16).to_pandas()
+    total = len(df)
+    exact = df["k"].value_counts()
+    want = {int(k): int(v) for k, v in exact.items() if v * 10 > total}
+    assert dict(zip(got["k"].astype(int), got["n"].astype(int))) == want
+
+
+def test_tfidf_top_terms_exact():
+    from dygiepp_ray.stages.text import tfidf_top_terms
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["apple apple banana", "banana cherry", "cherry apple date"],
+    })
+    ds = ray.data.from_pandas(df).repartition(2)
+    got = tfidf_top_terms(ds, top_n=2).to_pandas()
+    # df: apple=2, banana=2, cherry=2, date=1 ; n_docs=3
+    # doc 0: apple tf2 -> 2*3*1000//2=3000 ; banana 1500 -> top2 = apple, banana
+    d0 = got[got["doc_id"] == 0].sort_values("score_scaled", ascending=False)
+    assert list(d0["token"]) == ["apple", "banana"]
+    assert list(d0["score_scaled"]) == [3000, 1500]
+    # doc 2: all tf1: date 1*3*1000//1=3000, apple=cherry=1500 -> ties by token
+    d2 = got[got["doc_id"] == 2]
+    assert list(d2.sort_values(["score_scaled", "token"],
+                               ascending=[False, True])["token"]) == \
+        ["date", "apple"]
