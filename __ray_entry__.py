@@ -1304,6 +1304,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["seeded_split"] = q_seeded_split
 
+    def q_stratified_sample(sf_dir: str):
+        # deterministic hash-order sample per stratum (stable across runs,
+        # block layouts and cluster sizes — unlike shuffle-based sampling)
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.misc import stratified_sample
+
+        _write_oracle(sf_dir, "stratified_sample_orders",
+                      lambda: _o.expected_stratified_sample(sf_dir))
+        ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey"])
+        return stratified_sample(ds, "o_orderpriority", "o_orderkey",
+                                 n=20, seed=42)
+
+    q["stratified_sample_orders"] = q_stratified_sample
+
+    def q_term_postings(sf_dir: str):
+        # persisted hash-partitioned inverted index; the lookup reads ONLY
+        # the buckets the probe terms hash into
+        import os as _os
+
+        from dygiepp_ray.stages.invindex import build_inverted_index, term_lookup
+
+        idx = f"/tmp/dygiepp_ray_invidx/{_sf_tag(sf_dir)}"
+        if not _os.path.isdir(idx) or not _os.listdir(idx):
+            build_inverted_index(
+                _read(sf_dir, "documents", ["doc_id", "text"]), idx)
+        return term_lookup(idx, ["scan", "merge", "window", "zzz-missing"])
+
+    q["term_postings"] = q_term_postings
+
     def q_schema_map(sf_dir: str):
         # P7 over the extracted predictions: remap predicted relation labels,
         # drop the rest; count per mapped label
@@ -1969,6 +1998,22 @@ def oracle_sql() -> dict[str, str]:
         #    of the corpus semantics before the Ray query runs)
         "fingerprint": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/fingerprint.parquet')
+        """,
+        "stratified_sample_orders": """
+            SELECT * FROM read_parquet(
+                '/tmp/dygiepp_ray_oracle/stratified_sample_orders.parquet')
+        """,
+        "term_postings": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '')) AS token
+                FROM documents
+            )
+            SELECT token, doc_id, count(*) AS tf FROM toks
+            WHERE token IN ('scan', 'merge', 'window', 'zzz-missing')
+            GROUP BY token, doc_id
         """,
         "knn_lsh": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/knn_lsh.parquet')

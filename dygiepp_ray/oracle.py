@@ -1227,6 +1227,33 @@ def expected_hll_ndv(sf_dir: str, p: int = 12) -> pa.Table:
                      "ndv": pa.array(ndvs, pa.int64())})
 
 
+def _splitmix64_scalar(z: int) -> int:
+    """Pure-python splitmix64 twin (independent of the numpy kernel)."""
+    m = 0xFFFFFFFFFFFFFFFF
+    z = (z + 0x9E3779B97F4A7C15) & m
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & m
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & m
+    return (z ^ (z >> 31)) & m
+
+
+def expected_stratified_sample(sf_dir: str, key: str = "o_orderpriority",
+                               id_col: str = "o_orderkey", n: int = 20,
+                               seed: int = 42) -> pa.Table:
+    """Per-stratum smallest-n by splitmix64(id ^ seed), scalar recompute."""
+    import pandas as pd
+
+    df = pd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=[key, id_col])
+    keys, ids = [], []
+    for k, g in sorted(df.groupby(key), key=lambda kv: kv[0]):
+        scored = sorted((_splitmix64_scalar(int(i) ^ seed), int(i))
+                        for i in g[id_col])[:n]
+        keys += [k] * len(scored)
+        ids += [i for _, i in scored]
+    return pa.table({key: pa.array(keys, pa.string()),
+                     id_col: pa.array(ids, pa.int64())})
+
+
 # ------------------------------------------------------------------ writers
 
 

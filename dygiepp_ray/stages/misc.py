@@ -56,6 +56,36 @@ def seeded_split(ds: "ray.data.Dataset", fractions: list[float], seed: int = 100
     return ds.random_shuffle(seed=seed).split_proportionately(fractions[:-1])
 
 
+def stratified_sample(ds: "ray.data.Dataset", key: str, id_col: str, n: int,
+                      seed: int = 42) -> "ray.data.Dataset":
+    """Deterministic per-stratum sample: for each `key` group keep the `n`
+    rows with the smallest splitmix64(id ^ seed) — hash order instead of a
+    shuffle, so the sample is stable across runs, block layouts and cluster
+    sizes. Block-local per-key prune first (each block contributes ≤ n rows
+    per key), then a tiny per-key final top-n — the same two-phase shape as
+    `top_k`, so the shuffle sees blocks × strata × n rows, not the input."""
+    import numpy as np
+
+    from .dedup import _splitmix64
+
+    seed64 = np.uint64(seed)
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_h"] = _splitmix64(
+            df[id_col].to_numpy().astype(np.uint64) ^ seed64)
+        df = df.sort_values([key, "_h", id_col])
+        return df.groupby(key, as_index=False).head(n)
+
+    pruned = ds.map_batches(prune, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_h", id_col]).head(n)
+        return g.drop(columns=["_h"])
+
+    return pruned.groupby(key).map_groups(final, batch_format="pandas")
+
+
 def dedup_doc_keys(batch: pa.Table, seen: set | None = None,
                    key_col: str = "doc_key") -> pa.Table:
     """D2 — preprocess.py:403-405: append '+' until the key is unique.

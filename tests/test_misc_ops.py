@@ -118,3 +118,55 @@ def test_pivot_counts_wide_shape():
     assert m.loc["F"].tolist() == [0, 1]  # "other" dropped, zero filled
     assert m.loc["P"].tolist() == [1, 0]
     assert got["n_1_urgent"].dtype == np.int64
+
+
+def test_stratified_sample_deterministic_and_exact():
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from dygiepp_ray.stages.dedup import _splitmix64
+    from dygiepp_ray.stages.misc import stratified_sample
+
+    df = pd.DataFrame({"g": ["a"] * 50 + ["b"] * 30 + ["c"] * 3,
+                       "id": list(range(83))})
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = stratified_sample(ds, "g", "id", n=10, seed=9).to_pandas()
+    # exact expected: smallest-10 hash per group (group c keeps all 3)
+    h = _splitmix64(df["id"].to_numpy().astype(np.uint64) ^ np.uint64(9))
+    df2 = df.assign(h=h)
+    want = (df2.sort_values(["g", "h"]).groupby("g").head(10)
+            .drop(columns="h"))
+    got_s = got.sort_values(["g", "id"]).reset_index(drop=True)
+    want_s = want.sort_values(["g", "id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+    # stable under different partitioning
+    got2 = stratified_sample(ray.data.from_pandas(df).repartition(11),
+                             "g", "id", n=10, seed=9).to_pandas()
+    got2_s = got2.sort_values(["g", "id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, got2_s, check_dtype=False)
+
+
+def test_inverted_index_build_and_lookup(tmp_path):
+    import pandas as pd
+
+    import ray.data
+
+    from dygiepp_ray.stages.invindex import build_inverted_index, term_lookup
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["apple Apple banana", "banana cherry", "date"],
+    })
+    idx = str(tmp_path / "idx")
+    build_inverted_index(ray.data.from_pandas(docs).repartition(2), idx,
+                         n_buckets=4)
+    got = term_lookup(idx, ["apple", "banana", "missing"],
+                      n_buckets=4).to_pandas()
+    rows = {(r.token, r.doc_id): r.tf for r in got.itertuples()}
+    assert rows == {("apple", 0): 2, ("banana", 0): 1, ("banana", 1): 1}
+    # no-match path: zero rows (Ray's to_pandas drops the schema of an
+    # all-empty dataset, so only the row count is asserted)
+    got2 = term_lookup(idx, ["qqq"], n_buckets=4).to_pandas()
+    assert len(got2) == 0
