@@ -835,6 +835,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["ngram_jaccard_dups"] = q_ngram
 
+    def q_substring_dups(sf_dir: str):
+        # substring-level dedup: winnowed char-k-gram fingerprints (shared
+        # passages, not whole-doc similarity)
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.dedup import substring_dup_pairs
+
+        _write_oracle(sf_dir, "substring_dups",
+                      lambda: _o.expected_substring_pairs(sf_dir))
+        return substring_dup_pairs(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            k=20, w=8, min_shared=2, max_df=8)
+
+    q["substring_dups"] = q_substring_dups
+
     def q_emb_neardup(sf_dir: str):
         # the testdata embeddings have no natural near-dups (max cosine≈0.48),
         # so plant exact duplicates of vec_id<20 under offset ids: the
@@ -2029,6 +2043,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_dups": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/ngram_dups.parquet')
+        """,
+        "substring_dups": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/substring_dups.parquet')
         """,
         "embedding_neardups": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/embedding_neardups.parquet')

@@ -1254,6 +1254,57 @@ def expected_stratified_sample(sf_dir: str, key: str = "o_orderpriority",
                      id_col: pa.array(ids, pa.int64())})
 
 
+def expected_substring_pairs(sf_dir: str, k: int = 20, w: int = 8,
+                             min_shared: int = 2, max_df: int = 8) -> pa.Table:
+    """Winnowed substring-fingerprint pairs — scalar re-derivation: per-doc
+    Horner rolling hash over k-byte windows, explicit window-min winnowing,
+    Counter over per-fingerprint doc pairs."""
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    m64 = 0xFFFFFFFFFFFFFFFF
+    b_const = 1000003
+    df = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    fp2docs: dict[int, set] = defaultdict(set)
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        data = text.encode("utf-8")
+        n = len(data)
+        if n < k:
+            continue
+        hs = []
+        h = 0
+        for j in range(k):                    # first window, plain Horner
+            h = (h * b_const + data[j]) & m64
+        hs.append(h)
+        top = pow(b_const, k - 1, 1 << 64)
+        for i in range(1, n - k + 1):         # roll
+            h = ((h - data[i - 1] * top) * b_const + data[i + k - 1]) & m64
+            hs.append(h)
+        hs = [_splitmix64_scalar(x) for x in hs]
+        if len(hs) <= w:
+            sel = {min(hs)}
+        else:
+            sel = {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+        for v in sel:
+            fp2docs[v].add(int(doc_id))
+    cnt: Counter = Counter()
+    for ids in fp2docs.values():
+        ids = sorted(ids)
+        if len(ids) < 2 or len(ids) > max_df:
+            continue
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                cnt[(ids[x], ids[y])] += 1
+    rows = sorted((a, b, c) for (a, b), c in cnt.items() if c >= min_shared)
+    return pa.table({
+        "id_a": pa.array([r[0] for r in rows], pa.int64()),
+        "id_b": pa.array([r[1] for r in rows], pa.int64()),
+        "n_shared": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
 # ------------------------------------------------------------------ writers
 
 

@@ -459,3 +459,108 @@ def ngram_jaccard_pairs(docs: "ray.data.Dataset", shingle_k: int = 3,
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": jac})
 
     return with_ab.map_batches(verify, batch_format="pandas")
+
+
+# ------------------------------------------------- substring (winnowing)
+
+
+_WIN_B = np.uint64(1000003)          # odd -> invertible mod 2^64
+_WIN_BINV = np.uint64(pow(1000003, -1, 1 << 64))
+
+
+def char_window_hashes(text: str, k: int) -> np.ndarray:
+    """Rolling polynomial hash of every k-BYTE window of the UTF-8 text,
+    h(i) = Σ_j byte[i+j]·B^(k-1-j) (mod 2^64), then splitmix64-finalized.
+
+    Vectorized via modular prefix sums: with S[t] = Σ_{u<t} byte[u]·B⁻ᵘ,
+    h(i) = (S[i+k] − S[i])·B^(i+k-1) — two cumulative passes and one
+    elementwise multiply, no per-window Python (B odd so B⁻¹ exists mod
+    2^64; uint64 wraparound IS the modulus)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = len(b)
+    if n < k:
+        return np.zeros(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        binv_pow = np.full(n, _WIN_BINV, dtype=np.uint64)
+        binv_pow[0] = np.uint64(1)
+        np.cumprod(binv_pow, out=binv_pow)          # B^-u
+        s = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(b * binv_pow, out=s[1:])          # S[t], wraps mod 2^64
+        bpow = np.full(n - k + 1, _WIN_B, dtype=np.uint64)
+        bpow[0] = np.uint64(1)
+        np.cumprod(bpow, out=bpow)                  # B^i
+        bk1 = np.uint64(pow(1000003, k - 1, 1 << 64))
+        h = (s[k:] - s[:-k]) * bpow * bk1
+    return _splitmix64(h)
+
+
+def winnow_values(h: np.ndarray, w: int) -> np.ndarray:
+    """Winnowing (Schleimer et al., SIGMOD 2003): the min hash of every
+    w-window of consecutive k-grams, deduplicated. Guarantee: two texts
+    sharing a substring of ≥ k+w-1 bytes share at least one selected
+    value."""
+    if len(h) == 0:
+        return h
+    if len(h) <= w:
+        return np.unique(h.min(keepdims=True))
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    return np.unique(sliding_window_view(h, w).min(axis=1))
+
+
+def substring_dup_pairs(docs: "ray.data.Dataset", k: int = 16, w: int = 8,
+                        min_shared: int = 2, max_df: int = 8,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_buckets: int = 32) -> "ray.data.Dataset":
+    """Substring-level near-dup candidates (deduplicating-training-data
+    style): documents sharing ≥ `min_shared` winnowed k-gram fingerprints,
+    i.e. repeated byte-level passages, not whole-doc similarity.
+
+    (fp, doc) rows → coarse-bucket shuffle on fp → per-fp doc groups (fps
+    seen in > `max_df` docs are dropped as boilerplate — they would emit
+    O(df²) pairs and match everything) → pair rows → salted grouped count →
+    `n_shared ≥ min_shared` filter. Two shuffles, both over fingerprint/pair
+    rows (≈ docs × windows/w rows), never all-pairs over the corpus."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..aggregates import grouped_count
+
+    def fps(df: pd.DataFrame) -> pd.DataFrame:
+        ids, vals = [], []
+        for i, t in zip(df[id_col], df[text_col]):
+            v = winnow_values(char_window_hashes(t, k), w)
+            ids += [i] * len(v)
+            vals.append(v)
+        allv = np.concatenate(vals) if vals else np.zeros(0, np.uint64)
+        return pd.DataFrame({
+            id_col: pd.array(ids, dtype="int64"),
+            "fp": pd.array(allv, dtype="uint64"),
+            "_fb": pd.array((allv % np.uint64(n_buckets)).astype(np.int32),
+                            dtype="int32"),
+        })
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _fp, g in df.groupby("fp", sort=False):
+            if len(g) < 2 or len(g) > max_df:
+                continue
+            ids = sorted(g[id_col].tolist())
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    if ids[x] != ids[y]:
+                        out_a.append(ids[x])
+                        out_b.append(ids[y])
+        return pd.DataFrame({"id_a": pd.array(out_a, dtype="int64"),
+                             "id_b": pd.array(out_b, dtype="int64")})
+
+    fp_rows = docs.select_columns([id_col, text_col]).map_batches(
+        fps, batch_format="pandas")
+    pair_rows = fp_rows.groupby("_fb").map_groups(
+        pairs_in_bucket, batch_format="pandas")
+    counted = grouped_count(pair_rows, ["id_a", "id_b"],
+                            out_name="n_shared", salt_buckets=4)
+    return counted.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_shared"],
+                                            pa.scalar(min_shared))),
+        batch_format="pyarrow")

@@ -125,3 +125,63 @@ def test_signature_determinism(planted):
     mh = MinHasher(n_perm=32)
     t = planted.loc[2, "text"]
     assert mh.signature(t).tolist() == MinHasher(n_perm=32).signature(t).tolist()
+
+
+def test_char_window_hashes_match_scalar_horner():
+    import numpy as np
+
+    from dygiepp_ray.stages.dedup import _mix64, char_window_hashes
+
+    text = "the quick brown fox jumps over the lazy dog"
+    k = 7
+    got = char_window_hashes(text, k)
+    data = text.encode()
+    m64 = (1 << 64) - 1
+    want = []
+    for i in range(len(data) - k + 1):
+        h = 0
+        for j in range(k):
+            h = (h * 1000003 + data[i + j]) & m64
+        want.append(_mix64(h))
+    assert got.tolist() == want
+    # short-text edge
+    assert len(char_window_hashes("ab", 7)) == 0
+
+
+def test_winnow_guarantee_shared_passage():
+    import numpy as np
+
+    from dygiepp_ray.stages.dedup import char_window_hashes, winnow_values
+
+    k, w = 8, 4
+    shared = "XCOMMONPASSAGEYZ0123456789"  # len 26 >= k+w-1
+    a = "aaaa bbbb " + shared + " cccc"
+    b = "dd " + shared + " eeee ffff gg"
+    sa = set(winnow_values(char_window_hashes(a, k), w).tolist())
+    sb = set(winnow_values(char_window_hashes(b, k), w).tolist())
+    assert sa & sb  # winnowing guarantee: >= 1 shared fingerprint
+
+
+def test_substring_dup_pairs_plants():
+    import pandas as pd
+
+    import ray.data
+
+    from dygiepp_ray.stages.dedup import substring_dup_pairs
+
+    passage = "the exact same long shared passage of text here"
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "alpha " + passage + " omega",
+            "beta " + passage + " gamma",
+            "completely different content with no overlap at all xyzzy",
+            "another fully unrelated document body qwerty asdf zxcv",
+        ],
+    })
+    ds = ray.data.from_pandas(docs).repartition(2)
+    got = substring_dup_pairs(ds, k=12, w=4, min_shared=2, max_df=8
+                              ).to_pandas()
+    pairs = set(zip(got["id_a"].astype(int), got["id_b"].astype(int)))
+    assert (0, 1) in pairs
+    assert all(p == (0, 1) for p in pairs)
