@@ -782,15 +782,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["bigram_counts"] = q_bigram_counts
 
-    def q_heavy_hitters_users(sf_dir: str):
+    def q_heavy_hitters_tokens(sf_dir: str):
         # exact frequent-items (count > N/k): Misra-Gries candidates from
-        # per-block summaries, then an exact recount of candidates only
+        # per-block summaries, then an exact recount of candidates only.
+        # Runs over the corpus token stream (Zipfian at every scale —
+        # per-user event counts flatten out as the user count grows)
         from dygiepp_ray.stages.text import heavy_hitters
 
-        ev = _read(sf_dir, "events", ["user_id"])
-        return heavy_hitters(ev, "user_id", k=20, m=64)
+        def toks(df: pd.DataFrame) -> pd.DataFrame:
+            e = df[["doc_id"]].assign(
+                token=df["text"].str.lower().str.split()).explode("token")
+            return e[e["token"].notna()][["token"]]
 
-    q["heavy_hitters_users"] = q_heavy_hitters_users
+        stream = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            toks, batch_format="pandas")
+        return heavy_hitters(stream, "token", k=40, m=64)
+
+    q["heavy_hitters_tokens"] = q_heavy_hitters_tokens
 
     def q_tfidf_top_terms(sf_dir: str):
         # per-doc top-3 terms by integer-scaled TF-IDF (exact, no float log)
@@ -2114,11 +2122,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, count(*) AS n FROM b
             GROUP BY bigram HAVING count(*) >= 20
         """,
-        "heavy_hitters_users": """
-            WITH c AS (
-                SELECT user_id, count(*) AS n FROM events GROUP BY user_id
-            ), tot AS (SELECT count(*) AS total FROM events)
-            SELECT c.user_id, c.n FROM c, tot WHERE c.n * 20 > tot.total
+        "heavy_hitters_tokens": r"""
+            WITH t AS (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(text), '\s+'),
+                    x -> x <> '')) AS token
+                FROM documents
+            ), tot AS (SELECT count(*) AS total FROM t)
+            SELECT t.token, count(*) AS n FROM t, tot
+            GROUP BY t.token, tot.total HAVING count(*) * 40 > tot.total
         """,
         "tfidf_top_terms": r"""
             WITH toks AS (

@@ -71,6 +71,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         # round-2 additions (kept after the comparable round-1 17)
         "asof_join_orders", "range_join_events", "quantiles_price",
         "kg_components", "kg_pagerank",
+        # round-2 late additions
+        "bigram_counts", "heavy_hitters_tokens", "substring_dups",
     ]
     times: dict[str, float] = {}
     counts: dict[str, int] = {}
