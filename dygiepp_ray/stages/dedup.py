@@ -558,8 +558,11 @@ def substring_dup_pairs(docs: "ray.data.Dataset", k: int = 16, w: int = 8,
         fps, batch_format="pandas")
     pair_rows = fp_rows.groupby("_fb").map_groups(
         pairs_in_bucket, batch_format="pandas")
+    # pair keys are near-unique: salting would only add a second (useless)
+    # groupby pass — the block-local partial combine inside grouped_count is
+    # the load-bearing part
     counted = grouped_count(pair_rows, ["id_a", "id_b"],
-                            out_name="n_shared", salt_buckets=4)
+                            out_name="n_shared", salt_buckets=1)
     return counted.map_batches(
         lambda t: t.filter(pc.greater_equal(t["n_shared"],
                                             pa.scalar(min_shared))),
