@@ -296,3 +296,86 @@ def build_kg(input_dir: str, out_dir: str, n_buckets: int = 16, resume: bool = T
         write_manifest(out_dir, b, fp)
         written.append(b)
     return {"written_buckets": written, "skipped_buckets": sorted(done), "fingerprint": fp}
+
+
+def build_kg_incremental(input_dir: str, out_dir: str,
+                         concurrency=DEFAULT_KERNEL_CONCURRENCY,
+                         batch_size: int = DEFAULT_KERNEL_BATCH_SIZE) -> dict:
+    """Append-friendly KB build: per-INPUT-SHARD lineage manifests.
+
+    `build_kg`'s bucket manifests validate against a GLOBAL input
+    fingerprint, so appending one shard invalidates every bucket (hash
+    partitioning spreads new rows everywhere). Extraction is per-document —
+    no cross-doc state — so shard-level incrementality is exact: each input
+    parquet shard's triples land in their own `out_dir/shard=<stem>/`
+    partition (stem = shard filename, a stable key under appends, unlike a
+    position index) with a manifest recording the shard's (name, size)
+    fingerprint. A re-run after appending shards processes ONLY the
+    new/changed shards; untouched shards are never re-read. Count/graph
+    tables re-derive from the (much smaller) triple table downstream."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    shards = sorted(_glob.glob(_os.path.join(input_dir, "*.parquet")))
+    mdir = _os.path.join(out_dir, "_shard_manifests")
+    _os.makedirs(mdir, exist_ok=True)
+
+    def stem_of(f: str) -> str:
+        return _os.path.splitext(_os.path.basename(f))[0]
+
+    def shard_fp(f: str) -> str:
+        return f"{_os.path.basename(f)}:{_os.path.getsize(f)}"
+
+    pending, skipped = [], []
+    for f in shards:
+        stem = stem_of(f)
+        mpath = _os.path.join(mdir, f"{stem}.json")
+        if _os.path.exists(mpath):
+            with open(mpath) as fh:
+                rec = _json.load(fh)
+            if rec.get("fingerprint") == shard_fp(f):
+                skipped.append(stem)
+                continue
+        pending.append((stem, f))
+    for stem, _f in pending:
+        part = _os.path.join(out_dir, f"shard={stem}")
+        if _os.path.isdir(part):
+            _shutil.rmtree(part)
+        mpath = _os.path.join(mdir, f"{stem}.json")
+        if _os.path.exists(mpath):
+            _os.remove(mpath)
+    if not pending:
+        return {"written_shards": [], "skipped_shards": sorted(skipped)}
+
+    # one lazy read per pending shard, stamped with its shard ordinal
+    # through the fused stage's int passthrough column, then ONE union
+    # pipeline; ordinals map back to stems after extraction
+    stems = [stem for stem, _f in pending]
+    parts = []
+    for i, (_stem, f) in enumerate(pending):
+        ds = ray.data.read_parquet(f).map_batches(
+            lambda t, _i=i: t.append_column(
+                "bucket", pa.array([_i] * t.num_rows, pa.int32())),
+            batch_format="pyarrow")
+        parts.append(ds)
+    corpus = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+    def ord_to_stem(t: pa.Table) -> pa.Table:
+        shard = pa.array([stems[i] for i in t.column("bucket").to_pylist()],
+                         pa.string())
+        return t.drop_columns(["bucket"]).append_column("shard", shard)
+
+    triples = corpus.map_batches(
+        ExtractToTriples, fn_constructor_kwargs=dict(do_prep=True),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    ).map_batches(ord_to_stem, batch_format="pyarrow")
+    triples.write_parquet(out_dir, partition_cols=["shard"])
+    written = []
+    for stem, f in pending:
+        with open(_os.path.join(mdir, f"{stem}.json"), "w") as fh:
+            _json.dump({"fingerprint": shard_fp(f), "engine": 1}, fh)
+        written.append(stem)
+    return {"written_shards": sorted(written), "skipped_shards": sorted(skipped)}
