@@ -1036,6 +1036,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_pair_counts"] = q_kg_pair_counts
 
+    def q_kg_degree_hist(sf_dir: str):
+        # out-degree distribution over distinct KB edges (three shrinking
+        # grouped counts; only the first sees the triple table)
+        _ensure_triples_oracle(sf_dir)
+        return kgp.degree_histogram(_synth_triples(sf_dir), salt_buckets=4)
+
+    q["kg_degree_hist"] = q_kg_degree_hist
+
+    def q_kg_pair_pmi(sf_dir: str):
+        # integer-scaled PMI per (subj,obj) — exact int64, no float log
+        _ensure_triples_oracle(sf_dir)
+        return kgp.pair_pmi(_synth_triples(sf_dir), scale=1000,
+                            salt_buckets=4)
+
+    q["kg_pair_pmi"] = q_kg_pair_pmi
+
     def q_kg_mentions(sf_dir: str):
         from dygiepp_ray import oracle as _o
 
@@ -2174,6 +2190,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj_norm, obj_norm, count(*) AS count
             FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
             GROUP BY subj_norm, obj_norm
+        """,
+        "kg_degree_hist": """
+            WITH e AS (
+                SELECT DISTINCT subj_norm, obj_norm
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            ), d AS (
+                SELECT subj_norm, count(*) AS degree FROM e GROUP BY subj_norm
+            )
+            SELECT degree, count(*) AS n_nodes FROM d GROUP BY degree
+        """,
+        "kg_pair_pmi": """
+            WITH p AS (
+                SELECT subj_norm, obj_norm, count(*) AS n_pair
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+                GROUP BY subj_norm, obj_norm
+            ), s AS (
+                SELECT subj_norm, sum(n_pair) AS n_s FROM p GROUP BY subj_norm
+            ), o AS (
+                SELECT obj_norm, sum(n_pair) AS n_o FROM p GROUP BY obj_norm
+            ), t AS (SELECT sum(n_pair) AS total FROM p)
+            SELECT p.subj_norm, p.obj_norm, p.n_pair,
+                   CAST((p.n_pair * t.total * 1000) // (s.n_s * o.n_o)
+                        AS BIGINT) AS pmi_scaled
+            FROM p JOIN s USING (subj_norm) JOIN o USING (obj_norm)
+            CROSS JOIN t
         """,
         "kg_graph_edges": """
             SELECT subj_norm, pred, obj_norm,

@@ -379,3 +379,51 @@ def build_kg_incremental(input_dir: str, out_dir: str,
             _json.dump({"fingerprint": shard_fp(f), "engine": 1}, fh)
         written.append(stem)
     return {"written_shards": sorted(written), "skipped_shards": sorted(skipped)}
+
+
+def degree_histogram(triples: "ray.data.Dataset",
+                     salt_buckets: int = 1) -> "ray.data.Dataset":
+    """(degree, n_nodes) — out-degree distribution of the KB graph over
+    DISTINCT (subj, obj) edges. Three grouped counts, each over the (strictly
+    smaller) output of the previous — aggregates shrink monotonically, so
+    only the first shuffle sees the triple table."""
+    edges = grouped_count(
+        triples.select_columns(["subj_norm", "obj_norm"]),
+        ["subj_norm", "obj_norm"], out_name="_c", salt_buckets=salt_buckets)
+    deg = grouped_count(edges.select_columns(["subj_norm"]),
+                        ["subj_norm"], out_name="degree")
+    return grouped_count(deg.select_columns(["degree"]),
+                         ["degree"], out_name="n_nodes")
+
+
+def pair_pmi(triples: "ray.data.Dataset", scale: int = 1000,
+             salt_buckets: int = 1) -> "ray.data.Dataset":
+    """Integer-scaled pointwise mutual information per (subj, obj) pair:
+
+        pmi_scaled = n_pair × total × scale // (n_subj × n_obj)
+
+    (the PMI ratio without the log — order-preserving, and EXACT in int64,
+    so a SQL oracle matches bit for bit; no float log nondeterminism).
+    Marginals are re-aggregated from the pair-count table (already small)
+    and broadcast as dicts — never a second pass over the triples."""
+    import ray as _ray
+
+    pairs = pair_counts(triples, salt_buckets=salt_buckets).materialize()
+    p = pairs.to_pandas()  # aggregate-sized: one row per distinct pair
+    subj_m = p.groupby("subj_norm")["count"].sum().to_dict()
+    obj_m = p.groupby("obj_norm")["count"].sum().to_dict()
+    total = int(p["count"].sum())
+    s_ref, o_ref = _ray.put(subj_m), _ray.put(obj_m)
+
+    def add_pmi(df):
+        import pandas as pd
+
+        s = df["subj_norm"].map(_ray.get(s_ref)).astype("int64")
+        o = df["obj_norm"].map(_ray.get(o_ref)).astype("int64")
+        n = df["count"].astype("int64")
+        return pd.DataFrame({
+            "subj_norm": df["subj_norm"], "obj_norm": df["obj_norm"],
+            "n_pair": n, "pmi_scaled": (n * total * scale) // (s * o),
+        })
+
+    return pairs.map_batches(add_pmi, batch_format="pandas")
