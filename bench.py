@@ -154,6 +154,10 @@ def run_scaling() -> dict:
     # configuration on this shared VM (ceiling analysis in BASELINE.md).
     lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALE_LEVELS", "4,16").split(","))
     assert hi == 4 * lo, "scaling criterion compares N vs 4N parallelism"
+    # lo >= 4: with lo=2 the fractional-pool arithmetic breaks (2 actors x
+    # 0.85 cpu leave 0.3 < the 0.425-cpu read task, so reads can barely
+    # schedule) — the low level would be unfairly slow and inflate the ratio
+    assert lo >= 4, "minimum low level is 4 cpus (read-slot arithmetic)"
     _scaling_corpus()  # generate once in the parent, outside any timed window
     results: dict[int, dict] = {}
     for cpus in (lo, hi, lo, hi):
