@@ -809,6 +809,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["tfidf_top_terms"] = q_tfidf_top_terms
 
+    def q_ngram_lm_score(sf_dir: str):
+        # model-based quality filtering shape: per-doc mean scaled bigram
+        # conditional probability under the corpus LM (exact ints)
+        from dygiepp_ray.stages.text import ngram_lm_score
+
+        return ngram_lm_score(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    q["ngram_lm_score"] = q_ngram_lm_score
+
     # ---- dedup suite
 
     def q_exact_dedup(sf_dir: str):
@@ -2173,6 +2182,37 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT doc_id, token, tf, df, score_scaled FROM r WHERE rk <= 3
+        """,
+        "ngram_lm_score": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), b AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i+1]))
+                           AS bigram,
+                       unnest(list_transform(range(1, len(toks)),
+                                             i -> toks[i])) AS w1
+                FROM t WHERE len(toks) >= 2
+            ), bc AS (
+                SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+            ), lc AS (
+                SELECT w1, count(*) AS n1 FROM b GROUP BY w1
+            ), s AS (
+                SELECT b.doc_id, (bc.n * 1000000) // lc.n1 AS p
+                FROM b JOIN bc USING (bigram) JOIN lc USING (w1)
+            ), agg AS (
+                SELECT doc_id, count(*) AS n_bigrams, sum(p) AS totp
+                FROM s GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(agg.totp // agg.n_bigrams, 0) AS BIGINT)
+                       AS lm_score
+            FROM documents d LEFT JOIN agg USING (doc_id)
         """,
         "kg_triples": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')

@@ -280,6 +280,74 @@ def heavy_hitters(ds, col: str, k: int = 20, m: int | None = None):
         batch_format="pyarrow")
 
 
+# -- n-gram LM fluency score -------------------------------------------------
+
+
+def ngram_lm_score(ds, scale: int = 1_000_000):
+    """Per-doc fluency under a corpus bigram LM — the shape of model-based
+    quality filtering (perplexity filtering) with an exact integer score:
+
+        p_scaled(w2|w1) = count(w1 w2) × scale // count(w1·)
+        lm_score        = Σ p_scaled over the doc's bigrams // n_bigrams
+
+    (mean scaled conditional probability instead of mean log-prob — same
+    ordering signal, zero float nondeterminism, SQL-mirrorable.) Two
+    passes: (1) corpus bigram + left-unigram count tables via salted
+    partial+final counts, broadcast as dicts (vocab ≪ corpus; bucketed
+    join on the bigram is the huge-vocab path); (2) per-doc vectorized
+    lookup + mean. Returns (doc_id, n_bigrams, lm_score)."""
+    import ray
+
+    from ..aggregates import grouped_count
+
+    bi = grouped_count(ds.map_batches(bigram_batch, batch_format="pandas"),
+                       ["bigram"], out_name="n", salt_buckets=8).to_pandas()
+    bi_map = dict(zip(bi["bigram"], bi["n"].astype(int)))
+    left_counts: dict[str, int] = {}
+    for bg, n in bi_map.items():
+        w1 = bg.split(" ", 1)[0]
+        left_counts[w1] = left_counts.get(w1, 0) + int(n)
+    bi_ref, left_ref = ray.put(bi_map), ray.put(left_counts)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        bm, lm = ray.get(bi_ref), ray.get(left_ref)
+        toks = df["text"].str.lower().str.split()
+        lists = toks.tolist()
+        lens = np.fromiter((len(x) for x in lists), dtype=np.int64,
+                           count=len(lists))
+        nb = np.maximum(lens - 1, 0)
+        total = int(lens.sum())
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64").values,
+                            "n_bigrams": nb})
+        if total < 2 or nb.sum() == 0:
+            out["lm_score"] = np.zeros(len(df), dtype=np.int64)
+            return out
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for x in lists:
+            flat[pos:pos + len(x)] = x
+            pos += len(x)
+        valid = np.ones(total - 1, dtype=bool)
+        last = np.cumsum(lens) - 1
+        valid[last[(last >= 0) & (last < total - 1)]] = False
+        left = pd.Series(flat[:-1][valid])
+        bigr = left.str.cat(pd.Series(flat[1:][valid]), sep=" ")
+        # vectorized dict maps + exact integer conditional probability
+        p = (bigr.map(bm).fillna(0).astype("int64") * scale
+             ) // left.map(lm).fillna(1).astype("int64")
+        # per-doc segment sums over the flattened bigram stream
+        starts = np.concatenate([[0], np.cumsum(nb)[:-1]])
+        # clip: a trailing nb=0 doc would index one past the end (its sum is
+        # zeroed below anyway)
+        starts = np.minimum(starts, len(p) - 1)
+        sums = np.add.reduceat(p.to_numpy(), starts)
+        sums[nb == 0] = 0  # reduceat repeats the next segment on empty docs
+        out["lm_score"] = np.where(nb > 0, sums // np.maximum(nb, 1), 0)
+        return out
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 # -- TF-IDF ------------------------------------------------------------------
 
 

@@ -159,3 +159,26 @@ def test_tfidf_top_terms_exact():
     assert list(d2.sort_values(["score_scaled", "token"],
                                ascending=[False, True])["token"]) == \
         ["date", "apple"]
+
+
+def test_ngram_lm_score_exact():
+    import ray.data
+
+    from dygiepp_ray.stages.text import ngram_lm_score
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b a b", "a b c", "x", ""],
+    })
+    ds = ray.data.from_pandas(df).repartition(2)
+    got = ngram_lm_score(ds).to_pandas().set_index("doc_id").sort_index()
+    # corpus bigrams: a b:3, b a:1, b c:1 ; left counts: a:3, b:2
+    # doc0: (ab,ba,ab) = 3e6//3 + 1e6//2... wait p(ab)=3*1e6//3=1e6,
+    #   p(ba)=1*1e6//2=5e5 -> (1e6+5e5+1e6)//3 = 833333
+    assert got.loc[0, "n_bigrams"] == 3
+    assert got.loc[0, "lm_score"] == (1_000_000 + 500_000 + 1_000_000) // 3
+    # doc1: p(ab)=1e6, p(bc)=1*1e6//2=5e5 -> 750000
+    assert got.loc[1, "lm_score"] == 750_000
+    # short/empty docs
+    assert got.loc[2, "n_bigrams"] == 0 and got.loc[2, "lm_score"] == 0
+    assert got.loc[3, "n_bigrams"] == 0 and got.loc[3, "lm_score"] == 0
