@@ -866,6 +866,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["substring_dups"] = q_substring_dups
 
+    def q_decontaminate(sf_dir: str):
+        # benchmark decontamination: docs with doc_id % 23 == 0 act as the
+        # held-out eval set; flag training docs sharing any word 5-gram.
+        # Eval n-grams broadcast once (ray.put), training side streams.
+        from dygiepp_ray.stages.curate import decontaminate
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        ev = docs.map_batches(
+            lambda df: df[df["doc_id"] % 23 == 0], batch_format="pandas")
+        train = docs.map_batches(
+            lambda df: df[df["doc_id"] % 23 != 0], batch_format="pandas")
+        return decontaminate(train, ev, n=5, concurrency=(1, 4))
+
+    q["decontaminate_docs"] = q_decontaminate
+
+    def q_pii_redact(sf_dir: str):
+        # PII redaction (emails → <EMAIL>, IPv4 → <IP>, phone → <PHONE>).
+        # The corpus has no natural PII, so plant a deterministic
+        # doc_id-derived contact line on even doc_ids (mirrored in the SQL
+        # oracle) — the redaction regexes then do real work on both sides.
+        from dygiepp_ray.stages.curate import pii_redact
+
+        def plant_and_redact(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["doc_id"].astype("int64")
+            contact = (
+                " contact u" + ids.astype(str) + "@ex.com ip 10.0."
+                + (ids % 256).astype(str) + ".7 call 555-0199"
+            )
+            aug = df["text"].where(ids % 2 != 0, df["text"] + contact)
+            return pii_redact(pd.DataFrame({"doc_id": ids, "text": aug}))
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            plant_and_redact, batch_format="pandas"
+        )
+
+    q["pii_redact_docs"] = q_pii_redact
+
+    def q_keep_best(sf_dir: str):
+        # priority dedup across two simulated crawls: crawl B re-crawls every
+        # doc (ids offset +10M), byte-identical text when doc_id % 3 == 0,
+        # else edited. Keep the highest-scoring copy per distinct text
+        # (deterministic pseudo-score; ties → min doc_id).
+        from dygiepp_ray.stages.curate import keep_best
+        from dygiepp_ray.stages.dedup import _text_sha
+
+        def crawl(offset: int, edit: bool):
+            def fn(df: pd.DataFrame) -> pd.DataFrame:
+                ids = df["doc_id"].astype("int64") + offset
+                text = df["text"]
+                if edit:
+                    text = text.where(df["doc_id"] % 3 == 0, text + " v2")
+                return pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "text": text,
+                        "score": (ids * 2654435761) % 1000,
+                    }
+                )
+            return fn
+
+        base = _read(sf_dir, "documents", ["doc_id", "text"])
+        a = base.map_batches(crawl(0, False), batch_format="pandas")
+        b = base.map_batches(crawl(10_000_000, True), batch_format="pandas")
+        union = a.union(b).map_batches(_text_sha, batch_format="pyarrow")
+        union = union.select_columns(["text_sha", "doc_id", "score"])
+        return keep_best(union, key_col="text_sha", score_col="score",
+                         id_col="doc_id")
+
+    q["keep_best_dedup"] = q_keep_best
+
     def q_emb_neardup(sf_dir: str):
         # the testdata embeddings have no natural near-dups (max cosine≈0.48),
         # so plant exact duplicates of vec_id<20 under offset ids: the
@@ -1975,6 +2045,81 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY sha256(text)
+        """,
+        "decontaminate_docs": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id, len(toks) - 4 AS n_grams,
+                       unnest(list_transform(range(1, len(toks) - 3),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                                toks[i+2] || ' ' || toks[i+3] || ' ' ||
+                                toks[i+4])) AS ng
+                FROM t WHERE len(toks) >= 5
+            ), ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 23 = 0)
+            SELECT g.doc_id, max(g.n_grams) AS n_grams,
+                   count(*) AS n_contam
+            FROM g JOIN ev USING (ng)
+            WHERE g.doc_id % 23 <> 0
+            GROUP BY g.doc_id
+        """,
+        "pii_redact_docs": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0 THEN
+                           text || ' contact u' || doc_id || '@ex.com ip 10.0.'
+                                || (doc_id % 256) || '.7 call 555-0199'
+                       ELSE text END AS text
+                FROM documents
+            ), p1 AS (
+                SELECT doc_id, text,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                           AS n_email,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS r1
+                FROM aug
+            ), p2 AS (
+                SELECT doc_id, n_email,
+                       len(regexp_extract_all(r1,
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+                       regexp_replace(r1,
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '<IP>', 'g') AS r2
+                FROM p1
+            )
+            SELECT doc_id,
+                   regexp_replace(r2, '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS red,
+                   n_email, n_ip,
+                   len(regexp_extract_all(r2, '\b\d{3}-\d{4}\b')) AS n_phone
+            FROM p2
+        """,
+        "keep_best_dedup": """
+            WITH a AS (
+                SELECT doc_id, text, (doc_id * 2654435761) % 1000 AS score
+                FROM documents
+            ), b AS (
+                SELECT doc_id + 10000000 AS doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN text
+                            ELSE text || ' v2' END AS text,
+                       ((doc_id + 10000000) * 2654435761) % 1000 AS score
+                FROM documents
+            ), u AS (
+                SELECT * FROM a UNION ALL SELECT * FROM b
+            ), r AS (
+                SELECT sha256(text) AS text_sha, doc_id, score,
+                       row_number() OVER (
+                           PARTITION BY text
+                           ORDER BY score DESC, doc_id ASC) AS rk,
+                       count(*) OVER (PARTITION BY text) AS n_copies
+                FROM u
+            )
+            SELECT text_sha, doc_id AS keep_id, score, n_copies
+            FROM r WHERE rk = 1
         """,
         "lang_id": f"""
             WITH t AS (

@@ -1,0 +1,195 @@
+"""Training-data curation operators: benchmark decontamination, PII
+redaction, and priority ("keep-best") deduplication.
+
+These are the cross-corpus hygiene steps an LLM training pipeline runs after
+the near-dup passes in `stages/dedup.py`:
+
+- decontaminate:  drop/flag training docs that share word n-grams with a
+  (small) held-out benchmark set.  The benchmark side is tiny by definition
+  (MBs even when the training side is 100 TB), so it is collected once on
+  the driver and broadcast via `ray.put`; the training side streams through
+  a `map_batches` actor pool that reads the broadcast set in `__init__`.
+  One pass over the training corpus, zero shuffles.
+- pii_redact:     regex redaction of emails / IPv4s / phone-shaped numbers,
+  vectorized via pandas `.str.replace` with compiled patterns.  Pure
+  per-batch map — embarrassingly parallel at any scale.
+- keep_best:      exact dedup that keeps the HIGHEST-SCORING copy of each
+  key (the argmax variant of `dedup.exact_duplicates`, which keeps min id).
+  Two-phase: a per-block vectorized partial reduce (sort + drop_duplicates
+  + partial counts), then ONE coarse-bucket shuffle (`hash(key) % B`) with
+  a vectorized in-bucket final reduce — never one Ray group per key.
+
+Reference scope note: the reference engine (tomhoper/dygiepp) stops at
+document prep + KB construction; these operators extend it with the corpus
+curation steps described in public web-scale-data pipelines (C4/Gopher-style
+filtering, benchmark decontamination as in GPT-3 appendix C).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+
+# ------------------------------------------------------------- decontaminate
+
+
+def _word_ngrams(tokens: list[str], n: int) -> list[str]:
+    """Space-joined word n-grams.  String form (not hashed) so the DuckDB
+    oracle can re-derive them; the pure-scale path would reuse the rolling
+    uint64 shingle hash from stages/dedup.py instead (same shape, smaller
+    broadcast)."""
+    if len(tokens) < n:
+        return []
+    return [" ".join(tokens[i:i + n]) for i in range(len(tokens) - n + 1)]
+
+
+def _ngram_explode(df: pd.DataFrame, n: int) -> pd.DataFrame:
+    """(doc_id, ng) — one row per n-gram OCCURRENCE (not per distinct)."""
+    toks = df["text"].str.lower().str.split()
+    ngs = toks.map(lambda ws: _word_ngrams(ws, n))
+    out = pd.DataFrame({"doc_id": df["doc_id"], "ng": ngs}).explode("ng")
+    return out[out["ng"].notna()].reset_index(drop=True)
+
+
+def collect_eval_ngrams(eval_docs: "ray.data.Dataset", n: int = 5) -> frozenset:
+    """Distinct word n-grams of the benchmark set, collected to the driver.
+
+    The benchmark side of decontamination is small by construction (eval
+    suites are thousands of documents, not billions); per-block dedup keeps
+    the driver transfer at one string per distinct n-gram.
+    """
+    per_block = eval_docs.map_batches(
+        lambda df, n=n: _ngram_explode(df, n)[["ng"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+    return frozenset(per_block.to_pandas()["ng"])
+
+
+class Decontaminator:
+    """Actor-pool stage: flag training docs overlapping the benchmark set.
+
+    The eval n-gram set arrives as a `ray.put` ObjectRef and is fetched ONCE
+    per actor in `__init__` (zero-copy from the local object store), never
+    re-shipped per batch.
+    """
+
+    def __init__(self, eval_ref, n: int = 5):
+        self.eval_set = ray.get(eval_ref)
+        self.n = n
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        e = _ngram_explode(df, self.n)
+        toks = df["text"].str.lower().str.split()
+        n_grams = (toks.str.len() - (self.n - 1)).clip(lower=0).astype("int64")
+        if len(e):
+            hit = e["ng"].isin(self.eval_set)
+            contam = (
+                e.loc[hit].groupby("doc_id").size().rename("n_contam")
+            )
+        else:
+            contam = pd.Series(dtype="int64", name="n_contam")
+        out = pd.DataFrame({"doc_id": df["doc_id"], "n_grams": n_grams})
+        out = out.merge(contam, left_on="doc_id", right_index=True, how="left")
+        out["n_contam"] = out["n_contam"].fillna(0).astype("int64")
+        return out[out["n_contam"] > 0].reset_index(drop=True)
+
+
+def decontaminate(train: "ray.data.Dataset", eval_docs: "ray.data.Dataset",
+                  n: int = 5, concurrency=(1, 4)) -> "ray.data.Dataset":
+    """(doc_id, n_grams, n_contam) for every training doc sharing at least
+    one word n-gram with the benchmark set.  n_contam counts overlapping
+    n-gram OCCURRENCES in the training doc."""
+    eval_ref = ray.put(collect_eval_ngrams(eval_docs, n))
+    return train.map_batches(
+        Decontaminator,
+        fn_constructor_args=(eval_ref, n),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------- pii_redact
+
+# Patterns chosen to parse identically under Python `re` and DuckDB's RE2:
+# no backreferences, no lookaround, ASCII classes only.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+_EMAIL_RE = re.compile(PII_EMAIL)
+_IPV4_RE = re.compile(PII_IPV4)
+_PHONE_RE = re.compile(PII_PHONE)
+
+
+def pii_redact(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """(doc_id, red, n_email, n_ip, n_phone) — redact emails, then IPv4s,
+    then phone-shaped numbers (order matters: an IPv4 octet must not be
+    half-eaten by the phone pattern).  Vectorized pandas str kernels over
+    compiled regexes."""
+    s = df[text_col]
+    n_email = s.str.count(_EMAIL_RE).astype("int64")
+    red = s.str.replace(_EMAIL_RE, "<EMAIL>", regex=True)
+    n_ip = red.str.count(_IPV4_RE).astype("int64")
+    red = red.str.replace(_IPV4_RE, "<IP>", regex=True)
+    n_phone = red.str.count(_PHONE_RE).astype("int64")
+    red = red.str.replace(_PHONE_RE, "<PHONE>", regex=True)
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "red": red,
+            "n_email": n_email,
+            "n_ip": n_ip,
+            "n_phone": n_phone,
+        }
+    )
+
+
+# ----------------------------------------------------------------- keep_best
+
+
+def keep_best(ds: "ray.data.Dataset", key_col: str, score_col: str,
+              id_col: str = "doc_id", n_buckets: int = 64) -> "ray.data.Dataset":
+    """Priority dedup: one row per distinct `key_col` keeping the copy with
+    the highest `score_col` (ties: min `id_col`), plus the copy count.
+
+    Output: (key_col, keep_id, score, n_copies).
+
+    Shape: per-block partial argmax+count (vectorized pandas), then a single
+    coarse-bucket shuffle (`splitmix-free: pandas util hash % n_buckets`) and
+    a vectorized final reduce per bucket — groups-per-Ray-task stays at
+    n_buckets regardless of key cardinality.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # (the vectorized path below is total on empty input: dtypes are
+        # inherited from the input block, so no empty-schema special case)
+        d = df[[key_col, id_col, score_col]].rename(
+            columns={id_col: "keep_id", score_col: "score"})
+        d = d.sort_values(["score", "keep_id"], ascending=[False, True],
+                          kind="mergesort")
+        counts = d.groupby(key_col, sort=False).size().rename("n_copies")
+        best = d.drop_duplicates(key_col, keep="first")
+        out = best.merge(counts, left_on=key_col, right_index=True)
+        out["bucket"] = (
+            pd.util.hash_pandas_object(out[key_col], index=False).to_numpy()
+            % n_buckets
+        ).astype("int64")
+        return out.reset_index(drop=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["score", "keep_id"], ascending=[False, True],
+                           kind="mergesort")
+        counts = d.groupby(key_col, sort=False)["n_copies"].sum()
+        best = d.drop_duplicates(key_col, keep="first").drop(
+            columns=["n_copies", "bucket"])
+        out = best.merge(counts, left_on=key_col, right_index=True)
+        return out.reset_index(drop=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("bucket").map_groups(final, batch_format="pandas")

@@ -1,0 +1,164 @@
+"""Curation ops: decontamination, PII redaction, keep-best dedup."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import ray.data
+
+from dygiepp_ray.stages.curate import (
+    PII_EMAIL,
+    PII_IPV4,
+    PII_PHONE,
+    _word_ngrams,
+    decontaminate,
+    keep_best,
+    pii_redact,
+)
+
+
+def test_word_ngrams():
+    assert _word_ngrams(["a", "b", "c"], 2) == ["a b", "b c"]
+    assert _word_ngrams(["a", "b"], 3) == []
+    assert _word_ngrams([], 2) == []
+
+
+def test_decontaminate_flags_overlap():
+    # eval doc 100 shares the 3-gram "x y z" with train docs 1 (twice) and 2
+    train = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "p x y z q x y z",   # two occurrences of "x y z"
+                "a b x y z",          # one
+                "totally clean doc here",
+            ],
+        }
+    )
+    ev = pd.DataFrame({"doc_id": [100], "text": ["m x y z n"]})
+    out = (
+        decontaminate(
+            ray.data.from_pandas(train), ray.data.from_pandas(ev), n=3,
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_contam"].tolist() == [2, 1]
+    assert out["n_grams"].tolist() == [6, 3]
+
+
+def test_decontaminate_clean_corpus_empty():
+    train = pd.DataFrame({"doc_id": [1], "text": ["alpha beta gamma delta"]})
+    ev = pd.DataFrame({"doc_id": [2], "text": ["one two three four five"]})
+    out = decontaminate(
+        ray.data.from_pandas(train), ray.data.from_pandas(ev), n=3,
+        concurrency=1,
+    ).to_pandas()
+    assert len(out) == 0
+
+
+def test_pii_redact_kinds_and_counts():
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "mail bob.smith+x@corp.example.org now",
+                "srv at 10.1.255.3 and 192.168.0.1 call 555-0199",
+                "no pii here",
+            ],
+        }
+    )
+    out = pii_redact(df)
+    assert out.loc[0, "red"] == "mail <EMAIL> now"
+    assert out.loc[0, ["n_email", "n_ip", "n_phone"]].tolist() == [1, 0, 0]
+    assert out.loc[1, "red"] == "srv at <IP> and <IP> call <PHONE>"
+    assert out.loc[1, ["n_email", "n_ip", "n_phone"]].tolist() == [0, 2, 1]
+    assert out.loc[2, "red"] == "no pii here"
+    assert out.loc[2, ["n_email", "n_ip", "n_phone"]].tolist() == [0, 0, 0]
+
+
+def test_pii_email_wins_over_ip_inside_domain():
+    # an alpha-TLD email containing digits is eaten whole by the email pass;
+    # a numeric-TLD "address" is NOT an email and falls through to the IP pass
+    df = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["x a@1.2.3.four.com y", "x a@1.2.3.44 y"]}
+    )
+    out = pii_redact(df)
+    assert out.loc[0, "red"] == "x <EMAIL> y"
+    assert out.loc[0, "n_ip"] == 0
+    assert out.loc[1, "red"] == "x a@<IP> y"
+    assert out.loc[1, ["n_email", "n_ip"]].tolist() == [0, 1]
+
+
+def test_pii_regex_duckdb_parity():
+    """The three patterns must behave identically under RE2 (DuckDB) and
+    Python re — the SQL oracle depends on it."""
+    texts = [
+        "mail bob.smith+x@corp.example.org now",
+        "srv at 10.1.255.3 and 192.168.0.1 call 555-0199",
+        "edge 999.1.1.1 and 1.2.3 and 12-3456 and a@b.c",
+        "x a@1.2.3.44 y",
+        "",
+    ]
+    con = duckdb.connect()
+    for t in texts:
+        sql_red = con.execute(
+            """
+            SELECT regexp_replace(regexp_replace(regexp_replace($1,
+                     $2, '<EMAIL>', 'g'), $3, '<IP>', 'g'), $4, '<PHONE>', 'g')
+            """,
+            [t, PII_EMAIL, PII_IPV4, PII_PHONE],
+        ).fetchone()[0]
+        py_red = pii_redact(
+            pd.DataFrame({"doc_id": [0], "text": [t]})
+        ).loc[0, "red"]
+        assert py_red == sql_red, t
+
+
+def _brute_keep_best(df: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for key, g in df.groupby("k"):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True])
+        rows.append((key, int(g.iloc[0]["doc_id"]), int(g.iloc[0]["score"]),
+                     len(g)))
+    return (
+        pd.DataFrame(rows, columns=["k", "keep_id", "score", "n_copies"])
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+
+
+def test_keep_best_matches_brute_force():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype="int64"),
+            "k": [f"key{v}" for v in rng.integers(0, 60, n)],
+            "score": rng.integers(0, 10, n).astype("int64"),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = (
+        keep_best(ds, key_col="k", score_col="score", id_col="doc_id",
+                  n_buckets=8)
+        .to_pandas()[["k", "keep_id", "score", "n_copies"]]
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = _brute_keep_best(df)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_keep_best_tie_breaks_on_min_id():
+    df = pd.DataFrame(
+        {"doc_id": [5, 2, 9], "k": ["a", "a", "a"], "score": [3, 3, 1]}
+    )
+    got = keep_best(ray.data.from_pandas(df), "k", "score").to_pandas()
+    assert got["keep_id"].tolist() == [2]
+    assert got["n_copies"].tolist() == [3]
