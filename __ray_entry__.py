@@ -936,6 +936,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["keep_best_dedup"] = q_keep_best
 
+    def q_ccnet(sf_dir: str):
+        # CCNet-style per-language quality terciles of the LM fluency score
+        # (head / middle / tail) — score pass + exact distributed quantile
+        # cutoffs + vectorized labeling
+        from dygiepp_ray.stages.curate import ccnet_buckets
+
+        return ccnet_buckets(
+            _read(sf_dir, "documents", ["doc_id", "text", "lang"]))
+
+    q["ccnet_buckets"] = q_ccnet
+
     def q_emb_neardup(sf_dir: str):
         # the testdata embeddings have no natural near-dups (max cosine≈0.48),
         # so plant exact duplicates of vec_id<20 under offset ids: the
@@ -2358,6 +2369,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(agg.totp // agg.n_bigrams, 0) AS BIGINT)
                        AS lm_score
             FROM documents d LEFT JOIN agg USING (doc_id)
+        """,
+        "ccnet_buckets": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), b AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i+1]))
+                           AS bigram,
+                       unnest(list_transform(range(1, len(toks)),
+                                             i -> toks[i])) AS w1
+                FROM t WHERE len(toks) >= 2
+            ), bc AS (
+                SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+            ), lc AS (
+                SELECT w1, count(*) AS n1 FROM b GROUP BY w1
+            ), s AS (
+                SELECT b.doc_id, (bc.n * 1000000) // lc.n1 AS p
+                FROM b JOIN bc USING (bigram) JOIN lc USING (w1)
+            ), agg AS (
+                SELECT doc_id, count(*) AS n_bigrams, sum(p) AS totp
+                FROM s GROUP BY doc_id
+            ), sc AS (
+                SELECT d.doc_id, d.lang,
+                       CAST(COALESCE(agg.totp // agg.n_bigrams, 0) AS BIGINT)
+                           AS lm_score
+                FROM documents d LEFT JOIN agg USING (doc_id)
+            ), qq AS (
+                SELECT lang, quantile_disc(lm_score, 1.0/3) AS c1,
+                             quantile_disc(lm_score, 2.0/3) AS c2
+                FROM sc GROUP BY lang
+            )
+            SELECT sc.doc_id, sc.lang, sc.lm_score,
+                   CASE WHEN sc.lm_score <= qq.c1 THEN 'tail'
+                        WHEN sc.lm_score <= qq.c2 THEN 'middle'
+                        ELSE 'head' END AS bucket
+            FROM sc JOIN qq USING (lang)
         """,
         "kg_triples": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')

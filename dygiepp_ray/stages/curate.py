@@ -150,6 +150,56 @@ def pii_redact(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     )
 
 
+# ------------------------------------------------------------- ccnet_buckets
+
+
+def ccnet_buckets(docs: "ray.data.Dataset", lang_col: str = "lang",
+                  scale: int = 1_000_000) -> "ray.data.Dataset":
+    """CCNet-style quality bucketing (Wenzek et al. 2020): score every doc
+    under a corpus LM, then split each LANGUAGE into head / middle / tail
+    terciles of the score (head = most fluent third of its language).
+
+    Output: (doc_id, lang, lm_score, bucket).
+
+    Shape: one scoring pass (`ngram_lm_score` — exact integer bigram LM,
+    broadcast count tables), checkpointed via `materialize()` (the scored
+    table is 4 scalar columns per doc — tiny next to the corpus, and the
+    tercile cutoffs need 3 more streaming passes over it), then exact
+    per-language cutoffs via `distributed_quantiles` (histogram refinement,
+    no sort) broadcast to a final vectorized labeling pass.
+    """
+    from ..aggregates import distributed_quantiles
+    from .text import ngram_lm_score
+
+    scored = ngram_lm_score(docs, scale=scale, extra_cols=(lang_col,))
+    scored = scored.materialize()
+
+    cuts = distributed_quantiles(
+        scored, "lm_score", [1 / 3, 2 / 3], by=lang_col)
+    cut_map = {}
+    for lang, g in cuts.groupby(lang_col):
+        g = g.sort_values("q")
+        cut_map[lang] = (int(g.iloc[0]["v"]), int(g.iloc[1]["v"]))
+    cut_ref = ray.put(cut_map)
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        cm = ray.get(cut_ref)
+        c1 = df[lang_col].map(lambda l: cm[l][0]).to_numpy(np.int64)
+        c2 = df[lang_col].map(lambda l: cm[l][1]).to_numpy(np.int64)
+        s = df["lm_score"].to_numpy(np.int64)
+        bucket = np.select([s <= c1, s <= c2], ["tail", "middle"], "head")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "lang": df[lang_col],
+                "lm_score": s,
+                "bucket": bucket,
+            }
+        )
+
+    return scored.map_batches(label, batch_format="pandas")
+
+
 # ----------------------------------------------------------------- keep_best
 
 

@@ -283,7 +283,7 @@ def heavy_hitters(ds, col: str, k: int = 20, m: int | None = None):
 # -- n-gram LM fluency score -------------------------------------------------
 
 
-def ngram_lm_score(ds, scale: int = 1_000_000):
+def ngram_lm_score(ds, scale: int = 1_000_000, extra_cols: tuple = ()):
     """Per-doc fluency under a corpus bigram LM — the shape of model-based
     quality filtering (perplexity filtering) with an exact integer score:
 
@@ -319,6 +319,8 @@ def ngram_lm_score(ds, scale: int = 1_000_000):
         total = int(lens.sum())
         out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64").values,
                             "n_bigrams": nb})
+        for c in extra_cols:  # passthrough metadata (e.g. lang)
+            out[c] = df[c].values
         if total < 2 or nb.sum() == 0:
             out["lm_score"] = np.zeros(len(df), dtype=np.int64)
             return out

@@ -162,3 +162,42 @@ def test_keep_best_tie_breaks_on_min_id():
     got = keep_best(ray.data.from_pandas(df), "k", "score").to_pandas()
     assert got["keep_id"].tolist() == [2]
     assert got["n_copies"].tolist() == [3]
+
+
+def test_ccnet_buckets_terciles_per_lang():
+    import math
+
+    import numpy as np
+
+    from dygiepp_ray.stages.curate import ccnet_buckets
+
+    # two "languages" with different score distributions; texts built so the
+    # bigram LM scores are distinct within each language
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(30):
+        lang = "aa" if i % 2 == 0 else "bb"
+        # doc i repeats bigram "w w" i+2 times mixed with a unique token —
+        # more repeats of the globally-common bigram => higher LM score
+        toks = ["w"] * (i + 2) + [f"u{i}"]
+        rows.append((i, " ".join(toks), lang))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    got = (
+        ccnet_buckets(ray.data.from_pandas(df).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 30
+    # brute-force per-lang terciles with quantile_disc rank semantics
+    for lang, g in got.groupby("lang"):
+        scores = sorted(g["lm_score"])
+        n = len(scores)
+        c1 = scores[max(1, math.ceil(n / 3)) - 1]
+        c2 = scores[max(1, math.ceil(2 * n / 3)) - 1]
+        for _, r in g.iterrows():
+            exp = ("tail" if r["lm_score"] <= c1
+                   else "middle" if r["lm_score"] <= c2 else "head")
+            assert r["bucket"] == exp, (lang, r["doc_id"])
+    # all three buckets are populated in each language
+    assert set(got["bucket"]) == {"head", "middle", "tail"}
