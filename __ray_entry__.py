@@ -947,6 +947,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["ccnet_buckets"] = q_ccnet
 
+    def q_pack_sequences(sf_dir: str):
+        # GPT-style concat-then-chunk sequence packing: 256-token training
+        # sequences over 8 pack groups (deterministic doc_id order)
+        from dygiepp_ray.stages.curate import pack_concat_chunks
+
+        return pack_concat_chunks(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            seq_len=256, n_groups=8)
+
+    q["pack_sequences"] = q_pack_sequences
+
+    def q_mixture_sample(sf_dir: str):
+        # temperature-based source mixing (tau=0.5 upsamples small sources);
+        # a deterministic skew filter first (full corpus is uniform across
+        # sources, which would make every quota equal)
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.curate import mixture_sample
+
+        _write_oracle(sf_dir, "mixture_sample",
+                      lambda: _o.expected_mixture_sample(sf_dir))
+
+        def skew(df: pd.DataFrame) -> pd.DataFrame:
+            full = df["source"].isin(("src0", "src1", "src2"))
+            return df[full | (df["doc_id"] % 3 == 0)]
+
+        ds = _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+            skew, batch_format="pandas")
+        return mixture_sample(ds, key="source", id_col="doc_id",
+                              total=200, temperature=0.5, seed=42)
+
+    q["mixture_sample"] = q_mixture_sample
+
     def q_emb_neardup(sf_dir: str):
         # the testdata embeddings have no natural near-dups (max cosine≈0.48),
         # so plant exact duplicates of vec_id<20 under offset ids: the
@@ -2369,6 +2401,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(agg.totp // agg.n_bigrams, 0) AS BIGINT)
                        AS lm_score
             FROM documents d LEFT JOIN agg USING (doc_id)
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+                SELECT doc_id, doc_id % 8 AS pack_group,
+                       len(list_filter(regexp_split_to_array(text, '\s+'),
+                                       x -> x <> '')) AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT *,
+                       CAST(sum(n_tokens) OVER (
+                           PARTITION BY pack_group ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens
+                           AS BIGINT) AS tok_start
+                FROM t
+            )
+            SELECT doc_id, pack_group, n_tokens, tok_start,
+                   tok_start // 256 AS seq_first,
+                   (tok_start + greatest(n_tokens, 1) - 1) // 256 AS seq_last
+            FROM c
+        """,
+        "mixture_sample": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/mixture_sample.parquet')
         """,
         "ccnet_buckets": r"""
             WITH t AS (

@@ -1316,3 +1316,31 @@ def write_oracle(name: str, table: pa.Table) -> str:
     path = os.path.join(ORACLE_DIR, f"{name}.parquet")
     pq.write_table(table, path)
     return path
+
+
+def expected_mixture_sample(sf_dir: str, key: str = "source",
+                            id_col: str = "doc_id", total: int = 200,
+                            temperature: float = 0.5,
+                            seed: int = 42) -> pa.Table:
+    """Temperature-mix sample — scalar recompute: per-source quota
+    floor(total * n^tau / sum n^tau), then the quota smallest
+    splitmix64(id ^ seed) ids per source."""
+    import pandas as pd
+
+    df = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=[key, id_col])
+    # deterministic skew (mirrors the query): small sources keep only every
+    # third doc, three sources stay complete
+    full = df[key].isin(("src0", "src1", "src2"))
+    df = df[full | (df[id_col] % 3 == 0)]
+    counts = {k: len(g) for k, g in df.groupby(key)}
+    tot_w = sum(n ** temperature for n in counts.values())
+    ids, keys = [], []
+    for k, g in sorted(df.groupby(key), key=lambda kv: kv[0]):
+        quota = int(total * (counts[k] ** temperature) / tot_w)
+        scored = sorted((_splitmix64_scalar(int(i) ^ seed), int(i))
+                        for i in g[id_col])[:quota]
+        keys += [k] * len(scored)
+        ids += [i for _, i in scored]
+    return pa.table({id_col: pa.array(ids, pa.int64()),
+                     key: pa.array(keys, pa.string())})

@@ -150,6 +150,105 @@ def pii_redact(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     )
 
 
+# --------------------------------------------------------- pack_concat_chunks
+
+
+def pack_concat_chunks(docs: "ray.data.Dataset", seq_len: int = 256,
+                       n_groups: int = 8) -> "ray.data.Dataset":
+    """GPT-style sequence packing: concatenate documents in deterministic
+    doc_id order within each pack group and cut fixed `seq_len`-token
+    training sequences; a document may span a chunk boundary (no padding,
+    no document reordering — the concat-then-chunk semantics of GPT-2/3
+    data prep).
+
+    Output, one row per doc:
+      (doc_id, pack_group, n_tokens, tok_start, seq_first, seq_last)
+    where tok_start is the doc's offset in its group's token stream and
+    seq_first/seq_last the first/last training-sequence index it lands in.
+
+    Shape: a vectorized token-count pass, then ONE shuffle on `pack_group`
+    (`doc_id % n_groups`) with a vectorized cumsum per group.  At scale,
+    n_groups = number of output shards (fixed tokens per group), so groups
+    stay bounded and are packed in parallel; the within-group sort is by
+    doc_id over (id, count) pairs only — text never moves through the
+    shuffle.
+    """
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "pack_group": (df["doc_id"] % n_groups).astype("int64"),
+                "n_tokens": df["text"].str.split().str.len().astype("int64"),
+            }
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        n = g["n_tokens"].to_numpy(np.int64)
+        tok_start = np.concatenate([[0], np.cumsum(n)[:-1]])
+        seq_first = tok_start // seq_len
+        last_tok = tok_start + np.maximum(n, 1) - 1  # empty doc: its own start
+        g["tok_start"] = tok_start
+        g["seq_first"] = seq_first
+        g["seq_last"] = last_tok // seq_len
+        return g
+
+    counted = docs.map_batches(counts, batch_format="pandas")
+    return counted.groupby("pack_group").map_groups(
+        pack, batch_format="pandas")
+
+
+# ------------------------------------------------------------ mixture_sample
+
+
+def mixture_sample(ds: "ray.data.Dataset", key: str, id_col: str,
+                   total: int, temperature: float = 0.5,
+                   seed: int = 42) -> "ray.data.Dataset":
+    """Temperature-based data mixing (multilingual/multi-source LLM recipe):
+    sample a `total`-row training mix where each `key` group contributes
+    quota_k = floor(total · n_k^τ / Σ n^τ) rows — τ < 1 upsamples small
+    sources relative to their natural share.  Within each group the sample
+    is the quota_k rows with the smallest splitmix64(id ^ seed): hash-order
+    instead of a shuffle, so the mix is deterministic across runs, block
+    layouts and cluster sizes (same invariance contract as
+    `misc.stratified_sample`, which this generalizes to per-group quotas).
+
+    Output: (id_col, key).  Σ quotas ≤ total (floor; no remainder
+    redistribution — documented, mirrored by the oracle).
+    """
+    from ..aggregates import grouped_count
+    from .dedup import _splitmix64
+
+    cnt = grouped_count(ds.select_columns([key, id_col]), [key],
+                        out_name="n").to_pandas()
+    w = cnt["n"].to_numpy(np.float64) ** temperature
+    quota = np.floor(total * w / w.sum()).astype(np.int64)
+    qmap = {k: int(qk) for k, qk in zip(cnt[key], quota)}
+    qref = ray.put(qmap)
+    seed64 = np.uint64(seed)
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(qref)
+        df = df[[key, id_col]].copy()
+        df["_h"] = _splitmix64(df[id_col].to_numpy().astype(np.uint64)
+                               ^ seed64)
+        df = df.sort_values([key, "_h", id_col])
+        df["_r"] = df.groupby(key, sort=False).cumcount()
+        df = df[df["_r"] < df[key].map(qm)]
+        return df.drop(columns=["_r"])
+
+    pruned = ds.map_batches(prune, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(qref)
+        k = g[key].iloc[0]
+        g = g.sort_values(["_h", id_col]).head(qm[k])
+        return g.drop(columns=["_h"])
+
+    return pruned.groupby(key).map_groups(final, batch_format="pandas")
+
+
 # ------------------------------------------------------------- ccnet_buckets
 
 

@@ -201,3 +201,77 @@ def test_ccnet_buckets_terciles_per_lang():
             assert r["bucket"] == exp, (lang, r["doc_id"])
     # all three buckets are populated in each language
     assert set(got["bucket"]) == {"head", "middle", "tail"}
+
+
+def test_pack_concat_chunks_offsets():
+    from dygiepp_ray.stages.curate import pack_concat_chunks
+
+    # one pack group; doc token counts 3, 4, 2, 0, 5 with seq_len 4
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": ["a b c", "a b c d", "a b", "", "a b c d e"],
+        }
+    )
+    got = (
+        pack_concat_chunks(ray.data.from_pandas(df).repartition(2),
+                           seq_len=4, n_groups=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_tokens"].tolist() == [3, 4, 2, 0, 5]
+    assert got["tok_start"].tolist() == [0, 3, 7, 9, 9]
+    # doc1 spans tokens 3..6 -> seqs 0..1; doc4 spans 9..13 -> seqs 2..3
+    assert got["seq_first"].tolist() == [0, 0, 1, 2, 2]
+    assert got["seq_last"].tolist() == [0, 1, 2, 2, 3]
+
+
+def test_pack_concat_chunks_group_independence():
+    from dygiepp_ray.stages.curate import pack_concat_chunks
+
+    df = pd.DataFrame(
+        {"doc_id": list(range(10)), "text": ["w " * 3] * 10}
+    )
+    got = pack_concat_chunks(
+        ray.data.from_pandas(df), seq_len=4, n_groups=2
+    ).to_pandas()
+    # each group has 5 docs of 3 tokens; offsets restart per group
+    for _, g in got.groupby("pack_group"):
+        assert sorted(g["tok_start"]) == [0, 3, 6, 9, 12]
+
+
+def test_mixture_sample_quotas_and_determinism():
+    import numpy as np
+
+    from dygiepp_ray.stages.curate import mixture_sample
+
+    # skewed sources: 90 / 30 / 9 rows
+    rows = []
+    i = 0
+    for src, n in [("a", 90), ("b", 30), ("c", 9)]:
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    df = pd.DataFrame(rows, columns=["doc_id", "source"])
+    got = mixture_sample(
+        ray.data.from_pandas(df).repartition(4), key="source",
+        id_col="doc_id", total=60, temperature=0.5, seed=42,
+    ).to_pandas()
+    sizes = {"a": 90, "b": 30, "c": 9}
+    w = {s: n ** 0.5 for s, n in sizes.items()}
+    tot = sum(w.values())
+    # a quota larger than the source (c: quota 10 of 9 rows) caps at the size
+    quotas = {s: min(int(60 * v / tot), sizes[s]) for s, v in w.items()}
+    got_counts = got.groupby("source").size().to_dict()
+    assert got_counts == quotas
+    # tau=0.5 gives c more than its natural share (9/129*60 ≈ 4 -> all 9)
+    assert quotas["c"] > int(60 * 9 / 129)
+    # partitioning invariance: same sample from a different block layout
+    got2 = mixture_sample(
+        ray.data.from_pandas(df).repartition(9), key="source",
+        id_col="doc_id", total=60, temperature=0.5, seed=42,
+    ).to_pandas()
+    a = got.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    b = got2.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
