@@ -84,6 +84,25 @@ def _index_edges(edges: "ray.data.Dataset", src: str, dst: str):
     return names, indexed
 
 
+# Below this edge count the int32 edge list (8 B/edge) is collected to the
+# driver ONCE and the fixpoint loops run as local numpy — bit-identical to
+# the per-iteration distributed passes (int adds commute, min is idempotent)
+# but without paying one Ray dataset execution per iteration, which dominates
+# wall time on small post-aggregation graphs (a deduped KG edge table).
+LOCAL_MAX_EDGES = 2_000_000
+
+
+def _collect_indexed(indexed: "ray.data.Dataset"):
+    """(s, d) int arrays of a small materialized indexed-edge dataset."""
+    ss, ds_ = [], []
+    for b in indexed.iter_batches(batch_format="numpy"):
+        ss.append(b["s"])
+        ds_.append(b["d"])
+    if not ss:
+        return (np.zeros(0, dtype=np.int32),) * 2
+    return np.concatenate(ss), np.concatenate(ds_)
+
+
 def _components_broadcast(edges: "ray.data.Dataset", src: str, dst: str,
                           max_iter: int) -> "ray.data.Dataset":
     """Broadcast-mode CC: labels = one int64 array over the sorted node
@@ -93,6 +112,24 @@ def _components_broadcast(edges: "ray.data.Dataset", src: str, dst: str,
     rounds ≈ O(log diameter), not diameter."""
     names, indexed = _index_edges(edges, src, dst)
     labels = np.arange(len(names), dtype=np.int64)
+
+    if indexed.count() <= LOCAL_MAX_EDGES:  # materialized -> count is free
+        s, d = _collect_indexed(indexed)
+        for _ in range(max_iter):
+            before = labels.copy()
+            np.minimum.at(labels, s, labels[d])
+            np.minimum.at(labels, d, labels[s])
+            while True:
+                nxt = np.minimum(labels, labels[labels])
+                if (nxt == labels).all():
+                    break
+                labels = nxt
+            if (labels == before).all():
+                break
+        out = pa.table({"node": pa.array(list(names), pa.string()),
+                        "component": pa.array(list(names[labels]),
+                                              pa.string())})
+        return ray.data.from_arrow(out)
 
     for _ in range(max_iter):
         lab_ref = ray.put(labels)
@@ -144,6 +181,24 @@ def _pagerank_broadcast(edges: "ray.data.Dataset", src: str, dst: str,
     names, indexed = _index_edges(edges, src, dst)
     n_nodes = len(names)
     base = (n_nodes * UNITS) * (DAMP_DEN - DAMP_NUM) // (DAMP_DEN * n_nodes)
+
+    if indexed.count() <= LOCAL_MAX_EDGES:  # materialized -> count is free
+        s, d = _collect_indexed(indexed)
+        outdeg = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(outdeg, s, 1)
+        units = np.full(n_nodes, UNITS, dtype=np.int64)
+        for _ in range(n_iter):
+            share = np.zeros(n_nodes, dtype=np.int64)
+            nz = outdeg > 0
+            share[nz] = units[nz] * DAMP_NUM // (DAMP_DEN * outdeg[nz])
+            incoming = np.zeros(n_nodes, dtype=np.int64)
+            np.add.at(incoming, d, share[s])
+            units = base + incoming
+        rank = round_half_up(units.astype(np.float64) / (n_nodes * UNITS), 9)
+        out = pa.table({"node": pa.array(list(names), pa.string()),
+                        "rank_units": pa.array(units, pa.int64()),
+                        "rank": pa.array(rank, pa.float64())})
+        return ray.data.from_arrow(out)
 
     def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
         uniq, cnt = np.unique(df["s"].to_numpy(), return_counts=True)

@@ -234,45 +234,54 @@ def heavy_hitters(ds, col: str, k: int = 20, m: int | None = None):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    import ray
-
-    from ..aggregates import grouped_count
-
     if m is None:
         m = max(4 * k, k - 1)
     assert m >= k - 1, "MG capacity must be >= k-1 for the candidate guarantee"
 
-    def block_summary(t: pa.Table) -> pa.Table:
+    def compact(t: pa.Table) -> pa.Table:
+        # per-block exact value counts: the (value, weight) stream is
+        # equivalent to the row stream for every step below, and it is the
+        # ONLY thing materialized — compaction factor = mean per-block value
+        # multiplicity (huge for Zipfian token streams). The expensive
+        # upstream (tokenize + explode) thus executes exactly once instead
+        # of once per pass (summary / total / recount).
         from ..aggregates import strip_schema_metadata
 
         t = strip_schema_metadata(t)
         g = t.select([col]).group_by([col]).aggregate([([], "count_all")])
-        n_b = t.num_rows
-        keep = pc.greater(pc.multiply(pc.cast(g["count_all"], pa.int64()),
-                                      pa.scalar(m + 1, pa.int64())),
+        return pa.table({col: g[col],
+                         "_w": pc.cast(g["count_all"], pa.int64())})
+
+    comp = ds.map_batches(compact, batch_format="pyarrow").materialize()
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        # weighted MG summary: a value absent from every block summary has
+        # weight <= sum_b n_b/(m+1) = N/(m+1) — same guarantee as unweighted
+        n_b = pc.sum(t["_w"]).as_py() or 0
+        keep = pc.greater(pc.multiply(t["_w"], pa.scalar(m + 1, pa.int64())),
                           pa.scalar(n_b, pa.int64()))
-        cand = g.filter(keep)
-        return pa.table({col: cand[col],
-                         "_block_rows": pa.array([n_b] * cand.num_rows,
-                                                 pa.int64())})
+        cand = t.filter(keep)
+        return pa.table({col: cand[col]})
 
     # candidates: bounded by blocks × m rows — a driver-side collect of an
     # aggregate-sized result, not of the input
-    summary = ds.map_batches(block_summary, batch_format="pyarrow").to_pandas()
-    total = ds.count()
+    summary = comp.map_batches(block_summary, batch_format="pyarrow").to_pandas()
+    total = int(comp.sum("_w") or 0)
     cand = sorted(set(summary[col])) if len(summary) else []
     if not cand:
         # nothing can exceed N/(m+1): empty result with the input's key type
-        return ds.map_batches(
+        return comp.map_batches(
             lambda t: pa.table({col: t[col].slice(0, 0),
                                 "n": pa.array([], pa.int64())}),
             batch_format="pyarrow").limit(1)
     cand_set = pa.array(cand)
 
-    filtered = ds.map_batches(
+    from ..aggregates import partial_final_agg
+
+    filtered = comp.map_batches(
         lambda t: t.filter(pc.is_in(t[col], value_set=cand_set)),
         batch_format="pyarrow")
-    counts = grouped_count(filtered, [col], out_name="n", salt_buckets=4)
+    counts = partial_final_agg(filtered, [col], [("n", "_w", "sum")])
     return counts.map_batches(
         lambda t: t.filter(pc.greater(
             pc.multiply(pc.cast(t["n"], pa.int64()), pa.scalar(k, pa.int64())),
