@@ -979,6 +979,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["mixture_sample"] = q_mixture_sample
 
+    def q_bpe_merges(sf_dir: str):
+        # distributed BPE vocabulary learning: one corpus pass builds the
+        # word-TYPE table, the merge loop runs over that compacted table
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.bpe import learn_bpe
+
+        _write_oracle(sf_dir, "bpe_merges",
+                      lambda: _o.expected_bpe_merges(sf_dir))
+        return learn_bpe(_read(sf_dir, "documents", ["text"]),
+                         n_merges=12, min_count=2)
+
+    q["bpe_merges"] = q_bpe_merges
+
     def q_emb_neardup(sf_dir: str):
         # the testdata embeddings have no natural near-dups (max cosine≈0.48),
         # so plant exact duplicates of vec_id<20 under offset ids: the
@@ -2423,6 +2436,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mixture_sample": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/mixture_sample.parquet')
+        """,
+        "bpe_merges": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/bpe_merges.parquet')
         """,
         "ccnet_buckets": r"""
             WITH t AS (

@@ -73,6 +73,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "kg_components", "kg_pagerank",
         # round-2 late additions
         "bigram_counts", "heavy_hitters_tokens", "substring_dups",
+        # round-2 curation suite
+        "decontaminate_docs", "ccnet_buckets", "pack_sequences",
+        "keep_best_dedup",
     ]
     times: dict[str, float] = {}
     counts: dict[str, int] = {}

@@ -1344,3 +1344,51 @@ def expected_mixture_sample(sf_dir: str, key: str = "source",
         ids += [i for _, i in scored]
     return pa.table({id_col: pa.array(ids, pa.int64()),
                      key: pa.array(keys, pa.string())})
+
+
+def expected_bpe_merges(sf_dir: str, n_merges: int = 12,
+                        min_count: int = 2) -> pa.Table:
+    """Scalar BPE re-derivation: word-type counts from the parquet, then a
+    plain dict/Counter merge loop (independent of stages/bpe.py)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    df = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    wc: Counter = Counter()
+    for t in df["text"]:
+        wc.update(t.lower().split())
+    table = {w: tuple(w) for w in wc}
+    ranks, lefts, rights, mergeds, counts = [], [], [], [], []
+    for rank in range(n_merges):
+        pc: Counter = Counter()
+        for w, syms in table.items():
+            n = wc[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        if not pc:
+            break
+        (a, b), cnt = max(pc.items(),
+                          key=lambda kv: (kv[1], kv[0][0], kv[0][1]))
+        if cnt < min_count:
+            break
+        ab = a + b
+        ranks.append(rank); lefts.append(a); rights.append(b)
+        mergeds.append(ab); counts.append(int(cnt))
+        new_table = {}
+        for w, syms in table.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(ab); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            new_table[w] = tuple(out)
+        table = new_table
+    return pa.table({"rank": pa.array(ranks, pa.int64()),
+                     "left": pa.array(lefts, pa.string()),
+                     "right": pa.array(rights, pa.string()),
+                     "merged": pa.array(mergeds, pa.string()),
+                     "count": pa.array(counts, pa.int64())})
