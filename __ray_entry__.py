@@ -992,6 +992,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["bpe_merges"] = q_bpe_merges
 
+    def q_cms_token_counts(sf_dir: str):
+        # count-min sketch point queries over the corpus token stream
+        # (mergeable linear sketch: per-block partials, exact int64 merge)
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.sketch import cms_point_counts
+
+        _write_oracle(sf_dir, "cms_token_counts",
+                      lambda: _o.expected_cms_token_counts(sf_dir))
+
+        def toks(df: pd.DataFrame) -> pd.DataFrame:
+            e = df["text"].str.lower().str.split().explode()
+            return pd.DataFrame({"token": e[e.notna()]})
+
+        stream = _read(sf_dir, "documents", ["text"]).map_batches(
+            toks, batch_format="pandas")
+        return cms_point_counts(
+            stream, "token", ["scan", "merge", "window", "zzz-missing"])
+
+    q["cms_token_counts"] = q_cms_token_counts
+
     def q_emb_neardup(sf_dir: str):
         # the testdata embeddings have no natural near-dups (max cosine≈0.48),
         # so plant exact duplicates of vec_id<20 under offset ids: the
@@ -2439,6 +2459,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_merges": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/bpe_merges.parquet')
+        """,
+        "cms_token_counts": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/cms_token_counts.parquet')
         """,
         "ccnet_buckets": r"""
             WITH t AS (

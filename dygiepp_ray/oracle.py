@@ -1392,3 +1392,41 @@ def expected_bpe_merges(sf_dir: str, n_merges: int = 12,
                      "right": pa.array(rights, pa.string()),
                      "merged": pa.array(mergeds, pa.string()),
                      "count": pa.array(counts, pa.int64())})
+
+
+def expected_cms_token_counts(sf_dir: str,
+                              probes=("scan", "merge", "window",
+                                      "zzz-missing"),
+                              width: int = 4096, depth: int = 4,
+                              seed: int = 11) -> pa.Table:
+    """Scalar CMS re-derivation: Counter over the token stream, per-row
+    blake2b+splitmix64 bucket adds, probe minima."""
+    import hashlib
+    from collections import Counter
+
+    import pandas as pd
+
+    df = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    wc: Counter = Counter()
+    for t in df["text"]:
+        wc.update(t.lower().split())
+
+    def h64(s: str) -> int:
+        return int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+    rs = [_splitmix64_scalar(((r + 1) * seed) & 0xFFFFFFFFFFFFFFFF)
+          for r in range(depth)]
+    sk = [[0] * width for _ in range(depth)]
+    for v, n in wc.items():
+        hv = h64(v)
+        for r in range(depth):
+            sk[r][_splitmix64_scalar(hv ^ rs[r]) % width] += n
+    ests = []
+    for p in probes:
+        hv = h64(p)
+        ests.append(min(sk[r][_splitmix64_scalar(hv ^ rs[r]) % width]
+                        for r in range(depth)))
+    return pa.table({"token": pa.array(list(probes), pa.string()),
+                     "est": pa.array(ests, pa.int64())})

@@ -117,3 +117,62 @@ def hll_ndv(ds: "ray.data.Dataset", value_col: str, by: str | None = None,
     # global: the merged register table is ≤ m rows — one final task
     return merged.repartition(1).map_batches(estimate_all,
                                              batch_format="pandas")
+
+
+# ---------------------------------------------------------- count-min sketch
+
+
+def cms_row_seeds(depth: int, seed: int) -> np.ndarray:
+    """Per-row xor seeds, derived deterministically from (depth, seed)."""
+    return _splitmix64(np.arange(1, depth + 1, dtype=np.uint64)
+                       * np.uint64(seed))
+
+
+def cms_point_counts(ds: "ray.data.Dataset", col: str, probes: list[str],
+                     width: int = 4096, depth: int = 4,
+                     seed: int = 11) -> "ray.data.Dataset":
+    """Count-min sketch (Cormode & Muthukrishnan 2005) point queries over a
+    value stream: est(v) = min_r sketch[r][h_r(v)] — an upper bound on the
+    true count, within eps·N (eps = e/width) with prob 1-delta
+    (delta = e^-depth).
+
+    CMS is a LINEAR sketch, so the distributed build is exact: per-block
+    partial sketches (values compacted to per-block counts first, then
+    weighted vectorized adds) merged by elementwise int64 SUM on the driver
+    — depth×width int64 per block (~128 KB), independent of input size.
+    Deterministic: blake2b value hash + splitmix64 row mixing, so a scalar
+    single-threaded recompute (oracle.py) is bit-identical.
+    """
+    rs = cms_row_seeds(depth, seed)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[col].value_counts()
+        sk = np.zeros((depth, width), np.int64)
+        if len(vc):
+            h = hash64_values(vc.index.to_numpy())
+            w = vc.to_numpy().astype(np.int64)
+            for r in range(depth):
+                idx = (_splitmix64(h ^ rs[r]) % np.uint64(width)).astype(
+                    np.int64)
+                np.add.at(sk[r], idx, w)
+        return pd.DataFrame({"sk": [sk.ravel()]})
+
+    merged = np.zeros(depth * width, dtype=np.int64)
+    for b in ds.map_batches(partial, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        for row in b["sk"]:
+            merged += np.asarray(row, dtype=np.int64)
+    sk = merged.reshape(depth, width)
+
+    hp = hash64_values(np.array(probes, dtype=object))
+    ests = []
+    for i in range(len(probes)):
+        est = min(int(sk[r][int(_splitmix64(np.array([hp[i]],
+                                            dtype=np.uint64) ^ rs[r])[0]
+                                % np.uint64(width))])
+                  for r in range(depth))
+        ests.append(est)
+    return ray.data.from_arrow(pa.table({
+        col: pa.array(list(probes), pa.string()),
+        "est": pa.array(ests, pa.int64()),
+    }))

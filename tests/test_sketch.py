@@ -52,3 +52,33 @@ def test_hll_string_values_and_global():
     got = hll_ndv(ray.data.from_pandas(df).repartition(4), "v").to_pandas()
     assert len(got) == 1
     assert abs(int(got["ndv"].iloc[0]) - 700) / 700 < 0.05
+
+
+def test_cms_point_counts_bounds_and_determinism():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from dygiepp_ray.stages.sketch import cms_point_counts
+
+    rng = np.random.default_rng(5)
+    # Zipf-ish stream with known exact counts
+    vals = (["alpha"] * 500 + ["beta"] * 120 + ["gamma"] * 7
+            + [f"tail{i}" for i in rng.integers(0, 400, 2000)])
+    df = pd.DataFrame({"token": vals})
+    probes = ["alpha", "beta", "gamma", "never-seen"]
+    got = cms_point_counts(
+        ray.data.from_pandas(df).repartition(4), "token", probes,
+        width=1024, depth=4,
+    ).to_pandas().set_index("token")["est"]
+    n = len(vals)
+    exact = {"alpha": 500, "beta": 120, "gamma": 7, "never-seen": 0}
+    for p in probes:
+        assert got[p] >= exact[p]                 # CMS never undercounts
+        assert got[p] <= exact[p] + int(np.e / 1024 * n) + 1
+    # partition-layout invariance (linear sketch: adds commute)
+    got2 = cms_point_counts(
+        ray.data.from_pandas(df).repartition(11), "token", probes,
+        width=1024, depth=4,
+    ).to_pandas().set_index("token")["est"]
+    assert (got == got2).all()
