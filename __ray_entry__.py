@@ -1012,6 +1012,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["cms_token_counts"] = q_cms_token_counts
 
+    def q_incremental_dedup(sf_dir: str):
+        # cross-run dedup against a persisted fingerprint store: the "old
+        # crawl" = even docs plus planted re-crawl copies of some odd docs
+        # (ids offset +1M); the "new crawl" = odd docs, deduped by selective
+        # bucket reads of the store
+        from dygiepp_ray.stages.dedup import (
+            build_dedup_store,
+            dedup_against_store,
+        )
+
+        store = f"/tmp/dygiepp_ray_dedupstore/{_sf_tag(sf_dir)}"
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        marker = os.path.join(store, "_done")
+        if not os.path.exists(marker):
+            def old_side(df: pd.DataFrame) -> pd.DataFrame:
+                even = df[df["doc_id"] % 2 == 0]
+                planted = df[(df["doc_id"] % 2 == 1)
+                             & (df["doc_id"] % 31 == 1)].copy()
+                planted["doc_id"] = planted["doc_id"] + 1_000_000
+                return pd.concat([even, planted], ignore_index=True)
+
+            build_dedup_store(
+                docs.map_batches(old_side, batch_format="pandas"), store)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+
+        new = docs.map_batches(lambda df: df[df["doc_id"] % 2 == 1],
+                               batch_format="pandas")
+        return dedup_against_store(new, store)
+
+    q["incremental_dedup"] = q_incremental_dedup
+
     def q_emb_neardup(sf_dir: str):
         # the testdata embeddings have no natural near-dups (max cosine≈0.48),
         # so plant exact duplicates of vec_id<20 under offset ids: the
@@ -2462,6 +2495,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cms_token_counts": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/cms_token_counts.parquet')
+        """,
+        "incremental_dedup": """
+            WITH old AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents
+                WHERE doc_id % 2 = 1 AND doc_id % 31 = 1
+            ), o2 AS (
+                SELECT sha256(text) AS sha, min(doc_id) AS dup_of
+                FROM old GROUP BY sha256(text)
+            ), nw AS (
+                SELECT doc_id, sha256(text) AS sha FROM documents
+                WHERE doc_id % 2 = 1
+            )
+            SELECT nw.doc_id, o2.dup_of FROM nw JOIN o2 USING (sha)
         """,
         "ccnet_buckets": r"""
             WITH t AS (

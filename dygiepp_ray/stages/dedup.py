@@ -567,3 +567,93 @@ def substring_dup_pairs(docs: "ray.data.Dataset", k: int = 16, w: int = 8,
         lambda t: t.filter(pc.greater_equal(t["n_shared"],
                                             pa.scalar(min_shared))),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------- persisted dedup store
+
+
+def _sha_bucket(shas: pd.Series, n_buckets: int) -> pd.Series:
+    """Stable bucket from the hex sha prefix (no Python hash())."""
+    return shas.str[:8].map(lambda s: int(s, 16) % n_buckets).astype("int64")
+
+
+def build_dedup_store(docs: "ray.data.Dataset", out_dir: str,
+                      n_buckets: int = 32, id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """Persist the corpus's exact-dedup fingerprints as a parquet store
+    hash-partitioned on the sha bucket (`bucket=<b>/...`) — the cross-run /
+    append-only counterpart of `exact_duplicates`: later crawls dedupe
+    against the store by reading ONLY the buckets their own hashes fall in,
+    never rescanning (or reshuffling) the historical corpus.  Mirrors the
+    persisted LSH / inverted-index stores."""
+
+    def sigs(t: "pa.Table") -> pd.DataFrame:
+        df = _text_sha(t, text_col).select(["text_sha", id_col]).to_pandas()
+        df["bucket"] = _sha_bucket(df["text_sha"], n_buckets)
+        return df
+
+    docs.map_batches(sigs, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"])
+    return out_dir
+
+
+def dedup_against_store(new_docs: "ray.data.Dataset", store_dir: str,
+                        n_buckets: int = 32, id_col: str = "doc_id",
+                        text_col: str = "text") -> "ray.data.Dataset":
+    """(doc_id, dup_of) for every new doc whose exact text is already in the
+    store; dup_of = the smallest stored id with that sha.
+
+    Selective I/O: the new shard's sha buckets are collected first (a tiny
+    distinct set) and only those `bucket=<b>` partition dirs are read — for
+    a small append against a huge historical store, I/O is proportional to
+    the APPEND, not the store.  The merge is one union + coarse-bucket
+    groupby with a vectorized per-bucket join."""
+    import glob
+    import os
+
+    def sigs(t: "pa.Table") -> pd.DataFrame:
+        df = _text_sha(t, text_col).select(["text_sha", id_col]).to_pandas()
+        df["bucket"] = _sha_bucket(df["text_sha"], n_buckets)
+        return df
+
+    new_sigs = new_docs.map_batches(sigs, batch_format="pyarrow").materialize()
+    # bucket set: per-block distinct + driver union (≤ n_buckets values per
+    # block — no shuffle needed for a set this small)
+    need = sorted({int(r["bucket"]) for r in new_sigs.map_batches(
+        lambda df: df[["bucket"]].drop_duplicates(),
+        batch_format="pandas").take_all()})
+    paths = [f for b in need for f in sorted(
+        glob.glob(os.path.join(store_dir, f"bucket={b}", "*.parquet")))]
+    if not paths:
+        return new_sigs.map_batches(
+            lambda df: pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                     "dup_of": pd.Series([], dtype="int64")}),
+            batch_format="pandas").limit(1)
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["text_sha", id_col]].copy()
+            out["bucket"] = _sha_bucket(out["text_sha"], n_buckets)
+            out["_side"] = np.int64(side)
+            return out
+        return fn
+
+    store = ray.data.read_parquet(paths).map_batches(
+        tag(0), batch_format="pandas")
+    newer = new_sigs.map_batches(tag(1), batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        old = df[df["_side"] == 0]
+        new = df[df["_side"] == 1]
+        if not len(old) or not len(new):
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "dup_of": pd.Series([], dtype="int64")})
+        first = old.groupby("text_sha", sort=False)[id_col].min().rename(
+            "dup_of")
+        hit = new.merge(first, left_on="text_sha", right_index=True,
+                        how="inner")
+        return pd.DataFrame({id_col: hit[id_col].astype("int64"),
+                             "dup_of": hit["dup_of"].astype("int64")})
+
+    return store.union(newer).groupby("bucket").map_groups(
+        merge, batch_format="pandas")

@@ -185,3 +185,57 @@ def test_substring_dup_pairs_plants():
     pairs = set(zip(got["id_a"].astype(int), got["id_b"].astype(int)))
     assert (0, 1) in pairs
     assert all(p == (0, 1) for p in pairs)
+
+
+def test_dedup_store_roundtrip(tmp_path):
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.stages.dedup import (
+        build_dedup_store,
+        dedup_against_store,
+    )
+
+    old = pd.DataFrame(
+        {
+            "doc_id": [0, 2, 4, 6],
+            "text": ["shared one", "only old", "shared two", "shared one"],
+        }
+    )
+    new = pd.DataFrame(
+        {
+            "doc_id": [1, 3, 5],
+            "text": ["shared one", "brand new", "shared two"],
+        }
+    )
+    store = str(tmp_path / "store")
+    build_dedup_store(ray.data.from_pandas(old).repartition(2), store,
+                      n_buckets=8)
+    got = (
+        dedup_against_store(ray.data.from_pandas(new).repartition(2), store,
+                            n_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 1 dups "shared one" (min stored id 0, not 6); doc 5 dups doc 4
+    assert got["doc_id"].tolist() == [1, 5]
+    assert got["dup_of"].tolist() == [0, 4]
+
+
+def test_dedup_store_no_hits(tmp_path):
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.stages.dedup import (
+        build_dedup_store,
+        dedup_against_store,
+    )
+
+    old = pd.DataFrame({"doc_id": [0], "text": ["aaa"]})
+    new = pd.DataFrame({"doc_id": [1], "text": ["bbb"]})
+    store = str(tmp_path / "store")
+    build_dedup_store(ray.data.from_pandas(old), store, n_buckets=4)
+    got = dedup_against_store(ray.data.from_pandas(new), store,
+                              n_buckets=4).to_pandas()
+    assert len(got) == 0
