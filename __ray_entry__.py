@@ -1045,6 +1045,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["incremental_dedup"] = q_incremental_dedup
 
+    def q_compression_ratio(sf_dir: str):
+        # zlib-compressibility quality signal (exact integer-scaled ratio)
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.text import compression_ratio
+
+        _write_oracle(sf_dir, "compression_ratio",
+                      lambda: _o.expected_compression_ratio(sf_dir))
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            compression_ratio, batch_format="pandas")
+
+    q["compression_ratio"] = q_compression_ratio
+
+    def q_neardup_clusters(sf_dir: str):
+        # cluster-level near-dedup: LSH pairs -> connected components ->
+        # keeper (min doc_id) per cluster
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.curate import neardup_clusters
+
+        _write_oracle(sf_dir, "neardup_clusters",
+                      lambda: _o.expected_neardup_clusters(sf_dir))
+        return neardup_clusters(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            concurrency=_kernel_conc())
+
+    q["neardup_clusters"] = q_neardup_clusters
+
     def q_emb_neardup(sf_dir: str):
         # the testdata embeddings have no natural near-dups (max cosine≈0.48),
         # so plant exact duplicates of vec_id<20 under offset ids: the
@@ -2495,6 +2521,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cms_token_counts": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/cms_token_counts.parquet')
+        """,
+        "compression_ratio": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/compression_ratio.parquet')
+        """,
+        "neardup_clusters": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/neardup_clusters.parquet')
         """,
         "incremental_dedup": """
             WITH old AS (

@@ -1430,3 +1430,45 @@ def expected_cms_token_counts(sf_dir: str,
                         for r in range(depth)))
     return pa.table({"token": pa.array(list(probes), pa.string()),
                      "est": pa.array(ests, pa.int64())})
+
+
+def expected_compression_ratio(sf_dir: str) -> pa.Table:
+    """Scalar zlib recompute (level pinned to 6, same zlib as the engine)."""
+    import zlib
+
+    import pandas as pd
+
+    df = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    ids, raws, zls, ratios = [], [], [], []
+    for i, t in zip(df["doc_id"], df["text"]):
+        raw = len(t)
+        zl = len(zlib.compress(t.encode("utf-8"), 6))
+        ids.append(int(i)); raws.append(raw); zls.append(zl)
+        ratios.append(zl * 10000 // max(raw, 1))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "raw_len": pa.array(raws, pa.int64()),
+                     "zlen": pa.array(zls, pa.int64()),
+                     "ratio_scaled": pa.array(ratios, pa.int64())})
+
+
+def expected_neardup_clusters(sf_dir: str, threshold: float = 0.8) -> pa.Table:
+    """Union-find over the brute-force minhash pair set — independent of the
+    engine's CC fixpoint."""
+    pairs = expected_minhash_pairs(sf_dir, threshold=threshold)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(parent)
+    return pa.table({"doc_id": pa.array(nodes, pa.int64()),
+                     "keep_id": pa.array([find(n) for n in nodes],
+                                         pa.int64())})

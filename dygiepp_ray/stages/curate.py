@@ -342,3 +342,36 @@ def keep_best(ds: "ray.data.Dataset", key_col: str, score_col: str,
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return partials.groupby("bucket").map_groups(final, batch_format="pandas")
+
+
+# ---------------------------------------------------------- neardup_clusters
+
+
+def neardup_clusters(docs: "ray.data.Dataset",
+                     jaccard_threshold: float = 0.8,
+                     concurrency=(1, 8)) -> "ray.data.Dataset":
+    """Cluster-level near-dedup (what production pipelines run after pair
+    generation): MinHash-LSH candidate pairs → connected components over the
+    pair graph → every clustered doc labeled with its cluster keeper
+    (min doc_id — CC's min-label fixpoint IS the keeper assignment, no extra
+    pass).  Output: (doc_id, keep_id) for every doc in a non-trivial
+    cluster; rows with doc_id != keep_id are the drop list.
+
+    Composition of two existing scale shapes: one LSH shuffle for pairs,
+    then the CC fixpoint (broadcast/local mode — the pair graph is a tiny
+    fraction of the corpus by construction)."""
+    from .dedup import minhash_lsh_pairs
+    from .graph import connected_components
+
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=jaccard_threshold,
+                              concurrency=concurrency)
+    comp = connected_components(pairs.select_columns(["id_a", "id_b"]),
+                                src="id_a", dst="id_b", mode="broadcast")
+
+    def out(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["node"].astype("int64"),
+            "keep_id": df["component"].astype("int64"),
+        })
+
+    return comp.map_batches(out, batch_format="pandas")

@@ -126,9 +126,8 @@ def _components_broadcast(edges: "ray.data.Dataset", src: str, dst: str,
                 labels = nxt
             if (labels == before).all():
                 break
-        out = pa.table({"node": pa.array(list(names), pa.string()),
-                        "component": pa.array(list(names[labels]),
-                                              pa.string())})
+        out = pa.table({"node": pa.array(list(names)),
+                        "component": pa.array(list(names[labels]))})
         return ray.data.from_arrow(out)
 
     for _ in range(max_iter):
@@ -165,8 +164,8 @@ def _components_broadcast(edges: "ray.data.Dataset", src: str, dst: str,
         if not changed:
             break
 
-    out = pa.table({"node": pa.array(list(names), pa.string()),
-                    "component": pa.array(list(names[labels]), pa.string())})
+    out = pa.table({"node": pa.array(list(names)),
+                    "component": pa.array(list(names[labels]))})
     return ray.data.from_arrow(out)
 
 

@@ -453,3 +453,23 @@ def fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
             h = _FP_H0 * pw[-1] * _FP_B + np.dot(arr, pw[::-1])
         fps.append(int(h))
     return pd.DataFrame({"doc_id": batch["doc_id"], "fp64": pd.array(fps, dtype="uint64")})
+
+
+def compression_ratio(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, raw_len, zlen, ratio_scaled) — zlib-compressibility quality
+    signal (highly repetitive/boilerplate text compresses far below natural
+    prose; used as a filter in Gopher/FineWeb-style pipelines).
+    ratio_scaled = zlen * 10000 // max(raw_len, 1) — exact ints, so the
+    scalar oracle recompute hash-matches (zlib level pinned)."""
+    import zlib
+
+    raw = batch["text"].str.len().astype("int64")
+    zlen = pd.array(
+        [len(zlib.compress(t.encode("utf-8"), 6)) for t in batch["text"]],
+        dtype="int64")
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "raw_len": raw,
+        "zlen": zlen,
+        "ratio_scaled": (zlen * 10000) // raw.clip(lower=1),
+    })

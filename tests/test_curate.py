@@ -275,3 +275,45 @@ def test_mixture_sample_quotas_and_determinism():
     a = got.sort_values(["source", "doc_id"]).reset_index(drop=True)
     b = got2.sort_values(["source", "doc_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_neardup_clusters_keeper_assignment():
+    import ray.data
+
+    from dygiepp_ray.stages.curate import neardup_clusters
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark woods tonight")
+    rows = [
+        (0, base),
+        (7, base),                      # exact dup of 0
+        (3, base + " extra"),           # near dup of 0/7
+        (9, "completely different text about databases and query engines "
+            "with shuffles joins and aggregates everywhere in the plan"),
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    got = (
+        neardup_clusters(ray.data.from_pandas(df), concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # 0, 3, 7 form one cluster kept by 0; doc 9 is clean (absent)
+    assert got["doc_id"].tolist() == [0, 3, 7]
+    assert got["keep_id"].tolist() == [0, 0, 0]
+
+
+def test_compression_ratio_signal():
+    from dygiepp_ray.stages.text import compression_ratio
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["abc " * 200, "the quick brown fox jumps over it"],
+        }
+    )
+    out = compression_ratio(df)
+    # repetitive text compresses far more than prose
+    assert out.loc[0, "ratio_scaled"] < out.loc[1, "ratio_scaled"]
+    assert (out["zlen"] > 0).all()
+    assert out.loc[0, "raw_len"] == 800
