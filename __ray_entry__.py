@@ -1071,6 +1071,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["neardup_clusters"] = q_neardup_clusters
 
+    def q_skew_join_lineitem(sf_dir: str):
+        # skew-aware join: ~30% of lineitem rows collapse onto skew_key 0
+        # (a deliberately hot key); skew_join routes the hot key through a
+        # broadcast merge and only the cold tail through the shuffle
+        from dygiepp_ray.joins import skew_join
+
+        def lmap(df: pd.DataFrame) -> pd.DataFrame:
+            ok = df["l_orderkey"].astype("int64")
+            return pd.DataFrame({
+                "l_orderkey": ok,
+                "skew_key": np.where(ok % 10 < 3, 0, ok % 1000).astype(
+                    "int64"),
+            })
+
+        left = _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+            lmap, batch_format="pandas")
+
+        def dmap(df: pd.DataFrame) -> pd.DataFrame:
+            i = df["id"].astype("int64")
+            return pd.DataFrame({"skew_key": i,
+                                 "dim_val": (i * 7919) % 1000})
+
+        right = ray.data.range(1000).map_batches(dmap, batch_format="pandas")
+        return skew_join(
+            left, right, "skew_key", hot_threshold=1000,
+            left_types={"l_orderkey": pa.int64(), "skew_key": pa.int64()},
+            right_types={"skew_key": pa.int64(), "dim_val": pa.int64()})
+
+    q["skew_join_lineitem"] = q_skew_join_lineitem
+
     def q_emb_neardup(sf_dir: str):
         # the testdata embeddings have no natural near-dups (max cosine≈0.48),
         # so plant exact duplicates of vec_id<20 under offset ids: the
@@ -2521,6 +2551,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cms_token_counts": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/cms_token_counts.parquet')
+        """,
+        "skew_join_lineitem": """
+            WITH l AS (
+                SELECT l_orderkey,
+                       CASE WHEN l_orderkey % 10 < 3 THEN 0
+                            ELSE l_orderkey % 1000 END AS skew_key
+                FROM lineitem
+            ), d AS (
+                SELECT i AS skew_key, (i * 7919) % 1000 AS dim_val
+                FROM (SELECT unnest(range(1000)) AS i)
+            )
+            SELECT d.dim_val, l.l_orderkey, l.skew_key
+            FROM l JOIN d USING (skew_key)
         """,
         "compression_ratio": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/compression_ratio.parquet')

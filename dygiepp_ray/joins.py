@@ -456,3 +456,87 @@ def interval_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
     return l.union(r).groupby("_bucket").map_groups(join_bucket,
                                                     batch_format="pandas")
+
+
+def skew_join(left: "ray.data.Dataset", right: "ray.data.Dataset", on: str,
+              hot_threshold: int = 10_000, n_buckets: int = 32,
+              left_types: dict | None = None,
+              right_types: dict | None = None) -> "ray.data.Dataset":
+    """Skew-aware inner join: keys hotter than `hot_threshold` on the left
+    side are routed around the shuffle.
+
+    A plain bucketed hash join sends every row of a hot key to ONE bucket
+    task — at web scale a single 30%-of-the-corpus key serializes the whole
+    join behind one straggler. Here:
+
+      1. left key histogram via partial+final grouped count (pre-aggregated
+         per block, so the count shuffle moves ≤ one row per (key, block));
+         only keys ABOVE the threshold are pulled to the driver — few by
+         definition.
+      2. hot path: the RIGHT rows of hot keys (dimension-sided, small) are
+         broadcast once via `ray.put`; hot left rows stream through a
+         vectorized per-batch merge — no shuffle, parallelism preserved.
+      3. cold path: the existing bucketed `hash_join` on everything else.
+      4. union (same output schema both paths).
+
+    Requires the right side to be small PER HOT KEY (the usual dim-table
+    case). Results are identical to `hash_join(left, right, on)` — pinned
+    by a pytest equivalence test."""
+    from .aggregates import grouped_count
+
+    counts = grouped_count(left.select_columns([on]), [on], out_name="_n")
+    hot = sorted(
+        r[on] for r in counts.map_batches(
+            lambda t: t.filter(pc.greater(t["_n"],
+                                          pa.scalar(hot_threshold))),
+            batch_format="pyarrow").take_all()
+    )
+    lt = left_types or {
+        f.name: f.type for f in _schema_fields(left)}
+    rt = right_types or {
+        f.name: f.type for f in _schema_fields(right)}
+
+    if not hot:
+        return hash_join(left, right, on, n_buckets=n_buckets,
+                         left_types=lt, right_types=rt)
+
+    hot_arr = pa.array(hot)
+
+    def split(keep_hot: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            from .aggregates import strip_schema_metadata
+
+            t = strip_schema_metadata(t)
+            m = pc.is_in(t.column(on), value_set=hot_arr)
+            return t.filter(m if keep_hot else pc.invert(m))
+        return fn
+
+    right_hot = right.map_batches(split(True), batch_format="pyarrow")
+    right_hot_df = right_hot.to_pandas()  # small: dim rows of few hot keys
+    rref = ray.put(right_hot_df)
+    rcols = [c for c in right_hot_df.columns if c != on]
+
+    def bcast_merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        rh = ray.get(rref)
+        out = df.merge(rh, on=on, how="inner")
+        return out
+
+    hot_joined = left.map_batches(split(True), batch_format="pyarrow") \
+                     .map_batches(bcast_merge, batch_format="pandas")
+    cold_joined = hash_join(
+        left.map_batches(split(False), batch_format="pyarrow"),
+        right.map_batches(split(False), batch_format="pyarrow"),
+        on, n_buckets=n_buckets, left_types=lt, right_types=rt)
+    # align column order (hash_join emits its own ordering)
+    cold_cols = sorted(set(lt) | {on} | set(rt))
+
+    def order_cols(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df[[c for c in cold_cols if c in df.columns]]
+
+    return hot_joined.map_batches(order_cols, batch_format="pandas").union(
+        cold_joined.map_batches(order_cols, batch_format="pandas"))
+
+
+def _schema_fields(ds: "ray.data.Dataset"):
+    s = ds.schema()
+    return [pa.field(n, t) for n, t in zip(s.names, s.types)]

@@ -81,3 +81,59 @@ def test_zip_join_assert_raises_on_dup():
     b = ray.data.from_items([{"doc_key": "d1", "y": 1}, {"doc_key": "d1", "y": 2}])
     with pytest.raises(Exception):
         zip_join_assert(a, b, "doc_key", ["y"]).to_pandas()
+
+
+def test_skew_join_matches_hash_join():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from dygiepp_ray.joins import hash_join, skew_join
+
+    rng = np.random.default_rng(11)
+    # key 0 holds ~40% of left rows (hot); others uniform over 1..49
+    keys = np.where(rng.random(3000) < 0.4, 0,
+                    rng.integers(1, 50, 3000)).astype("int64")
+    left = pd.DataFrame({"k": keys, "lv": np.arange(3000, dtype="int64")})
+    right = pd.DataFrame({"k": np.arange(0, 50, dtype="int64"),
+                          "rv": np.arange(100, 150, dtype="int64")})
+    lds = ray.data.from_pandas(left).repartition(6)
+    rds = ray.data.from_pandas(right).repartition(2)
+    t = {"k": pa.int64(), "lv": pa.int64()}
+    rt = {"k": pa.int64(), "rv": pa.int64()}
+
+    got = (
+        skew_join(lds, rds, "k", hot_threshold=500, left_types=t,
+                  right_types=rt)
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        hash_join(lds, rds, "k", left_types=t, right_types=rt)
+        .to_pandas()[got.columns]
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (got["k"] == 0).sum() > 1000  # the hot key really is hot
+
+
+def test_skew_join_no_hot_keys_falls_back():
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from dygiepp_ray.joins import skew_join
+
+    left = pd.DataFrame({"k": [1, 2, 3], "lv": [10, 20, 30]})
+    right = pd.DataFrame({"k": [2, 3, 4], "rv": [7, 8, 9]})
+    got = skew_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right), "k",
+        hot_threshold=100,
+        left_types={"k": pa.int64(), "lv": pa.int64()},
+        right_types={"k": pa.int64(), "rv": pa.int64()},
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == [2, 3]
+    assert got["rv"].tolist() == [7, 8]
