@@ -1101,6 +1101,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["skew_join_lineitem"] = q_skew_join_lineitem
 
+    def q_chunk_documents(sf_dir: str):
+        # RAG-prep chunking: 32-token windows every 24 tokens (8 overlap)
+        from dygiepp_ray.stages.text import chunk_documents
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            chunk_documents, batch_format="pandas")
+
+    q["chunk_documents"] = q_chunk_documents
+
     def q_emb_neardup(sf_dir: str):
         # the testdata embeddings have no natural near-dups (max cosine≈0.48),
         # so plant exact duplicates of vec_id<20 under offset ids: the
@@ -2551,6 +2560,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cms_token_counts": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/cms_token_counts.parquet')
+        """,
+        "chunk_documents": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), c AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, len(toks), 24)) AS start_tok
+                FROM t WHERE len(toks) > 0
+            )
+            SELECT doc_id, start_tok // 24 AS chunk_ix, start_tok,
+                   least(32, len(toks) - start_tok) AS n_chunk_tokens,
+                   array_to_string(
+                       toks[start_tok + 1 : least(start_tok + 32, len(toks))],
+                       ' ') AS chunk_text
+            FROM c
         """,
         "skew_join_lineitem": """
             WITH l AS (

@@ -473,3 +473,32 @@ def compression_ratio(batch: pd.DataFrame) -> pd.DataFrame:
         "zlen": zlen,
         "ratio_scaled": (zlen * 10000) // raw.clip(lower=1),
     })
+
+
+def chunk_documents(batch: pd.DataFrame, chunk_tokens: int = 32,
+                    stride: int = 24) -> pd.DataFrame:
+    """(doc_id, chunk_ix, start_tok, n_chunk_tokens, chunk_text) — RAG-style
+    overlapping chunking: windows of `chunk_tokens` whitespace tokens every
+    `stride` tokens (overlap = chunk_tokens - stride).  Pure per-batch map
+    (embarrassingly parallel); token offsets are retained so chunks can be
+    traced back into the source doc."""
+    ids, cix, starts, lens, texts = [], [], [], [], []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        toks = text.split()
+        n = len(toks)
+        if n == 0:
+            continue
+        for k, s in enumerate(range(0, n, stride)):
+            piece = toks[s:s + chunk_tokens]
+            ids.append(doc_id)
+            cix.append(k)
+            starts.append(s)
+            lens.append(len(piece))
+            texts.append(" ".join(piece))
+    return pd.DataFrame({
+        "doc_id": pd.array(ids, dtype="int64"),
+        "chunk_ix": pd.array(cix, dtype="int64"),
+        "start_tok": pd.array(starts, dtype="int64"),
+        "n_chunk_tokens": pd.array(lens, dtype="int64"),
+        "chunk_text": pd.array(texts, dtype=object),
+    })

@@ -182,3 +182,22 @@ def test_ngram_lm_score_exact():
     # short/empty docs
     assert got.loc[2, "n_bigrams"] == 0 and got.loc[2, "lm_score"] == 0
     assert got.loc[3, "n_bigrams"] == 0 and got.loc[3, "lm_score"] == 0
+
+
+def test_chunk_documents_offsets_and_overlap():
+    import pandas as pd
+
+    from dygiepp_ray.stages.text import chunk_documents
+
+    toks = [f"t{i}" for i in range(50)]
+    df = pd.DataFrame({"doc_id": [1, 2], "text": [" ".join(toks), ""]})
+    out = chunk_documents(df, chunk_tokens=32, stride=24)
+    # doc 2 is empty -> no chunks; doc 1: starts 0, 24, 48
+    assert out["doc_id"].tolist() == [1, 1, 1]
+    assert out["start_tok"].tolist() == [0, 24, 48]
+    assert out["n_chunk_tokens"].tolist() == [32, 26, 2]
+    # 8-token overlap between consecutive chunks
+    c0 = out.loc[0, "chunk_text"].split()
+    c1 = out.loc[1, "chunk_text"].split()
+    assert c0[-8:] == c1[:8]
+    assert out.loc[2, "chunk_text"] == "t48 t49"
