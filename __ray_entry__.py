@@ -1110,6 +1110,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["chunk_documents"] = q_chunk_documents
 
+    def q_term_contexts(sf_dir: str):
+        # KWIC snippet extraction: first occurrence +/-3-token context for
+        # a probe term list (token-index semantics, byte-safe)
+        from dygiepp_ray.stages.text import term_contexts
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            lambda df: term_contexts(df, ("scan", "merge", "window")),
+            batch_format="pandas")
+
+    q["term_contexts"] = q_term_contexts
+
     def q_emb_neardup(sf_dir: str):
         # the testdata embeddings have no natural near-dups (max cosine≈0.48),
         # so plant exact duplicates of vec_id<20 under offset ids: the
@@ -2560,6 +2571,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cms_token_counts": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/cms_token_counts.parquet')
+        """,
+        "term_contexts": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), probes AS (
+                SELECT unnest(['scan', 'merge', 'window']) AS term
+            ), hits AS (
+                SELECT t.doc_id, probes.term, t.toks,
+                       list_position(t.toks, probes.term) AS pos
+                FROM t CROSS JOIN probes
+            )
+            SELECT doc_id, term, pos,
+                   array_to_string(
+                       toks[greatest(1, pos - 3) : least(len(toks), pos + 3)],
+                       ' ') AS context
+            FROM hits WHERE pos IS NOT NULL AND pos > 0
         """,
         "chunk_documents": r"""
             WITH t AS (

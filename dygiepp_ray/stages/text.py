@@ -502,3 +502,30 @@ def chunk_documents(batch: pd.DataFrame, chunk_tokens: int = 32,
         "n_chunk_tokens": pd.array(lens, dtype="int64"),
         "chunk_text": pd.array(texts, dtype=object),
     })
+
+
+def term_contexts(batch: pd.DataFrame, terms: tuple, window: int = 3
+                  ) -> pd.DataFrame:
+    """(doc_id, term, pos, context) — KWIC snippet extraction: for each
+    probe term, the FIRST occurrence position (1-based token index, DuckDB
+    `list_position` convention) and a ±`window`-token context string.
+    Map-only; the probe list is a handful of terms (broadcast by closure)."""
+    ids, out_t, out_p, out_c = [], [], [], []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        toks = text.lower().split()
+        for term in terms:
+            try:
+                i = toks.index(term)  # first occurrence, 0-based
+            except ValueError:
+                continue
+            lo = max(0, i - window)
+            ids.append(doc_id)
+            out_t.append(term)
+            out_p.append(i + 1)
+            out_c.append(" ".join(toks[lo:i + window + 1]))
+    return pd.DataFrame({
+        "doc_id": pd.array(ids, dtype="int64"),
+        "term": pd.array(out_t, dtype=object),
+        "pos": pd.array(out_p, dtype="int64"),
+        "context": pd.array(out_c, dtype=object),
+    })

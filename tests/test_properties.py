@@ -121,3 +121,58 @@ def test_partial_span_score_bounds(a, b):
     s = partial_span_score(" ".join(a), " ".join(b))
     assert 0.0 <= s
     assert partial_span_score(" ".join(a), " ".join(a)) == 1.0
+
+
+# ---- curation kernels (pure parts) -----------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(words, min_size=0, max_size=30),
+       st.integers(min_value=1, max_value=6))
+def test_word_ngrams_count_property(tokens, n):
+    from dygiepp_ray.stages.curate import _word_ngrams
+
+    ngs = _word_ngrams(tokens, n)
+    assert len(ngs) == max(0, len(tokens) - n + 1)
+    for g in ngs:
+        assert len(g.split(" ")) == n
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(words, st.integers(min_value=1, max_value=50)),
+                min_size=0, max_size=20),
+       st.integers(min_value=1, max_value=8))
+def test_bpe_merge_conserves_word_mass(pairs, n_merges):
+    from dygiepp_ray.stages.bpe import learn_bpe_local
+
+    wc = {}
+    for w, n in pairs:
+        wc[w] = wc.get(w, 0) + n
+    merges = learn_bpe_local(wc, n_merges=n_merges, min_count=1)
+    # merged symbol always equals left+right; ranks are dense from 0
+    for i, (rank, a, b, ab, cnt) in enumerate(merges):
+        assert rank == i
+        assert ab == a + b
+        assert cnt >= 1
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                max_size=40),
+       st.integers(min_value=1, max_value=16))
+def test_pack_chunks_maths(token_counts, seq_len):
+    # pure recomputation of the packing arithmetic used by
+    # pack_concat_chunks: offsets are a prefix sum; every doc's seq range
+    # covers exactly its token interval
+    import numpy as np
+
+    n = np.asarray(token_counts, dtype=np.int64)
+    tok_start = np.concatenate([[0], np.cumsum(n)[:-1]])
+    seq_first = tok_start // seq_len
+    last_tok = tok_start + np.maximum(n, 1) - 1
+    seq_last = last_tok // seq_len
+    assert (seq_last >= seq_first).all()
+    # a doc with n tokens spans at most ceil(n/seq_len)+1 sequences
+    assert ((seq_last - seq_first) <= (n // seq_len) + 1).all()
+    # consecutive docs are contiguous in the token stream
+    assert (tok_start[1:] == tok_start[:-1] + n[:-1]).all()
