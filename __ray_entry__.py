@@ -1121,6 +1121,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["term_contexts"] = q_term_contexts
 
+    def q_curation_funnel(sf_dir: str):
+        # composed end-to-end curation: exact dedup -> near-dup clusters ->
+        # quality filter; one status per input doc
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.pipelines.curation import curate_corpus
+
+        _write_oracle(sf_dir, "curation_funnel",
+                      lambda: _o.expected_curation(sf_dir))
+        return curate_corpus(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            concurrency=_kernel_conc())
+
+    q["curation_funnel"] = q_curation_funnel
+
     def q_emb_neardup(sf_dir: str):
         # the testdata embeddings have no natural near-dups (max cosine≈0.48),
         # so plant exact duplicates of vec_id<20 under offset ids: the
@@ -2571,6 +2585,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cms_token_counts": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/cms_token_counts.parquet')
+        """,
+        "curation_funnel": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/curation_funnel.parquet')
         """,
         "term_contexts": r"""
             WITH t AS (

@@ -1472,3 +1472,80 @@ def expected_neardup_clusters(sf_dir: str, threshold: float = 0.8) -> pa.Table:
     return pa.table({"doc_id": pa.array(nodes, pa.int64()),
                      "keep_id": pa.array([find(n) for n in nodes],
                                          pa.int64())})
+
+
+def expected_curation(sf_dir: str, quality_min: float = 0.5,
+                      threshold: float = 0.8) -> pa.Table:
+    """Scalar funnel recompute for pipelines/curation.py:curate_corpus —
+    sha keepers via hashlib, near-dup clusters via brute-force minhash pairs
+    + union-find over the exact-pass survivors, quality via a plain-python
+    mirror of the documented formula."""
+    import hashlib
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from .functions.strings import STOPWORDS, round_half_up
+    from .stages.dedup import MinHasher
+
+    stop = frozenset(STOPWORDS)
+    df = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    ids = [int(i) for i in df["doc_id"]]
+    texts = list(df["text"])
+
+    # stage 1: exact keepers
+    by_sha: dict[str, list[int]] = defaultdict(list)
+    for i, t in zip(ids, texts):
+        by_sha[hashlib.sha256(t.encode("utf-8")).hexdigest()].append(i)
+    keepers = {min(v) for v in by_sha.values()}
+    status = {i: "exact_dup" for i in ids if i not in keepers}
+
+    surv1 = [(i, t) for i, t in zip(ids, texts) if i in keepers]
+
+    # stage 2: near-dup union-find over survivors (brute-force pair twin)
+    mh = MinHasher(n_perm=64, shingle_k=3)
+    sigs = {i: mh.signature(t) for i, t in surv1}
+    sids = [i for i, _ in surv1]
+    r = 64 // 16
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a_ix in range(len(sids)):
+        for b_ix in range(a_ix + 1, len(sids)):
+            a, b = sids[a_ix], sids[b_ix]
+            eq = sigs[a] == sigs[b]
+            if not any(eq[k * r:(k + 1) * r].all() for k in range(16)):
+                continue
+            if float(np.mean(eq)) >= threshold:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    near_drop = {i for i in parent if find(i) != i}
+    for i in near_drop:
+        status[i] = "near_dup"
+
+    # stage 3: quality over remaining survivors (formula mirror)
+    for i, t in surv1:
+        if i in near_drop:
+            continue
+        toks = t.lower().split()
+        n = len(toks)
+        n_eff = max(n, 1)
+        stop_ratio = float(round_half_up(
+            sum(w in stop for w in toks) / n_eff, 6))
+        uniq_ratio = float(round_half_up(len(set(toks)) / n_eff, 6))
+        q = (min(n, 100) / 100.0) * 0.4 + min(stop_ratio, 0.4) * 0.5 \
+            + uniq_ratio * 0.4
+        q = float(round_half_up(min(q, 1.0), 6))
+        status[i] = "kept" if q >= quality_min else "low_quality"
+
+    out_ids = sorted(status)
+    return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                     "status": pa.array([status[i] for i in out_ids],
+                                        pa.string())})
