@@ -1135,6 +1135,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["curation_funnel"] = q_curation_funnel
 
+    def q_weighted_sample(sf_dir: str):
+        # Efraimidis-Spirakis weighted sampling (weight = n_chars),
+        # hash-determinized and partitioning-invariant
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.curate import weighted_sample
+
+        _write_oracle(sf_dir, "weighted_sample",
+                      lambda: _o.expected_weighted_sample(sf_dir))
+        return weighted_sample(
+            _read(sf_dir, "documents", ["doc_id", "n_chars"]),
+            id_col="doc_id", weight_col="n_chars", k=100)
+
+    q["weighted_sample"] = q_weighted_sample
+
     def q_emb_neardup(sf_dir: str):
         # the testdata embeddings have no natural near-dups (max cosine≈0.48),
         # so plant exact duplicates of vec_id<20 under offset ids: the
@@ -2588,6 +2602,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "curation_funnel": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/curation_funnel.parquet')
+        """,
+        "weighted_sample": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/weighted_sample.parquet')
         """,
         "term_contexts": r"""
             WITH t AS (

@@ -1549,3 +1549,27 @@ def expected_curation(sf_dir: str, quality_min: float = 0.5,
     return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
                      "status": pa.array([status[i] for i in out_ids],
                                         pa.string())})
+
+
+def expected_weighted_sample(sf_dir: str, k: int = 100,
+                             seed: int = 42) -> pa.Table:
+    """ES-sampling recompute: same key formula (it defines the operator)
+    over a single full-table numpy pass, explicit top-k."""
+    import pandas as pd
+
+    from .stages.dedup import _splitmix64
+
+    df = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "n_chars"])
+    ids = df["doc_id"].to_numpy().astype(np.uint64)
+    w = df["n_chars"].to_numpy(np.float64)
+    u = (_splitmix64(ids ^ np.uint64(seed)).astype(np.float64) + 1.0) / 2.0 ** 64
+    key = u ** (1.0 / np.maximum(w, 1e-12))
+    out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                        "n_chars": df["n_chars"].astype("int64"),
+                        "es_key": key})
+    out = out.sort_values(["es_key", "doc_id"],
+                          ascending=[False, True]).head(k)
+    return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                     "n_chars": pa.array(out["n_chars"], pa.int64()),
+                     "es_key": pa.array(out["es_key"], pa.float64())})

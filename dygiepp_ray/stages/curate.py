@@ -375,3 +375,45 @@ def neardup_clusters(docs: "ray.data.Dataset",
         })
 
     return comp.map_batches(out, batch_format="pandas")
+
+
+# ------------------------------------------------------------ weighted_sample
+
+
+def weighted_sample(ds: "ray.data.Dataset", id_col: str, weight_col: str,
+                    k: int, seed: int = 42) -> "ray.data.Dataset":
+    """Efraimidis–Spirakis weighted sampling without replacement,
+    determinized: each row gets key = u ** (1/w) with
+    u = (splitmix64(id ^ seed) + 1) / 2**64 ∈ (0, 1]; the sample is the k
+    largest keys (ties → min id; float64 keys collide with probability ~0).
+    Inclusion follows the classic ES distribution, but u comes from the id
+    hash instead of an RNG, so the sample is identical across runs, block
+    layouts and cluster sizes.
+
+    Shape: per-block key stamp + per-block top-k prune, then a global sort
+    over ≤ blocks × k rows (same two-phase shape as `aggregates.top_k`).
+
+    Output: (id_col, weight_col, es_key)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .dedup import _splitmix64
+
+    seed64 = np.uint64(seed)
+
+    def stamp_prune(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy().astype(np.uint64)
+        w = df[weight_col].to_numpy(np.float64)
+        u = (_splitmix64(ids ^ seed64).astype(np.float64) + 1.0) / 2.0 ** 64
+        key = u ** (1.0 / np.maximum(w, 1e-12))
+        out = pd.DataFrame({
+            id_col: df[id_col].astype("int64"),
+            weight_col: df[weight_col],
+            "es_key": key,
+        })
+        return out.sort_values(["es_key", id_col],
+                               ascending=[False, True]).head(k)
+
+    pruned = ds.map_batches(stamp_prune, batch_format="pandas")
+    return pruned.sort(["es_key", id_col],
+                       descending=[True, False]).limit(k)

@@ -317,3 +317,27 @@ def test_compression_ratio_signal():
     assert out.loc[0, "ratio_scaled"] < out.loc[1, "ratio_scaled"]
     assert (out["zlen"] > 0).all()
     assert out.loc[0, "raw_len"] == 800
+
+
+def test_weighted_sample_bias_and_invariance():
+    import numpy as np
+
+    from dygiepp_ray.stages.curate import weighted_sample
+
+    # 200 light rows (w=1) + 50 heavy rows (w=50): heavies dominate the top
+    n_light, n_heavy, k = 200, 50, 40
+    df = pd.DataFrame({
+        "doc_id": np.arange(n_light + n_heavy, dtype="int64"),
+        "w": np.array([1] * n_light + [50] * n_heavy, dtype="int64"),
+    })
+    got = weighted_sample(
+        ray.data.from_pandas(df).repartition(5), "doc_id", "w", k=k
+    ).to_pandas()
+    assert len(got) == k
+    heavy_share = (got["doc_id"] >= n_light).mean()
+    assert heavy_share > 0.5  # heavies are 20% of rows but >50% of sample
+    # partitioning invariance
+    got2 = weighted_sample(
+        ray.data.from_pandas(df).repartition(11), "doc_id", "w", k=k
+    ).to_pandas()
+    assert got["doc_id"].tolist() == got2["doc_id"].tolist()
