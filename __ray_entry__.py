@@ -1149,6 +1149,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["weighted_sample"] = q_weighted_sample
 
+    def q_knn_pq(sf_dir: str):
+        # product-quantization ANN: fused PQ training (one pass/iter for all
+        # subspaces), m-byte codes, ADC lookup-table scan
+        import pyarrow.parquet as pq
+
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.cluster import knn_pq, pq_train
+
+        _write_oracle(sf_dir, "knn_pq", lambda: _o.expected_knn_pq(sf_dir))
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+        qvec = np.asarray(
+            t.filter(pc.equal(t["vec_id"], 0)).column("embedding")
+            .to_pylist()[0], dtype=np.float64)
+        cb = pq_train(emb, m=4, k=16, n_iter=4)
+        return knn_pq(emb, cb, qvec, k=10)
+
+    q["knn_pq"] = q_knn_pq
+
     def q_emb_neardup(sf_dir: str):
         # the testdata embeddings have no natural near-dups (max cosine≈0.48),
         # so plant exact duplicates of vec_id<20 under offset ids: the
@@ -2605,6 +2625,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "weighted_sample": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/weighted_sample.parquet')
+        """,
+        "knn_pq": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/knn_pq.parquet')
         """,
         "term_contexts": r"""
             WITH t AS (

@@ -1573,3 +1573,61 @@ def expected_weighted_sample(sf_dir: str, k: int = 100,
     return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
                      "n_chars": pa.array(out["n_chars"], pa.int64()),
                      "es_key": pa.array(out["es_key"], pa.float64())})
+
+
+def expected_knn_pq(sf_dir: str, m: int = 4, kcode: int = 16,
+                    n_iter: int = 4, k: int = 10) -> pa.Table:
+    """Scalar PQ recompute: Lloyd per subspace over the full matrix with the
+    engine's int64-scaled sums and difference-form distances (exact partial
+    sums make the distributed and single-pass trainings identical), then
+    ADC against the vec_id-0 query."""
+    import pandas as pd
+
+    from .functions.strings import round_half_up
+
+    scale = 1_000_000
+    df = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"]).sort_values(
+                             "vec_id").reset_index(drop=True)
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    ids = df["vec_id"].to_numpy()
+    dim = x.shape[1]
+    dsub = dim // m
+
+    def assign(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
+        d = np.empty((mat.shape[0], cents.shape[0]), dtype=np.float64)
+        for j in range(cents.shape[0]):
+            diff = mat - cents[j]
+            d[:, j] = (diff * diff).sum(axis=1)
+        return d.argmin(axis=1)
+
+    # init: k smallest vec_ids (df already id-sorted)
+    cb = np.ascontiguousarray(
+        x[:kcode].reshape(kcode, m, dsub).transpose(1, 0, 2))
+    for _ in range(n_iter):
+        new = cb.copy()
+        for s in range(m):
+            xs = x[:, s * dsub:(s + 1) * dsub]
+            labels = assign(xs, cb[s])
+            scaled = np.rint(xs * scale).astype(np.int64)
+            for j in range(kcode):
+                sel = scaled[labels == j]
+                if len(sel):
+                    new[s, j] = sel.sum(axis=0).astype(np.float64) \
+                        / (scale * len(sel))
+        cb = new
+
+    qv = x[ids.tolist().index(0)]
+    lut = np.empty((m, kcode), dtype=np.float64)
+    for s in range(m):
+        diff = cb[s] - qv[s * dsub:(s + 1) * dsub]
+        lut[s] = (diff * diff).sum(axis=1)
+    adc = np.zeros(x.shape[0], dtype=np.float64)
+    for s in range(m):
+        xs = x[:, s * dsub:(s + 1) * dsub]
+        adc += lut[s][assign(xs, cb[s])]
+    out = pd.DataFrame({"vec_id": ids.astype(np.int64),
+                        "adc": round_half_up(adc, 6)})
+    out = out.sort_values(["adc", "vec_id"]).head(k)
+    return pa.table({"vec_id": pa.array(out["vec_id"], pa.int64()),
+                     "adc": pa.array(out["adc"], pa.float64())})

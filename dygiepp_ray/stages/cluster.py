@@ -210,3 +210,110 @@ def semantic_dedup(embeddings: "ray.data.Dataset", centroids: np.ndarray,
         })
 
     return assigned.groupby("cluster").map_groups(verify, batch_format="pandas")
+
+
+# ------------------------------------------------------ product quantization
+
+
+def pq_train(embeddings: "ray.data.Dataset", m: int = 4, k: int = 16,
+             n_iter: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011): the vector space
+    is split into `m` contiguous subspaces and each gets its own k-means
+    codebook — a PQ code stores a vector in m bytes instead of dim floats
+    (the memory trick that makes billion-vector ANN fit in RAM).
+
+    Training is FUSED: all m subspace Lloyd updates happen in ONE pass over
+    the data per iteration (per-block partials keyed by (subspace, cluster),
+    exact int64-scaled component sums — same determinism discipline as
+    `kmeans_fit`). Init = the k smallest-id vectors, sliced per subspace
+    (`kmeans_init` rule). Returns (m, k, dim/m) float64 codebooks."""
+    rows = (embeddings.select_columns([id_col, vec_col])
+            .sort(id_col).limit(k).take_all())
+    full = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    dim = full.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    dsub = dim // m
+    codebooks = np.ascontiguousarray(
+        full.reshape(k, m, dsub).transpose(1, 0, 2))
+    src = embeddings.select_columns([vec_col])
+
+    for _ in range(n_iter):
+        cref = ray.put(codebooks)
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            cb = ray.get(cref)
+            x = _matrix(batch, vec_col)
+            out = {"sub": [], "cluster": [], "count": [], "ssum": []}
+            for s in range(m):
+                xs = x[:, s * dsub:(s + 1) * dsub]
+                labels, _ = _assign(xs, cb[s])
+                scaled = np.rint(xs * _SCALE).astype(np.int64)
+                for j in np.unique(labels):
+                    sel = scaled[labels == j]
+                    out["sub"].append(s)
+                    out["cluster"].append(int(j))
+                    out["count"].append(int(sel.shape[0]))
+                    out["ssum"].append(sel.sum(axis=0))
+            return pd.DataFrame(out)
+
+        parts = src.map_batches(partial, batch_format="pandas").to_pandas()
+        new = codebooks.copy()
+        for s in range(m):
+            for j in range(k):
+                sel = parts[(parts["sub"] == s) & (parts["cluster"] == j)]
+                if len(sel) == 0:
+                    continue
+                total = int(sel["count"].sum())
+                ssum = np.sum(np.stack(sel["ssum"].to_numpy()), axis=0,
+                              dtype=np.int64)
+                new[s, j] = ssum.astype(np.float64) / (_SCALE * total)
+        codebooks = new
+    return codebooks
+
+
+def pq_encode_matrix(x: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, m) int codes for a row-matrix under (m, k, dsub) codebooks."""
+    m, _, dsub = codebooks.shape
+    codes = np.empty((x.shape[0], m), dtype=np.int64)
+    for s in range(m):
+        labels, _ = _assign(x[:, s * dsub:(s + 1) * dsub], codebooks[s])
+        codes[:, s] = labels
+    return codes
+
+
+def knn_pq(embeddings: "ray.data.Dataset", codebooks: np.ndarray,
+           query: np.ndarray, k: int = 10, id_col: str = "vec_id",
+           vec_col: str = "embedding") -> "ray.data.Dataset":
+    """PQ asymmetric-distance (ADC) top-k: per block, vectors are encoded
+    and their distance to the query estimated as
+    Σ_s ||q_s − codebook[s][code_s]||² via an (m × k) lookup table built
+    once from the query — O(m) adds per vector, no full-precision vector
+    math in the scan. Block-local top-k prune, bounded global sort.
+
+    Output: (vec_id, adc) ascending (adc = estimated squared L2, rounded
+    half-up to 6)."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, kcode, dsub = cb.shape
+    qv = np.asarray(query, dtype=np.float64)
+    lut = np.empty((m, kcode), dtype=np.float64)
+    for s in range(m):
+        diff = cb[s] - qv[s * dsub:(s + 1) * dsub]
+        lut[s] = (diff * diff).sum(axis=1)
+    cref, lref = ray.put(cb), ray.put(lut)
+
+    def score_block(batch: pd.DataFrame) -> pd.DataFrame:
+        cbl, lutl = ray.get(cref), ray.get(lref)
+        x = _matrix(batch, vec_col)
+        codes = pq_encode_matrix(x, cbl)
+        # fixed s-order summation so engine and oracle add in the same order
+        adc = np.zeros(x.shape[0], dtype=np.float64)
+        for s in range(cbl.shape[0]):
+            adc += lutl[s][codes[:, s]]
+        out = pd.DataFrame({id_col: batch[id_col].astype("int64"),
+                            "adc": round_half_up(adc, 6)})
+        return out.sort_values(["adc", id_col]).head(k)
+
+    scored = embeddings.select_columns([id_col, vec_col]).map_batches(
+        score_block, batch_format="pandas")
+    return scored.sort(["adc", id_col]).limit(k)

@@ -98,3 +98,32 @@ def test_semantic_dedup_never_crosses_clusters(toy_ds):
     n = 60 // 3
     assert len(pairs) == 3 * (n * (n - 1) // 2)
     assert ((pairs["id_a"] % 3) == (pairs["id_b"] % 3)).all()
+
+
+def test_pq_adc_approximates_exact_l2():
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.stages.cluster import knn_pq, pq_encode_matrix, pq_train
+
+    rng = np.random.default_rng(2)
+    # 3 well-separated gaussian clumps in 16d
+    centers = rng.normal(0, 5, (3, 16))
+    x = np.concatenate([c + rng.normal(0, 0.1, (40, 16)) for c in centers])
+    df = pd.DataFrame({"vec_id": np.arange(120, dtype="int64"),
+                       "embedding": [v.tolist() for v in x]})
+    ds = ray.data.from_pandas(df).repartition(3)
+    cb = pq_train(ds, m=4, k=8, n_iter=3)
+    assert cb.shape == (4, 8, 4)
+    codes = pq_encode_matrix(x, cb)
+    assert codes.shape == (120, 4)
+    # ADC top-10 for a clump-0 query lands entirely inside clump 0
+    got = knn_pq(ds, cb, x[0], k=10).to_pandas()
+    assert len(got) == 10
+    assert (got["vec_id"] < 40).all()
+    # determinism across block layouts
+    got2 = knn_pq(ray.data.from_pandas(df).repartition(7), cb, x[0],
+                  k=10).to_pandas()
+    assert got["vec_id"].tolist() == got2["vec_id"].tolist()
+    assert got["adc"].tolist() == got2["adc"].tolist()
