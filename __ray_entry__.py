@@ -1169,6 +1169,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["knn_pq"] = q_knn_pq
 
+    def q_bm25(sf_dir: str):
+        # distributed BM25 ranking for a probe query (two streaming passes)
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.text import bm25_scores
+
+        _write_oracle(sf_dir, "bm25_scan_merge",
+                      lambda: _o.expected_bm25(sf_dir))
+        return bm25_scores(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           ("scan", "merge", "window"))
+
+    q["bm25_scan_merge"] = q_bm25
+
     def q_emb_neardup(sf_dir: str):
         # the testdata embeddings have no natural near-dups (max cosine≈0.48),
         # so plant exact duplicates of vec_id<20 under offset ids: the
@@ -2628,6 +2640,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_pq": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/knn_pq.parquet')
+        """,
+        "bm25_scan_merge": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/bm25_scan_merge.parquet')
         """,
         "term_contexts": r"""
             WITH t AS (

@@ -1631,3 +1631,40 @@ def expected_knn_pq(sf_dir: str, m: int = 4, kcode: int = 16,
     out = out.sort_values(["adc", "vec_id"]).head(k)
     return pa.table({"vec_id": pa.array(out["vec_id"], pa.int64()),
                      "adc": pa.array(out["adc"], pa.float64())})
+
+
+def expected_bm25(sf_dir: str, terms=("scan", "merge", "window"),
+                  k1: float = 1.2, b: float = 0.75,
+                  top_n: int = 20) -> pa.Table:
+    """Scalar BM25 recompute with the same fixed-term-order float64 sums."""
+    import math
+
+    import pandas as pd
+
+    from .functions.strings import round_half_up
+
+    df = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    toks = [t.lower().split() for t in df["text"]]
+    n = len(df)
+    avgdl = sum(len(ws) for ws in toks) / max(n, 1)
+    idf = {}
+    for t in terms:
+        dfreq = sum(t in ws for ws in toks)
+        idf[t] = math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+    rows = []
+    for doc_id, ws in zip(df["doc_id"], toks):
+        dl = float(len(ws))
+        s = 0.0
+        for t in terms:
+            tf = float(ws.count(t))
+            if tf > 0:
+                denom = tf + k1 * (1.0 - b + b * dl / avgdl)
+                s += idf[t] * tf * (k1 + 1.0) / denom
+        sr = float(round_half_up(s, 6))
+        if sr > 0:
+            rows.append((int(doc_id), sr))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    rows = rows[:top_n]
+    return pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                     "score": pa.array([r[1] for r in rows], pa.float64())})

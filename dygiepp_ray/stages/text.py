@@ -529,3 +529,63 @@ def term_contexts(batch: pd.DataFrame, terms: tuple, window: int = 3
         "pos": pd.array(out_p, dtype="int64"),
         "context": pd.array(out_c, dtype=object),
     })
+
+
+def bm25_scores(ds, terms: tuple, k1: float = 1.2, b: float = 0.75,
+                top_n: int = 20):
+    """Distributed BM25 (Robertson-Sparck Jones) over whitespace tokens for
+    a small probe query: score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b
+    + b·dl/avgdl)), idf = ln((N−df+0.5)/(df+0.5) + 1).
+
+    Two streaming passes: (1) corpus stats — per-block partials for N, Σdl
+    and per-term df (the probe list is tiny, so df fits in one driver dict);
+    (2) a vectorized scoring pass with the stats broadcast, block-local
+    top-n prune, bounded global sort. Output: (doc_id, score) descending,
+    fixed term-order float64 summation so a scalar recompute matches."""
+    import math
+
+    import ray
+
+    probe = list(terms)
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.split()
+        row = {"n_docs": len(df), "sum_dl": int(toks.str.len().sum())}
+        for t in probe:
+            row[f"df_{t}"] = int(toks.map(lambda ws, t=t: t in ws).sum())
+        return pd.DataFrame([row])
+
+    agg = {"n_docs": 0, "sum_dl": 0, **{f"df_{t}": 0 for t in probe}}
+    for part in ds.map_batches(stats, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        for c in agg:
+            agg[c] += int(part[c].sum())
+    n, avgdl = agg["n_docs"], agg["sum_dl"] / max(agg["n_docs"], 1)
+    idf = {t: math.log((n - agg[f"df_{t}"] + 0.5)
+                       / (agg[f"df_{t}"] + 0.5) + 1.0) for t in probe}
+    sref = ray.put((idf, avgdl))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.strings import round_half_up
+
+        idf_l, avgdl_l = ray.get(sref)
+        toks = df["text"].str.lower().str.split()
+        dl = toks.str.len().to_numpy(np.float64)
+        s = np.zeros(len(df), dtype=np.float64)
+        for t in probe:  # fixed term order -> deterministic float64 sum
+            tf = toks.map(lambda ws, t=t: ws.count(t)).to_numpy(np.float64)
+            denom = tf + k1 * (1.0 - b + b * dl / avgdl_l)
+            with np.errstate(invalid="ignore"):
+                part = np.where(tf > 0,
+                                idf_l[t] * tf * (k1 + 1.0)
+                                / np.where(denom == 0, 1.0, denom), 0.0)
+            s += part
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                            "score": round_half_up(s, 6)})
+        out = out[out["score"] > 0]
+        return out.sort_values(["score", "doc_id"],
+                               ascending=[False, True]).head(top_n)
+
+    scored = ds.map_batches(score, batch_format="pandas")
+    return scored.sort(["score", "doc_id"],
+                       descending=[True, False]).limit(top_n)

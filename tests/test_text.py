@@ -201,3 +201,30 @@ def test_chunk_documents_offsets_and_overlap():
     c1 = out.loc[1, "chunk_text"].split()
     assert c0[-8:] == c1[:8]
     assert out.loc[2, "chunk_text"] == "t48 t49"
+
+
+def test_bm25_ranking_properties():
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.stages.text import bm25_scores
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "scan scan scan scan",          # high tf, short
+            "scan merge",                   # both terms
+            "merge " + "filler " * 50,      # one term, long doc
+            "nothing relevant here",        # no terms -> excluded
+        ],
+    })
+    got = bm25_scores(
+        ray.data.from_pandas(df).repartition(2), ("scan", "merge"),
+        top_n=10,
+    ).to_pandas()
+    assert 3 not in got["doc_id"].tolist()
+    scores = got.set_index("doc_id")["score"]
+    # doc 1 matches both terms and beats the long single-term doc 2
+    assert scores[1] > scores[2]
+    # length normalization: doc 2's long filler depresses its score
+    assert scores[0] > scores[2]
