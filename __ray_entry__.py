@@ -2016,6 +2016,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["media_features"] = q_media_features
 
+    def q_media_frames(sf_dir: str):
+        # video frame-sampling plumbing: deterministic offsets, small-batch
+        # actor pool (real extraction stubbed like the image decode)
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.multimodal import FrameSampler
+
+        _write_oracle(sf_dir, "media_frames",
+                      lambda: _o.expected_media_frames(32))
+        media = ray.data.from_arrow(synth_media_table(32, seed=5))
+        videos = media.map_batches(
+            lambda df: df[df["kind"] == "video"], batch_format="pandas")
+        out = videos.map_batches(
+            FrameSampler, fn_constructor_kwargs=dict(n_frames=4),
+            batch_format="pandas", batch_size=8, concurrency=(1, 2))
+        return out.map_batches(
+            lambda df: df.assign(
+                frame_offset_ms=df["frame_offset_ms"].astype("int64")),
+            batch_format="pandas")
+
+    q["media_frames"] = q_media_frames
+
+    def q_media_resize(sf_dir: str):
+        # image resize plan: integer aspect-preserving dimension math
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.multimodal import Resizer
+
+        _write_oracle(sf_dir, "media_resize",
+                      lambda: _o.expected_media_resize(32))
+        media = ray.data.from_arrow(synth_media_table(32, seed=5))
+        images = media.map_batches(
+            lambda df: df[df["kind"] == "image"], batch_format="pandas")
+        return images.map_batches(
+            Resizer, fn_constructor_kwargs=dict(max_side=512),
+            batch_format="pandas", batch_size=8, concurrency=(1, 2))
+
+    q["media_resize"] = q_media_resize
+
     return q
 
 
@@ -2643,6 +2680,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_scan_merge": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/bm25_scan_merge.parquet')
+        """,
+        "media_frames": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/media_frames.parquet')
+        """,
+        "media_resize": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/media_resize.parquet')
         """,
         "term_contexts": r"""
             WITH t AS (

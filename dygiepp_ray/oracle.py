@@ -1668,3 +1668,53 @@ def expected_bm25(sf_dir: str, terms=("scan", "merge", "window"),
     rows = rows[:top_n]
     return pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
                      "score": pa.array([r[1] for r in rows], pa.float64())})
+
+
+def expected_media_frames(n: int = 32, n_frames: int = 4) -> pa.Table:
+    """Scalar recompute of the frame-sampling offsets over the synthetic
+    media corpus (videos only)."""
+    from .stages.multimodal import synth_media_table
+
+    t = synth_media_table(n)
+    ids, offs = [], []
+    for mid, kind, dur in zip(t["media_id"].to_pylist(),
+                              t["kind"].to_pylist(),
+                              t["duration_ms"].to_pylist()):
+        if kind != "video":
+            continue
+        d = int(dur) if dur is not None else 0
+        for i in range(n_frames):
+            ids.append(mid)
+            offs.append((d * i) // max(1, n_frames))
+    return pa.table({"media_id": pa.array(ids, pa.string()),
+                     "frame_offset_ms": pa.array(offs, pa.int64())})
+
+
+def expected_media_resize(n: int = 32, max_side: int = 512) -> pa.Table:
+    """Scalar recompute of the integer resize plan (images only)."""
+    from .stages.multimodal import synth_media_table
+
+    t = synth_media_table(n)
+    rows = []
+    for mid, kind, w, h in zip(t["media_id"].to_pylist(),
+                               t["kind"].to_pylist(),
+                               t["width"].to_pylist(),
+                               t["height"].to_pylist()):
+        if kind != "image":
+            continue
+        w, h = int(w or 0), int(h or 0)
+        longest = max(w, h, 1)
+        if longest > max_side:
+            nw, nh = w * max_side // longest, h * max_side // longest
+            rs = True
+        else:
+            nw, nh, rs = w, h, False
+        rows.append((mid, w, h, nw, nh, rs))
+    return pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.string()),
+        "width": pa.array([r[1] for r in rows], pa.int64()),
+        "height": pa.array([r[2] for r in rows], pa.int64()),
+        "new_w": pa.array([r[3] for r in rows], pa.int64()),
+        "new_h": pa.array([r[4] for r in rows], pa.int64()),
+        "resized": pa.array([r[5] for r in rows], pa.bool_()),
+    })

@@ -107,3 +107,33 @@ def synth_media_table(n: int = 32, seed: int = 5) -> pa.Table:
         rows["height"].append(int(rng.randint(16, 4096)) if kind == "image" else None)
         rows["duration_ms"].append(int(rng.randint(1000, 600000)) if kind != "image" else None)
     return pa.table({k: pa.array(rows[k], MEDIA_SCHEMA.field(k).type) for k in MEDIA_SCHEMA.names})
+
+
+class Resizer:
+    """Actor-pool stage: image rows → resize plan (typed-metadata math).
+    Real pixel resampling needs PIL (stubbed, like ImageDecoder); the
+    integer aspect-preserving dimension math, schema and small-batch actor
+    plumbing are real: new_w = w·S // max(w,h) (and likewise h) when the
+    longest side exceeds `max_side`, else unchanged."""
+
+    def __init__(self, max_side: int = 512, fake: bool = True):
+        if not fake:
+            raise NotImplementedError(
+                "real resampling needs PIL/opencv; run with fake=True")
+        self.max_side = max_side
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch["width"].fillna(0).astype("int64").to_numpy()
+        h = batch["height"].fillna(0).astype("int64").to_numpy()
+        longest = np.maximum(np.maximum(w, h), 1)
+        scale_needed = longest > self.max_side
+        new_w = np.where(scale_needed, w * self.max_side // longest, w)
+        new_h = np.where(scale_needed, h * self.max_side // longest, h)
+        return pd.DataFrame({
+            "media_id": batch["media_id"].values,
+            "width": w,
+            "height": h,
+            "new_w": new_w.astype("int64"),
+            "new_h": new_h.astype("int64"),
+            "resized": scale_needed,
+        })

@@ -49,3 +49,33 @@ def test_frame_sampler_offsets():
     df = pd.DataFrame({"media_id": ["v1"], "duration_ms": [1000]})
     out = fs(df)
     assert out["frame_offset_ms"].tolist() == [0, 250, 500, 750]
+
+
+def test_resizer_dimension_math():
+    import pandas as pd
+
+    from dygiepp_ray.stages.multimodal import Resizer
+
+    df = pd.DataFrame({
+        "media_id": ["a", "b", "c"],
+        "width": [1024, 300, 512],
+        "height": [768, 200, 513],
+    })
+    out = Resizer(max_side=512)(df)
+    # a: longest 1024 -> scale to 512; aspect preserved via integer floor
+    assert out.loc[0, ["new_w", "new_h"]].tolist() == [512, 384]
+    assert bool(out.loc[0, "resized"])
+    # b: already within bounds -> unchanged
+    assert out.loc[1, ["new_w", "new_h"]].tolist() == [300, 200]
+    assert not bool(out.loc[1, "resized"])
+    # c: 513 just over -> 511x512
+    assert out.loc[2, ["new_w", "new_h"]].tolist() == [511, 512]
+
+
+def test_resizer_real_mode_is_marked():
+    import pytest
+
+    from dygiepp_ray.stages.multimodal import Resizer
+
+    with pytest.raises(NotImplementedError):
+        Resizer(fake=False)
