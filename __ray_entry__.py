@@ -2053,7 +2053,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["media_resize"] = q_media_resize
 
-    return q
+    # ---- flagship-first ordering -------------------------------------------
+    # The driver's CORRECTNESS artifact hash-checks only the FIRST 50
+    # registered queries. Round 2 registered ~37 relational/text entries
+    # before the kg_* family, pushing every flagship query out of the
+    # window (VERDICT r2, "Next round" #1). Reorder on the way out so the
+    # first 50 are the KG / coref / collate / converter / dedup / ANN /
+    # curation families, then relational fillers. Registration code above
+    # stays grouped by subject; only the returned dict order changes.
+    flagship = [
+        # KG construction + graph analytics + evaluation (the north star)
+        "kg_triples", "kg_span_counts", "kg_pair_counts", "kg_degree_hist",
+        "kg_pair_pmi", "kg_mention_counts", "kg_entity_links",
+        "kg_graph_edges", "kg_graph_nodes", "kg_closure", "kg_components",
+        "kg_pagerank", "kg_eval_prf", "kg_p_at_k", "kg_event_f1",
+        "kg_eval_sweep", "kg_build_resume",
+        # coref + collate + converters + baselines
+        "coref_cluster_merge", "coref_scores", "collate_pack",
+        "uncollate_roundtrip", "standoff_convert", "chemprot_convert",
+        "srl_baseline", "schema_map_relations", "seeded_split",
+        # dedup suite
+        "exact_dedup", "minhash_lsh_dups", "simhash_dups",
+        "ngram_jaccard_dups", "substring_dups", "incremental_dedup",
+        "neardup_clusters", "keep_best_dedup",
+        # ANN / embedding family
+        "knn_cosine", "knn_lsh", "knn_lsh_indexed", "knn_ivf", "knn_pq",
+        "embedding_clusters", "embedding_neardups", "semantic_dedup",
+        # curation + ranking hot spots
+        "curation_funnel", "bm25_scan_merge", "decontaminate_docs",
+        "ngram_lm_score", "ccnet_buckets", "pack_sequences",
+        "tfidf_top_terms", "pii_redact_docs",
+    ]
+    missing = [n for n in flagship if n not in q]
+    assert not missing, f"flagship ordering references unknown queries: {missing}"
+    ordered = {name: q[name] for name in flagship}
+    ordered.update((name, fn) for name, fn in q.items() if name not in ordered)
+    return ordered
 
 
 # --------------------------------------------------------------- oracles
