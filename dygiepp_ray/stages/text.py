@@ -292,7 +292,45 @@ def heavy_hitters(ds, col: str, k: int = 20, m: int | None = None):
 # -- n-gram LM fluency score -------------------------------------------------
 
 
-def ngram_lm_score(ds, scale: int = 1_000_000, extra_cols: tuple = ()):
+def _doc_bigram_counts(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, bigram, w1, c) — per-document bigram counts, vectorized with
+    the same flatten-and-mask scheme as `bigram_batch` plus a doc-index
+    repeat so each bigram keeps its document."""
+    toks = df["text"].str.lower().str.split()
+    lists = toks.tolist()
+    lens = np.fromiter((len(x) for x in lists), dtype=np.int64,
+                       count=len(lists))
+    total = int(lens.sum())
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "bigram": pd.Series([], dtype=object),
+                          "w1": pd.Series([], dtype=object),
+                          "c": pd.Series([], dtype="int64")})
+    if total < 2:
+        return empty
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for x in lists:
+        flat[pos:pos + len(x)] = x
+        pos += len(x)
+    valid = np.ones(total - 1, dtype=bool)
+    last = np.cumsum(lens) - 1  # last token of each doc — no cross-doc bigram
+    valid[last[(last >= 0) & (last < total - 1)]] = False
+    if not valid.any():
+        return empty
+    doc_idx = np.repeat(np.arange(len(lists)), lens)[:-1][valid]
+    left = pd.Series(flat[:-1][valid])
+    rows = pd.DataFrame({
+        "doc_id": df["doc_id"].astype("int64").values[doc_idx],
+        "bigram": left.str.cat(pd.Series(flat[1:][valid]), sep=" ").values,
+        "w1": left.values,
+    })
+    out = rows.groupby(["doc_id", "bigram", "w1"], as_index=False).size()
+    return out.rename(columns={"size": "c"})
+
+
+def ngram_lm_score(ds, scale: int = 1_000_000, extra_cols: tuple = (),
+                   vocab_broadcast_limit: int = 2_000_000,
+                   n_buckets: int = 32):
     """Per-doc fluency under a corpus bigram LM — the shape of model-based
     quality filtering (perplexity filtering) with an exact integer score:
 
@@ -300,17 +338,43 @@ def ngram_lm_score(ds, scale: int = 1_000_000, extra_cols: tuple = ()):
         lm_score        = Σ p_scaled over the doc's bigrams // n_bigrams
 
     (mean scaled conditional probability instead of mean log-prob — same
-    ordering signal, zero float nondeterminism, SQL-mirrorable.) Two
-    passes: (1) corpus bigram + left-unigram count tables via salted
-    partial+final counts, broadcast as dicts (vocab ≪ corpus; bucketed
-    join on the bigram is the huge-vocab path); (2) per-doc vectorized
-    lookup + mean. Returns (doc_id, n_bigrams, lm_score)."""
+    ordering signal, zero float nondeterminism, SQL-mirrorable.)
+
+    Two paths, chosen by the measured bigram-vocabulary size:
+
+    - **broadcast** (vocab ≤ `vocab_broadcast_limit`): corpus bigram +
+      left-unigram count tables via salted partial+final counts, shipped
+      once with `ray.put`; scoring is ONE shuffle-free pass over the docs
+      with vectorized dict maps and per-doc segment sums.
+    - **bucketed join** (huge vocab — billions of distinct bigrams at
+      100 TB would OOM the driver dict): per-doc bigram counts are joined
+      against the corpus count tables with `hash_join` on the bigram and
+      left-unigram keys; probabilities reduce to per-doc partial sums
+      INSIDE the join buckets, so only (doc_id, partial) rows shuffle.
+
+    Returns (doc_id, n_bigrams, *extra_cols, lm_score)."""
     import ray
 
     from ..aggregates import grouped_count
 
-    bi = grouped_count(ds.map_batches(bigram_batch, batch_format="pandas"),
-                       ["bigram"], out_name="n", salt_buckets=8).to_pandas()
+    bi_ds = grouped_count(
+        ds.map_batches(bigram_batch, batch_format="pandas"),
+        ["bigram"], out_name="n", salt_buckets=8).materialize()
+    vocab = bi_ds.count()
+
+    def doc_base(df: pd.DataFrame) -> pd.DataFrame:
+        lens = df["text"].str.lower().str.split().str.len().astype("int64")
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                            "n_bigrams": (lens - 1).clip(lower=0)})
+        for c in extra_cols:  # passthrough metadata (e.g. lang)
+            out[c] = df[c].values
+        return out
+
+    if vocab > vocab_broadcast_limit:
+        return _ngram_lm_score_join(ds, bi_ds, doc_base, scale, extra_cols,
+                                    n_buckets)
+
+    bi = bi_ds.to_pandas()
     bi_map = dict(zip(bi["bigram"], bi["n"].astype(int)))
     left_counts: dict[str, int] = {}
     for bg, n in bi_map.items():
@@ -346,17 +410,85 @@ def ngram_lm_score(ds, scale: int = 1_000_000, extra_cols: tuple = ()):
         # vectorized dict maps + exact integer conditional probability
         p = (bigr.map(bm).fillna(0).astype("int64") * scale
              ) // left.map(lm).fillna(1).astype("int64")
-        # per-doc segment sums over the flattened bigram stream
-        starts = np.concatenate([[0], np.cumsum(nb)[:-1]])
-        # clip: a trailing nb=0 doc would index one past the end (its sum is
-        # zeroed below anyway)
-        starts = np.minimum(starts, len(p) - 1)
-        sums = np.add.reduceat(p.to_numpy(), starts)
-        sums[nb == 0] = 0  # reduceat repeats the next segment on empty docs
-        out["lm_score"] = np.where(nb > 0, sums // np.maximum(nb, 1), 0)
+        # per-doc segment sums over the flattened bigram stream: build
+        # reduceat starts only for docs WITH bigrams, then scatter back —
+        # clipping a zero-bigram doc's start instead would steal the last
+        # bigram of the preceding doc whenever the empty doc is last
+        nz = nb > 0
+        starts = np.concatenate([[0], np.cumsum(nb[nz])[:-1]]).astype(np.int64)
+        sums = np.zeros(len(nb), dtype=np.int64)
+        sums[nz] = np.add.reduceat(p.to_numpy(), starts)
+        out["lm_score"] = np.where(nz, sums // np.maximum(nb, 1), 0)
         return out
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def _ngram_lm_score_join(ds, bi_ds, doc_base, scale: int, extra_cols: tuple,
+                         n_buckets: int):
+    """Huge-vocabulary path for `ngram_lm_score`: no driver-side count
+    tables. Per-doc bigram counts join the corpus bigram counts on
+    `bigram`, then the left-unigram counts on `w1`; the probability math
+    and a per-doc partial sum run inside the second join's buckets
+    (`bucket_post`), so the only rows that ever shuffle after the joins are
+    aggregate-sized (doc_id, partial)."""
+    import pyarrow as pa
+
+    from ..aggregates import partial_final_agg
+    from ..joins import _arrow_types, hash_join
+
+    doc_bg = ds.map_batches(_doc_bigram_counts, batch_format="pandas")
+    left_tbl = partial_final_agg(
+        bi_ds.map_batches(
+            lambda df: pd.DataFrame(
+                {"w1": df["bigram"].str.split(" ", n=1).str[0],
+                 "n": df["n"].astype("int64")}),
+            batch_format="pandas"),
+        ["w1"], [("nl", "n", "sum")])
+
+    j1 = hash_join(
+        doc_bg, bi_ds, on="bigram", n_buckets=n_buckets,
+        left_types={"doc_id": pa.int64(), "bigram": pa.string(),
+                    "w1": pa.string(), "c": pa.int64()},
+        right_types={"bigram": pa.string(), "n": pa.int64()},
+        bucket_post=lambda m: m[["doc_id", "w1", "c", "n"]])
+
+    def prob_partial(m: pd.DataFrame) -> pd.DataFrame:
+        p = (m["n"].astype("int64") * scale) // m["nl"].astype("int64")
+        part = (m["c"].astype("int64") * p)
+        out = pd.DataFrame({"doc_id": m["doc_id"].astype("int64"),
+                            "s_part": part})
+        return out.groupby("doc_id", as_index=False)["s_part"].sum()
+
+    j2 = hash_join(
+        j1, left_tbl, on="w1", n_buckets=n_buckets,
+        left_types={"doc_id": pa.int64(), "w1": pa.string(),
+                    "c": pa.int64(), "n": pa.int64()},
+        right_types={"w1": pa.string(), "nl": pa.int64()},
+        bucket_post=prob_partial)
+    sums = partial_final_agg(j2, ["doc_id"], [("s", "s_part", "sum")])
+
+    base_types = {"doc_id": pa.int64(), "n_bigrams": pa.int64()}
+    in_types = _arrow_types(ds)  # reads are metadata-cheap; extras only
+    for c in extra_cols:
+        base_types[c] = in_types.get(c, pa.string())
+    base = ds.map_batches(doc_base, batch_format="pandas")
+
+    def finish(m: pd.DataFrame) -> pd.DataFrame:
+        nb = m["n_bigrams"].astype("int64")
+        s = m["s"].fillna(0).astype("int64")
+        out = pd.DataFrame({"doc_id": m["doc_id"].astype("int64"),
+                            "n_bigrams": nb})
+        for c in extra_cols:
+            out[c] = m[c].values
+        out["lm_score"] = np.where(nb > 0, s // nb.clip(lower=1), 0)
+        return out
+
+    return hash_join(
+        base, sums, on="doc_id", how="left", n_buckets=n_buckets,
+        left_types=base_types,
+        right_types={"doc_id": pa.int64(), "s": pa.int64()},
+        bucket_post=finish)
 
 
 # -- TF-IDF ------------------------------------------------------------------

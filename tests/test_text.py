@@ -184,6 +184,46 @@ def test_ngram_lm_score_exact():
     assert got.loc[3, "n_bigrams"] == 0 and got.loc[3, "lm_score"] == 0
 
 
+def test_ngram_lm_score_trailing_empty_doc_same_block():
+    # Regression (ADVICE r2): a zero-bigram doc LAST in a block used to pull
+    # the reduceat start back one slot, stealing the previous doc's final
+    # bigram probability. Both docs must land in ONE block to trigger it.
+    import ray.data
+
+    from dygiepp_ray.stages.text import ngram_lm_score
+
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["a b c", "x"]})
+    ds = ray.data.from_pandas(df)  # single block, no repartition
+    got = ngram_lm_score(ds).to_pandas().set_index("doc_id").sort_index()
+    # corpus: a b:1, b c:1 ; left: a:1, b:1 -> p=1e6 each -> mean 1e6
+    assert got.loc[0, "n_bigrams"] == 2
+    assert got.loc[0, "lm_score"] == 1_000_000
+    assert got.loc[1, "lm_score"] == 0
+
+
+def test_ngram_lm_score_join_path_parity():
+    # Force the huge-vocab bucketed-join path (vocab_broadcast_limit=0) and
+    # check it is bit-identical to the broadcast path, including extra_cols
+    # passthrough and zero-bigram docs.
+    import ray.data
+
+    from dygiepp_ray.stages.text import ngram_lm_score
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["a b a b", "a b c", "x", "", "c a b c a"],
+        "lang": ["en", "en", "fr", "fr", "en"],
+    })
+    ds = ray.data.from_pandas(df).repartition(3)
+    cols = ["doc_id", "n_bigrams", "lang", "lm_score"]
+    want = (ngram_lm_score(ds, extra_cols=("lang",))
+            .to_pandas()[cols].sort_values("doc_id").reset_index(drop=True))
+    got = (ngram_lm_score(ds, extra_cols=("lang",), vocab_broadcast_limit=0,
+                          n_buckets=4)
+           .to_pandas()[cols].sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_chunk_documents_offsets_and_overlap():
     import pandas as pd
 
