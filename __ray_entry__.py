@@ -391,30 +391,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lineitem_orders_join"] = lineitem_orders_join
 
     def top2_orders_per_cust(sf_dir: str):
+        # top-2 orders per customer: ONE coarse-bucket shuffle + vectorized
+        # in-bucket cumcount (windows.top_n_per_key), not a fine-key groupby
+        from dygiepp_ray.windows import top_n_per_key
+
         ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-
-        def top2(g: pd.DataFrame) -> pd.DataFrame:
-            return g.sort_values(["o_totalprice", "o_orderkey"],
-                                 ascending=[False, True]).head(2)
-
-        return ds.groupby("o_custkey").map_groups(top2, batch_format="pandas")
+        return top_n_per_key(ds, "o_custkey", ["o_totalprice", "o_orderkey"],
+                             n=2, ascending=[False, True])
 
     q["top2_orders_per_cust"] = top2_orders_per_cust
 
     def events_sessions(sf_dir: str):
-        # gap-based sessionization (30-min inactivity gap) per user
+        # gap-based sessionization (30-min inactivity gap) per user —
+        # coarse-bucket shuffle + one boolean session-start mask per bucket
+        from dygiepp_ray.windows import sessionize
+
         ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
-
-        def sess(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["ts", "event_id"])
-            gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
-            n_sessions = int(gaps.sum()) + 1
-            return pd.DataFrame(
-                {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions],
-                 "n_events": [len(g)]}
-            )
-
-        return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+        out = sessionize(ds, "user_id", "ts", pd.Timedelta(minutes=30),
+                         tiebreak_col="event_id")
+        return out.map_batches(
+            lambda df: df[["user_id", "n_sessions", "n_events"]],
+            batch_format="pandas")
 
     q["events_sessions"] = events_sessions
 

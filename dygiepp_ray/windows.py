@@ -1,66 +1,147 @@
 """Window-function family over Ray Data (formalizes the groupby→map_groups
 idiom used by top-N-per-key, sessionization, running aggregates).
 
-Ray Data has no native OVER(PARTITION BY … ORDER BY …); the portable shape is
-one hash shuffle on the partition key and a vectorized pandas kernel per
-group. Partition-key cardinality must exceed the cluster's core count for
-parallelism; a single giant partition is the caller's skew to solve (pre-salt
-by a secondary key when order within the salt is still correct).
+Ray Data has no native OVER(PARTITION BY … ORDER BY …). The naive shape —
+`groupby(partition_key).map_groups(fn)` — shuffles on the FINE key and pays
+one Ray group + one pandas frame per key; with near-unique keys (customers,
+users) that is per-group overhead on millions of tiny groups. The portable
+scale shape used here instead (the same coarse-bucket trick as the LSH
+pair stages): ONE shuffle on `hash(partition_key) % n_buckets`, then inside
+each bucket a single sort by (keys, order) followed by a VECTORIZED
+segment kernel (`groupby(...).cumcount/cumsum/diff` — cython, no per-group
+Python). Key skew note: every row of one partition key lands in one bucket
+by construction (order within a partition must be global), so a single
+giant partition is still the caller's skew to solve — pre-aggregate or
+salt by a secondary key when order within the salt is still correct.
 """
 
 from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 
 import ray.data
 
 
+def _as_list(x) -> list:
+    return [x] if isinstance(x, str) else list(x)
+
+
+def _bucketed(ds: "ray.data.Dataset", keys: list[str], order: list[str],
+              ascending, kernel: Callable[[pd.DataFrame, list[str]], pd.DataFrame],
+              n_buckets: int) -> "ray.data.Dataset":
+    """Stamp hash(keys) % n_buckets, shuffle ONCE on the coarse bucket, then
+    sort each bucket by (keys, order) and run `kernel(sorted_df, keys)`.
+    `pd.util.hash_pandas_object` is deterministic across processes (fixed
+    default hash key), so the bucket assignment is stable."""
+    asc = [ascending] * len(order) if isinstance(ascending, bool) else list(ascending)
+    if len(asc) != len(order):
+        raise ValueError("ascending must be a bool or match order_by length")
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+        df["_wb"] = (h % np.uint64(n_buckets)).astype("int64")
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_wb"]).sort_values(
+            keys + order, ascending=[True] * len(keys) + asc, kind="mergesort")
+        return kernel(df, keys)
+
+    return (ds.map_batches(stamp, batch_format="pandas")
+            .groupby("_wb").map_groups(per_bucket, batch_format="pandas"))
+
+
 def window(ds: "ray.data.Dataset", partition_by: str | list[str],
            order_by: str | list[str], fn: Callable[[pd.DataFrame], pd.DataFrame],
-           ascending: bool | list[bool] = True) -> "ray.data.Dataset":
-    """Sort each partition by `order_by`, then apply `fn` (frame in → frame
-    out) — the generic OVER() kernel."""
-    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
-    order = [order_by] if isinstance(order_by, str) else list(order_by)
+           ascending: bool | list[bool] = True,
+           n_buckets: int = 64) -> "ray.data.Dataset":
+    """Generic OVER() kernel: apply `fn` (frame in → frame out) to each
+    partition, sorted by `order_by`. The per-group Python apply makes this
+    the slow generic fallback — prefer the vectorized helpers below, or pass
+    a whole-bucket kernel via `_bucketed` for new window ops."""
+    keys, order = _as_list(partition_by), _as_list(order_by)
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return fn(g.sort_values(order, ascending=ascending))
+    def kernel(df: pd.DataFrame, ks: list[str]) -> pd.DataFrame:
+        parts = [fn(g) for _, g in df.groupby(ks, sort=False)]
+        if not parts:
+            return df.iloc[0:0]
+        return pd.concat(parts, ignore_index=True)
 
-    return ds.groupby(keys).map_groups(per_group, batch_format="pandas")
+    return _bucketed(ds, keys, order, ascending, kernel, n_buckets)
 
 
 def row_number(ds, partition_by, order_by, ascending=True,
-               out_col: str = "rn") -> "ray.data.Dataset":
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g[out_col] = range(1, len(g) + 1)
-        return g
+               out_col: str = "rn", n_buckets: int = 64) -> "ray.data.Dataset":
+    keys, order = _as_list(partition_by), _as_list(order_by)
 
-    return window(ds, partition_by, order_by, fn, ascending)
+    def kernel(df: pd.DataFrame, ks: list[str]) -> pd.DataFrame:
+        df = df.copy()
+        df[out_col] = df.groupby(ks, sort=False).cumcount() + 1
+        return df
+
+    return _bucketed(ds, keys, order, ascending, kernel, n_buckets)
 
 
 def top_n_per_key(ds, partition_by, order_by, n: int,
-                  ascending=False) -> "ray.data.Dataset":
-    return window(ds, partition_by, order_by, lambda g: g.head(n), ascending)
+                  ascending=False, n_buckets: int = 64) -> "ray.data.Dataset":
+    keys, order = _as_list(partition_by), _as_list(order_by)
+
+    def kernel(df: pd.DataFrame, ks: list[str]) -> pd.DataFrame:
+        rn = df.groupby(ks, sort=False).cumcount()
+        return df[rn < n]
+
+    return _bucketed(ds, keys, order, ascending, kernel, n_buckets)
 
 
 def lag_diff(ds, partition_by, order_by, value_col: str,
-             out_col: str = "delta") -> "ray.data.Dataset":
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g[out_col] = g[value_col].diff()
-        return g
+             out_col: str = "delta", n_buckets: int = 64) -> "ray.data.Dataset":
+    keys, order = _as_list(partition_by), _as_list(order_by)
 
-    return window(ds, partition_by, order_by, fn)
+    def kernel(df: pd.DataFrame, ks: list[str]) -> pd.DataFrame:
+        df = df.copy()
+        df[out_col] = df.groupby(ks, sort=False)[value_col].diff()
+        return df
+
+    return _bucketed(ds, keys, order, True, kernel, n_buckets)
 
 
 def running_sum(ds, partition_by, order_by, value_col: str,
-                out_col: str = "running") -> "ray.data.Dataset":
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g[out_col] = g[value_col].cumsum()
-        return g
+                out_col: str = "running", n_buckets: int = 64) -> "ray.data.Dataset":
+    keys, order = _as_list(partition_by), _as_list(order_by)
 
-    return window(ds, partition_by, order_by, fn)
+    def kernel(df: pd.DataFrame, ks: list[str]) -> pd.DataFrame:
+        df = df.copy()
+        df[out_col] = df.groupby(ks, sort=False)[value_col].cumsum()
+        return df
+
+    return _bucketed(ds, keys, order, True, kernel, n_buckets)
+
+
+def sessionize(ds, partition_by, ts_col: str, gap: "pd.Timedelta",
+               tiebreak_col: str | None = None,
+               n_buckets: int = 64) -> "ray.data.Dataset":
+    """Gap-based sessionization: per partition key, count the sessions
+    implied by sorting on `ts_col` and breaking whenever the inter-event
+    gap exceeds `gap`. Returns (keys…, n_sessions, n_events). Vectorized:
+    a session starts where the key changes or the timestamp diff exceeds
+    the gap — one boolean mask over the whole sorted bucket."""
+    keys = _as_list(partition_by)
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def kernel(df: pd.DataFrame, ks: list[str]) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(columns=ks + ["n_sessions", "n_events"])
+        new_key = (df[ks] != df[ks].shift()).any(axis=1)
+        brk = df[ts_col].diff() > gap
+        df = df.assign(_start=(new_key | brk))
+        out = df.groupby(ks, sort=False, as_index=False).agg(
+            n_sessions=("_start", "sum"), n_events=("_start", "size"))
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return _bucketed(ds, keys, order, True, kernel, n_buckets)
