@@ -41,3 +41,32 @@ def test_curation_covers_every_doc_once():
     ).to_pandas()
     assert sorted(got["doc_id"]) == list(range(20))
     assert got["doc_id"].is_unique
+
+
+def test_curation_no_driver_collection(monkeypatch):
+    # Scale guard (VERDICT r2 #3): the funnel must not materialize O(n_docs)
+    # id sets on the driver — no take_all / to_pandas while the pipeline is
+    # built and executed. The one sanctioned collect is connected_components'
+    # broadcast mode (graph.py), which gathers the PAIR GRAPH — a tiny
+    # fraction of the corpus by construction and behind its own |V|
+    # admission guard.
+    import traceback
+
+    calls = []
+    for name in ("take_all", "to_pandas"):
+        orig = getattr(ray.data.Dataset, name)
+
+        def spy(self, *a, _name=name, _orig=orig, **k):
+            frames = traceback.extract_stack()
+            if not any(f.filename.endswith("graph.py") for f in frames):
+                calls.append(_name)
+            return _orig(self, *a, **k)
+
+        monkeypatch.setattr(ray.data.Dataset, name, spy)
+
+    texts = [f"doc {i} with some words the and of to is" for i in range(12)]
+    df = pd.DataFrame({"doc_id": range(12), "text": texts})
+    out = curate_corpus(ray.data.from_pandas(df).repartition(3), concurrency=1)
+    n = out.count()  # full execution without a driver collect
+    assert n == 12
+    assert calls == [], f"driver-side collection during curation: {calls}"
