@@ -397,33 +397,52 @@ def degree_histogram(triples: "ray.data.Dataset",
 
 
 def pair_pmi(triples: "ray.data.Dataset", scale: int = 1000,
-             salt_buckets: int = 1) -> "ray.data.Dataset":
+             salt_buckets: int = 1, n_buckets: int = 32) -> "ray.data.Dataset":
     """Integer-scaled pointwise mutual information per (subj, obj) pair:
 
         pmi_scaled = n_pair × total × scale // (n_subj × n_obj)
 
     (the PMI ratio without the log — order-preserving, and EXACT in int64,
     so a SQL oracle matches bit for bit; no float log nondeterminism).
-    Marginals are re-aggregated from the pair-count table (already small)
-    and broadcast as dicts — never a second pass over the triples."""
-    import ray as _ray
+    Marginals are re-aggregated from the pair-count table — never a second
+    pass over the triples — and attached back with two bucketed
+    `hash_join`s. Nothing lands on the driver: distinct (subj, obj) pairs
+    at web scale have Zipfian tails far wider than driver heap, so the
+    round-2 to_pandas + broadcast-dict version was a scale-killer. The only
+    driver-side value is the scalar grand total."""
+    import pyarrow as pa
 
+    from ..aggregates import partial_final_agg
+    from ..joins import hash_join
+
+    s_t, i_t = pa.string(), pa.int64()
     pairs = pair_counts(triples, salt_buckets=salt_buckets).materialize()
-    p = pairs.to_pandas()  # aggregate-sized: one row per distinct pair
-    subj_m = p.groupby("subj_norm")["count"].sum().to_dict()
-    obj_m = p.groupby("obj_norm")["count"].sum().to_dict()
-    total = int(p["count"].sum())
-    s_ref, o_ref = _ray.put(subj_m), _ray.put(obj_m)
+    subj_m = partial_final_agg(pairs.select_columns(["subj_norm", "count"]),
+                               ["subj_norm"], [("n_subj", "count", "sum")])
+    obj_m = partial_final_agg(pairs.select_columns(["obj_norm", "count"]),
+                              ["obj_norm"], [("n_obj", "count", "sum")])
+    total = int(pairs.sum("count") or 0)
 
-    def add_pmi(df):
+    j1 = hash_join(
+        pairs, subj_m, on="subj_norm", n_buckets=n_buckets,
+        left_types={"subj_norm": s_t, "obj_norm": s_t, "count": i_t},
+        right_types={"subj_norm": s_t, "n_subj": i_t},
+        bucket_post=lambda m: m[["subj_norm", "obj_norm", "count", "n_subj"]])
+
+    def add_pmi(m):
         import pandas as pd
 
-        s = df["subj_norm"].map(_ray.get(s_ref)).astype("int64")
-        o = df["obj_norm"].map(_ray.get(o_ref)).astype("int64")
-        n = df["count"].astype("int64")
+        n = m["count"].astype("int64")
+        s = m["n_subj"].astype("int64")
+        o = m["n_obj"].astype("int64")
         return pd.DataFrame({
-            "subj_norm": df["subj_norm"], "obj_norm": df["obj_norm"],
+            "subj_norm": m["subj_norm"], "obj_norm": m["obj_norm"],
             "n_pair": n, "pmi_scaled": (n * total * scale) // (s * o),
         })
 
-    return pairs.map_batches(add_pmi, batch_format="pandas")
+    return hash_join(
+        j1, obj_m, on="obj_norm", n_buckets=n_buckets,
+        left_types={"subj_norm": s_t, "obj_norm": s_t, "count": i_t,
+                    "n_subj": i_t},
+        right_types={"obj_norm": s_t, "n_obj": i_t},
+        bucket_post=add_pmi)
