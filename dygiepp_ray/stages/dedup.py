@@ -60,6 +60,16 @@ def exact_duplicates(docs: "ray.data.Dataset", id_col: str = "doc_id",
 _token_hash_cache: dict[str, int] = {}
 _M64 = (1 << 64) - 1
 
+# per-byte popcount table (numpy < 2 has no bitwise_count ufunc)
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                      axis=1).sum(axis=1).astype(np.uint8)
+
+
+def _popcount_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount via the per-byte table."""
+    b = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8)
+    return _POP8[b].reshape(x.shape + (8,)).sum(axis=-1).astype(np.int64)
+
 
 def _mix64(z: int) -> int:
     # scalar splitmix64 finalizer (python-int twin of _splitmix64)
@@ -376,24 +386,30 @@ def simhash_near_dups(docs: "ray.data.Dataset", n_blocks: int = 4,
         return out
 
     def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, ham = [], [], []
+        # upper-triangle numpy verify per collision group: XOR matrix +
+        # byte-table popcount — no Python pair loop
+        parts = []
         for _key, group in df.groupby("block_key", sort=False):
-            if len(group) < 2:
+            n = len(group)
+            if n < 2:
                 continue
-            ids = group[id_col].tolist()
-            hs = [int(x) for x in group["simhash"]]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if ids[i] == ids[j]:
-                        continue
-                    d = bin(hs[i] ^ hs[j]).count("1")
-                    if d <= max_hamming:
-                        a, b = sorted((ids[i], ids[j]))
-                        out_a.append(a)
-                        out_b.append(b)
-                        ham.append(d)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
-                             "hamming": ham}).drop_duplicates(["id_a", "id_b"])
+            ids = group[id_col].to_numpy(dtype=np.int64)
+            hs = group["simhash"].to_numpy(dtype=np.uint64)
+            iu, ju = np.triu_indices(n, k=1)
+            d = _popcount_u64(hs[iu] ^ hs[ju])
+            ok = (d <= max_hamming) & (ids[iu] != ids[ju])
+            if not ok.any():
+                continue
+            ia, ib = ids[iu[ok]], ids[ju[ok]]
+            parts.append(pd.DataFrame({
+                "id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib),
+                "hamming": d[ok].astype("int64")}))
+        if not parts:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        return pd.concat(parts, ignore_index=True).drop_duplicates(
+            ["id_a", "id_b"])
 
     pairs = sigs.map_batches(explode, batch_format="pandas").groupby("_bucket").map_groups(
         verify_bucket, batch_format="pandas"

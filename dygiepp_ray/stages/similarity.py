@@ -198,24 +198,32 @@ def embedding_near_dups(embeddings: "ray.data.Dataset", threshold: float = 0.95,
         # float64 verification math: float32 dots differ in the last ulp
         # across BLAS shapes, which would flip the 6-decimal rounding between
         # buckets (and against the independent oracle); double precision puts
-        # the rounding boundary ~1e10 x further away
-        out_a, out_b, cs = [], [], []
+        # the rounding boundary ~1e10 x further away. Upper-triangle numpy
+        # thresholding — no Python pair loop.
+        parts = []
         for _key, group in df.groupby("table_sig", sort=False):
-            if len(group) < 2:
+            n = len(group)
+            if n < 2:
                 continue
-            ids = group[id_col].tolist()
+            ids = group[id_col].to_numpy(dtype=np.int64)
             m = _normalize(np.stack([np.asarray(v, dtype=np.float64)
                                      for v in group[vec_col]]))
             cos = m @ m.T
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if cos[i, j] >= threshold and ids[i] != ids[j]:
-                        a, b = sorted((ids[i], ids[j]))
-                        out_a.append(a)
-                        out_b.append(b)
-                        cs.append(round(float(cos[i, j]), 6))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
-                             "cosine": cs}).drop_duplicates(["id_a", "id_b"])
+            iu, ju = np.triu_indices(n, k=1)
+            c = cos[iu, ju]
+            ok = (c >= threshold) & (ids[iu] != ids[ju])
+            if not ok.any():
+                continue
+            ia, ib = ids[iu[ok]], ids[ju[ok]]
+            parts.append(pd.DataFrame({
+                "id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib),
+                "cosine": np.round(c[ok], 6)}))
+        if not parts:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        return pd.concat(parts, ignore_index=True).drop_duplicates(
+            ["id_a", "id_b"])
 
     sigs = embeddings.select_columns([id_col, vec_col]).map_batches(
         sig_block, batch_format="pandas"
