@@ -85,6 +85,24 @@ def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir)) or "sf"
 
 
+def _store_tag(sf_dir: str, table: str) -> str:
+    """sf tag + a fingerprint (mtime+size) of the source table, so persisted
+    /tmp stores (dedup store, inverted index, LSH index) rebuild when the
+    test corpus is regenerated instead of silently serving stale content
+    (ADVICE r2)."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(p):
+            sts = [os.stat(os.path.join(p, f)) for f in sorted(os.listdir(p))]
+            fp = f"{sum(s.st_mtime_ns for s in sts):x}-{sum(s.st_size for s in sts):x}"
+        else:
+            st = os.stat(p)
+            fp = f"{st.st_mtime_ns:x}-{st.st_size:x}"
+    except OSError:
+        fp = "nosrc"
+    return f"{_sf_tag(sf_dir)}-{fp}"
+
+
 def _synth_corpus_dir(sf_dir: str) -> str:
     """Deterministic synthetic north-rule corpus sized to the sf level,
     cached under /tmp (same seed → byte-identical)."""
@@ -1019,7 +1037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             dedup_against_store,
         )
 
-        store = f"/tmp/dygiepp_ray_dedupstore/{_sf_tag(sf_dir)}"
+        store = f"/tmp/dygiepp_ray_dedupstore/{_store_tag(sf_dir, 'documents')}"
         docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
         marker = os.path.join(store, "_done")
@@ -1244,7 +1262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from dygiepp_ray.stages.similarity import build_lsh_index, knn_lsh_indexed
 
         _write_oracle(sf_dir, "knn_lsh_indexed", lambda: _o.expected_knn_lsh(sf_dir))
-        idx = f"/tmp/dygiepp_ray_lshidx/{_sf_tag(sf_dir)}"
+        idx = f"/tmp/dygiepp_ray_lshidx/{_store_tag(sf_dir, 'embeddings')}"
         marker = os.path.join(idx, "_done")
         if not os.path.exists(marker):
             shutil.rmtree(idx, ignore_errors=True)
@@ -1684,7 +1702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from dygiepp_ray.stages.invindex import build_inverted_index, term_lookup
 
-        idx = f"/tmp/dygiepp_ray_invidx/{_sf_tag(sf_dir)}"
+        idx = f"/tmp/dygiepp_ray_invidx/{_store_tag(sf_dir, 'documents')}"
         if not _os.path.isdir(idx) or not _os.listdir(idx):
             build_inverted_index(
                 _read(sf_dir, "documents", ["doc_id", "text"]), idx)

@@ -85,8 +85,21 @@ def rollup_count(ds: "ray.data.Dataset", keys: list[str], out_name: str = "n",
     which is small by definition (one row per distinct key combination) —
     so it is materialized and the rollup levels are tiny follow-on
     groupbys, not extra passes over the input."""
-    types = {k: (key_types or {}).get(k, pa.string()) for k in keys}
     finest = grouped_count(ds, keys, out_name=out_name).materialize()
+    # collapsed-column types default to the INPUT key types (finest is
+    # materialized, so schema() is free) — casting every key to string
+    # would silently diverge from SQL ROLLUP on int/date keys
+    sch = finest.schema()
+    in_types = {}
+    for name, typ in zip(sch.names, sch.types):
+        if not isinstance(typ, pa.DataType):
+            try:
+                typ = pa.from_numpy_dtype(typ)
+            except (pa.ArrowNotImplementedError, TypeError):
+                typ = pa.string()
+        in_types[name] = typ
+    types = {k: (key_types or {}).get(k, in_types.get(k, pa.string()))
+             for k in keys}
 
     def pad(keep: list[str]):
         def fn(t: pa.Table) -> pa.Table:

@@ -461,7 +461,8 @@ def interval_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 def skew_join(left: "ray.data.Dataset", right: "ray.data.Dataset", on: str,
               hot_threshold: int = 10_000, n_buckets: int = 32,
               left_types: dict | None = None,
-              right_types: dict | None = None) -> "ray.data.Dataset":
+              right_types: dict | None = None,
+              hot_broadcast_limit: int = 5_000_000) -> "ray.data.Dataset":
     """Skew-aware inner join: keys hotter than `hot_threshold` on the left
     side are routed around the shuffle.
 
@@ -484,6 +485,11 @@ def skew_join(left: "ray.data.Dataset", right: "ray.data.Dataset", on: str,
     by a pytest equivalence test."""
     from .aggregates import grouped_count
 
+    # both sides are consumed multiple times below (histogram + hot/cold
+    # splits); snapshot them into the (spillable) object store so a lazy
+    # upstream map chain doesn't re-execute per consumption
+    left = left.materialize()
+    right = right.materialize()
     counts = grouped_count(left.select_columns([on]), [on], out_name="_n")
     hot = sorted(
         r[on] for r in counts.map_batches(
@@ -511,7 +517,15 @@ def skew_join(left: "ray.data.Dataset", right: "ray.data.Dataset", on: str,
             return t.filter(m if keep_hot else pc.invert(m))
         return fn
 
-    right_hot = right.map_batches(split(True), batch_format="pyarrow")
+    right_hot = right.map_batches(split(True), batch_format="pyarrow").materialize()
+    n_hot_right = right_hot.count()
+    if n_hot_right > hot_broadcast_limit:
+        # fail loudly instead of OOMing the driver: the hot-path broadcast
+        # assumes the right side is dimension-sized per hot key
+        raise ValueError(
+            f"skew_join: {n_hot_right} right rows match hot keys, above the "
+            f"broadcast limit {hot_broadcast_limit}; raise hot_threshold or "
+            "pre-aggregate the right side")
     right_hot_df = right_hot.to_pandas()  # small: dim rows of few hot keys
     rref = ray.put(right_hot_df)
     rcols = [c for c in right_hot_df.columns if c != on]

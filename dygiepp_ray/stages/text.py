@@ -256,11 +256,17 @@ def heavy_hitters(ds, col: str, k: int = 20, m: int | None = None):
 
     def block_summary(t: pa.Table) -> pa.Table:
         # weighted MG summary: a value absent from every block summary has
-        # weight <= sum_b n_b/(m+1) = N/(m+1) — same guarantee as unweighted
-        n_b = pc.sum(t["_w"]).as_py() or 0
-        keep = pc.greater(pc.multiply(t["_w"], pa.scalar(m + 1, pa.int64())),
+        # weight <= sum_b n_b/(m+1) = N/(m+1) — same guarantee as unweighted.
+        # map_batches may coalesce rows from MULTIPLE compacted blocks into
+        # one summary batch, so a value can appear several times here; sum
+        # duplicates first, making the batch equivalent to one larger block
+        # (without this, r rows of one value weaken the bound to r·N/(m+1)).
+        g = t.select([col, "_w"]).group_by([col]).aggregate([("_w", "sum")])
+        w = pc.cast(g["_w_sum"], pa.int64())
+        n_b = pc.sum(w).as_py() or 0
+        keep = pc.greater(pc.multiply(w, pa.scalar(m + 1, pa.int64())),
                           pa.scalar(n_b, pa.int64()))
-        cand = t.filter(keep)
+        cand = g.filter(keep)
         return pa.table({col: cand[col]})
 
     # candidates: bounded by blocks × m rows — a driver-side collect of an

@@ -110,6 +110,24 @@ def test_distributed_quantiles_grouped_and_degenerate():
     assert all(by_key[("b", q)] == 7.0 for q in (0.25, 0.5, 1.0))
 
 
+def test_rollup_count_int_keys(skewed_df):
+    # ADVICE r2: integer group keys must come back as ints in every rollup
+    # level (collapsed levels previously cast all keys to string)
+    from dygiepp_ray.aggregates import rollup_count
+
+    df = skewed_df.assign(ik=(skewed_df["v"] % 3).astype("int64"),
+                          jk=(skewed_df["v"] % 2).astype("int64"))
+    ds = ray.data.from_pandas(df)
+    got = rollup_count(ds, ["ik", "jk"], out_name="n").to_pandas()
+    assert str(got["ik"].dtype) in ("Int64", "int64", "float64", "object")
+    non_null = got[got["ik"].notna()]
+    # values must remain integral, not '0'/'1' strings
+    assert all(isinstance(v, (int, float)) or hasattr(v, "item")
+               for v in non_null["ik"])
+    total = got[got["ik"].isna() & got["jk"].isna()]
+    assert total["n"].iloc[0] == len(df)
+
+
 def test_rollup_count(skewed_df):
     from dygiepp_ray.aggregates import rollup_count
 
