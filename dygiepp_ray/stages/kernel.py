@@ -647,14 +647,56 @@ def propagate_cluster_labels(doc_ner: list[list[dict]], clusters: list[list[dict
     return doc_ner
 
 
+def save_scorer_weights(path: str, entity_lexicon: dict[str, str],
+                        relation_patterns: dict[str, str],
+                        event_triggers: dict[str, str]) -> None:
+    """Serialize the scorer tables to an `.npz` weights artifact — the demo
+    stand-in for a real model archive. The seam mirrors the reference's
+    predictor construction (dygie/predictors/dygie.py:42-55 loads an
+    AllenNLP archive from a path once, in the constructor): an artifact
+    path goes in, the scorer is built ONCE PER ACTOR in
+    `ExtractionKernel.__init__`. Swapping this file format for real model
+    weights (torch state_dict, ONNX, …) changes only `load_scorer_weights`
+    and the scorer class — the Ray actor-pool plumbing stays identical."""
+    np.savez(
+        path,
+        format_version=np.array([1], dtype=np.int64),
+        entity_keys=np.array(list(entity_lexicon.keys()), dtype="U"),
+        entity_vals=np.array(list(entity_lexicon.values()), dtype="U"),
+        relation_keys=np.array(list(relation_patterns.keys()), dtype="U"),
+        relation_vals=np.array(list(relation_patterns.values()), dtype="U"),
+        trigger_keys=np.array(list(event_triggers.keys()), dtype="U"),
+        trigger_vals=np.array(list(event_triggers.values()), dtype="U"),
+    )
+
+
+def load_scorer_weights(path: str):
+    """Inverse of `save_scorer_weights`: (entity_lexicon, relation_patterns,
+    event_triggers) dicts from an `.npz` artifact. Pure numpy — no pickle,
+    so the artifact is safe to ship to workers from untrusted storage."""
+    z = np.load(path, allow_pickle=False)
+    ver = int(z["format_version"][0])
+    if ver != 1:
+        raise ValueError(f"unsupported scorer-weights format: {ver}")
+    return (
+        dict(zip(z["entity_keys"].tolist(), z["entity_vals"].tolist())),
+        dict(zip(z["relation_keys"].tolist(), z["relation_vals"].tolist())),
+        dict(zip(z["trigger_keys"].tolist(), z["trigger_vals"].tolist())),
+    )
+
+
 class ExtractionKernel:
     """Actor-pool `map_batches` stage (M1-M8). Lexicon tables are resolved
-    once per actor in __init__ — pass either plain dicts or `ray.ObjectRef`s
-    (broadcast with `ray.put` on the driver; see state/broadcast.py).
+    once per actor in __init__ — pass either plain dicts, `ray.ObjectRef`s
+    (broadcast with `ray.put` on the driver; see state/broadcast.py), or a
+    `weights_path` to an `.npz` artifact loaded from disk per actor (the
+    pluggable-weights seam: reference predictors load their model archive
+    the same way, dygie/predictors/dygie.py:42-55).
     `coref_prop` > 0 enables the M7 label-propagation pass."""
 
     def __init__(self, entity_lexicon=None, relation_patterns=None, event_triggers=None,
-                 coref_prop: int = 0, coref_mode: str = "canonical"):
+                 coref_prop: int = 0, coref_mode: str = "canonical",
+                 weights_path: str | None = None):
         import ray
 
         assert coref_mode in ("canonical", "antecedent")
@@ -668,11 +710,19 @@ class ExtractionKernel:
 
         from ..corpus import ENTITY_LEXICON, EVENT_TRIGGERS, RELATION_PATTERNS
 
-        self.scorer = LexiconScorer(
-            _resolve(entity_lexicon, ENTITY_LEXICON),
-            _resolve(relation_patterns, RELATION_PATTERNS),
-            _resolve(event_triggers, EVENT_TRIGGERS),
-        )
+        if weights_path is not None:
+            if any(x is not None for x in (entity_lexicon, relation_patterns,
+                                           event_triggers)):
+                raise ValueError(
+                    "pass either weights_path or inline tables, not both")
+            ent, rel, trig = load_scorer_weights(weights_path)
+            self.scorer = LexiconScorer(ent, rel, trig)
+        else:
+            self.scorer = LexiconScorer(
+                _resolve(entity_lexicon, ENTITY_LEXICON),
+                _resolve(relation_patterns, RELATION_PATTERNS),
+                _resolve(event_triggers, EVENT_TRIGGERS),
+            )
         self.coref_prop = coref_prop
         self.coref_mode = coref_mode
         self._canon_cache: dict[str, str] = {}

@@ -60,3 +60,43 @@ def test_poison_pill_marks_row_not_batch():
                      out.column("predicted_ner").to_pylist()))
     assert preds["bad"] == [[]]
     assert len(preds["good1"][0]) > 0
+
+
+def test_weights_artifact_parity_in_actor_pool(tmp_path):
+    # M1 pluggable-weights seam: an .npz artifact loaded from disk in each
+    # actor's __init__ must decode identically to the same tables passed
+    # inline (reference predictors load their model archive the same way,
+    # dygie/predictors/dygie.py:42-55).
+    import ray.data
+
+    from dygiepp_ray.corpus import (
+        ENTITY_LEXICON,
+        EVENT_TRIGGERS,
+        RELATION_PATTERNS,
+    )
+    from dygiepp_ray.stages.kernel import load_scorer_weights, save_scorer_weights
+
+    path = str(tmp_path / "scorer_weights.npz")
+    save_scorer_weights(path, ENTITY_LEXICON, RELATION_PATTERNS,
+                        EVENT_TRIGGERS)
+    ent, rel, trig = load_scorer_weights(path)
+    assert ent == ENTITY_LEXICON and rel == RELATION_PATTERNS
+    assert trig == EVENT_TRIGGERS
+
+    docs = [
+        ("d0", [["the", "hash", "join", "uses", "a", "bloom", "filter", "."]]),
+        ("d1", [["merge", "sort", "beats", "quick", "sort", "here", "."],
+                ["scan", "the", "index", "."]]),
+    ]
+    ds = ray.data.from_arrow(_doc_batch(docs))
+
+    def run(**kw):
+        out = ds.map_batches(ExtractionKernel, fn_constructor_kwargs=kw,
+                             concurrency=1, batch_format="pyarrow").to_pandas()
+        return out.sort_values("doc_key").reset_index(drop=True)
+
+    inline = run()
+    from_disk = run(weights_path=path)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(from_disk, inline)
