@@ -2005,6 +2005,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["coref_scores"] = q_coref_scores
 
+    def q_coref_antecedent_clusters(sf_dir: str):
+        # M6 antecedent mode END TO END + M7 gated score propagation
+        # (coref_prop=2): per-doc cluster counts and a sha over every
+        # post-propagation NER mention, hash-checked against an
+        # independent recompute
+        import hashlib
+
+        from dygiepp_ray import oracle as _o
+
+        lex = {**ENTITY_LEXICON, **DOC_LEXICON}
+        _write_oracle(sf_dir, "coref_antecedent_clusters",
+                      lambda: _o.expected_antecedent_clusters(
+                          _oracle_docs_table(sf_dir, max_doc_id=200), lex,
+                          coref_prop=2))
+        corpus = documents_as_corpus(sf_dir, max_doc_id=200)
+        docs = kgp.documents_dataset(corpus)
+        pred = kgp.extract(docs, concurrency=_kernel_conc(),
+                           entity_lexicon=lex, coref_mode="antecedent",
+                           coref_prop=2)
+
+        def summarize(t):
+            keys = t.column("doc_key").to_pylist()
+            ners = t.column("predicted_ner").to_pylist()
+            cls = t.column("predicted_clusters").to_pylist()
+            rows = []
+            for k, doc_ner, clusters in zip(keys, ners, cls):
+                parts = [f"{si}:{m['start']}:{m['end']}:{m['label']}"
+                         for si, sent in enumerate(doc_ner) for m in sent]
+                rows.append({
+                    "doc_key": k,
+                    "n_clusters": len(clusters),
+                    "n_clustered_mentions": sum(len(c) for c in clusters),
+                    "mention_sig": hashlib.sha256(
+                        "|".join(parts).encode()).hexdigest(),
+                })
+            return pd.DataFrame(rows, columns=[
+                "doc_key", "n_clusters", "n_clustered_mentions",
+                "mention_sig"])
+
+        return pred.map_batches(summarize, batch_format="pyarrow")
+
+    q["coref_antecedent_clusters"] = q_coref_antecedent_clusters
+
     # ---- multimodal plumbing (stubbed decode, real Ray plumbing)
 
     def q_media_features(sf_dir: str):
@@ -2084,7 +2127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank", "kg_eval_prf", "kg_p_at_k", "kg_event_f1",
         "kg_eval_sweep", "kg_build_resume",
         # coref + collate + converters + baselines
-        "coref_cluster_merge", "coref_scores", "collate_pack",
+        "coref_cluster_merge", "coref_scores", "coref_antecedent_clusters",
+        "collate_pack",
         "uncollate_roundtrip", "standoff_convert", "chemprot_convert",
         "srl_baseline", "schema_map_relations", "seeded_split",
         # dedup suite
@@ -2097,7 +2141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # curation + ranking hot spots
         "curation_funnel", "bm25_scan_merge", "decontaminate_docs",
         "ngram_lm_score", "ccnet_buckets", "pack_sequences",
-        "tfidf_top_terms", "pii_redact_docs",
+        "tfidf_top_terms",
     ]
     missing = [n for n in flagship if n not in q]
     assert not missing, f"flagship ordering references unknown queries: {missing}"
@@ -2948,6 +2992,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "coref_cluster_merge": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/coref_cluster_merge.parquet')
+        """,
+        "coref_antecedent_clusters": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/coref_antecedent_clusters.parquet')
         """,
         "standoff_convert": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/standoff_convert.parquet')

@@ -566,6 +566,116 @@ def expected_coref_scores(documents, full_lexicon: dict[str, str],
     return pa.table({k: pa.array([round(v, 6)], pa.float64()) for k, v in flat.items()})
 
 
+def expected_antecedent_clusters(documents, lexicon: dict[str, str],
+                                 coref_prop: int = 2) -> pa.Table:
+    """Independent recompute of the ANTECEDENT-mode coref decode plus the
+    gated score propagation (kernel coref_mode='antecedent', coref_prop>0;
+    reference decode coref.py:213-439, update rule coref.py:142-144): per
+    doc (doc_key, n_clusters, n_clustered_mentions, mention_sig) where
+    mention_sig hashes every post-propagation (sent_ix, start, end, label)
+    NER mention. The scoring/propagation arithmetic below is re-derived
+    from the spec, not imported from the kernel."""
+    import hashlib
+
+    out = {"doc_key": [], "n_clusters": [], "n_clustered_mentions": [],
+           "mention_sig": []}
+    for key, sentences, _sha in documents:
+        doc_ner = decode_doc(sentences, entity_lexicon=lexicon)[0]
+        seq: list[str] = []           # canonical form per mention
+        refs: list[tuple[int, dict]] = []
+        doc_tokens = 0
+        for sent_ix, (sent, ner) in enumerate(zip(sentences, doc_ner)):
+            for m in ner:
+                seq.append(canonicalize(
+                    " ".join(sent[m["start"]: m["end"] + 1])))
+                refs.append((sent_ix, m))
+            doc_tokens += len(sent)
+        n = len(seq)
+        kept = list(range(min(n, max(max(2, math.ceil(0.3 * doc_tokens)), 2)))) if n else []
+        cap = min(100, len(kept))
+        rows: list[list[tuple[int, float]]] = []
+        for ip in range(len(kept)):
+            r: list[tuple[int, float]] = []
+            for jp in range(ip - 1, max(0, ip - cap) - 1, -1):
+                ci, cj = seq[kept[ip]], seq[kept[jp]]
+                if not ci or not cj:
+                    continue
+                if ci == cj:
+                    sim = 4.0
+                else:
+                    ti, tj = set(ci.split()), set(cj.split())
+                    jac = len(ti & tj) / len(ti | tj) if (ti or tj) else 0.0
+                    if jac < 0.5:
+                        continue
+                    sim = 1.0 * jac
+                d = ip - jp
+                b = d if d <= 4 else min(9, int(math.floor(math.log2(d))) + 3)
+                r.append((jp, sim - 0.1 * b))
+            rows.append(r)
+        best = []
+        for r in rows:
+            choice, bs = -1, 0.0
+            for jp, s in r:
+                if s > bs:
+                    choice, bs = jp, s
+            best.append(choice)
+        cluster_of: dict[int, int] = {}
+        clusters: list[list[int]] = []
+        for i, ant in enumerate(best):
+            if ant < 0:
+                continue
+            cid = cluster_of.get(ant)
+            if cid is None:
+                cid = len(clusters)
+                clusters.append([ant])
+                cluster_of[ant] = cid
+            clusters[cid].append(i)
+            cluster_of[i] = cid
+        if coref_prop > 0 and kept:
+            labels_sorted = sorted({refs[i][1]["label"] for i in kept})
+            lab_ix = {lab: k for k, lab in enumerate(labels_sorted)}
+            nl = len(labels_sorted)
+            dist = [[1.0 if lab_ix[refs[i][1]["label"]] == k else 0.0
+                     for k in range(nl)] for i in kept]
+            for _ in range(coref_prop):
+                new = [row[:] for row in dist]
+                for i, r in enumerate(rows):
+                    if not r:
+                        continue
+                    scores = [0.0] + [s for _, s in r]
+                    mx = max(scores)
+                    exps = [math.exp(s - mx) for s in scores]
+                    z = sum(exps)
+                    p = [e / z for e in exps]
+                    a = [p[0] * dist[i][k] for k in range(nl)]
+                    for (jp, _), pj in zip(r, p[1:]):
+                        for k in range(nl):
+                            a[k] += pj * dist[jp][k]
+                    new[i] = [0.5 * a[k] + 0.5 * dist[i][k]
+                              for k in range(nl)]
+                dist = new
+            for pos, i in enumerate(kept):
+                row = dist[pos]
+                bix = 0
+                for k in range(1, nl):
+                    if row[k] > row[bix]:
+                        bix = k
+                refs[i][1]["label"] = labels_sorted[bix]
+        parts = [f"{si}:{m['start']}:{m['end']}:{m['label']}"
+                 for si, m in refs]
+        out["doc_key"].append(key)
+        out["n_clusters"].append(len(clusters))
+        out["n_clustered_mentions"].append(sum(len(c) for c in clusters))
+        out["mention_sig"].append(
+            hashlib.sha256("|".join(parts).encode()).hexdigest())
+    return pa.table({
+        "doc_key": pa.array(out["doc_key"], pa.string()),
+        "n_clusters": pa.array(out["n_clusters"], pa.int64()),
+        "n_clustered_mentions": pa.array(out["n_clustered_mentions"], pa.int64()),
+        "mention_sig": pa.array(out["mention_sig"], pa.string()),
+    })
+
+
 def expected_srl_baseline(documents) -> pa.Table:
     """M11 twin: the pure per-sentence frame extractor applied in a plain
     loop over the prepped docs (the Ray map_batches plumbing is what the

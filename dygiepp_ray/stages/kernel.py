@@ -572,44 +572,121 @@ def antecedent_pair_score(canon_i: str, canon_j: str, pos_distance: int,
     return sim + _COREF_DIST_WEIGHT * bucket_distance(pos_distance) + mention_j
 
 
-def coref_antecedent_decode(mentions: list[tuple[int, int, str]], doc_tokens: int,
-                            max_antecedents: int = 100,
-                            spans_per_word: float = 0.3,
-                            mention_scores: list[float] | None = None) -> list[list[int]]:
-    """M6 deterministic antecedent path (coref.py:213-439 decode semantics):
+def antecedent_score_rows(mentions: list[tuple[int, int, str]], doc_tokens: int,
+                          max_antecedents: int = 100,
+                          spans_per_word: float = 0.3,
+                          mention_scores: list[float] | None = None):
+    """Shared M6 scoring pass: prune mentions to k = ceil(spans_per_word ×
+    doc_tokens) (min 2, coref.py:241, textual order kept — the pruned list
+    is a prefix), then score up to `max_antecedents` PRECEDING kept mentions
+    per mention (cap at #kept, coref.py:260) with `antecedent_pair_score`.
 
-    * prune mentions to k = ceil(spans_per_word × doc_tokens), min 2
-      (coref.py:241), textual order restored;
-    * each kept mention scores up to `max_antecedents` PRECEDING kept
-      mentions (cap at #kept, coref.py:260) with `antecedent_pair_score`
-      (similarity + 10-bucket distance term + antecedent mention score —
-      the reference's feature shape with deterministic weights);
-    * predicted antecedent = argmax over [null=0, antecedents...] − 1
-      (coref.py:315-321), ties toward the NEARER antecedent;
-    * greedy cluster decode from the per-mention argmax.
-
-    `mentions`: (doc_start, doc_end, canonical_text) in textual order.
-    Returns clusters as lists of indices into the PRUNED mention list.
-    """
+    Returns (kept, rows): kept = indices into `mentions`; rows[i_pos] =
+    [(j_pos, score), …] NEAREST FIRST with -inf pairs dropped. Both the
+    argmax decode and the gated propagation consume these rows, so the
+    scores are computed exactly once per document."""
     n = len(mentions)
     if n == 0:
-        return []
+        return [], []
     k = max(2, math.ceil(spans_per_word * doc_tokens))
     kept = list(range(min(n, max(k, 2))))
     cap = min(max_antecedents, len(kept))
-    best: list[int] = []
+    rows: list[list[tuple[int, float]]] = []
     for i_pos, i in enumerate(kept):
         lo = max(0, i_pos - cap)
-        choice, best_score = -1, 0.0  # null antecedent scores 0
+        r: list[tuple[int, float]] = []
         for j_pos in range(i_pos - 1, lo - 1, -1):  # nearest first (tie-break)
             j = kept[j_pos]
             m_j = mention_scores[j] if mention_scores is not None else 0.0
             s = antecedent_pair_score(mentions[i][2], mentions[j][2],
                                       i_pos - j_pos, m_j)
+            if s != float("-inf"):
+                r.append((j_pos, s))
+        rows.append(r)
+    return kept, rows
+
+
+def argmax_antecedents(rows: list[list[tuple[int, float]]]) -> list[int]:
+    """Predicted antecedent per mention = argmax over [null=0,
+    antecedents…] − 1 (coref.py:315-321); rows are nearest-first, so the
+    strict > keeps ties toward the NEARER antecedent."""
+    best: list[int] = []
+    for r in rows:
+        choice, best_score = -1, 0.0  # null antecedent scores 0
+        for j_pos, s in r:
             if s > best_score:
                 choice, best_score = j_pos, s
         best.append(choice)
-    return decode_antecedents(best)
+    return best
+
+
+def coref_antecedent_decode(mentions: list[tuple[int, int, str]], doc_tokens: int,
+                            max_antecedents: int = 100,
+                            spans_per_word: float = 0.3,
+                            mention_scores: list[float] | None = None) -> list[list[int]]:
+    """M6 deterministic antecedent path (coref.py:213-439 decode semantics):
+    `antecedent_score_rows` + `argmax_antecedents` + greedy cluster decode.
+
+    `mentions`: (doc_start, doc_end, canonical_text) in textual order.
+    Returns clusters as lists of indices into the PRUNED mention list.
+    """
+    _kept, rows = antecedent_score_rows(mentions, doc_tokens, max_antecedents,
+                                        spans_per_word, mention_scores)
+    if not rows:
+        return []
+    return decode_antecedents(argmax_antecedents(rows))
+
+
+def propagate_antecedent_labels(mention_labels: list[str],
+                                rows: list[list[tuple[int, float]]],
+                                iterations: int = 1,
+                                gate: float = 0.5) -> list[str]:
+    """M7 on ANTECEDENT SCORES (reference coref.py:111-154): each mention's
+    label distribution is gate-updated from its antecedent distribution,
+
+        P(·|i) = softmax([null=0, s_i1, s_i2, …])          (coref.py:133-140)
+        a_i    = P(null)·d_i + Σ_j P(j)·d_j
+        d_i'   = gate · a_i + (1 − gate) · d_i              (coref.py:142-144)
+
+    with d = one-hot label distributions and the learned sigmoid gate
+    replaced by a fixed deterministic constant. After `iterations` rounds
+    the propagated label is the argmax (ties → lexicographically smallest
+    label). Plain scalar Python on purpose: per-doc mention counts are
+    small, and the oracle's independent recompute must be able to match
+    the summation order bit for bit."""
+    n = len(mention_labels)
+    if n == 0 or iterations <= 0:
+        return list(mention_labels)
+    labels = sorted(set(mention_labels))
+    lab_ix = {lab: k for k, lab in enumerate(labels)}
+    nl = len(labels)
+    dist = [[1.0 if lab_ix[lab] == k else 0.0 for k in range(nl)]
+            for lab in mention_labels]
+    for _ in range(iterations):
+        new = [row[:] for row in dist]
+        for i, r in enumerate(rows[:n]):
+            if not r:
+                continue
+            scores = [0.0] + [s for _, s in r]
+            mx = max(scores)
+            exps = [math.exp(s - mx) for s in scores]
+            z = sum(exps)
+            p = [e / z for e in exps]
+            a = [p[0] * dist[i][k] for k in range(nl)]
+            for (j, _), pj in zip(r, p[1:]):
+                for k in range(nl):
+                    a[k] += pj * dist[j][k]
+            new[i] = [gate * a[k] + (1.0 - gate) * dist[i][k]
+                      for k in range(nl)]
+        dist = new
+    out = []
+    for row in dist:
+        b = 0
+        for k in range(1, nl):
+            if row[k] > row[b]:
+                b = k
+        out.append(labels[b])
+    return out
 
 
 def propagate_cluster_labels(doc_ner: list[list[dict]], clusters: list[list[dict]],
@@ -748,6 +825,7 @@ class ExtractionKernel:
             doc_ner, doc_rel, doc_evt = [], [], []
             span_registry: dict[str, list[tuple[int, int]]] = {}
             mention_seq: list[tuple[int, int, str]] = []
+            mention_refs: list[dict] = []
             want_seq = self.coref_mode == "antecedent"
             offset = 0
             for sent in sentences:
@@ -766,30 +844,42 @@ class ExtractionKernel:
                         mention_seq.append(
                             (offset + m["start"], offset + m["end"], key)
                         )
+                        mention_refs.append(m)
                 offset += len(sent)
             if self.coref_mode == "antecedent":
-                idx_clusters = coref_antecedent_decode(mention_seq, offset)
+                kept, rows = antecedent_score_rows(mention_seq, offset)
+                idx_clusters = (decode_antecedents(argmax_antecedents(rows))
+                                if rows else [])
                 clusters = [
                     [{"start": mention_seq[i][0], "end": mention_seq[i][1]}
                      for i in c]
                     for c in idx_clusters
                 ]
+                if self.coref_prop > 0 and kept:
+                    # M7 over antecedent scores (not majority relabel): the
+                    # score rows computed for the decode drive the gated
+                    # label write-back, mutating the ner dicts in place
+                    labels = [mention_refs[i]["label"] for i in kept]
+                    new_labels = propagate_antecedent_labels(
+                        labels, rows, iterations=self.coref_prop)
+                    for i, lab in zip(kept, new_labels):
+                        mention_refs[i]["label"] = lab
             else:
                 clusters = [
                     [{"start": s, "end": e} for (s, e) in v]
                     for v in span_registry.values()
                     if len(v) >= 2
                 ]
-            if self.coref_prop > 0:
-                starts = []
-                acc = 0
-                for sent in sentences:
-                    starts.append(acc)
-                    acc += len(sent)
-                doc_ner = propagate_cluster_labels(
-                    doc_ner, clusters, starts, [len(s) for s in sentences],
-                    iterations=self.coref_prop,
-                )
+                if self.coref_prop > 0:
+                    starts = []
+                    acc = 0
+                    for sent in sentences:
+                        starts.append(acc)
+                        acc += len(sent)
+                    doc_ner = propagate_cluster_labels(
+                        doc_ner, clusters, starts, [len(s) for s in sentences],
+                        iterations=self.coref_prop,
+                    )
             return doc_ner, doc_rel, doc_evt, clusters, False
         except Exception:  # noqa: BLE001 — per-row containment is the point
             empty = [[] for _ in sentences]

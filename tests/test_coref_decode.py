@@ -95,3 +95,43 @@ def test_antecedent_mention_score_prefers_stronger_antecedent():
     boosted = coref_antecedent_decode(
         mentions, doc_tokens=100, mention_scores=[0.5, 0.0, 0.0])
     assert boosted == [[0, 1, 2]]  # same clusters, antecedent 0 preferred
+
+
+def test_propagate_antecedent_labels_gated_flip():
+    # M7 over antecedent scores (coref.py:142-144 update rule with a fixed
+    # 0.5 gate): a strong antecedent pulls the mention's label across in two
+    # iterations but not one (the gate halves the pull per round).
+    from dygiepp_ray.stages.kernel import propagate_antecedent_labels
+
+    rows = [[], [(0, 4.0)]]  # mention 1 strongly prefers antecedent 0
+    assert propagate_antecedent_labels(["A", "B"], rows, iterations=1) == \
+        ["A", "B"]
+    assert propagate_antecedent_labels(["A", "B"], rows, iterations=2) == \
+        ["A", "A"]
+    # empty rows / zero iterations are identity
+    assert propagate_antecedent_labels(["A", "B"], rows, iterations=0) == \
+        ["A", "B"]
+    assert propagate_antecedent_labels([], [], iterations=3) == []
+
+
+def test_kernel_antecedent_mode_with_propagation():
+    # end-to-end: antecedent mode + coref_prop relabels a clustered mention
+    # through the kernel (labels come from the lexicon; identical canonical
+    # forms cluster and share the propagated distribution)
+    kernel = ExtractionKernel(coref_mode="antecedent", coref_prop=2)
+    batch = _ant_doc_batch()
+    out = kernel(batch)
+    assert out.column("_failed_prediction").to_pylist() == [False]
+    clusters = out.column("predicted_clusters").to_pylist()[0]
+    assert len(clusters) >= 1
+
+
+def _ant_doc_batch():
+    import pyarrow as pa
+
+    sents = [["the", "hash", "join", "runs", "."],
+             ["hash", "join", "wins", "again", "."]]
+    return pa.table({
+        "doc_key": pa.array(["d0"]),
+        "sentences": pa.array([sents], pa.list_(pa.list_(pa.string()))),
+    })
