@@ -1525,24 +1525,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_kg_build_resume(sf_dir: str):
         # resumable materialization: build twice; second run must skip every
-        # bucket via its lineage manifest; re-read row count from the sink
-        import glob
+        # bucket via its lineage manifest. Output = one row per bucket with
+        # the manifest's (row_count, sha256_xor) lineage plus the resume
+        # counters — value-hash-checked against an independent per-bucket
+        # recompute (VERDICT r2 #9: no longer rows-only).
+        import json
 
-        import pyarrow.parquet as pq
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.state.manifest import manifest_path
 
+        corpus_dir = _synth_corpus_dir(sf_dir)
+        _write_oracle(sf_dir, "kg_build_resume",
+                      lambda: _o.expected_kg_build_manifest(corpus_dir,
+                                                            n_buckets=16))
         out_dir = f"/tmp/dygiepp_ray_kg/{_sf_tag(sf_dir)}"
-        first = kgp.build_kg(_synth_corpus_dir(sf_dir), out_dir, n_buckets=16,
-                             concurrency=_kernel_conc())
-        second = kgp.build_kg(_synth_corpus_dir(sf_dir), out_dir, n_buckets=16,
+        kgp.build_kg(corpus_dir, out_dir, n_buckets=16,
+                     concurrency=_kernel_conc())
+        second = kgp.build_kg(corpus_dir, out_dir, n_buckets=16,
                               concurrency=_kernel_conc())
-        rows = sum(pq.read_metadata(f).num_rows
-                   for f in glob.glob(os.path.join(out_dir, "bucket=*", "*.parquet")))
-        return pd.DataFrame([{
-            "first_written": len(first["written_buckets"]) + len(first["skipped_buckets"]),
-            "second_skipped": len(second["skipped_buckets"]),
-            "second_written": len(second["written_buckets"]),
-            "triple_rows": rows,
-        }])
+        rows = []
+        for b in range(16):
+            with open(manifest_path(out_dir, b)) as fh:
+                m = json.load(fh)
+            rows.append({
+                "bucket": int(m["bucket"]),
+                "row_count": int(m["row_count"]),
+                "sha256_xor": m["sha256_xor"],
+                "second_written": len(second["written_buckets"]),
+                "second_skipped": len(second["skipped_buckets"]),
+            })
+        return pd.DataFrame(rows)
 
     q["kg_build_resume"] = q_kg_build_resume
 
@@ -2995,6 +3007,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "coref_antecedent_clusters": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/coref_antecedent_clusters.parquet')
+        """,
+        "kg_build_resume": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_build_resume.parquet')
         """,
         "standoff_convert": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/standoff_convert.parquet')

@@ -566,6 +566,38 @@ def expected_coref_scores(documents, full_lexicon: dict[str, str],
     return pa.table({k: pa.array([round(v, 6)], pa.float64()) for k, v in flat.items()})
 
 
+def expected_kg_build_manifest(corpus_dir: str, n_buckets: int = 16) -> pa.Table:
+    """Independent per-bucket lineage expectation for `build_kg`:
+    (bucket, row_count, sha256_xor) — bucket from the corpus row's
+    (repo, path, commit) via the shared leaf hash `bucket_of`, row_count =
+    triples landing in that bucket via this module's own decode, sha
+    roll-up = XOR of each triple row's content_sha256 (order-independent,
+    exactly what write_manifest persists at state/manifest.py:75). Empty
+    buckets appear with count 0 and the zero digest."""
+    from .state.manifest import bucket_of
+
+    base_bucket: dict[str, int] = {}
+    for repo, path, commit, _lang, _content in corpus_rows(corpus_dir):
+        base_bucket[f"{repo}:{path}@{commit[:8]}"] = bucket_of(
+            repo, path, commit, n_buckets)
+    tri = expected_triples(corpus_dir)
+    rows = {b: 0 for b in range(n_buckets)}
+    acc = {b: 0 for b in range(n_buckets)}
+    for doc_id, sha in zip(tri.column("doc_id").to_pylist(),
+                           tri.column("content_sha256").to_pylist()):
+        b = base_bucket[doc_id.split("_SPLIT_")[0]]
+        rows[b] += 1
+        acc[b] ^= int(sha, 16)
+    return pa.table({
+        "bucket": pa.array(list(range(n_buckets)), pa.int64()),
+        "row_count": pa.array([rows[b] for b in range(n_buckets)], pa.int64()),
+        "sha256_xor": pa.array([format(acc[b], "064x")
+                                for b in range(n_buckets)], pa.string()),
+        "second_written": pa.array([0] * n_buckets, pa.int64()),
+        "second_skipped": pa.array([n_buckets] * n_buckets, pa.int64()),
+    })
+
+
 def expected_antecedent_clusters(documents, lexicon: dict[str, str],
                                  coref_prop: int = 2) -> pa.Table:
     """Independent recompute of the ANTECEDENT-mode coref decode plus the
