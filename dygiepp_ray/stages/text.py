@@ -516,12 +516,19 @@ def tfidf_top_terms(ds, top_n: int = 3, df_broadcast_limit: int = 5_000_000):
 
         score_scaled = tf × n_docs × 1000 // df      (exact int arithmetic)
 
-    so Ray and a SQL oracle agree bit-for-bit (no float log). Two passes:
-    (1) document-frequency table via per-doc-distinct flat-map + salted
-    grouped count, broadcast as a dict (vocabulary ≪ corpus; for
-    vocabularies beyond `df_broadcast_limit` a bucketed hash_join on token
-    is the scale path); (2) per-doc tf + in-batch top-n (ties broken by
-    token asc). Returns (doc_id, token, tf, df, score_scaled)."""
+    so Ray and a SQL oracle agree bit-for-bit (no float log). Two paths by
+    measured vocabulary size:
+
+    - **broadcast** (vocab ≤ `df_broadcast_limit`): document-frequency dict
+      shipped once with `ray.put`; per-doc tf + in-batch top-n — one
+      shuffle-free scoring pass.
+    - **bucketed join** (huge vocab): the (doc_id, token, tf) rows join the
+      df table with `hash_join` on token, then ONE coarse-bucket shuffle on
+      doc_id picks the top-n per doc (`windows.top_n_per_key`) — nothing
+      driver-sized.
+
+    Ties broken by token asc. Returns (doc_id, token, tf, df,
+    score_scaled)."""
     import ray
 
     from ..aggregates import grouped_count
@@ -532,14 +539,13 @@ def tfidf_top_terms(ds, top_n: int = 3, df_broadcast_limit: int = 5_000_000):
         e = df_[["doc_id"]].assign(token=toks).explode("token")
         return e[e["token"].notna()][["token"]]
 
-    df_tbl = grouped_count(
+    dfc = grouped_count(
         ds.map_batches(doc_distinct, batch_format="pandas"),
-        ["token"], out_name="df", salt_buckets=4).to_pandas()
-    if len(df_tbl) > df_broadcast_limit:
-        raise NotImplementedError(
-            "vocabulary too large to broadcast — use a bucketed hash_join "
-            "of the tf rows against the df table on token")
+        ["token"], out_name="df", salt_buckets=4).materialize()
     n_docs = ds.count()
+    if dfc.count() > df_broadcast_limit:
+        return _tfidf_top_terms_join(ds, dfc, n_docs, top_n)
+    df_tbl = dfc.to_pandas()
     df_ref = ray.put(dict(zip(df_tbl["token"], df_tbl["df"].astype(int))))
 
     def topn(df_: pd.DataFrame) -> pd.DataFrame:
@@ -561,6 +567,40 @@ def tfidf_top_terms(ds, top_n: int = 3, df_broadcast_limit: int = 5_000_000):
         return out.reset_index(drop=True)
 
     return ds.map_batches(topn, batch_format="pandas")
+
+
+def _tfidf_top_terms_join(ds, dfc, n_docs: int, top_n: int,
+                          n_buckets: int = 32):
+    """Huge-vocabulary path for `tfidf_top_terms`: per-doc tf rows join the
+    document-frequency table on token (bucketed, scores computed inside the
+    join buckets), then one coarse doc_id-bucket shuffle selects the top-n
+    per document with the vectorized window kernel."""
+    import pyarrow as pa
+
+    from ..joins import hash_join
+    from ..windows import top_n_per_key
+
+    tf_rows = ds.map_batches(doc_term_freqs, batch_format="pandas")
+
+    def score(m: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"doc_id": m["doc_id"].astype("int64"),
+                            "token": m["token"],
+                            "tf": m["tf"].astype("int64"),
+                            "df": m["df"].astype("int64")})
+        out["score_scaled"] = (out["tf"] * n_docs * 1000) // out["df"]
+        return out
+
+    j = hash_join(
+        tf_rows, dfc, on="token", n_buckets=n_buckets,
+        left_types={"doc_id": pa.int64(), "token": pa.string(),
+                    "tf": pa.int64()},
+        right_types={"token": pa.string(), "df": pa.int64()},
+        bucket_post=score)
+    out = top_n_per_key(j, "doc_id", ["score_scaled", "token"], n=top_n,
+                        ascending=[False, True])
+    return out.map_batches(
+        lambda d: d[["doc_id", "token", "tf", "df", "score_scaled"]],
+        batch_format="pandas")
 
 
 _FP_B = np.uint64(1000003)

@@ -268,3 +268,26 @@ def test_bm25_ranking_properties():
     assert scores[1] > scores[2]
     # length normalization: doc 2's long filler depresses its score
     assert scores[0] > scores[2]
+
+
+def test_tfidf_join_path_parity():
+    # Force the huge-vocab bucketed-join path (df_broadcast_limit=0) and
+    # check it matches the broadcast path row-for-row.
+    import ray.data
+
+    from dygiepp_ray.stages.text import tfidf_top_terms
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["apple banana apple", "banana cherry", "apple cherry date",
+                 ""],
+    })
+    ds = ray.data.from_pandas(df).repartition(2)
+    cols = ["doc_id", "token", "tf", "df", "score_scaled"]
+
+    def norm(d):
+        return (d[cols].sort_values(cols).reset_index(drop=True))
+
+    want = norm(tfidf_top_terms(ds, top_n=2).to_pandas())
+    got = norm(tfidf_top_terms(ds, top_n=2, df_broadcast_limit=0).to_pandas())
+    pd.testing.assert_frame_equal(got, want)
