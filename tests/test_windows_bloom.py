@@ -65,3 +65,41 @@ def test_bloom_anti_join():
     assert not ids & set(member_keys)
     # nearly all non-members survive (false positives ≤ ~0.1%+slack)
     assert len(ids) >= 490
+
+
+def test_sessionize_vs_pandas():
+    from dygiepp_ray.windows import sessionize
+
+    rng = np.random.RandomState(11)
+    n = 300
+    df = pd.DataFrame({
+        "user": rng.randint(0, 12, size=n),
+        "eid": np.arange(n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 86400 * 3, size=n), unit="s"),
+    })
+    gap = pd.Timedelta(minutes=45)
+    got = (sessionize(ray.data.from_pandas(df).repartition(4), "user", "ts",
+                      gap, tiebreak_col="eid")
+           .to_pandas().set_index("user").sort_index())
+    for u, g in df.groupby("user"):
+        g = g.sort_values(["ts", "eid"])
+        n_sessions = int((g["ts"].diff() > gap).sum()) + 1
+        assert got.loc[u, "n_sessions"] == n_sessions
+        assert got.loc[u, "n_events"] == len(g)
+
+
+def test_generic_window_fn():
+    from dygiepp_ray.windows import window
+
+    df = _df()
+
+    def last_two(g: pd.DataFrame) -> pd.DataFrame:
+        return g.tail(2)
+
+    got = window(ray.data.from_pandas(df).repartition(3), "k", "ts",
+                 last_two).to_pandas()
+    for k, g in df.groupby("k"):
+        want = g.sort_values("ts").tail(2)["ts"].tolist()
+        have = sorted(got[got["k"] == k]["ts"].tolist())
+        assert have == sorted(want)
