@@ -2123,6 +2123,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["media_resize"] = q_media_resize
 
+    def q_pca_project(sf_dir: str):
+        # distributed PCA projection: exact int64 Gram/sum partials (order-
+        # independent) -> driver power-iteration basis -> broadcast project
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.similarity import pca_project
+
+        _write_oracle(sf_dir, "pca_project",
+                      lambda: _o.expected_pca_project(sf_dir))
+        return pca_project(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+    q["pca_project"] = q_pca_project
+
     # ---- flagship-first ordering -------------------------------------------
     # The driver's CORRECTNESS artifact hash-checks only the FIRST 50
     # registered queries. Round 2 registered ~37 relational/text entries
@@ -3010,6 +3022,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_build_resume": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_build_resume.parquet')
+        """,
+        "pca_project": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/pca_project.parquet')
         """,
         "standoff_convert": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/standoff_convert.parquet')

@@ -566,6 +566,49 @@ def expected_coref_scores(documents, full_lexicon: dict[str, str],
     return pa.table({k: pa.array([round(v, 6)], pa.float64()) for k, v in flat.items()})
 
 
+def expected_pca_project(sf_dir: str, n_components: int = 2,
+                         scale: int = 4096, power_iters: int = 64) -> pa.Table:
+    """Single-pass scalar recompute of the distributed PCA projection: the
+    engine's integer Gram/sum partials are EXACT, so this whole-table numpy
+    pass must match bit for bit. The power-iteration solver is re-derived
+    here (fixed start, fixed iterations, deflation, sign fix) rather than
+    imported."""
+    from .functions.strings import round_half_up
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    xs = np.rint(m * scale).astype(np.int64)
+    n, d = xs.shape
+    G = xs.T @ xs
+    S = xs.sum(axis=0)
+    C = (G.astype(np.float64) - np.outer(S, S).astype(np.float64) / n) \
+        / (float(n) * float(scale) ** 2)
+    basis = []
+    for _ in range(n_components):
+        v = np.full(d, 1.0 / np.sqrt(d))
+        for _i in range(power_iters):
+            w = C @ v
+            nw = np.linalg.norm(w)
+            if nw == 0:
+                break
+            v = w / nw
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        lam = float(v @ C @ v)
+        C = C - lam * np.outer(v, v)
+        basis.append(v)
+    V = np.stack(basis, axis=1)
+    mean = S.astype(np.float64) / (float(n) * scale)
+    proj = (xs.astype(np.float64) / scale - mean) @ V
+    cols = {"vec_id": pa.array(ids, pa.int64())}
+    for k in range(n_components):
+        cols[f"pc{k + 1}"] = pa.array(round_half_up(proj[:, k], 6),
+                                      pa.float64())
+    return pa.table(cols)
+
+
 def expected_kg_build_manifest(corpus_dir: str, n_buckets: int = 16) -> pa.Table:
     """Independent per-bucket lineage expectation for `build_kg`:
     (bucket, row_count, sha256_xor) — bucket from the corpus row's

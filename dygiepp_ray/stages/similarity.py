@@ -231,3 +231,104 @@ def embedding_near_dups(embeddings: "ray.data.Dataset", threshold: float = 0.95,
     pairs = sigs.groupby("_bucket").map_groups(verify_bucket, batch_format="pandas")
     # a pair can collide in tables landing in different coarse buckets
     return _dedup_pairs(pairs, n_buckets)
+
+
+# ---------------------------------------------------------------- PCA
+
+
+def _pca_power_basis(G: np.ndarray, s: np.ndarray, n: int, scale: int,
+                     n_components: int, power_iters: int) -> np.ndarray:
+    """Deterministic top-k eigenbasis of the covariance implied by the EXACT
+    integer partials (G = Σ xs xsᵀ, s = Σ xs over quantized rows): power
+    iteration from a fixed start with Gram–Schmidt deflation, a fixed
+    iteration count, and sign fixed by making the largest-|coordinate|
+    entry positive — no RNG, no LAPACK (eigh's sign/order conventions vary
+    across BLAS builds; this is bit-stable on one platform and reproducible
+    by the oracle)."""
+    d = G.shape[0]
+    C = (G.astype(np.float64) - np.outer(s, s).astype(np.float64) / n) \
+        / (float(n) * float(scale) ** 2)
+    basis = []
+    for _ in range(n_components):
+        v = np.full(d, 1.0 / np.sqrt(d))
+        for _i in range(power_iters):
+            w = C @ v
+            nw = np.linalg.norm(w)
+            if nw == 0:
+                break
+            v = w / nw
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        lam = float(v @ C @ v)
+        C = C - lam * np.outer(v, v)
+        basis.append(v)
+    return np.stack(basis, axis=1)  # (d, k)
+
+
+def pca_project(embeddings: "ray.data.Dataset", id_col: str = "vec_id",
+                vec_col: str = "embedding", n_components: int = 2,
+                scale: int = 4096, power_iters: int = 64,
+                salt_buckets: int = 64) -> "ray.data.Dataset":
+    """Distributed PCA projection (embedding whitening / SemDeDup-style
+    preprocessing): (id, pc1..pck), each rounded to 6 dp.
+
+    Scale shape: vectors are quantized to int64 (round(x·scale)) and each
+    block emits ONE flattened exact-integer partial (Gram d², column sums d,
+    row count); partials pre-combine inside `salt_buckets` groups so the
+    driver collects ≤ salt_buckets aggregate rows no matter the corpus
+    size. Integer partials make the distributed sum order-independent —
+    bit-identical to a single-pass scalar recompute, so the oracle can
+    hash-match. The d×k basis is solved on the driver (d² is tiny),
+    broadcast once, and the projection pass is a per-row float64 dot (fixed
+    per-row order → deterministic)."""
+    def block_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"salt": pd.Series([], dtype="int64"),
+                                 "g": pd.Series([], dtype=object),
+                                 "s": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        m = _batch_matrix(df, vec_col)
+        xs = np.rint(m * scale).astype(np.int64)
+        g = (xs.T @ xs).ravel()
+        s = xs.sum(axis=0)
+        salt = int(df[id_col].iloc[0]) % salt_buckets if len(df) else 0
+        return pd.DataFrame({"salt": [salt], "g": [g.tolist()],
+                             "s": [s.tolist()], "n": [len(df)]})
+
+    def combine(dfg: pd.DataFrame) -> pd.DataFrame:
+        g = np.sum([np.asarray(x, dtype=np.int64) for x in dfg["g"]], axis=0)
+        s = np.sum([np.asarray(x, dtype=np.int64) for x in dfg["s"]], axis=0)
+        return pd.DataFrame({"g": [g.tolist()], "s": [s.tolist()],
+                             "n": [int(dfg["n"].sum())]})
+
+    parts = (embeddings.select_columns([id_col, vec_col])
+             .map_batches(block_partial, batch_format="pandas")
+             .groupby("salt").map_groups(combine, batch_format="pandas")
+             .take_all())  # ≤ salt_buckets aggregate rows
+    n = sum(int(r["n"]) for r in parts)
+    if n == 0:
+        raise ValueError("pca_project: empty input")
+    d2 = len(parts[0]["g"])
+    d = int(round(d2 ** 0.5))
+    G = np.zeros(d2, dtype=np.int64)
+    S = np.zeros(d, dtype=np.int64)
+    for r in parts:
+        G += np.asarray(r["g"], dtype=np.int64)
+        S += np.asarray(r["s"], dtype=np.int64)
+    V = _pca_power_basis(G.reshape(d, d), S, n, scale, n_components,
+                         power_iters)
+    mean = S.astype(np.float64) / (float(n) * scale)
+    v_ref = ray.put((V, mean))
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        basis, mu = ray.get(v_ref)
+        m = _batch_matrix(df, vec_col)
+        xs = np.rint(m * scale).astype(np.int64).astype(np.float64) / scale
+        proj = (xs - mu) @ basis
+        out = pd.DataFrame({id_col: df[id_col].astype("int64")})
+        for k in range(basis.shape[1]):
+            out[f"pc{k + 1}"] = round_half_up(proj[:, k], 6)
+        return out
+
+    return embeddings.select_columns([id_col, vec_col]).map_batches(
+        project, batch_format="pandas")
