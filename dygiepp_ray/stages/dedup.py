@@ -167,29 +167,67 @@ class MinHasher:
         return (vals >> np.uint64(2)).astype(np.int64)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = [self.signature(t) for t in batch[self.text_col]]
+        sigs = self.signatures(list(batch[self.text_col]))
         return pd.DataFrame(
             {self.id_col: batch[self.id_col].values, "minhash": [s.tolist() for s in sigs]}
         )
+
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """Batched twin of `signature` (bit-identical output, pinned by
+        test): concatenate every doc's shingle values, then one
+        `np.minimum.reduceat` per permutation over the concatenated array —
+        per-doc Python work shrinks to the shingle computation itself.
+        Memory stays O(total_shingles) (the perm loop avoids the
+        (n_shingles, n_perm) matrix a fully-2D fold would allocate)."""
+        per_doc = []
+        for t in texts:
+            toks = t.split()
+            per_doc.append(
+                _shingle_values(_token_hash_array(toks), self.k) if toks
+                else np.zeros(0, dtype=np.uint64))
+        counts = np.array([len(x) for x in per_doc], dtype=np.int64)
+        out = np.full((len(texts), self.n_perm), _MERSENNE, dtype=np.int64)
+        nz = np.flatnonzero(counts)
+        if len(nz) == 0:
+            return out
+        x = (np.concatenate([per_doc[i] for i in nz])
+             if len(nz) > 1 else per_doc[nz[0]])
+        starts = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
+        vals = np.empty((self.n_perm, len(nz)), dtype=np.uint64)
+        for p in range(self.n_perm):
+            vals[p] = np.minimum.reduceat(_splitmix64(x ^ self.seeds[p]), starts)
+        out[nz] = (vals.T >> np.uint64(2)).astype(np.int64)
+        return out
+
+
+def _band_keys(sigs: np.ndarray, n_bands: int) -> np.ndarray:
+    """(n_docs, n_perm) signature matrix → (n_docs, n_bands) int64 band
+    keys: splitmix64 fold of each band's slice plus the band index, fully
+    vectorized (the per-doc-per-band blake2b loop this replaces was the
+    band-explode hot spot). Key identity matters only within one run —
+    candidates are pairs whose band CONTENT matches, which any 64-bit hash
+    of the slice preserves (collisions are 2^-64-scale and downstream
+    verification re-checks the signature estimate anyway)."""
+    n, P = sigs.shape
+    r = P // n_bands
+    B = sigs.astype(np.uint64).reshape(n, n_bands, r)
+    v = np.zeros((n, n_bands), dtype=np.uint64)
+    for j in range(r):
+        v = _splitmix64(v ^ B[:, :, j])
+    v = _splitmix64(v ^ np.arange(n_bands, dtype=np.uint64)[None, :])
+    return (v >> np.uint64(2)).astype(np.int64)
 
 
 def minhash_bands(sig_df: pd.DataFrame, n_bands: int, id_col: str = "doc_id") -> pd.DataFrame:
     """Explode signatures into (band_key, doc_id) rows; band_key is the
     int64 hash of one band's slice — the LSH bucket key (the shuffle key)."""
-    rows_id, rows_key = [], []
-    for doc_id, sig in zip(sig_df[id_col], sig_df["minhash"]):
-        sig = np.asarray(sig)
-        r = len(sig) // n_bands
-        for b in range(n_bands):
-            band = sig[b * r : (b + 1) * r]
-            key = int.from_bytes(
-                hashlib.blake2b(band.tobytes() + bytes([b]), digest_size=8).digest(),
-                "big",
-            ) >> 2
-            rows_id.append(doc_id)
-            rows_key.append(key)
-    return pd.DataFrame({"band_key": pd.array(rows_key, dtype="int64"),
-                         id_col: rows_id})
+    if len(sig_df) == 0:
+        return pd.DataFrame({"band_key": pd.array([], dtype="int64"),
+                             id_col: []})
+    sigs = np.asarray([np.asarray(s) for s in sig_df["minhash"]], dtype=np.int64)
+    keys = _band_keys(sigs, n_bands)
+    return pd.DataFrame({"band_key": keys.ravel(),
+                         id_col: np.repeat(sig_df[id_col].to_numpy(), n_bands)})
 
 
 def _pair_bucket_stamp(n_buckets: int):
@@ -250,24 +288,33 @@ def minhash_lsh_pairs(docs: "ray.data.Dataset", n_perm: int = 64, n_bands: int =
     )
 
     def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, est = [], [], []
+        # singleton band keys (the vast majority) can't form a pair — drop
+        # them vectorized BEFORE the per-group Python loop.
+        df = df[df["band_key"].duplicated(keep=False)]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_e: list[np.ndarray] = []
         for _key, group in df.groupby("band_key", sort=False):
-            if len(group) < 2:
+            ids = group[id_col].to_numpy()
+            sig_m = np.asarray([np.asarray(s) for s in group["minhash"]])
+            eq = (sig_m[:, None, :] == sig_m[None, :, :]).mean(axis=2)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            e = eq[iu, ju]
+            ok = (e >= jaccard_threshold) & (ids[iu] != ids[ju])
+            if not ok.any():
                 continue
-            ids = group[id_col].tolist()
-            sig_m = np.stack([np.asarray(s) for s in group["minhash"]])
-            for i in range(len(ids)):
-                eq = (sig_m[i + 1 :] == sig_m[i]).mean(axis=1)
-                for dj in np.flatnonzero(eq >= jaccard_threshold):
-                    j = i + 1 + int(dj)
-                    if ids[i] == ids[j]:
-                        continue
-                    a, b = sorted((ids[i], ids[j]))
-                    out_a.append(a)
-                    out_b.append(b)
-                    est.append(round(float(eq[dj]), 6))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
-                             "est_jaccard": est}).drop_duplicates(["id_a", "id_b"])
+            ia, jb = ids[iu[ok]], ids[ju[ok]]
+            out_a.append(np.minimum(ia, jb))
+            out_b.append(np.maximum(ia, jb))
+            out_e.append(np.round(e[ok], 6))
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                                 "id_b": pd.array([], dtype="int64"),
+                                 "est_jaccard": pd.array([], dtype="float64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "est_jaccard": np.concatenate(out_e)}
+                            ).drop_duplicates(["id_a", "id_b"])
 
     pairs = banded_with_sig.groupby("_bucket").map_groups(
         verify_bucket, batch_format="pandas"
@@ -279,23 +326,16 @@ def minhash_lsh_pairs(docs: "ray.data.Dataset", n_perm: int = 64, n_bands: int =
 def minhash_bands_with_sig(sig_df: pd.DataFrame, n_bands: int,
                            id_col: str = "doc_id",
                            n_buckets: int = 64) -> pd.DataFrame:
-    rows = {"band_key": [], id_col: [], "minhash": []}
-    for doc_id, sig in zip(sig_df[id_col], sig_df["minhash"]):
-        arr = np.asarray(sig)
-        r = len(arr) // n_bands
-        for b in range(n_bands):
-            band = arr[b * r : (b + 1) * r]
-            key = int.from_bytes(
-                hashlib.blake2b(band.tobytes() + bytes([b]), digest_size=8).digest(),
-                "big",
-            ) >> 2
-            rows["band_key"].append(key)
-            rows[id_col].append(doc_id)
-            rows["minhash"].append(sig)
+    if len(sig_df) == 0:
+        return pd.DataFrame({"band_key": pd.array([], dtype="int64"),
+                             id_col: [], "minhash": [],
+                             "_bucket": pd.array([], dtype="int32")})
+    sigs = np.asarray([np.asarray(s) for s in sig_df["minhash"]], dtype=np.int64)
+    keys = _band_keys(sigs, n_bands).ravel()
     df = pd.DataFrame({
-        "band_key": pd.array(rows["band_key"], dtype="int64"),
-        id_col: rows[id_col],
-        "minhash": rows["minhash"],
+        "band_key": keys,
+        id_col: np.repeat(sig_df[id_col].to_numpy(), n_bands),
+        "minhash": sig_df["minhash"].to_numpy().repeat(n_bands),
     })
     df["_bucket"] = (df["band_key"].to_numpy() % n_buckets).astype("int32")
     return df

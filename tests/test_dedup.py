@@ -239,3 +239,42 @@ def test_dedup_store_no_hits(tmp_path):
     got = dedup_against_store(ray.data.from_pandas(new), store,
                               n_buckets=4).to_pandas()
     assert len(got) == 0
+
+
+def test_batched_signatures_match_per_doc():
+    """The batched reduceat path must be bit-identical to the per-doc
+    `signature` spec (the oracle recomputes signatures per doc)."""
+    import numpy as np
+
+    from dygiepp_ray.stages.dedup import MinHasher
+
+    mh = MinHasher(n_perm=32, shingle_k=3)
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 3,
+        "",                       # empty doc -> sentinel signature
+        "a b",                    # fewer tokens than k -> scalar fold
+        "one two three four five six",
+        "   ",                    # whitespace-only -> empty token list
+    ]
+    got = mh.signatures(texts)
+    for i, t in enumerate(texts):
+        assert (got[i] == mh.signature(t)).all(), i
+
+
+def test_band_explode_groups_identical_docs():
+    """Vectorized band keys: identical signatures share every band key;
+    bands at different positions get distinct keys (the band-index salt)."""
+    import numpy as np
+    import pandas as pd
+
+    from dygiepp_ray.stages.dedup import MinHasher, minhash_bands_with_sig
+
+    mh = MinHasher(n_perm=64, shingle_k=3)
+    txt = "alpha beta gamma delta epsilon zeta eta theta " * 2
+    sig_df = mh(pd.DataFrame({"doc_id": [1, 2], "text": [txt, txt]}))
+    b = minhash_bands_with_sig(sig_df, n_bands=16)
+    assert len(b) == 32
+    k1 = b[b.doc_id == 1]["band_key"].to_numpy()
+    k2 = b[b.doc_id == 2]["band_key"].to_numpy()
+    assert (k1 == k2).all()
+    assert len(np.unique(k1)) == 16  # band-index salt keeps positions apart
