@@ -427,12 +427,12 @@ def simhash_near_dups(docs: "ray.data.Dataset", n_blocks: int = 4,
 
     def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # upper-triangle numpy verify per collision group: XOR matrix +
-        # byte-table popcount — no Python pair loop
+        # byte-table popcount — no Python pair loop; singleton block keys
+        # dropped vectorized before the group loop
+        df = df[df["block_key"].duplicated(keep=False)]
         parts = []
         for _key, group in df.groupby("block_key", sort=False):
             n = len(group)
-            if n < 2:
-                continue
             ids = group[id_col].to_numpy(dtype=np.int64)
             hs = group["simhash"].to_numpy(dtype=np.uint64)
             iu, ju = np.triu_indices(n, k=1)
@@ -583,32 +583,29 @@ def substring_dup_pairs(docs: "ray.data.Dataset", k: int = 16, w: int = 8,
     from ..aggregates import grouped_count
 
     def fps(df: pd.DataFrame) -> pd.DataFrame:
-        ids, vals = [], []
-        for i, t in zip(df[id_col], df[text_col]):
-            v = winnow_values(char_window_hashes(t, k), w)
-            ids += [i] * len(v)
-            vals.append(v)
+        vals = [winnow_values(char_window_hashes(t, k), w)
+                for t in df[text_col]]
+        lens = np.array([len(v) for v in vals], dtype=np.int64)
         allv = np.concatenate(vals) if vals else np.zeros(0, np.uint64)
         return pd.DataFrame({
-            id_col: pd.array(ids, dtype="int64"),
+            id_col: np.repeat(df[id_col].to_numpy(), lens),
             "fp": pd.array(allv, dtype="uint64"),
             "_fb": pd.array((allv % np.uint64(n_buckets)).astype(np.int32),
                             dtype="int32"),
         })
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _fp, g in df.groupby("fp", sort=False):
-            if len(g) < 2 or len(g) > max_df:
-                continue
-            ids = sorted(g[id_col].tolist())
-            for x in range(len(ids)):
-                for y in range(x + 1, len(ids)):
-                    if ids[x] != ids[y]:
-                        out_a.append(ids[x])
-                        out_b.append(ids[y])
-        return pd.DataFrame({"id_a": pd.array(out_a, dtype="int64"),
-                             "id_b": pd.array(out_b, dtype="int64")})
+        # (doc, fp) rows are unique (winnow_values dedups per doc), so the
+        # per-fp doc list has distinct ids; a self-merge with id_a < id_b
+        # enumerates each unordered pair once per shared fp — no per-group
+        # Python loop over the (mostly boilerplate-or-singleton) fp groups.
+        cnt = df.groupby("fp")["fp"].transform("size")
+        df = df[(cnt >= 2) & (cnt <= max_df)][["fp", id_col]]
+        m = df.merge(df, on="fp", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        return pd.DataFrame({
+            "id_a": m[f"{id_col}_a"].to_numpy(dtype="int64"),
+            "id_b": m[f"{id_col}_b"].to_numpy(dtype="int64")})
 
     fp_rows = docs.select_columns([id_col, text_col]).map_batches(
         fps, batch_format="pandas")

@@ -200,11 +200,10 @@ def embedding_near_dups(embeddings: "ray.data.Dataset", threshold: float = 0.95,
         # buckets (and against the independent oracle); double precision puts
         # the rounding boundary ~1e10 x further away. Upper-triangle numpy
         # thresholding — no Python pair loop.
+        df = df[df["table_sig"].duplicated(keep=False)]
         parts = []
         for _key, group in df.groupby("table_sig", sort=False):
             n = len(group)
-            if n < 2:
-                continue
             ids = group[id_col].to_numpy(dtype=np.int64)
             m = _normalize(np.stack([np.asarray(v, dtype=np.float64)
                                      for v in group[vec_col]]))
