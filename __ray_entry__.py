@@ -1616,6 +1616,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_pagerank"] = q_kg_pagerank
 
+    def q_kg_khop(sf_dir: str):
+        # 2-hop subgraph expansion from the 5 lexicographically-smallest
+        # subjects: each hop is ONE bucketed semi-join of the distinct edge
+        # table against the frontier (frontier stays a Dataset — no driver
+        # node sets), min-hop combined with a partial+final aggregation.
+        from dygiepp_ray.stages.graph import khop_subgraph
+
+        _ensure_triples_oracle(sf_dir)
+        edges = _distinct_edge_ds(sf_dir).materialize()
+        seeds = (grouped_count(edges.select_columns(["subj_norm"]),
+                               ["subj_norm"], out_name="_n")
+                 .select_columns(["subj_norm"])
+                 .sort("subj_norm").limit(5).materialize())
+        return khop_subgraph(edges, seeds, src="subj_norm", dst="obj_norm",
+                             hops=2, node_type=pa.string())
+
+    q["kg_khop_subgraph"] = q_kg_khop
+
+    def q_kg_alias_merge(sf_dir: str):
+        # canonical-entity merging beyond the rule canonicalizer: cluster
+        # the {surface ∪ rule-canonical} name vocabulary by char-trigram
+        # similarity (char-minhash LSH + exact verify), re-key the edge
+        # table through the cluster representative with two bucketed left
+        # joins, re-aggregate weights (north rule: canonicalization)
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.linking import alias_merge_edges
+
+        _write_oracle(sf_dir, "kg_alias_merge",
+                      lambda: _o.expected_alias_merge(
+                          _oracle_triples_table(sf_dir)))
+        return alias_merge_edges(_synth_triples(sf_dir))
+
+    q["kg_alias_merge"] = q_kg_alias_merge
+
     def q_collate_stats(sf_dir: str):
         # P5 collate over the documents-as-docs table: sentence conservation
         from dygiepp_ray.stages.collate import collate
@@ -2976,6 +3010,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
             ) GROUP BY span_norm
         """,
+        "kg_khop_subgraph": """
+            WITH e AS (
+                SELECT DISTINCT subj_norm, obj_norm
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            ), seeds AS (
+                SELECT DISTINCT subj_norm FROM e ORDER BY subj_norm LIMIT 5
+            ), h1 AS (
+                SELECT e.subj_norm, e.obj_norm FROM e JOIN seeds USING (subj_norm)
+            ), f1 AS (
+                SELECT DISTINCT obj_norm AS subj_norm FROM h1
+            ), h2 AS (
+                SELECT e.subj_norm, e.obj_norm FROM e JOIN f1 USING (subj_norm)
+            ), u AS (
+                SELECT subj_norm, obj_norm, 1 AS hop FROM h1
+                UNION ALL
+                SELECT subj_norm, obj_norm, 2 AS hop FROM h2
+            )
+            SELECT subj_norm, obj_norm, CAST(min(hop) AS BIGINT) AS hop
+            FROM u GROUP BY subj_norm, obj_norm
+        """,
         "schema_map_relations": """
             SELECT 'MECHANISM' AS pred, count(*) AS n
             FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
@@ -2983,6 +3037,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_closure": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_closure.parquet')
+        """,
+        "kg_alias_merge": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_alias_merge.parquet')
         """,
         "kg_components": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_components.parquet')

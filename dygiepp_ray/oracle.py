@@ -1363,6 +1363,63 @@ def expected_components(triples: pa.Table) -> pa.Table:
     })
 
 
+def expected_alias_merge(triples: pa.Table, threshold: float = 0.5,
+                         k: int = 3, n_perm: int = 64,
+                         n_bands: int = 16) -> pa.Table:
+    """Scalar recompute of stages/linking.py:alias_merge_edges: name pairs
+    are candidates iff they share >= 1 full char-minhash band (signatures
+    reuse the operator's own hash family — they define it; the LSH
+    banding / shuffle / join plumbing is what this verifies), verified by
+    exact char-k-gram Jaccard >= threshold; union-find with min-member
+    representative; triples re-keyed and counted."""
+    from .stages.linking import CharNameMinHasher, exact_name_jaccard
+
+    subj = triples.column("subj").to_pylist()
+    pred = triples.column("pred").to_pylist()
+    obj = triples.column("obj").to_pylist()
+    s_n = triples.column("subj_norm").to_pylist()
+    o_n = triples.column("obj_norm").to_pylist()
+    names = sorted(set(subj) | set(obj) | set(s_n) | set(o_n))
+    mh = CharNameMinHasher(n_perm=n_perm, k=k)
+    sigs = {n: mh.signature(n) for n in names}
+    r = n_perm // n_bands
+    parent = {n: n for n in names}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = names[i], names[j]
+            eq = sigs[a] == sigs[b]
+            if not any(eq[bd * r:(bd + 1) * r].all() for bd in range(n_bands)):
+                continue
+            if exact_name_jaccard(a, b, k) < threshold:
+                continue
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+    comp_min: dict = {}
+    for n in names:
+        rt = find(n)
+        comp_min[rt] = min(comp_min.get(rt, n), n)
+    canon = {n: comp_min[find(n)] for n in names}
+    counts: dict = {}
+    for s, p, o in zip(subj, pred, obj):
+        key = (canon[s], p, canon[o])
+        counts[key] = counts.get(key, 0) + 1
+    rows = sorted(counts.items())
+    return pa.table({
+        "subj_canon": pa.array([kk[0] for kk, _ in rows], pa.string()),
+        "pred": pa.array([kk[1] for kk, _ in rows], pa.string()),
+        "obj_canon": pa.array([kk[2] for kk, _ in rows], pa.string()),
+        "weight": pa.array([v for _, v in rows], pa.int64()),
+    })
+
+
 def expected_pagerank(triples: pa.Table, n_iter: int = 10) -> pa.Table:
     """Integer fixed-point PageRank recompute (stages/graph.py spec): int64
     micro-units, floor-divided shares, no dangling/rounding redistribution.

@@ -435,3 +435,65 @@ def _pagerank_shuffle(edges: "ray.data.Dataset", src: str, dst: str,
                          "rank": pa.array(rank, pa.float64())})
 
     return ranks.map_batches(finalize, batch_format="pyarrow")
+
+
+def khop_subgraph(edges: "ray.data.Dataset", seeds: "ray.data.Dataset",
+                  src: str = "src", dst: str = "dst", hops: int = 2,
+                  n_buckets: int = 32,
+                  node_type: "pa.DataType | None" = None) -> "ray.data.Dataset":
+    """Directed k-hop subgraph expansion: the edges reachable from `seeds`
+    in at most `hops` steps, each stamped with the smallest hop number that
+    reaches it (reference consumer: the networkx MultiDiGraph built at
+    make_kb.py:97-103 is exactly what users slice neighborhoods out of).
+
+    Scale shape: each hop is ONE bucketed semi-join (`hash_join` of the
+    edge table against the current frontier on the edge source), and the
+    frontier itself is a grouped-distinct Dataset — it never lands on the
+    driver, so hub-explosion frontiers (millions of nodes after 2 hops in
+    a web-scale KG) spill instead of OOMing. The final min-hop combine is
+    a partial+final aggregation over the per-hop edge sets.
+
+    `seeds` must have exactly one column named `src`. `edges` should be a
+    DISTINCT edge table (callers dedup first); pass `node_type` to skip
+    schema probes on lazy inputs.
+    """
+    if node_type is None:
+        from ..joins import _arrow_types
+
+        node_type = _arrow_types(edges)[src]
+    nt = node_type
+    etypes = {src: nt, dst: nt}
+    per_hop: list["ray.data.Dataset"] = []
+    frontier = seeds
+    for h in range(1, hops + 1):
+        eh = hash_join(
+            edges, frontier, on=src, n_buckets=n_buckets,
+            left_cols=[src, dst], right_cols=[src],
+            left_types=etypes, right_types={src: nt},
+        )
+
+        def stamp(t: pa.Table, _h=h) -> pa.Table:
+            t = strip_schema_metadata(t)
+            return t.append_column("hop", pa.array([_h] * t.num_rows,
+                                                   pa.int64()))
+
+        eh = eh.map_batches(stamp, batch_format="pyarrow")
+        # the edge set is re-consumed per hop AND by the final union —
+        # materialize each hop once (object store, spillable)
+        eh = eh.materialize()
+        per_hop.append(eh)
+        if h < hops:
+            # next frontier: distinct reached nodes, renamed to the source
+            # column (grouped dedup — one row per node, stays distributed)
+            from ..aggregates import grouped_count
+
+            frontier = grouped_count(
+                eh.select_columns([dst]), [dst], out_name="_n"
+            ).map_batches(
+                lambda t: strip_schema_metadata(t).select([dst]).rename_columns([src]),
+                batch_format="pyarrow")
+
+    union = per_hop[0]
+    for e in per_hop[1:]:
+        union = union.union(e)
+    return partial_final_agg(union, [src, dst], [("hop", "hop", "min")])

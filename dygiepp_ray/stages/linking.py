@@ -11,6 +11,7 @@ Candidate scoring is deterministic:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from ..functions.strings import canonicalize, jaccard
@@ -94,3 +95,179 @@ class EntityLinker:
         out["entity_id"] = ids
         out["link_score"] = scores
         return out
+
+
+# ------------------------------------------------------- alias merging
+#
+# Canonical-entity merging beyond the rule canonicalizer (P12 /
+# make_kb.py:90-95): observed surface forms and their rule-canonical forms
+# whose character-k-gram similarity is high are clustered into one entity,
+# and the edge table is re-keyed onto the cluster representative. This is
+# the "canonicalization through groupby-aggregate shuffles keyed on
+# normalized surface forms" step of the north rule, with string-similarity
+# alias resolution composed on top of the rule normalizer.
+
+
+def _char_kgram_set(name: str, k: int) -> "np.ndarray":
+    """Unique char-k-gram hash values of a name; names shorter than k fall
+    back to one whole-name hash so every name has a non-empty set."""
+    import numpy as np
+
+    from .dedup import _token_hash, char_window_hashes
+
+    h = char_window_hashes(name, k)
+    if len(h) == 0:
+        return np.array([_token_hash(name)], dtype=np.uint64)
+    return np.unique(h)
+
+
+class CharNameMinHasher:
+    """Actor-pool stage: name → n_perm minhash values over the char-k-gram
+    set (the name-similarity twin of `dedup.MinHasher`; same seed family)."""
+
+    def __init__(self, n_perm: int = 64, k: int = 3, seed: int = 11,
+                 name_col: str = "name"):
+        from .dedup import _perm_params
+
+        self.seeds = _perm_params(n_perm, seed)
+        self.n_perm = n_perm
+        self.k = k
+        self.name_col = name_col
+
+    def signature(self, name: str) -> "np.ndarray":
+        import numpy as np
+
+        from .dedup import _splitmix64
+
+        x = _char_kgram_set(name, self.k)
+        vals = _splitmix64(x[:, None] ^ self.seeds[None, :]).min(axis=0)
+        return (vals >> np.uint64(2)).astype(np.int64)
+
+    def __call__(self, batch: "pd.DataFrame") -> "pd.DataFrame":
+        sigs = [self.signature(n).tolist() for n in batch[self.name_col]]
+        return pd.DataFrame({self.name_col: batch[self.name_col].values,
+                             "minhash": sigs})
+
+
+def exact_name_jaccard(a: str, b: str, k: int = 3) -> float:
+    """Exact char-k-gram Jaccard between two names (the verify metric)."""
+    sa, sb = _char_kgram_set(a, k), _char_kgram_set(b, k)
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 0.0
+
+
+def alias_pairs(names: "ray.data.Dataset", threshold: float = 0.5,
+                k: int = 3, n_perm: int = 64, n_bands: int = 16,
+                name_col: str = "name", concurrency=(1, 4),
+                n_buckets: int = 64) -> "ray.data.Dataset":
+    """(id_a < id_b, jaccard) name pairs with exact char-k-gram Jaccard ≥
+    threshold, candidate-generated by char-minhash LSH banding (one coarse
+    shuffle — the `minhash_lsh_pairs` shape over the NAME vocabulary, which
+    is orders of magnitude smaller than the corpus but can still exceed
+    driver memory at web scale)."""
+    from .dedup import _dedup_pairs, minhash_bands_with_sig
+
+    sigs = names.map_batches(
+        CharNameMinHasher,
+        fn_constructor_kwargs=dict(n_perm=n_perm, k=k, name_col=name_col),
+        batch_format="pandas", concurrency=concurrency)
+    banded = sigs.map_batches(
+        lambda df: minhash_bands_with_sig(df, n_bands, name_col, n_buckets),
+        batch_format="pandas")
+
+    def verify_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df[df["band_key"].duplicated(keep=False)]
+        out_a, out_b, out_j = [], [], []
+        for _key, group in df.groupby("band_key", sort=False):
+            ns = group[name_col].tolist()
+            sets = [_char_kgram_set(n, k) for n in ns]
+            for i in range(len(ns)):
+                for j in range(i + 1, len(ns)):
+                    if ns[i] == ns[j]:
+                        continue
+                    inter = len(np.intersect1d(sets[i], sets[j],
+                                               assume_unique=True))
+                    union = len(sets[i]) + len(sets[j]) - inter
+                    jac = inter / union if union else 0.0
+                    if jac >= threshold:
+                        a, b = sorted((ns[i], ns[j]))
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_j.append(round(jac, 6))
+        return pd.DataFrame({"id_a": pd.array(out_a, dtype="string"),
+                             "id_b": pd.array(out_b, dtype="string"),
+                             "jaccard": pd.array(out_j, dtype="float64")})
+
+    pairs = banded.groupby("_bucket").map_groups(verify_bucket,
+                                                batch_format="pandas")
+    return _dedup_pairs(pairs, n_buckets)
+
+
+def alias_merge_edges(triples: "ray.data.Dataset", threshold: float = 0.5,
+                      k: int = 3, n_buckets: int = 32) -> "ray.data.Dataset":
+    """Merged canonical edge table (subj_canon, pred, obj_canon, weight):
+
+    1. node vocabulary = distinct {subj, obj, subj_norm, obj_norm} values
+       (ONE pass over the triple table, grouped-distinct);
+    2. `alias_pairs` over the vocabulary (char-minhash LSH + exact verify);
+    3. connected components over the pair graph — component id = the
+       lexicographically smallest member (deterministic representative);
+    4. re-key the raw-surface edge table through the (name → component)
+       mapping with two bucketed LEFT `hash_join`s (unclustered names keep
+       themselves — no driver-side dict at any vocabulary size);
+    5. partial+final grouped count of the re-keyed edges.
+    """
+    import pyarrow as pa
+
+    from ..aggregates import grouped_count, strip_schema_metadata
+    from ..joins import hash_join
+    from .graph import connected_components
+
+    tri = triples.select_columns(
+        ["subj", "pred", "obj", "subj_norm", "obj_norm"]).materialize()
+
+    def explode_names(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        cols = [t.column(c).combine_chunks().cast(pa.string())
+                for c in ("subj", "obj", "subj_norm", "obj_norm")]
+        chunks = []
+        for c in cols:
+            chunks.extend(c.chunks if isinstance(c, pa.ChunkedArray) else [c])
+        return pa.table({"name": pa.concat_arrays(chunks)})
+
+    names = grouped_count(
+        tri.map_batches(explode_names, batch_format="pyarrow"),
+        ["name"], out_name="_n").select_columns(["name"])
+
+    pairs = alias_pairs(names, threshold=threshold, k=k)
+    mapping = connected_components(pairs, src="id_a", dst="id_b",
+                                   mode="broadcast").materialize()
+
+    st = {"subj": pa.string(), "pred": pa.string(), "obj": pa.string()}
+
+    def rekey(col: str, out: str):
+        def post(df: "pd.DataFrame") -> "pd.DataFrame":
+            df[out] = df["component"].fillna(df[col])
+            return df.drop(columns=[col, "component"])
+
+        return post
+
+    m_s = mapping.map_batches(
+        lambda t: strip_schema_metadata(t).rename_columns(["subj", "component"]),
+        batch_format="pyarrow")
+    j1 = hash_join(tri.select_columns(["subj", "pred", "obj"]), m_s,
+                   on="subj", how="left", n_buckets=n_buckets,
+                   left_types=st,
+                   right_types={"subj": pa.string(), "component": pa.string()},
+                   bucket_post=rekey("subj", "subj_canon"))
+    m_o = mapping.map_batches(
+        lambda t: strip_schema_metadata(t).rename_columns(["obj", "component"]),
+        batch_format="pyarrow")
+    j2 = hash_join(j1, m_o, on="obj", how="left", n_buckets=n_buckets,
+                   left_types={"subj_canon": pa.string(), "pred": pa.string(),
+                               "obj": pa.string()},
+                   right_types={"obj": pa.string(), "component": pa.string()},
+                   bucket_post=rekey("obj", "obj_canon"))
+    return grouped_count(j2, ["subj_canon", "pred", "obj_canon"],
+                         out_name="weight")

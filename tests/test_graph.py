@@ -98,3 +98,23 @@ def test_graph_modes_agree_on_random_graph():
     pr_s = pagerank_fixedpoint(ds, n_iter=4, mode="shuffle").to_pandas(
         ).sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(pr_b, pr_s)
+
+
+def test_khop_subgraph_min_hop():
+    """2-hop expansion from one seed: hop = smallest reach distance; edges
+    beyond the horizon excluded; revisited edges keep hop 1."""
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.stages.graph import khop_subgraph
+
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "src": ["a", "a", "b", "c", "d", "z"],
+        "dst": ["b", "c", "c", "d", "e", "q"],
+    }))
+    seeds = ray.data.from_pandas(pd.DataFrame({"src": ["a"]}))
+    got = (khop_subgraph(edges, seeds, hops=2).to_pandas()
+           .sort_values(["src", "dst"]).reset_index(drop=True))
+    assert got[["src", "dst"]].values.tolist() == [
+        ["a", "b"], ["a", "c"], ["b", "c"], ["c", "d"]]
+    assert got["hop"].tolist() == [1, 1, 2, 2]

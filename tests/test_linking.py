@@ -45,3 +45,40 @@ def test_linker_stage_over_dataset():
     ).to_pandas()
     assert out.loc[out["mention"] == "hash join", "entity_id"].iloc[0] == "E001"
     assert out.loc[out["mention"] == "nope at all", "entity_id"].isna().all()
+
+
+def test_alias_pairs_finds_article_variants():
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.stages.linking import alias_pairs
+
+    names = ray.data.from_pandas(pd.DataFrame({
+        "name": ["system", "the system", "approach", "this approach",
+                 "hash join", "latency"]}))
+    got = (alias_pairs(names, threshold=0.5).to_pandas()
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    pairs = set(map(tuple, got[["id_a", "id_b"]].values.tolist()))
+    assert ("approach", "this approach") in pairs
+    assert ("system", "the system") in pairs
+    assert not any("hash join" in p or "latency" in p for p in pairs)
+
+
+def test_alias_merge_rekeys_edges():
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.stages.linking import alias_merge_edges
+
+    tri = ray.data.from_pandas(pd.DataFrame({
+        "subj": ["the system", "system", "hash join"],
+        "pred": ["USED-FOR"] * 3,
+        "obj": ["latency", "latency", "latency"],
+        "subj_norm": ["system", "system", "hash join"],
+        "obj_norm": ["latency", "latency", "latency"],
+    }))
+    got = (alias_merge_edges(tri).to_pandas()
+           .sort_values(["subj_canon"]).reset_index(drop=True))
+    # "the system" and "system" collapse onto the min representative
+    assert got["subj_canon"].tolist() == ["hash join", "system"]
+    assert got["weight"].tolist() == [1, 2]
