@@ -68,6 +68,10 @@ def _index_edges(edges: "ray.data.Dataset", src: str, dst: str):
     object array, bounded by the broadcast-mode assumption |V| ≪ |E|);
     indexed_edges is the edge set re-expressed as int32 (s, d) columns,
     materialized once so every fixpoint iteration is pure numpy over it."""
+    # the edge table is consumed twice (node vocab, then indexing) — pin it
+    # once so a lazy upstream pipeline (e.g. the extraction kernel feeding
+    # kg_components/kg_pagerank) doesn't re-execute per consumption
+    edges = edges.materialize()
     name_rows = _nodes_of(edges, src, dst).take_all()
     names = np.array(sorted(r["node"] for r in name_rows), dtype=object)
     idx_ref = ray.put({n: i for i, n in enumerate(names)})

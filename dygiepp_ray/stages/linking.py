@@ -242,7 +242,7 @@ def alias_merge_edges(triples: "ray.data.Dataset", threshold: float = 0.5,
 
     pairs = alias_pairs(names, threshold=threshold, k=k)
     mapping = connected_components(pairs, src="id_a", dst="id_b",
-                                   mode="broadcast").materialize()
+                                   mode="auto").materialize()
 
     st = {"subj": pa.string(), "pred": pa.string(), "obj": pa.string()}
 
