@@ -163,21 +163,29 @@ class LexiconScorer:
         self.trig_label = {k.lower(): EVENT_TYPES.index(v) for k, v in event_triggers.items()}
         self.max_pattern_len = max((len(k.split()) for k in relation_patterns), default=0)
         # first-token index for the fast occurrence scan (extract_sentence_fast)
-        self.entity_index: dict[str, list[tuple[tuple[str, ...], int]]] = {}
+        # index entry: (seq_as_list, len(seq), label) — list form so the hit
+        # check compares a raw slice (tuple() per candidate profiled hot),
+        # length precomputed; only width-admissible phrases are indexed
+        self.entity_index: dict[str, list[tuple[list[str], int, int]]] = {}
         for phrase, lab in self.entity_label.items():
-            toks = tuple(phrase.split())
-            if toks:
-                self.entity_index.setdefault(toks[0], []).append((toks, lab))
+            toks = phrase.split()
+            if toks and len(toks) <= MAX_SPAN_WIDTH:
+                self.entity_index.setdefault(toks[0], []).append(
+                    (toks, len(toks), lab))
 
     def find_hits(self, tokens_lower: list[str]) -> list[tuple[int, int, int]]:
         """All lexicon-entity occurrences as (start, end, label_idx), in span
         enumeration order ((start, end) lexicographic), width ≤ MAX_SPAN_WIDTH."""
         hits = []
         n = len(tokens_lower)
+        index_get = self.entity_index.get
         for i, tok in enumerate(tokens_lower):
-            for seq, lab in self.entity_index.get(tok, ()):
-                j = i + len(seq)
-                if len(seq) <= MAX_SPAN_WIDTH and j <= n and tuple(tokens_lower[i:j]) == seq:
+            cands = index_get(tok)
+            if cands is None:
+                continue
+            for seq, L, lab in cands:
+                j = i + L
+                if j <= n and tokens_lower[i:j] == seq:
                     hits.append((i, j - 1, lab))
         hits.sort(key=lambda h: (h[0], h[1]))
         return hits
@@ -410,6 +418,14 @@ def _arg_softmax(mention: float, rlab: int) -> float:
     return v
 
 
+# hot-loop constants: _round is pure, so these equal the inline calls they
+# replace (pinned by the fast==slow equivalence test)
+_RAW_5 = round(5.0, FLOAT_ROUND_DECIMALS)
+_RAW_4 = round(4.0, FLOAT_ROUND_DECIMALS)
+_NER_SOFT_ROUNDED: dict[int, float] = {}
+_TRIG_SOFT_ROUNDED: dict[int, float] = {}
+
+
 def extract_sentence_fast(tokens: list[str], scorer: LexiconScorer):
     """Output-identical fast path of `extract_sentence` (the slow version is
     the executable spec; tests/test_kernel_decode.py asserts equivalence).
@@ -432,13 +448,17 @@ def extract_sentence_fast(tokens: list[str], scorer: LexiconScorer):
 
     pred_ner = []
     texts = []
+    ner_soft = _NER_SOFT_ROUNDED
     for (s, e, lab) in hits:
         texts.append(" ".join(lower[s : e + 1]))
+        sm = ner_soft.get(lab)
+        if sm is None:
+            sm = ner_soft[lab] = _round(_ner_softmax(lab))
         pred_ner.append(
             {
                 "start": s, "end": e, "label": NER_LABELS[lab],
-                "raw_score": _round(5.0),
-                "softmax_score": _round(_ner_softmax(lab)),
+                "raw_score": _RAW_5,
+                "softmax_score": sm,
             }
         )
     mentions = [2.0 + _jitter(t) for t in texts]
@@ -472,11 +492,13 @@ def extract_sentence_fast(tokens: list[str], scorer: LexiconScorer):
                         }
                     )
 
-    # --- events
-    trig_beam = beam_size(n, TRIGGER_BEAM_RATIO, TRIGGER_BEAM_MIN, TRIGGER_BEAM_MAX)
+    # --- events (beam_size inlined — 2 calls per sentence profiled hot;
+    # floor == int() for non-negative ratios, same clamps)
+    trig_beam = min(TRIGGER_BEAM_MAX, max(TRIGGER_BEAM_MIN,
+                                          int(TRIGGER_BEAM_RATIO * n)))
     triggers = [(i, scorer.trig_label[t]) for i, t in enumerate(lower) if t in scorer.trig_label]
     triggers = triggers[:trig_beam]  # all trigger scores tie at 4.0 → lowest indexes win
-    arg_beam = beam_size(n, ARG_BEAM_RATIO, ARG_BEAM_MIN, ARG_BEAM_MAX)
+    arg_beam = min(ARG_BEAM_MAX, max(ARG_BEAM_MIN, int(ARG_BEAM_RATIO * n)))
     arg_hits = top_hits(arg_beam)
     pred_events = []
     for trig_ix, lab in triggers:
@@ -498,12 +520,15 @@ def extract_sentence_fast(tokens: list[str], scorer: LexiconScorer):
                     "softmax_score": _round(_arg_softmax(mentions[hi], rlab)),
                 }
             )
+        tsm = _TRIG_SOFT_ROUNDED.get(lab)
+        if tsm is None:
+            tsm = _TRIG_SOFT_ROUNDED[lab] = _round(_trig_softmax(lab))
         pred_events.append(
             {
                 "trigger_tok": int(trig_ix),
                 "event_type": EVENT_TYPES[lab],
-                "trig_raw_score": _round(4.0),
-                "trig_softmax_score": _round(_trig_softmax(lab)),
+                "trig_raw_score": _RAW_4,
+                "trig_softmax_score": tsm,
                 "args": args,
             }
         )
