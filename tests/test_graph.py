@@ -118,3 +118,22 @@ def test_khop_subgraph_min_hop():
     assert got[["src", "dst"]].values.tolist() == [
         ["a", "b"], ["a", "c"], ["b", "c"], ["c", "d"]]
     assert got["hop"].tolist() == [1, 1, 2, 2]
+
+
+def test_khop_subgraph_int_nodes_and_multi_seed():
+    """Integer node ids flow through the semi-joins; multiple seeds union
+    their frontiers; hop horizon respected."""
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.stages.graph import khop_subgraph
+
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "src": [1, 2, 3, 4, 10],
+        "dst": [2, 3, 4, 5, 11],
+    }))
+    seeds = ray.data.from_pandas(pd.DataFrame({"src": [1, 10]}))
+    got = (khop_subgraph(edges, seeds, hops=2).to_pandas()
+           .sort_values(["src", "dst"]).reset_index(drop=True))
+    assert got[["src", "dst", "hop"]].values.tolist() == [
+        [1, 2, 1], [2, 3, 2], [10, 11, 1]]
