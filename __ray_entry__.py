@@ -1650,6 +1650,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_alias_merge"] = q_kg_alias_merge
 
+    def q_kg_edge_provenance(sf_dir: str):
+        # provenance rollup per KB edge (SURVEY §7 graph-materialize shape:
+        # (subj,pred,obj,...,provenance)): distinct supporting docs per
+        # edge + the smallest doc id as the sample citation. Two shrinking
+        # partial+final aggregations — the first dedups (edge, doc) pairs
+        # per block before its shuffle, the second runs over one row per
+        # (edge, doc).
+        _ensure_triples_oracle(sf_dir)
+        tri = _synth_triples(sf_dir).select_columns(
+            ["subj_norm", "pred", "obj_norm", "doc_id"])
+        edge_doc = grouped_count(
+            tri, ["subj_norm", "pred", "obj_norm", "doc_id"], out_name="_n"
+        ).select_columns(["subj_norm", "pred", "obj_norm", "doc_id"])
+        from dygiepp_ray.aggregates import partial_final_agg
+
+        return partial_final_agg(
+            edge_doc, ["subj_norm", "pred", "obj_norm"],
+            [("n_docs", None, "count"), ("first_doc", "doc_id", "min")])
+
+    q["kg_edge_provenance"] = q_kg_edge_provenance
+
+    def q_kg_store_lookup(sf_dir: str):
+        # subject-hash-partitioned triple store (serving-side layout) +
+        # point lookup that reads ONLY the probed partitions; store cached
+        # per corpus fingerprint (stale-store guard, ADVICE r2 pattern)
+        import os as _os
+
+        from dygiepp_ray.pipelines.kg import materialize_by_subject, subject_lookup
+
+        _ensure_triples_oracle(sf_dir)
+        corpus = _synth_corpus_dir(sf_dir)
+        sts = [_os.stat(_os.path.join(corpus, f))
+               for f in sorted(_os.listdir(corpus))
+               if f.endswith(".parquet")]
+        fp = f"{sum(s.st_mtime_ns for s in sts):x}-{sum(s.st_size for s in sts):x}"
+        store = f"/tmp/dygiepp_ray_kgstore/{_sf_tag(sf_dir)}-{fp}"
+        marker = _os.path.join(store, "_done")
+        if not _os.path.exists(marker):
+            materialize_by_subject(_synth_triples(sf_dir), store)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        hits = subject_lookup(store, ["hash join", "merge sort", "zzz-missing"])
+        return grouped_count(hits, ["subj_norm", "pred", "obj_norm"],
+                             out_name="n")
+
+    q["kg_store_lookup"] = q_kg_store_lookup
+
     def q_collate_stats(sf_dir: str):
         # P5 collate over the documents-as-docs table: sentence conservation
         from dygiepp_ray.stages.collate import collate
@@ -3040,6 +3087,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_alias_merge": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_alias_merge.parquet')
+        """,
+        "kg_edge_provenance": """
+            SELECT subj_norm, pred, obj_norm,
+                   count(DISTINCT doc_id) AS n_docs,
+                   min(doc_id) AS first_doc
+            FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            GROUP BY subj_norm, pred, obj_norm
+        """,
+        "kg_store_lookup": """
+            SELECT subj_norm, pred, obj_norm, count(*) AS n
+            FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            WHERE subj_norm IN ('hash join', 'merge sort')
+            GROUP BY subj_norm, pred, obj_norm
         """,
         "kg_components": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_components.parquet')

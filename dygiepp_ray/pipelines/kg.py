@@ -446,3 +446,62 @@ def pair_pmi(triples: "ray.data.Dataset", scale: int = 1000,
                     "n_subj": i_t},
         right_types={"obj_norm": s_t, "n_obj": i_t},
         bucket_post=add_pmi)
+
+
+# ------------------------------------------------- subject-partitioned store
+
+
+def materialize_by_subject(triples: "ray.data.Dataset", out_dir: str,
+                           n_buckets: int = 64) -> str:
+    """Serving-side triple store: `out_dir/sbucket=<b>/*.parquet`
+    partitioned by hash(subj_norm) (SURVEY §7.1's output partitioning —
+    the lineage-bucketed layout `build_kg` writes is keyed on INPUT shards
+    for resume; this one is keyed on the subject so entity point-lookups
+    touch one partition instead of scanning the store)."""
+    from ..stages.invindex import _bucket_series
+
+    def stamp(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        df["sbucket"] = _bucket_series(df["subj_norm"], n_buckets)
+        return df
+
+    triples.map_batches(stamp, batch_format="pandas").write_parquet(
+        out_dir, partition_cols=["sbucket"])
+    return out_dir
+
+
+def subject_probe_files(store_dir: str, subjects: list[str],
+                        n_buckets: int = 64) -> list[str]:
+    """Parquet files of ONLY the partitions the probe subjects hash into."""
+    import glob as _glob
+    import os as _os
+
+    from ..stages.invindex import token_bucket
+
+    probe = sorted({token_bucket(s, n_buckets) for s in subjects})
+    return [f for b in probe
+            for f in sorted(_glob.glob(_os.path.join(
+                store_dir, f"sbucket={b}", "*.parquet")))]
+
+
+def subject_lookup(store_dir: str, subjects: list[str],
+                   n_buckets: int = 64,
+                   columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Triples whose subj_norm is in `subjects`, reading only the hashed
+    partitions (`subject_probe_files`) — the KG twin of
+    `invindex.term_lookup`."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    cols = columns or ["subj_norm", "pred", "obj_norm"]
+    files = subject_probe_files(store_dir, subjects, n_buckets)
+    if not files:
+        return ray.data.from_pandas(
+            pd.DataFrame({c: pd.Series([], dtype=object) for c in cols}))
+    subj_set = pa.array(sorted(set(subjects)))
+    return ray.data.read_parquet(files, columns=cols).map_batches(
+        lambda t: t.filter(pc.is_in(t["subj_norm"], value_set=subj_set)),
+        batch_format="pyarrow")

@@ -153,3 +153,37 @@ def test_build_resume_and_manifests(corpus_dir):
         for f in glob.glob(os.path.join(OUT_DIR, "bucket=*", "*.parquet"))
     )
     assert total_before == total_after  # stale partials were cleaned, no dupes
+
+
+def test_subject_store_selective_lookup(tmp_path):
+    """The subject-partitioned store answers point lookups by reading ONLY
+    the partitions the probe subjects hash into."""
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.pipelines.kg import (
+        materialize_by_subject,
+        subject_lookup,
+        subject_probe_files,
+    )
+    from dygiepp_ray.stages.invindex import token_bucket
+
+    tri = ray.data.from_pandas(pd.DataFrame({
+        "subj_norm": ["hash join", "merge sort", "bloom filter", "hash join"],
+        "pred": ["USED-FOR", "PART-OF", "USED-FOR", "HYPONYM-OF"],
+        "obj_norm": ["latency", "sorting", "scan", "join"],
+    }))
+    store = str(tmp_path / "kgstore")
+    materialize_by_subject(tri, store, n_buckets=8)
+
+    files = subject_probe_files(store, ["hash join"], n_buckets=8)
+    b = token_bucket("hash join", 8)
+    assert files and all(f"sbucket={b}" in f for f in files)
+
+    got = (subject_lookup(store, ["hash join"], n_buckets=8).to_pandas()
+           .sort_values(["pred"]).reset_index(drop=True))
+    assert got["pred"].tolist() == ["HYPONYM-OF", "USED-FOR"]
+    assert set(got["subj_norm"]) == {"hash join"}
+
+    # missing subject -> empty, no partitions beyond its own probed
+    assert subject_lookup(store, ["zzz"], n_buckets=8).count() == 0
