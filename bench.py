@@ -135,16 +135,20 @@ def _scaling_worker(num_cpus: int) -> None:
     # actor pool exactly = cpu count so BOTH levels get proportional kernel
     # parallelism (a fixed -2 reserve would handicap the small level: 4 cpus
     # → 2 actors is 50% of the level, 32 → 30 is 94%). Each actor reserves
-    # 0.85 cpu: N full-cpu actors would hold every scheduler slot and starve
-    # the read tasks (fixed-pool deadlock); the 0.15·N slack admits reads at
-    # a rate proportional to the level.
+    # a fractional cpu: N full-cpu actors would hold every scheduler slot
+    # and starve the read tasks (fixed-pool deadlock); the slack admits
+    # reads at a rate proportional to the level. At 2 cpus the standard
+    # 0.85 share leaves 0.3 slack < the anc/2 read task — drop to 0.75 so
+    # the 2-actor level can schedule reads at all.
+    anc = 0.75 if num_cpus <= 2 else 0.85
     conc = (num_cpus, num_cpus)
     # warmup: spin up the worker/actor pool on a slice so the timed runs
     # measure steady-state throughput, not process startup; report best-of-2
-    # to shave scheduler jitter
-    kg_triples(corpus, concurrency=conc, batch_size=256, actor_num_cpus=0.85).limit(1).count()
+    # to shave scheduler jitter. batch_size 1024: per-batch actor overhead
+    # measured ~9% of wall at 256 on the 2.3M corpus.
+    kg_triples(corpus, concurrency=conc, batch_size=1024, actor_num_cpus=anc).limit(1).count()
     t0 = time.time()
-    n = kg_triples(corpus, concurrency=conc, batch_size=256, actor_num_cpus=0.85).count()
+    n = kg_triples(corpus, concurrency=conc, batch_size=1024, actor_num_cpus=anc).count()
     dt = time.time() - t0
     print(json.dumps({"num_cpus": num_cpus, "sec": dt, "triples": n}))
     import ray
@@ -196,10 +200,10 @@ def run_scaling() -> dict:
     # configuration on this shared VM (ceiling analysis in BASELINE.md).
     lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALE_LEVELS", "4,16").split(","))
     assert hi == 4 * lo, "scaling criterion compares N vs 4N parallelism"
-    # lo >= 4: with lo=2 the fractional-pool arithmetic breaks (2 actors x
-    # 0.85 cpu leave 0.3 < the 0.425-cpu read task, so reads can barely
-    # schedule) — the low level would be unfairly slow and inflate the ratio
-    assert lo >= 4, "minimum low level is 4 cpus (read-slot arithmetic)"
+    # lo >= 2: below that a single actor cannot overlap with reads at all.
+    # (At lo=2 the worker drops the per-actor cpu share to 0.75 so the
+    # 2-actor level can schedule its read tasks — see _scaling_worker.)
+    assert lo >= 2, "minimum low level is 2 cpus"
     _scaling_corpus()  # generate once in the parent, outside any timed window
     results: dict[int, dict] = {}
     for cpus in (lo, hi, lo, hi):
