@@ -137,3 +137,25 @@ def test_khop_subgraph_int_nodes_and_multi_seed():
            .sort_values(["src", "dst"]).reset_index(drop=True))
     assert got[["src", "dst", "hop"]].values.tolist() == [
         [1, 2, 1], [2, 3, 2], [10, 11, 1]]
+
+
+def test_khop_subgraph_partitioning_invariant():
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.stages.graph import khop_subgraph
+
+    edges = pd.DataFrame({
+        "src": ["a", "a", "b", "c", "d", "e", "f", "g"],
+        "dst": ["b", "c", "c", "d", "e", "f", "g", "h"],
+    })
+    seeds = ray.data.from_pandas(pd.DataFrame({"src": ["a"]}))
+
+    def run(ds):
+        return (khop_subgraph(ds, seeds, hops=3).to_pandas()
+                .sort_values(["src", "dst"]).reset_index(drop=True))
+
+    a = run(ray.data.from_pandas(edges))
+    b = run(ray.data.from_pandas(edges).repartition(5))
+    pd.testing.assert_frame_equal(a, b)
+    assert a["hop"].max() == 3

@@ -82,3 +82,26 @@ def test_alias_merge_rekeys_edges():
     # "the system" and "system" collapse onto the min representative
     assert got["subj_canon"].tolist() == ["hash join", "system"]
     assert got["weight"].tolist() == [1, 2]
+
+
+def test_alias_pairs_partitioning_invariant():
+    """Same name vocabulary in 1 block vs many blocks → identical pairs
+    (the LSH banding and bucket shuffle must not depend on block layout)."""
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.stages.linking import alias_pairs
+
+    names = ["system", "the system", "approach", "this approach",
+             "hash join", "hash joins", "latency", "low latency",
+             "merge sort", "sort merge join", "bloom filter", "scan time"]
+    df = pd.DataFrame({"name": names})
+
+    def run(ds):
+        return (alias_pairs(ds, threshold=0.5).to_pandas()
+                .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+    a = run(ray.data.from_pandas(df))
+    b = run(ray.data.from_pandas(df).repartition(7))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) >= 2
