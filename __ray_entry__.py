@@ -1697,6 +1697,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_store_lookup"] = q_kg_store_lookup
 
+    def q_kg_diff(sf_dir: str):
+        # KG-maintenance diff between two builds (full-lexicon old vs
+        # reduced-lexicon new): removed / changed / added edges with both
+        # weights; zero-padded union + one grouped sum IS the full-outer
+        # join on the edge key — no driver sets, unchanged edges dropped
+        from dygiepp_ray.pipelines.kg import edge_diff
+
+        _ensure_triples_oracle(sf_dir)
+        _write_oracle(sf_dir, "kg_triples_reduced",
+                      lambda: _oracle_triples_table(sf_dir, reduced=True))
+        return edge_diff(_synth_triples(sf_dir), _reduced_triples(sf_dir))
+
+    q["kg_diff"] = q_kg_diff
+
     def q_collate_stats(sf_dir: str):
         # P5 collate over the documents-as-docs table: sentence conservation
         from dygiepp_ray.stages.collate import collate
@@ -2231,7 +2245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pair_pmi", "kg_mention_counts", "kg_entity_links",
         "kg_graph_edges", "kg_graph_nodes", "kg_closure", "kg_components",
         "kg_pagerank", "kg_khop_subgraph", "kg_alias_merge",
-        "kg_edge_provenance", "kg_store_lookup",
+        "kg_edge_provenance", "kg_store_lookup", "kg_diff",
         "kg_eval_prf", "kg_p_at_k", "kg_event_f1",
         "kg_eval_sweep", "kg_build_resume",
         # coref + collate + converters + baselines
@@ -2249,7 +2263,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # curation hot spots (rest of the curation suite sits just past the
         # window; the judge's full checker run covers it)
         "curation_funnel", "decontaminate_docs", "ngram_lm_score",
-        "tfidf_top_terms",
     ]
     assert len(flagship) == 50, len(flagship)
     missing = [n for n in flagship if n not in q]
@@ -3104,6 +3117,25 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
             WHERE subj_norm IN ('hash join', 'merge sort')
             GROUP BY subj_norm, pred, obj_norm
+        """,
+        "kg_diff": """
+            WITH o AS (
+                SELECT subj_norm, pred, obj_norm, count(*) AS w_o
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+                GROUP BY 1, 2, 3
+            ), n AS (
+                SELECT subj_norm, pred, obj_norm, count(*) AS w_n
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples_reduced.parquet')
+                GROUP BY 1, 2, 3
+            )
+            SELECT subj_norm, pred, obj_norm,
+                   CAST(coalesce(w_o, 0) AS BIGINT) AS w_old,
+                   CAST(coalesce(w_n, 0) AS BIGINT) AS w_new,
+                   CASE WHEN w_o IS NULL THEN 'added'
+                        WHEN w_n IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM o FULL JOIN n USING (subj_norm, pred, obj_norm)
+            WHERE coalesce(w_o, 0) != coalesce(w_n, 0)
         """,
         "kg_components": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_components.parquet')

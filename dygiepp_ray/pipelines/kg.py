@@ -505,3 +505,53 @@ def subject_lookup(store_dir: str, subjects: list[str],
     return ray.data.read_parquet(files, columns=cols).map_batches(
         lambda t: t.filter(pc.is_in(t["subj_norm"], value_set=subj_set)),
         batch_format="pyarrow")
+
+
+def edge_diff(old: "ray.data.Dataset", new: "ray.data.Dataset",
+              keys: tuple = ("subj_norm", "pred", "obj_norm")
+              ) -> "ray.data.Dataset":
+    """KG-maintenance diff between two builds: per edge key, weights in the
+    old and new graph plus a status (`removed` — only in old, `added` —
+    only in new, `changed` — weight moved); `unchanged` edges are dropped
+    (the diff IS the product — at web scale almost everything is
+    unchanged, so emitting it would make the diff as big as the graph).
+
+    Shape: a partial+final grouped count per side (each shuffle moves ≤
+    one row per (edge, block)), zero-padded union, ONE combining grouped
+    sum, then a vectorized status filter — no driver materialization, no
+    join (the union+sum IS the full-outer join on the edge key)."""
+    import numpy as np
+
+    from ..aggregates import grouped_count, partial_final_agg, strip_schema_metadata
+
+    ks = list(keys)
+
+    def pad(w_self: str, w_other: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = strip_schema_metadata(t)
+            zero = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+            t = t.append_column(w_other, zero)
+            return t.select(ks + ["w_old", "w_new"])
+
+        return fn
+
+    wo = grouped_count(old.select_columns(ks), ks, out_name="w_old"
+                       ).map_batches(pad("w_old", "w_new"),
+                                     batch_format="pyarrow")
+    wn = grouped_count(new.select_columns(ks), ks, out_name="w_new"
+                       ).map_batches(pad("w_new", "w_old"),
+                                     batch_format="pyarrow")
+    both = partial_final_agg(wo.union(wn), ks,
+                             [("w_old", "w_old", "sum"),
+                              ("w_new", "w_new", "sum")])
+
+    def status(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        o = t.column("w_old").to_numpy(zero_copy_only=False)
+        n = t.column("w_new").to_numpy(zero_copy_only=False)
+        st = np.select([o == 0, n == 0], ["added", "removed"], "changed")
+        keep = o != n
+        return t.append_column(
+            "status", pa.array(st, pa.string())).filter(pa.array(keep))
+
+    return both.map_batches(status, batch_format="pyarrow")

@@ -187,3 +187,27 @@ def test_subject_store_selective_lookup(tmp_path):
 
     # missing subject -> empty, no partitions beyond its own probed
     assert subject_lookup(store, ["zzz"], n_buckets=8).count() == 0
+
+
+def test_edge_diff_statuses():
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.pipelines.kg import edge_diff
+
+    old = ray.data.from_pandas(pd.DataFrame({
+        "subj_norm": ["a", "a", "b", "c"],
+        "pred": ["P", "P", "P", "P"],
+        "obj_norm": ["x", "x", "y", "z"],
+    }))
+    new = ray.data.from_pandas(pd.DataFrame({
+        "subj_norm": ["a", "b", "d"],
+        "pred": ["P", "P", "P"],
+        "obj_norm": ["x", "y", "q"],
+    }))
+    got = (edge_diff(old, new).to_pandas()
+           .sort_values(["subj_norm"]).reset_index(drop=True))
+    # a-P-x: 2 -> 1 changed; b-P-y: 1 -> 1 unchanged (dropped);
+    # c-P-z: removed; d-P-q: added
+    assert got[["subj_norm", "w_old", "w_new", "status"]].values.tolist() == [
+        ["a", 2, 1, "changed"], ["c", 1, 0, "removed"], ["d", 0, 1, "added"]]
