@@ -116,11 +116,19 @@ class ExtractToTriples:
         # structures through pyarrow twice per hop, which profiled at ~45% of
         # the stage's wall time. Semantics identical to
         # stamp_sha256 → corpus_to_documents → split_long_documents →
-        # kernel.decode_document → FlattenTriples.rows_for_doc.
-        from ..functions.strings import sentence_split, sha256_hex, tokenize, word_normalize
+        # kernel decode → FlattenTriples rows (pinned by
+        # tests/test_kernel_decode.py::test_fused_triples_path_equivalence).
+        # Canonical coref mode takes the tuple-based decode
+        # (decode_triples_document / rows_for_doc_flat) — no per-hit dicts,
+        # no event decode, cutting the Python-object churn that made the
+        # 16-actor level DRAM-bound (BASELINE.md round-3 actor scan);
+        # antecedent mode falls back to the dict path (its clusters differ).
+        from ..functions.strings import sentence_split, sha256_hex, tokenize
         from ..schema import MAX_TOKENS_PER_DOC
         from ..stages.prep import extract_text, split_document
 
+        fast = self.kernel.coref_mode == "canonical"
+        word_norm = {"/.": ".", "/?": "?"}.get  # word_normalize, inlined
         out = self.flatten.empty_out()
         has_bucket = "bucket" in batch.column_names
         buckets = batch.column("bucket").to_pylist() if has_bucket else None
@@ -131,10 +139,10 @@ class ExtractToTriples:
         )):
             sha = sha256_hex(content)
             text = extract_text(content, lang)
-            sents = [[word_normalize(t) for t in tokenize(s)]
-                     for s in sentence_split(text)]
-            sents = [s for s in sents if s]
-            if not sents or any(t == "" for s in sents for t in s):
+            sents = [[word_norm(t, t) for t in toks]
+                     for s in sentence_split(text)
+                     if (toks := tokenize(s))]
+            if not sents or any("" in s for s in sents):  # P15 drop
                 continue
             key = f"{repo}:{path}@{commit[:8]}"
             total = sum(len(s) for s in sents)
@@ -142,10 +150,17 @@ class ExtractToTriples:
                      else split_document(key, sents))
             bucket = buckets[i] if buckets is not None else None
             for child_key, chunk in parts:
-                _ner, doc_rel, _evt, clusters, _failed = \
-                    self.kernel.decode_document(chunk)
-                self.flatten.rows_for_doc(out, child_key, chunk, doc_rel,
-                                          clusters, sha, bucket)
+                if fast:
+                    rel_rows, clusters, _failed = \
+                        self.kernel.decode_triples_document(chunk)
+                    self.flatten.rows_for_doc_flat(out, child_key, chunk,
+                                                   rel_rows, clusters, sha,
+                                                   bucket)
+                else:
+                    _ner, doc_rel, _evt, clusters, _failed = \
+                        self.kernel.decode_document(chunk)
+                    self.flatten.rows_for_doc(out, child_key, chunk, doc_rel,
+                                              clusters, sha, bucket)
         return self.flatten.to_table(out, has_bucket)
 
 

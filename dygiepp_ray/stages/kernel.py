@@ -172,6 +172,10 @@ class LexiconScorer:
             if toks and len(toks) <= MAX_SPAN_WIDTH:
                 self.entity_index.setdefault(toks[0], []).append(
                     (toks, len(toks), lab))
+        # candidates sorted by phrase length: hits then come out of the scan
+        # already (start, end)-lexicographic, so find_hits skips its sort
+        for cands in self.entity_index.values():
+            cands.sort(key=lambda c: c[1])
 
     def find_hits(self, tokens_lower: list[str]) -> list[tuple[int, int, int]]:
         """All lexicon-entity occurrences as (start, end, label_idx), in span
@@ -187,7 +191,9 @@ class LexiconScorer:
                 j = i + L
                 if j <= n and tokens_lower[i:j] == seq:
                     hits.append((i, j - 1, lab))
-        hits.sort(key=lambda h: (h[0], h[1]))
+        # already (start, end)-sorted: starts scan ascending, candidate lists
+        # are length-ascending, and duplicate (start, end) pairs are
+        # impossible (one phrase per span text)
         return hits
 
     def span_logits(self, tokens_lower: list[str], spans: list[tuple[int, int]]):
@@ -909,6 +915,67 @@ class ExtractionKernel:
         except Exception:  # noqa: BLE001 — per-row containment is the point
             empty = [[] for _ in sentences]
             return empty, [[] for _ in sentences], [[] for _ in sentences], [], True
+
+    def decode_triples_document(self, sentences: list[list[str]]):
+        """Bandwidth-lean decode for the fused triples path (canonical coref
+        mode only — `ExtractToTriples` falls back to `decode_document` for
+        antecedent mode). Returns `(rel_rows, clusters, failed)` with
+
+            rel_rows = [(sent_ix, s1, e1, s2, e2, label_ix, conf), ...]
+            clusters = [[(doc_start, doc_end), ...], ...]
+
+        Output-equivalent to `decode_document` + the parts of it
+        `FlattenTriples.rows_for_doc` reads (pinned by
+        tests/test_kernel_decode.py): the triple table never reads NER rows
+        or events, so neither the per-hit dicts nor the event decode are
+        built — that Python-object churn was the measured DRAM ceiling at
+        16 actors (BASELINE.md round-3 actor scan). Row order matches the
+        dict path exactly (sentence-major, ai-outer/bi-inner)."""
+        scorer = self.scorer
+        rel_get = scorer.rel_label.get
+        maxpat = scorer.max_pattern_len
+        canon = self._canon
+        rel_rows: list[tuple] = []
+        span_registry: dict[str, list[tuple[int, int]]] = {}
+        offset = 0
+        try:
+            for sent_ix, sent in enumerate(sentences):
+                n = len(sent)
+                lower = [t.lower() for t in sent]
+                hits = scorer.find_hits(lower)
+                if hits:
+                    texts = [" ".join(lower[s : e + 1]) for (s, e, _lab) in hits]
+                    for (s, e, _lab), t in zip(hits, texts):
+                        key = canon(t)
+                        if key:
+                            span_registry.setdefault(key, []).append(
+                                (offset + s, offset + e))
+                    mentions = [2.0 + _jitter(t) for t in texts]
+                    k = max(1, math.ceil(RELATION_SPANS_PER_WORD * n))
+                    if len(hits) <= k:
+                        kept: list[int] = list(range(len(hits)))
+                    else:
+                        kept = sorted(sorted(
+                            range(len(hits)),
+                            key=lambda i: (-mentions[i], i))[:k])
+                    for ai in kept:
+                        s1, e1, _ = hits[ai]
+                        for bi in kept:
+                            if ai == bi:
+                                continue
+                            s2, e2, _ = hits[bi]
+                            if e1 < s2 and (s2 - e1 - 1) <= maxpat:
+                                lab = rel_get(" ".join(lower[e1 + 1 : s2]))
+                                if lab is not None:
+                                    m12 = mentions[ai] + mentions[bi]
+                                    rel_rows.append((
+                                        sent_ix, s1, e1, s2, e2, lab,
+                                        _round(_rel_softmax(m12, lab))))
+                offset += n
+            clusters = [v for v in span_registry.values() if len(v) >= 2]
+            return rel_rows, clusters, False
+        except Exception:  # noqa: BLE001 — per-row containment (SURVEY §4)
+            return [], [], True
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sentences_col = batch.column("sentences").to_pylist()

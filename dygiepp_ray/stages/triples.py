@@ -90,6 +90,63 @@ class FlattenTriples:
                 out["content_sha256"].append(sha)
                 out["bucket"].append(bucket)
 
+    def rows_for_doc_flat(self, out: dict, doc_key: str,
+                          sentences: list[list[str]], rel_rows: list[tuple],
+                          clusters: list[list[tuple[int, int]]], sha: str,
+                          bucket=None) -> None:
+        """Tuple-based twin of `rows_for_doc` for the bandwidth-lean fused
+        path: consumes `ExtractionKernel.decode_triples_document` output
+        (`rel_rows` = (sent_ix, s1, e1, s2, e2, label_ix, conf) tuples,
+        `clusters` = (start, end) tuple lists) instead of per-hit dicts.
+        Emits byte-identical rows in identical order (pinned by
+        tests/test_kernel_decode.py::test_fused_triples_path_equivalence)."""
+        from ..schema import RELATION_LABELS
+
+        rep_of: dict[str, str] = {}
+        if self.use_coref and clusters:
+            flat = [t for s in sentences for t in s]
+            for cluster in clusters:
+                if not cluster:
+                    continue
+                s0, e0 = cluster[0]
+                rep = " ".join(flat[s0 : e0 + 1])
+                for (ms, me) in cluster[1:]:
+                    mention = " ".join(flat[ms : me + 1])
+                    if contains_reference(mention):
+                        rep_of[mention] = rep
+        label_map = self.label_map
+        rep_get = rep_of.get
+        canon = self._canon
+        o_doc, o_sent = out["doc_id"], out["sentence"]
+        o_subj, o_obj, o_pred = out["subj"], out["obj"], out["pred"]
+        o_sn, o_on = out["subj_norm"], out["obj_norm"]
+        o_conf, o_sha, o_bkt = out["conf"], out["content_sha256"], out["bucket"]
+        last_ix, sent_text, sent_toks = -1, "", []
+        for (sent_ix, s1, e1, s2, e2, lab_ix, conf) in rel_rows:
+            label = RELATION_LABELS[lab_ix]
+            if label_map is not None:
+                label = label_map.get(label)
+                if label is None:
+                    continue
+            if sent_ix != last_ix:
+                sent_toks = sentences[sent_ix]
+                sent_text = " ".join(sent_toks)
+                last_ix = sent_ix
+            subj = " ".join(sent_toks[s1 : e1 + 1])
+            obj = " ".join(sent_toks[s2 : e2 + 1])
+            subj = rep_get(subj, subj)
+            obj = rep_get(obj, obj)
+            o_doc.append(doc_key)
+            o_sent.append(sent_text)
+            o_subj.append(subj)
+            o_obj.append(obj)
+            o_pred.append(label)
+            o_sn.append(canon(subj))
+            o_on.append(canon(obj))
+            o_conf.append(conf)
+            o_sha.append(sha)
+            o_bkt.append(bucket)
+
     @staticmethod
     def empty_out() -> dict:
         out = {name: [] for name in TRIPLE_SCHEMA.names}

@@ -163,3 +163,60 @@ def test_scores_rounded_4_decimals():
         assert m["softmax_score"] == round(m["softmax_score"], 4)
     for r in rels:
         assert r["softmax_score"] == round(r["softmax_score"], 4)
+
+
+def test_fused_triples_path_equivalence():
+    """The bandwidth-lean fused decode (decode_triples_document +
+    rows_for_doc_flat) must emit byte-identical triple tables, in identical
+    row order, to the dict path (decode_document + rows_for_doc) — across
+    coref substitution, label_map projection, and failure containment."""
+    import random
+
+    import pyarrow as pa
+
+    from dygiepp_ray.stages.kernel import ExtractionKernel
+    from dygiepp_ray.stages.triples import FlattenTriples
+
+    lex = {"hash join": "Method", "bloom filter": "Method",
+           "latency": "Metric", "it": "Method", "this method": "Method"}
+    pats = {"is used for": "USED-FOR", "is part of": "PART-OF"}
+    trig = {"shipped": "movement_transport"}
+    kernel = ExtractionKernel(entity_lexicon=lex, relation_patterns=pats,
+                              event_triggers=trig)
+    rng = random.Random(23)
+    vocab = ["hash", "join", "bloom", "filter", "latency", "is", "used",
+             "for", "part", "of", "it", "this", "method", "shipped", "."]
+    docs = [
+        [  # multi-sentence with a referring mention → coref substitution
+            "hash join is used for bloom filter .".split(),
+            "it is part of latency .".split(),
+        ],
+        [["latency"] * 40],
+        [[]],
+    ] + [[[rng.choice(vocab) for _ in range(rng.randint(1, 25))]
+          for _ in range(rng.randint(1, 6))] for _ in range(40)]
+
+    for label_map in (None, {"USED-FOR": "MECHANISM"}):
+        for use_coref in (True, False):
+            fl_a = FlattenTriples(label_map=label_map,
+                                  use_coref_substitution=use_coref)
+            fl_b = FlattenTriples(label_map=label_map,
+                                  use_coref_substitution=use_coref)
+            out_a, out_b = fl_a.empty_out(), fl_b.empty_out()
+            for d_ix, sentences in enumerate(docs):
+                key = f"doc{d_ix}"
+                rel_rows, tclusters, failed_a = \
+                    kernel.decode_triples_document(sentences)
+                _ner, doc_rel, _evt, dclusters, failed_b = \
+                    kernel.decode_document(sentences)
+                assert failed_a == failed_b
+                assert tclusters == [[(m["start"], m["end"]) for m in c]
+                                     for c in dclusters]
+                fl_a.rows_for_doc_flat(out_a, key, sentences, rel_rows,
+                                       tclusters, "sha", 3)
+                fl_b.rows_for_doc(out_b, key, sentences, doc_rel,
+                                  dclusters, "sha", 3)
+            ta = FlattenTriples.to_table(out_a, True)
+            tb = FlattenTriples.to_table(out_b, True)
+            assert ta.equals(tb), (label_map, use_coref)
+            assert ta.num_rows > 0
