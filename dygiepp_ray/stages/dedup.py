@@ -290,6 +290,7 @@ def minhash_lsh_pairs(docs: "ray.data.Dataset", n_perm: int = 64, n_bands: int =
     def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # singleton band keys (the vast majority) can't form a pair — drop
         # them vectorized BEFORE the per-group Python loop.
+        id_dtype = df[id_col].dtype  # empty frames keep the caller's id type
         df = df[df["band_key"].duplicated(keep=False)]
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
@@ -297,19 +298,30 @@ def minhash_lsh_pairs(docs: "ray.data.Dataset", n_perm: int = 64, n_bands: int =
         for _key, group in df.groupby("band_key", sort=False):
             ids = group[id_col].to_numpy()
             sig_m = np.asarray([np.asarray(s) for s in group["minhash"]])
-            eq = (sig_m[:, None, :] == sig_m[None, :, :]).mean(axis=2)
-            iu, ju = np.triu_indices(len(ids), k=1)
-            e = eq[iu, ju]
-            ok = (e >= jaccard_threshold) & (ids[iu] != ids[ju])
-            if not ok.any():
-                continue
-            ia, jb = ids[iu[ok]], ids[ju[ok]]
-            out_a.append(np.minimum(ia, jb))
-            out_b.append(np.maximum(ia, jb))
-            out_e.append(np.round(e[ok], 6))
+            n = len(ids)
+            # chunked pairwise compare: a dense (n, n, n_perm) tensor on a
+            # large collision group (boilerplate near-identical docs sharing
+            # a band — common at web scale) is O(n²·P) bytes in one task
+            # (n=10k, P=64 → ~6 GB). Compare CHUNK rows against the matrix
+            # instead: O(chunk·n·P), bounded ~32 MB regardless of n.
+            chunk = max(1, (32 << 20) // max(1, n * sig_m.shape[1]))
+            col_ids = ids[None, :]
+            cols = np.arange(n)[None, :]
+            for lo in range(0, n - 1, chunk):
+                hi = min(lo + chunk, n)
+                eq = (sig_m[lo:hi, None, :] == sig_m[None, :, :]).mean(axis=2)
+                rows_g = np.arange(lo, hi)[:, None]
+                ok = ((cols > rows_g) & (eq >= jaccard_threshold)
+                      & (col_ids != ids[lo:hi, None]))
+                ri, cj = np.nonzero(ok)
+                if ri.size:
+                    ia, jb = ids[lo + ri], ids[cj]
+                    out_a.append(np.minimum(ia, jb))
+                    out_b.append(np.maximum(ia, jb))
+                    out_e.append(np.round(eq[ri, cj], 6))
         if not out_a:
-            return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
-                                 "id_b": pd.array([], dtype="int64"),
+            return pd.DataFrame({"id_a": pd.Series([], dtype=id_dtype),
+                                 "id_b": pd.Series([], dtype=id_dtype),
                                  "est_jaccard": pd.array([], dtype="float64")})
         return pd.DataFrame({"id_a": np.concatenate(out_a),
                              "id_b": np.concatenate(out_b),
@@ -435,15 +447,25 @@ def simhash_near_dups(docs: "ray.data.Dataset", n_blocks: int = 4,
             n = len(group)
             ids = group[id_col].to_numpy(dtype=np.int64)
             hs = group["simhash"].to_numpy(dtype=np.uint64)
-            iu, ju = np.triu_indices(n, k=1)
-            d = _popcount_u64(hs[iu] ^ hs[ju])
-            ok = (d <= max_hamming) & (ids[iu] != ids[ju])
-            if not ok.any():
-                continue
-            ia, ib = ids[iu[ok]], ids[ju[ok]]
-            parts.append(pd.DataFrame({
-                "id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib),
-                "hamming": d[ok].astype("int64")}))
+            # chunked row-block × all-columns compare (same bound as the
+            # minhash verify): full triu index arrays on a huge collision
+            # group are O(n²) ints in one task
+            chunk = max(1, (32 << 20) // max(1, n * 8))
+            cols = np.arange(n)[None, :]
+            col_ids = ids[None, :]
+            for lo in range(0, n - 1, chunk):
+                hi = min(lo + chunk, n)
+                d = _popcount_u64(hs[lo:hi, None] ^ hs[None, :])
+                rows_g = np.arange(lo, hi)[:, None]
+                ok = ((cols > rows_g) & (d <= max_hamming)
+                      & (col_ids != ids[lo:hi, None]))
+                ri, cj = np.nonzero(ok)
+                if ri.size:
+                    ia, ib = ids[lo + ri], ids[cj]
+                    parts.append(pd.DataFrame({
+                        "id_a": np.minimum(ia, ib),
+                        "id_b": np.maximum(ia, ib),
+                        "hamming": d[ri, cj].astype("int64")}))
         if not parts:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64"),

@@ -174,22 +174,24 @@ def embedding_near_dups(embeddings: "ray.data.Dataset", threshold: float = 0.95,
 
     n_buckets = 64
 
-    # hyperplanes built per batch from the fixed seed — identical everywhere
+    # hyperplanes built per batch from the fixed seed — identical everywhere.
+    # Table replication is a block np.tile/list-repeat over the (n_tables, n)
+    # signature matrix (table-major, matching the old per-row loop's order) —
+    # no per-(table, row) Python appends in this hot LSH path.
     def sig_block(batch: pd.DataFrame) -> pd.DataFrame:
         m = _normalize(_batch_matrix(batch, vec_col))
+        n = m.shape[0]
         vecs = [np.asarray(v, dtype=np.float32) for v in batch[vec_col]]
-        rows = {"table_sig": [], id_col: [], vec_col: []}
+        all_sigs = np.empty((n_tables, n), dtype=np.int64)
         for t in range(n_tables):
             planes = _hyperplanes(m.shape[1], n_bits, seed + 101 * t)
-            sigs = _lsh_sig(m, planes)
-            for i, s in enumerate(sigs):
-                rows["table_sig"].append((t << n_bits) | int(s))
-                rows[id_col].append(batch[id_col].values[i])
-                rows[vec_col].append(vecs[i])
+            all_sigs[t] = _lsh_sig(m, planes).astype(np.int64)
+        table_sig = (np.arange(n_tables, dtype=np.int64)[:, None] << n_bits
+                     ) | all_sigs
         out = pd.DataFrame({
-            "table_sig": pd.array(rows["table_sig"], dtype="int64"),
-            id_col: rows[id_col],
-            vec_col: rows[vec_col],
+            "table_sig": pd.array(table_sig.ravel(), dtype="int64"),
+            id_col: np.tile(np.asarray(batch[id_col].values), n_tables),
+            vec_col: vecs * n_tables,
         })
         out["_bucket"] = (out["table_sig"].to_numpy() % n_buckets).astype("int32")
         return out
@@ -207,16 +209,24 @@ def embedding_near_dups(embeddings: "ray.data.Dataset", threshold: float = 0.95,
             ids = group[id_col].to_numpy(dtype=np.int64)
             m = _normalize(np.stack([np.asarray(v, dtype=np.float64)
                                      for v in group[vec_col]]))
-            cos = m @ m.T
-            iu, ju = np.triu_indices(n, k=1)
-            c = cos[iu, ju]
-            ok = (c >= threshold) & (ids[iu] != ids[ju])
-            if not ok.any():
-                continue
-            ia, ib = ids[iu[ok]], ids[ju[ok]]
-            parts.append(pd.DataFrame({
-                "id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib),
-                "cosine": np.round(c[ok], 6)}))
+            # chunked row-block × matrix compare: a dense n×n cosine matrix
+            # on a huge collision group is O(n²) float64 in one task (same
+            # bound as the minhash/simhash verifies)
+            chunk = max(1, (32 << 20) // max(1, n * 8))
+            cols = np.arange(n)[None, :]
+            col_ids = ids[None, :]
+            for lo in range(0, n - 1, chunk):
+                hi = min(lo + chunk, n)
+                cos = m[lo:hi] @ m.T
+                rows_g = np.arange(lo, hi)[:, None]
+                ok = ((cols > rows_g) & (cos >= threshold)
+                      & (col_ids != ids[lo:hi, None]))
+                ri, cj = np.nonzero(ok)
+                if ri.size:
+                    ia, ib = ids[lo + ri], ids[cj]
+                    parts.append(pd.DataFrame({
+                        "id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib),
+                        "cosine": np.round(cos[ri, cj], 6)}))
         if not parts:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64"),

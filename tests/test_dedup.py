@@ -278,3 +278,40 @@ def test_band_explode_groups_identical_docs():
     k2 = b[b.doc_id == 2]["band_key"].to_numpy()
     assert (k1 == k2).all()
     assert len(np.unique(k1)) == 16  # band-index salt keeps positions apart
+
+
+def test_minhash_large_collision_group_chunked():
+    """A large band-collision group (boilerplate near-identical docs) must
+    verify in bounded memory: the chunked compare must find every pair of
+    the identical-doc clique and estimate jaccard 1.0 for each."""
+    n = 60  # clique of identical docs → n(n-1)/2 pairs, all est_jaccard 1.0
+    rows = [(i, " ".join(BASE)) for i in range(n)]
+    rows += [(n + i, " ".join(_mutate(BASE, 18, 100 + i)) + f" u{i}")
+             for i in range(10)]
+    docs = ray.data.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = minhash_lsh_pairs(docs, n_perm=32, n_bands=8,
+                            jaccard_threshold=0.8).to_pandas()
+    clique = got[(got.id_a < n) & (got.id_b < n)]
+    assert len(clique) == n * (n - 1) // 2
+    assert (clique.est_jaccard == 1.0).all()
+
+
+def test_minhash_pairs_string_ids():
+    """Generic id_col: string ids must come back with a consistent dtype
+    whether or not a bucket produced pairs (ADVICE: empty blocks pinned
+    int64 while non-empty blocks emitted object)."""
+    rows = [("a", " ".join(BASE)), ("b", " ".join(BASE)),
+            ("c", " ".join(_mutate(BASE, 18, 7)) + " solo")]
+    docs = ray.data.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = minhash_lsh_pairs(docs, n_perm=32, n_bands=8,
+                            jaccard_threshold=0.8).to_pandas()
+    assert set(zip(got.id_a, got.id_b)) == {("a", "b")}
+
+
+def test_simhash_large_collision_group_chunked():
+    n = 50
+    rows = [(i, " ".join(BASE)) for i in range(n)]
+    docs = ray.data.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = simhash_near_dups(docs).to_pandas()
+    assert len(got) == n * (n - 1) // 2
+    assert (got.hamming == 0).all()
