@@ -1088,8 +1088,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_skew_join_lineitem(sf_dir: str):
         # skew-aware join: ~30% of lineitem rows collapse onto skew_key 0
-        # (a deliberately hot key); skew_join routes the hot key through a
-        # broadcast merge and only the cold tail through the shuffle
+        # (a deliberately hot key); skew_join salts the hot left rows across
+        # buckets and replicates the hot right rows — one shuffle, no
+        # materialize, no driver broadcast
         from dygiepp_ray.joins import skew_join
 
         def lmap(df: pd.DataFrame) -> pd.DataFrame:

@@ -462,93 +462,116 @@ def skew_join(left: "ray.data.Dataset", right: "ray.data.Dataset", on: str,
               hot_threshold: int = 10_000, n_buckets: int = 32,
               left_types: dict | None = None,
               right_types: dict | None = None,
-              hot_broadcast_limit: int = 5_000_000) -> "ray.data.Dataset":
-    """Skew-aware inner join: keys hotter than `hot_threshold` on the left
-    side are routed around the shuffle.
+              hot_keys=None) -> "ray.data.Dataset":
+    """Skew-aware inner join by SALT-AND-REPLICATE, in ONE stamped pass per
+    side.
 
     A plain bucketed hash join sends every row of a hot key to ONE bucket
     task — at web scale a single 30%-of-the-corpus key serializes the whole
-    join behind one straggler. Here:
+    join behind one straggler. Here hot LEFT rows are salted round-robin
+    across all `n_buckets` buckets and hot RIGHT rows are REPLICATED into
+    every bucket, so the hottest key's merge work spreads B ways while the
+    join stays one union + one groupby shuffle. Unlike the earlier
+    broadcast variant, neither side is ever `materialize()`d (at 100 TB a
+    fact-side snapshot doubles storage traffic) and no row data crosses the
+    driver — the only driver-side value is the hot-key list itself (keys
+    with left count > `hot_threshold`, few by definition).
 
-      1. left key histogram via partial+final grouped count (pre-aggregated
-         per block, so the count shuffle moves ≤ one row per (key, block));
-         only keys ABOVE the threshold are pulled to the driver — few by
-         definition.
-      2. hot path: the RIGHT rows of hot keys (dimension-sided, small) are
-         broadcast once via `ray.put`; hot left rows stream through a
-         vectorized per-batch merge — no shuffle, parallelism preserved.
-      3. cold path: the existing bucketed `hash_join` on everything else.
-      4. union (same output schema both paths).
+    The histogram pass streams over `left.select_columns([on])` — a
+    key-column projection, not a full-row pass. Callers whose left side is
+    an expensive lazy chain should pass `hot_keys` (any iterable of key
+    values) to skip that pass entirely.
 
     Requires the right side to be small PER HOT KEY (the usual dim-table
-    case). Results are identical to `hash_join(left, right, on)` — pinned
-    by a pytest equivalence test."""
-    from .aggregates import grouped_count
+    case): each hot right row is duplicated `n_buckets` ways. Results are
+    identical to `hash_join(left, right, on)` — each (hot-left, hot-right)
+    pair meets exactly once, in the left row's salted bucket — pinned by a
+    pytest equivalence test."""
+    from .aggregates import grouped_count, strip_schema_metadata
 
-    # both sides are consumed multiple times below (histogram + hot/cold
-    # splits); snapshot them into the (spillable) object store so a lazy
-    # upstream map chain doesn't re-execute per consumption
-    left = left.materialize()
-    right = right.materialize()
-    counts = grouped_count(left.select_columns([on]), [on], out_name="_n")
-    hot = sorted(
-        r[on] for r in counts.map_batches(
-            lambda t: t.filter(pc.greater(t["_n"],
-                                          pa.scalar(hot_threshold))),
-            batch_format="pyarrow").take_all()
-    )
-    lt = left_types or {
-        f.name: f.type for f in _schema_fields(left)}
-    rt = right_types or {
-        f.name: f.type for f in _schema_fields(right)}
+    lt = left_types or _arrow_types(left)
+    rt = right_types or _arrow_types(right)
 
+    if hot_keys is None:
+        counts = grouped_count(left.select_columns([on]), [on], out_name="_n")
+        hot_keys = sorted(
+            r[on] for r in counts.map_batches(
+                lambda t: t.filter(pc.greater(t["_n"],
+                                              pa.scalar(hot_threshold))),
+                batch_format="pyarrow").take_all()
+        )
+    hot = sorted(hot_keys)
     if not hot:
         return hash_join(left, right, on, n_buckets=n_buckets,
                          left_types=lt, right_types=rt)
-
     hot_arr = pa.array(hot)
 
-    def split(keep_hot: bool):
-        def fn(t: pa.Table) -> pa.Table:
-            from .aggregates import strip_schema_metadata
-
-            t = strip_schema_metadata(t)
-            m = pc.is_in(t.column(on), value_set=hot_arr)
-            return t.filter(m if keep_hot else pc.invert(m))
-        return fn
-
-    right_hot = right.map_batches(split(True), batch_format="pyarrow").materialize()
-    n_hot_right = right_hot.count()
-    if n_hot_right > hot_broadcast_limit:
-        # fail loudly instead of OOMing the driver: the hot-path broadcast
-        # assumes the right side is dimension-sized per hot key
+    lcols = sorted(set(lt) | {on})
+    rcols = sorted(set(rt) | {on})
+    overlap = (set(lcols) & set(rcols)) - {on}
+    if overlap:
         raise ValueError(
-            f"skew_join: {n_hot_right} right rows match hot keys, above the "
-            f"broadcast limit {hot_broadcast_limit}; raise hot_threshold or "
-            "pre-aggregate the right side")
-    right_hot_df = right_hot.to_pandas()  # small: dim rows of few hot keys
-    rref = ray.put(right_hot_df)
-    rcols = [c for c in right_hot_df.columns if c != on]
+            f"skew_join: non-key columns {sorted(overlap)} exist on both "
+            "sides; rename to disambiguate")
+    all_cols = sorted(set(lcols) | set(rcols))
 
-    def bcast_merge(df: "pd.DataFrame") -> "pd.DataFrame":
-        rh = ray.get(rref)
-        out = df.merge(rh, on=on, how="inner")
-        return out
+    def pad(t: pa.Table, keep: list[str], n_copies: int = 1) -> pa.Table:
+        arrays, names = [], []
+        for c in all_cols:
+            if c in keep:
+                col = t.column(c)
+                arrays.append(pa.chunked_array([col] * n_copies)
+                              if n_copies > 1 else col)
+            else:
+                arrays.append(pa.nulls(t.num_rows * n_copies,
+                                       rt.get(c) or lt.get(c) or pa.string()))
+            names.append(c)
+        return pa.Table.from_arrays(arrays, names=names)
 
-    hot_joined = left.map_batches(split(True), batch_format="pyarrow") \
-                     .map_batches(bcast_merge, batch_format="pandas")
-    cold_joined = hash_join(
-        left.map_batches(split(False), batch_format="pyarrow"),
-        right.map_batches(split(False), batch_format="pyarrow"),
-        on, n_buckets=n_buckets, left_types=lt, right_types=rt)
-    # align column order (hash_join emits its own ordering)
-    cold_cols = sorted(set(lt) | {on} | set(rt))
+    def stamp_left(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        bucket = _bucket_array(t.column(on), n_buckets).to_numpy(
+            zero_copy_only=False).copy()
+        is_hot = pc.is_in(t.column(on), value_set=hot_arr).to_numpy(
+            zero_copy_only=False)
+        if is_hot.any():  # salt: spread hot rows round-robin over buckets
+            bucket[is_hot] = np.arange(int(is_hot.sum())) % n_buckets
+        out = pad(t, lcols)
+        out = out.append_column("_bucket", pa.array(bucket, pa.int32()))
+        return out.append_column(
+            "_side", pa.array(["l"] * t.num_rows, pa.string()))
 
-    def order_cols(df: "pd.DataFrame") -> "pd.DataFrame":
-        return df[[c for c in cold_cols if c in df.columns]]
+    def stamp_right(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        is_hot = pc.is_in(t.column(on), value_set=hot_arr)
+        cold = t.filter(pc.invert(is_hot))
+        cold_out = pad(cold, rcols).append_column(
+            "_bucket", _bucket_array(cold.column(on), n_buckets))
+        parts = [cold_out]
+        hot_t = t.filter(is_hot)
+        if hot_t.num_rows:  # replicate each hot right row into every bucket
+            rep = pad(hot_t, rcols, n_copies=n_buckets)
+            bkt = np.repeat(np.arange(n_buckets, dtype=np.int32),
+                            hot_t.num_rows)
+            parts.append(rep.append_column("_bucket", pa.array(bkt, pa.int32())))
+        out = pa.concat_tables(parts)
+        return out.append_column(
+            "_side", pa.array(["r"] * out.num_rows, pa.string()))
 
-    return hot_joined.map_batches(order_cols, batch_format="pandas").union(
-        cold_joined.map_batches(order_cols, batch_format="pandas"))
+    l = left.select_columns(lcols).map_batches(stamp_left,
+                                               batch_format="pyarrow")
+    r = right.select_columns(rcols).map_batches(stamp_right,
+                                                batch_format="pyarrow")
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ldf = _restore_int_dtypes(df[df["_side"] == "l"][lcols].copy(),
+                                  lcols, lt)
+        rdf = _restore_int_dtypes(df[df["_side"] == "r"][rcols].copy(),
+                                  rcols, rt)
+        return ldf.merge(rdf, on=on, how="inner")
+
+    return l.union(r).groupby("_bucket").map_groups(join_bucket,
+                                                    batch_format="pandas")
 
 
 def _schema_fields(ds: "ray.data.Dataset"):

@@ -574,39 +574,49 @@ def bucket_distance(d: int, num_identity: int = 4, num_total: int = 10) -> int:
     return min(num_total - 1, int(math.floor(math.log2(d))) + 3)
 
 
-# Deterministic antecedent-scorer weights (the learned FFNN stand-in):
+# Default antecedent-scorer weights (the learned FFNN stand-in):
 # canonical equality dominates; partial canonical-token overlap is weaker
 # evidence; each distance bucket subtracts a step so NEARER antecedents win
 # ties and far partial matches fall below the null score (0).
 _COREF_SIM_EXACT = 4.0
 _COREF_SIM_PARTIAL = 1.0     # × token-Jaccard of the canonical forms (≥ 0.5)
 _COREF_DIST_WEIGHT = -0.1    # per distance bucket
+# the defaults expressed as the learnable (w_exact, w_partial,
+# dist-bucket-embedding) weight vector — `stages/learned.py` fits the same
+# shape from data (reference: learned distance-bucket embedding,
+# coref.py:60-66, 541-543)
+_COREF_W_DEFAULT = (_COREF_SIM_EXACT, _COREF_SIM_PARTIAL,
+                    tuple(_COREF_DIST_WEIGHT * b for b in range(10)))
 
 
 def antecedent_pair_score(canon_i: str, canon_j: str, pos_distance: int,
-                          mention_j: float = 0.0) -> float:
+                          mention_j: float = 0.0,
+                          weights: tuple | None = None) -> float:
     """M6 pair score (coref.py:515-559 shape): similarity term + distance
     bucket embedding + antecedent mention score, against a null score of 0.
-    The learned span-pair FFNN is replaced by a deterministic similarity
-    (exact canonical match, else token-Jaccard ≥ 0.5), keeping the decode
-    arithmetic — argmax over [null=0, antecedents...] − 1 — intact."""
+    `weights` = (w_exact, w_partial, w_dist[10]) — defaults reproduce the
+    deterministic constants; trained vectors come from
+    `learned.fit_coref_weights` through the `.npz` seam. The decode
+    arithmetic — argmax over [null=0, antecedents...] − 1 — is unchanged."""
     if not canon_i or not canon_j:
         return float("-inf")
+    w_exact, w_partial, w_dist = weights or _COREF_W_DEFAULT
     if canon_i == canon_j:
-        sim = _COREF_SIM_EXACT
+        sim = w_exact
     else:
         ti, tj = set(canon_i.split()), set(canon_j.split())
         j = len(ti & tj) / len(ti | tj) if (ti or tj) else 0.0
         if j < 0.5:
             return float("-inf")
-        sim = _COREF_SIM_PARTIAL * j
-    return sim + _COREF_DIST_WEIGHT * bucket_distance(pos_distance) + mention_j
+        sim = w_partial * j
+    return sim + w_dist[bucket_distance(pos_distance)] + mention_j
 
 
 def antecedent_score_rows(mentions: list[tuple[int, int, str]], doc_tokens: int,
                           max_antecedents: int = 100,
                           spans_per_word: float = 0.3,
-                          mention_scores: list[float] | None = None):
+                          mention_scores: list[float] | None = None,
+                          weights: tuple | None = None):
     """Shared M6 scoring pass: prune mentions to k = ceil(spans_per_word ×
     doc_tokens) (min 2, coref.py:241, textual order kept — the pruned list
     is a prefix), then score up to `max_antecedents` PRECEDING kept mentions
@@ -630,7 +640,7 @@ def antecedent_score_rows(mentions: list[tuple[int, int, str]], doc_tokens: int,
             j = kept[j_pos]
             m_j = mention_scores[j] if mention_scores is not None else 0.0
             s = antecedent_pair_score(mentions[i][2], mentions[j][2],
-                                      i_pos - j_pos, m_j)
+                                      i_pos - j_pos, m_j, weights)
             if s != float("-inf"):
                 r.append((j_pos, s))
         rows.append(r)
@@ -654,7 +664,8 @@ def argmax_antecedents(rows: list[list[tuple[int, float]]]) -> list[int]:
 def coref_antecedent_decode(mentions: list[tuple[int, int, str]], doc_tokens: int,
                             max_antecedents: int = 100,
                             spans_per_word: float = 0.3,
-                            mention_scores: list[float] | None = None) -> list[list[int]]:
+                            mention_scores: list[float] | None = None,
+                            weights: tuple | None = None) -> list[list[int]]:
     """M6 deterministic antecedent path (coref.py:213-439 decode semantics):
     `antecedent_score_rows` + `argmax_antecedents` + greedy cluster decode.
 
@@ -662,7 +673,8 @@ def coref_antecedent_decode(mentions: list[tuple[int, int, str]], doc_tokens: in
     Returns clusters as lists of indices into the PRUNED mention list.
     """
     _kept, rows = antecedent_score_rows(mentions, doc_tokens, max_antecedents,
-                                        spans_per_word, mention_scores)
+                                        spans_per_word, mention_scores,
+                                        weights)
     if not rows:
         return []
     return decode_antecedents(argmax_antecedents(rows))
@@ -818,19 +830,36 @@ class ExtractionKernel:
 
         from ..corpus import ENTITY_LEXICON, EVENT_TRIGGERS, RELATION_PATTERNS
 
+        self.coref_weights: tuple | None = None
         if weights_path is not None:
             if any(x is not None for x in (entity_lexicon, relation_patterns,
                                            event_triggers)):
                 raise ValueError(
                     "pass either weights_path or inline tables, not both")
-            ent, rel, trig = load_scorer_weights(weights_path)
-            self.scorer = LexiconScorer(ent, rel, trig)
+            ver = int(np.load(weights_path, allow_pickle=False)
+                      ["format_version"][0])
+            if ver == 1:  # lexicon-table artifact
+                ent, rel, trig = load_scorer_weights(weights_path)
+                self.scorer = LexiconScorer(ent, rel, trig)
+            elif ver == 2:  # learned parameter matrices (stages/learned.py)
+                from .learned import LearnedScorer, load_learned_weights
+
+                wts, cw = load_learned_weights(weights_path)
+                self.scorer = LearnedScorer(wts)
+                self.coref_weights = (cw["w_exact"], cw["w_partial"],
+                                      tuple(cw["w_dist"]))
+            else:
+                raise ValueError(f"unsupported scorer-weights format: {ver}")
         else:
             self.scorer = LexiconScorer(
                 _resolve(entity_lexicon, ENTITY_LEXICON),
                 _resolve(relation_patterns, RELATION_PATTERNS),
                 _resolve(event_triggers, EVENT_TRIGGERS),
             )
+        # the lexicon fast path (extract_sentence_fast / find_hits) is an
+        # output-pinned shortcut valid only for LexiconScorer logit policy;
+        # learned scorers run the generic spec path (extract_sentence)
+        self._lexicon_fast = isinstance(self.scorer, LexiconScorer)
         self.coref_prop = coref_prop
         self.coref_mode = coref_mode
         self._canon_cache: dict[str, str] = {}
@@ -858,9 +887,11 @@ class ExtractionKernel:
             mention_seq: list[tuple[int, int, str]] = []
             mention_refs: list[dict] = []
             want_seq = self.coref_mode == "antecedent"
+            extract = (extract_sentence_fast if self._lexicon_fast
+                       else extract_sentence)
             offset = 0
             for sent in sentences:
-                ner, rels, evts = extract_sentence_fast(sent, self.scorer)
+                ner, rels, evts = extract(sent, self.scorer)
                 doc_ner.append(ner)
                 doc_rel.append(rels)
                 doc_evt.append(evts)
@@ -878,7 +909,8 @@ class ExtractionKernel:
                         mention_refs.append(m)
                 offset += len(sent)
             if self.coref_mode == "antecedent":
-                kept, rows = antecedent_score_rows(mention_seq, offset)
+                kept, rows = antecedent_score_rows(
+                    mention_seq, offset, weights=self.coref_weights)
                 idx_clusters = (decode_antecedents(argmax_antecedents(rows))
                                 if rows else [])
                 clusters = [
@@ -931,6 +963,18 @@ class ExtractionKernel:
         built — that Python-object churn was the measured DRAM ceiling at
         16 actors (BASELINE.md round-3 actor scan). Row order matches the
         dict path exactly (sentence-major, ai-outer/bi-inner)."""
+        if not self._lexicon_fast:
+            # learned scorers take the generic spec path; convert its dict
+            # output to the flat tuple shape the fused flatten consumes
+            doc_ner, doc_rel, _evt, clusters, failed = \
+                self.decode_document(sentences)
+            rel_rows = [
+                (six, r["s1"], r["e1"], r["s2"], r["e2"],
+                 RELATION_LABELS.index(r["label"]), r["softmax_score"])
+                for six, rels in enumerate(doc_rel) for r in rels]
+            tclusters = [[(m["start"], m["end"]) for m in c]
+                         for c in clusters]
+            return rel_rows, tclusters, failed
         scorer = self.scorer
         rel_get = scorer.rel_label.get
         maxpat = scorer.max_pattern_len

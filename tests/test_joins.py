@@ -137,3 +137,35 @@ def test_skew_join_no_hot_keys_falls_back():
     ).to_pandas().sort_values("k").reset_index(drop=True)
     assert got["k"].tolist() == [2, 3]
     assert got["rv"].tolist() == [7, 8]
+
+
+def test_skew_join_hot_keys_supplied_and_multirow_right():
+    """Caller-supplied hot_keys skip the histogram pass; a hot key with
+    SEVERAL right rows must still produce each (left, right) pair exactly
+    once despite the replication."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from dygiepp_ray.joins import hash_join, skew_join
+
+    rng = np.random.default_rng(5)
+    keys = np.where(rng.random(2000) < 0.5, 7,
+                    rng.integers(0, 20, 2000)).astype("int64")
+    left = pd.DataFrame({"k": keys, "lv": np.arange(2000, dtype="int64")})
+    # hot key 7 has 3 right rows; others 1
+    right = pd.DataFrame({"k": np.r_[np.arange(20), 7, 7].astype("int64"),
+                          "rv": np.arange(22, dtype="int64")})
+    lds = ray.data.from_pandas(left).repartition(5)
+    rds = ray.data.from_pandas(right).repartition(2)
+    t = {"k": pa.int64(), "lv": pa.int64()}
+    rt = {"k": pa.int64(), "rv": pa.int64()}
+    got = (skew_join(lds, rds, "k", left_types=t, right_types=rt,
+                     hot_keys=[7])
+           .to_pandas().sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+    exp = (hash_join(lds, rds, "k", left_types=t, right_types=rt)
+           .to_pandas()[got.columns]
+           .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (got["k"] == 7).sum() == (keys == 7).sum() * 3
