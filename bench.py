@@ -76,6 +76,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         # round-2 curation suite
         "decontaminate_docs", "ccnet_buckets", "pack_sequences",
         "keep_best_dedup",
+        # round-3 kg additions (envelope reset in the same commit as the
+        # BASELINE.md re-baseline — round-over-round totals stay comparable
+        # via the per-query times; 29-pipeline subtotal is still derivable)
+        "kg_khop_subgraph", "kg_alias_merge", "kg_edge_provenance",
+        "kg_store_lookup", "kg_diff",
     ]
     times: dict[str, float] = {}
     counts: dict[str, int] = {}

@@ -303,7 +303,9 @@ def minhash_lsh_pairs(docs: "ray.data.Dataset", n_perm: int = 64, n_bands: int =
             # large collision group (boilerplate near-identical docs sharing
             # a band — common at web scale) is O(n²·P) bytes in one task
             # (n=10k, P=64 → ~6 GB). Compare CHUNK rows against the matrix
-            # instead: O(chunk·n·P), bounded ~32 MB regardless of n.
+            # instead: O(chunk·n·P), bounded ~32 MB regardless of n. For
+            # the typical tiny group (2-5 rows) chunk ≥ n, so the loop runs
+            # once — same arithmetic as the dense compare.
             chunk = max(1, (32 << 20) // max(1, n * sig_m.shape[1]))
             col_ids = ids[None, :]
             cols = np.arange(n)[None, :]

@@ -205,7 +205,9 @@ def alias_pairs(names: "ray.data.Dataset", threshold: float = 0.5,
 
 
 def alias_merge_edges(triples: "ray.data.Dataset", threshold: float = 0.5,
-                      k: int = 3, n_buckets: int = 32) -> "ray.data.Dataset":
+                      k: int = 3, n_buckets: int = 32,
+                      cc_broadcast_max_nodes: int = 5_000_000
+                      ) -> "ray.data.Dataset":
     """Merged canonical edge table (subj_canon, pred, obj_canon, weight):
 
     1. node vocabulary = distinct {subj, obj, subj_norm, obj_norm} values
@@ -240,9 +242,13 @@ def alias_merge_edges(triples: "ray.data.Dataset", threshold: float = 0.5,
         tri.map_batches(explode_names, batch_format="pyarrow"),
         ["name"], out_name="_n").select_columns(["name"])
 
+    # `cc_broadcast_max_nodes` caps the admission-guarded broadcast CC: a
+    # name vocabulary above it takes the bucketed-shuffle fixpoint instead
+    # (the 100-TB path, pinned equal by tests/test_linking.py)
     pairs = alias_pairs(names, threshold=threshold, k=k)
-    mapping = connected_components(pairs, src="id_a", dst="id_b",
-                                   mode="auto").materialize()
+    mapping = connected_components(
+        pairs, src="id_a", dst="id_b", mode="auto",
+        broadcast_max_nodes=cc_broadcast_max_nodes).materialize()
 
     st = {"subj": pa.string(), "pred": pa.string(), "obj": pa.string()}
 

@@ -105,3 +105,36 @@ def test_alias_pairs_partitioning_invariant():
     b = run(ray.data.from_pandas(df).repartition(7))
     pd.testing.assert_frame_equal(a, b)
     assert len(a) >= 2
+
+
+def test_alias_merge_shuffle_cc_fallback_matches_broadcast():
+    """Above the CC broadcast admission cap the name-vocabulary components
+    must come from the bucketed-shuffle fixpoint — the 100-TB path. Force
+    it with cc_broadcast_max_nodes=0 and pin bit-equality with the
+    broadcast path on a vocabulary with multi-hop alias chains."""
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.stages.linking import alias_merge_edges
+
+    subs = ["the system", "system", "systems", "this approach", "approach",
+            "approaches", "hash join", "hash joins"]
+    tri = ray.data.from_pandas(pd.DataFrame({
+        "subj": subs,
+        "pred": ["USED-FOR"] * len(subs),
+        "obj": ["latency"] * len(subs),
+        "subj_norm": [s.replace("the ", "").replace("this ", "")
+                      for s in subs],
+        "obj_norm": ["latency"] * len(subs),
+    })).repartition(3)
+
+    def run(**kw):
+        return (alias_merge_edges(tri, **kw).to_pandas()
+                .sort_values(["subj_canon", "pred", "obj_canon"])
+                .reset_index(drop=True))
+
+    shuffle = run(cc_broadcast_max_nodes=0)
+    broadcast = run()
+    pd.testing.assert_frame_equal(shuffle, broadcast)
+    assert shuffle["weight"].sum() == len(subs)
+    assert len(shuffle) < len(subs)  # something actually merged
