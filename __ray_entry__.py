@@ -13,6 +13,7 @@ calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+import hashlib
 import os
 from collections.abc import Callable
 from typing import Any
@@ -111,6 +112,48 @@ def _code_salt() -> str:
                 h.update(fh.read())
         _CODE_SALT_CACHE.append(h.hexdigest())
     return _CODE_SALT_CACHE[0]
+
+
+def _learned_weights_path() -> str:
+    """Train-once cache of the learned v2 scorer artifact (deterministic:
+    fixed-seed corpus + full-batch GD), keyed on the code salt so scorer /
+    trainer changes retrain; built to a temp file renamed into place."""
+    import dygiepp_ray.stages.learned as _learned_mod
+
+    salt_mods = hashlib.blake2b(digest_size=6)
+    with open(_learned_mod.__file__, "rb") as fh:
+        salt_mods.update(fh.read())
+    path = (f"/tmp/dygiepp_ray_scorer/v2-{_code_salt()}-"
+            f"{salt_mods.hexdigest()}.npz")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        from dygiepp_ray.corpus import write_corpus
+        from dygiepp_ray.stages.learned import (
+            collect_coref_pairs,
+            corpus_sentences,
+            fit_coref_weights,
+            save_learned_weights,
+            train_scorer,
+        )
+
+        train_dir = "/tmp/dygiepp_ray_train_corpus/entry_seed42_n80"
+        marker = os.path.join(train_dir, "_done")
+        if not os.path.exists(marker):
+            write_corpus(train_dir, n_files=80, seed=42, n_shards=4)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        sents = corpus_sentences(train_dir)
+        weights = train_scorer(sents, ENTITY_LEXICON, RELATION_PATTERNS,
+                               EVENT_TRIGGERS)
+        coref_w = fit_coref_weights(collect_coref_pairs(sents, ENTITY_LEXICON))
+        # keep the .npz suffix on the temp name — np.savez appends one
+        tmp = path.replace(".npz", f".build-{os.getpid()}.npz")
+        save_learned_weights(tmp, weights, coref_w)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            os.unlink(tmp)
+    return path
 
 
 def _store_tag(sf_dir: str, table: str) -> str:
@@ -1391,6 +1434,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _synth_triples(sf_dir)
 
     q["kg_triples"] = q_kg_triples
+
+    def q_kg_triples_learned(sf_dir: str):
+        # the flagship pipeline under LEARNED weights (stages/learned.py):
+        # weights trained offline once per code salt (deterministic GD on a
+        # fixed-seed corpus), shipped to every actor via the v2 .npz seam;
+        # the oracle re-derives the learned decode independently from the
+        # same artifact (oracle.expected_triples_learned)
+        from dygiepp_ray import oracle as _o
+
+        path = _learned_weights_path()
+        _write_oracle(sf_dir, "kg_triples_learned",
+                      lambda: _o.expected_triples_learned(
+                          _synth_corpus_dir(sf_dir), path))
+        return kgp.kg_triples(_synth_corpus_dir(sf_dir),
+                              concurrency=_kernel_conc(), weights_path=path)
+
+    q["kg_triples_learned"] = q_kg_triples_learned
 
     def q_kg_span_counts(sf_dir: str):
         _ensure_triples_oracle(sf_dir)
@@ -3053,6 +3113,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_triples": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+        """,
+        "kg_triples_learned": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples_learned.parquet')
         """,
         "kg_span_counts": """
             SELECT span_norm, count(*) AS count FROM (

@@ -1960,3 +1960,125 @@ def expected_media_resize(n: int = 32, max_side: int = 512) -> pa.Table:
         "new_h": pa.array([r[4] for r in rows], pa.int64()),
         "resized": pa.array([r[5] for r in rows], pa.bool_()),
     })
+
+
+# ------------------------------------------------ learned-scorer oracle
+
+
+def _learned_feat(feats: list[str], dim: int) -> list[int]:
+    return [stable_hash64(f) % dim for f in feats]
+
+
+def expected_triples_learned(corpus_dir: str, weights_path: str) -> pa.Table:
+    """Expected kg_triples output under the LEARNED v2 scorer artifact —
+    an independent re-walk of the learned decode (full span enumeration,
+    max-logit entity-beam mention in the pinned band, pruner, pattern-gap
+    relation scoring with additive mentions, canonical-registry coref),
+    reading the `.npz` directly; shares no scorer/kernel code with the
+    engine. Reference decode arithmetic as in `decode_doc` above."""
+    z = np.load(weights_path, allow_pickle=False)
+    assert int(z["format_version"][0]) == 2
+    dim = int(z["dim"][0])
+    max_pat = int(z["max_pattern_len"][0])
+    ner_W, rel_W = z["ner_W"], z["rel_W"]
+
+    span_cache: dict[str, tuple] = {}
+    rel_cache: dict[str, np.ndarray] = {}
+
+    def span_info(text: str):
+        v = span_cache.get(text)
+        if v is None:
+            toks = text.split()
+            feats = ["B:", f"S:{text}", f"N:{len(toks)}"]
+            feats += [f"T:{t}" for t in toks]
+            if toks:
+                feats += [f"F:{toks[0]}", f"L:{toks[-1]}"]
+            vec = ner_W[_learned_feat(feats, dim)].sum(axis=0)
+            raw = vec.max()
+            hit = bool(raw > 0.0)
+            sig = 1.0 / (1.0 + np.exp(-raw))
+            mention = 2.0 + 0.1 * sig if hit else -1.0 + 0.05 * sig
+            v = (hit, float(mention), int(vec.argmax()))
+            span_cache[text] = v
+        return v
+
+    def rel_vec(between: str) -> np.ndarray:
+        v = rel_cache.get(between)
+        if v is None:
+            toks = between.split()
+            feats = ["B:", f"R:{between}"] + [f"C:{t}" for t in toks]
+            v = rel_W[_learned_feat(feats, dim)].sum(axis=0)
+            rel_cache[between] = v
+        return v
+
+    cols = {n: [] for n in TRIPLE_SCHEMA.names}
+    for key, sentences, sha in prep_documents(corpus_dir):
+        doc_rel = []
+        registry: dict[str, list[tuple[int, int]]] = {}
+        offset = 0
+        for sent in sentences:
+            n = len(sent)
+            lower = [t.lower() for t in sent]
+            spans = [(s, e) for s in range(n)
+                     for e in range(s, min(s + MAX_SPAN_WIDTH, n))]
+            infos = [span_info(" ".join(lower[s : e + 1])) for (s, e) in spans]
+            mentions = [i[1] for i in infos]
+            for (s, e), (hit, _m, _lab) in zip(spans, infos):
+                if hit:
+                    ck = canonicalize(" ".join(sent[s : e + 1]))
+                    if ck:
+                        registry.setdefault(ck, []).append(
+                            (offset + s, offset + e))
+            k = max(1, math.ceil(0.5 * n))
+            kept = sorted(sorted(range(len(spans)),
+                                 key=lambda i: (-mentions[i], i))[:k])
+            rels = []
+            for ai in kept:
+                if not infos[ai][0]:
+                    continue
+                s1, e1 = spans[ai]
+                for bi in kept:
+                    if ai == bi or not infos[bi][0]:
+                        continue
+                    s2, e2 = spans[bi]
+                    if e1 < s2 and (s2 - e1 - 1) <= max_pat:
+                        m12 = mentions[ai] + mentions[bi]
+                        logits = rel_vec(" ".join(lower[e1 + 1 : s2])) + m12
+                        full = np.concatenate([[0.0], logits])
+                        lab = int(full.argmax()) - 1
+                        if lab >= 0:
+                            rels.append({
+                                "s1": s1, "e1": e1, "s2": s2, "e2": e2,
+                                "label": RELATION_LABELS[lab],
+                                "conf": round(_softmax_at(
+                                    float(logits[lab]), logits, lab), 4),
+                            })
+            doc_rel.append(rels)
+            offset += n
+        clusters = [v for v in registry.values() if len(v) >= 2]
+        flat = [t for s in sentences for t in s]
+        rep_of: dict[str, str] = {}
+        for cluster in clusters:
+            rep = " ".join(flat[cluster[0][0] : cluster[0][1] + 1])
+            for (ms, me) in cluster[1:]:
+                mention = " ".join(flat[ms : me + 1])
+                if contains_reference(mention):
+                    rep_of[mention] = rep
+        for sent, rels in zip(sentences, doc_rel):
+            sent_text = " ".join(sent)
+            for r in rels:
+                subj = " ".join(sent[r["s1"] : r["e1"] + 1])
+                obj = " ".join(sent[r["s2"] : r["e2"] + 1])
+                subj = rep_of.get(subj, subj)
+                obj = rep_of.get(obj, obj)
+                cols["doc_id"].append(key)
+                cols["sentence"].append(sent_text)
+                cols["subj"].append(subj)
+                cols["obj"].append(obj)
+                cols["pred"].append(r["label"])
+                cols["subj_norm"].append(canonicalize(subj))
+                cols["obj_norm"].append(canonicalize(obj))
+                cols["conf"].append(r["conf"])
+                cols["content_sha256"].append(sha)
+    return pa.table({n: pa.array(cols[n], TRIPLE_SCHEMA.field(n).type)
+                     for n in TRIPLE_SCHEMA.names})
