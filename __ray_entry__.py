@@ -2327,6 +2327,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["pca_project"] = q_pca_project
 
+    def q_dsir_select(sf_dir: str):
+        # DSIR data selection: pick the 50 raw docs (doc_id % 7 != 0) whose
+        # hashed-ngram distribution best matches the target slice
+        # (doc_id % 7 == 0); exact integer-scaled importance scores
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.dsir import dsir_select
+
+        _write_oracle(sf_dir, "dsir_select",
+                      lambda: _o.expected_dsir_select(sf_dir, k=50))
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        target = docs.map_batches(
+            lambda df: df[df["doc_id"] % 7 == 0], batch_format="pandas")
+        raw = docs.map_batches(
+            lambda df: df[df["doc_id"] % 7 != 0], batch_format="pandas")
+        return dsir_select(raw, target, k=50)
+
+    q["dsir_select"] = q_dsir_select
+
     # ---- rotating driver window ---------------------------------------------
     # The driver's CORRECTNESS artifact hash-checks only the FIRST 50
     # registered queries. Window policy (VERDICT r3 "Next round" #1): ROTATE
@@ -3116,6 +3134,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_triples_learned": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples_learned.parquet')
+        """,
+        "dsir_select": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/dsir_select.parquet')
         """,
         "kg_span_counts": """
             SELECT span_norm, count(*) AS count FROM (

@@ -2082,3 +2082,50 @@ def expected_triples_learned(corpus_dir: str, weights_path: str) -> pa.Table:
                 cols["content_sha256"].append(sha)
     return pa.table({n: pa.array(cols[n], TRIPLE_SCHEMA.field(n).type)
                      for n in TRIPLE_SCHEMA.names})
+
+
+# ---------------------------------------------------- DSIR selection oracle
+
+
+def expected_dsir_select(sf_dir: str, k: int = 50, dim: int = 1 << 16,
+                         ngram: int = 2, scale: int = 1_000_000) -> pa.Table:
+    """Independent re-walk of `stages/dsir.py:dsir_select` over the
+    documents table (target = doc_id % 7 == 0, raw = the rest): single
+    scan, scalar accumulation, same integer-scaled log-ratio arithmetic
+    (exact int64 scores ⇒ bit-identical hash)."""
+    import pandas as pd
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+
+    def feats(text: str) -> np.ndarray:
+        toks = text.lower().split()
+        grams = toks + [" ".join(toks[i : i + ngram])
+                        for i in range(len(toks) - ngram + 1)]
+        if not grams:
+            return np.zeros(0, dtype=np.int64)
+        h = pd.util.hash_pandas_object(pd.Series(grams), index=False)
+        return (h.to_numpy() % np.uint64(dim)).astype(np.int64)
+
+    t_hist = np.zeros(dim, dtype=np.int64)
+    r_hist = np.zeros(dim, dtype=np.int64)
+    raw_rows = []
+    for doc_id, text in zip(ids, texts):
+        f = feats(text)
+        if doc_id % 7 == 0:
+            np.add.at(t_hist, f, 1)
+        else:
+            np.add.at(r_hist, f, 1)
+            raw_rows.append((doc_id, f))
+    p = np.log((t_hist + 1.0) / float(t_hist.sum() + dim))
+    q = np.log((r_hist + 1.0) / float(r_hist.sum() + dim))
+    ratio = np.round((p - q) * scale).astype(np.int64)
+    scored = sorted(((int(ratio[f].sum()), doc_id)
+                     for doc_id, f in raw_rows),
+                    key=lambda x: (-x[0], x[1]))[:k]
+    return pa.table({
+        "doc_id": pa.array([d for _s, d in scored], pa.int64()),
+        "dsir_score": pa.array([s for s, _d in scored], pa.int64()),
+    })
