@@ -1480,6 +1480,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_pair_pmi"] = q_kg_pair_pmi
 
+    def q_kg_functional_conflicts(sf_dir: str):
+        # functional-property violation QA: (subj, pred) slots asserting
+        # more than one distinct canonical object
+        _ensure_triples_oracle(sf_dir)
+        return kgp.functional_conflicts(_synth_triples(sf_dir),
+                                        salt_buckets=4)
+
+    q["kg_functional_conflicts"] = q_kg_functional_conflicts
+
+    def q_kg_triangles(sf_dir: str):
+        # per-node triangle participation over the distinct undirected KG
+        # edge set (degree-ordered wedge join; orientation-invariant result
+        # lets the oracle use plain lexicographic self-joins)
+        _ensure_triples_oracle(sf_dir)
+        return kgp.triangle_counts(_synth_triples(sf_dir), salt_buckets=4)
+
+    q["kg_triangles"] = q_kg_triangles
+
     def q_kg_mentions(sf_dir: str):
         from dygiepp_ray import oracle as _o
 
@@ -3176,6 +3194,33 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS pmi_scaled
             FROM p JOIN s USING (subj_norm) JOIN o USING (obj_norm)
             CROSS JOIN t
+        """,
+        "kg_functional_conflicts": """
+            SELECT subj_norm, pred,
+                   count(DISTINCT obj_norm) AS n_objs,
+                   min(obj_norm) AS obj_min,
+                   max(obj_norm) AS obj_max
+            FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            GROUP BY subj_norm, pred
+            HAVING count(DISTINCT obj_norm) > 1
+        """,
+        "kg_triangles": """
+            WITH e AS (
+                SELECT DISTINCT least(subj_norm, obj_norm) AS u,
+                                greatest(subj_norm, obj_norm) AS v
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+                WHERE subj_norm <> obj_norm
+            ), t AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM e e1
+                JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            ), n AS (
+                SELECT a AS node FROM t
+                UNION ALL SELECT b FROM t
+                UNION ALL SELECT c FROM t
+            )
+            SELECT node, count(*) AS n_triangles FROM n GROUP BY node
         """,
         "kg_graph_edges": """
             SELECT subj_norm, pred, obj_norm,

@@ -570,3 +570,175 @@ def edge_diff(old: "ray.data.Dataset", new: "ray.data.Dataset",
             "status", pa.array(st, pa.string())).filter(pa.array(keep))
 
     return both.map_batches(status, batch_format="pyarrow")
+
+
+def functional_conflicts(triples: "ray.data.Dataset",
+                         salt_buckets: int = 1) -> "ray.data.Dataset":
+    """(subj_norm, pred, n_objs, obj_min, obj_max) for every (subject,
+    predicate) asserting MORE THAN ONE distinct object — functional-property
+    violation detection, the consistency-QA step a KB build runs after
+    canonicalization (reference analogue: the per-entity KB rows collected
+    by `scripts/eval/make_kb.py:90-95` assume one canonical value per slot;
+    this surfaces where extraction disagrees).
+
+    Shape: two monotonically-shrinking aggregates — distinct
+    (subj, pred, obj) edges first (salted grouped count: the only shuffle
+    that sees the triple table), then a partial+final count/min/max keyed
+    on (subj, pred) — and a vectorized `n_objs > 1` filter. Nothing lands
+    on the driver."""
+    from ..aggregates import partial_final_agg
+
+    edges = grouped_count(
+        triples.select_columns(["subj_norm", "pred", "obj_norm"]),
+        ["subj_norm", "pred", "obj_norm"], out_name="_c",
+        salt_buckets=salt_buckets)
+    agg = partial_final_agg(
+        edges.select_columns(["subj_norm", "pred", "obj_norm"]),
+        ["subj_norm", "pred"],
+        [("n_objs", None, "count"),
+         ("obj_min", "obj_norm", "min"),
+         ("obj_max", "obj_norm", "max")])
+
+    def keep_conflicts(t: pa.Table) -> pa.Table:
+        from ..aggregates import strip_schema_metadata
+
+        t = strip_schema_metadata(t)
+        return t.filter(pc.greater(t.column("n_objs"), 1)).select(
+            ["subj_norm", "pred", "n_objs", "obj_min", "obj_max"])
+
+    return agg.map_batches(keep_conflicts, batch_format="pyarrow")
+
+
+def triangle_counts(triples: "ray.data.Dataset", salt_buckets: int = 1,
+                    n_buckets: int = 32) -> "ray.data.Dataset":
+    """(node, n_triangles) — per-node triangle participation over the
+    DISTINCT undirected KG edge set (graph-quality analytics: clustering
+    structure of the extracted graph).
+
+    Degree-ordered wedge generation: every edge is oriented from its
+    lower-(degree, name) endpoint to the higher one, wedges are unordered
+    out-neighbor pairs of each source, and a wedge closes iff the
+    undirected edge between its endpoints exists. Each triangle is
+    generated exactly once, at its minimum-(degree, name) vertex, and a
+    degree-d hub emits O(sqrt(m)) wedges instead of O(d^2) — the standard
+    MapReduce triangle-counting bound. Joins are the bucketed `hash_join`
+    (degree attach ×2, wedge-closing semi join with aggregate pushdown);
+    the per-node count is a partial+final sum. The result is
+    orientation-invariant, so the SQL oracle may use plain lexicographic
+    orientation."""
+    import numpy as np
+    import pandas as pd
+
+    from ..aggregates import partial_final_agg, strip_schema_metadata
+    from ..joins import hash_join
+
+    s_t, i_t = pa.string(), pa.int64()
+    SEP = "\x1f"
+
+    def canon(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        s = t.column("subj_norm").combine_chunks().cast(pa.string())
+        o = t.column("obj_norm").combine_chunks().cast(pa.string())
+        u = pc.min_element_wise(s, o)
+        v = pc.max_element_wise(s, o)
+        keep = pc.invert(pc.equal(s, o))
+        return pa.table({"u": u, "v": v}).filter(keep)
+
+    edges = grouped_count(
+        triples.select_columns(["subj_norm", "obj_norm"]).map_batches(
+            canon, batch_format="pyarrow"),
+        ["u", "v"], out_name="_c", salt_buckets=salt_buckets
+    ).select_columns(["u", "v"]).materialize()
+
+    def explode_nodes(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        cols = []
+        for c in ("u", "v"):
+            arr = t.column(c).combine_chunks()
+            cols.extend(arr.chunks if isinstance(arr, pa.ChunkedArray)
+                        else [arr])
+        return pa.table({"node": pa.concat_arrays(cols)})
+
+    deg = grouped_count(
+        edges.map_batches(explode_nodes, batch_format="pyarrow"),
+        ["node"], out_name="deg")
+
+    d_u = deg.map_batches(
+        lambda t: strip_schema_metadata(t).rename_columns(["u", "deg_u"]),
+        batch_format="pyarrow")
+    j1 = hash_join(edges, d_u, on="u", n_buckets=n_buckets,
+                   left_types={"u": s_t, "v": s_t},
+                   right_types={"u": s_t, "deg_u": i_t})
+    d_v = deg.map_batches(
+        lambda t: strip_schema_metadata(t).rename_columns(["v", "deg_v"]),
+        batch_format="pyarrow")
+
+    def orient(m: "pd.DataFrame") -> "pd.DataFrame":
+        du = m["deg_u"].to_numpy(np.int64)
+        dv = m["deg_v"].to_numpy(np.int64)
+        u = m["u"].to_numpy(object)
+        v = m["v"].to_numpy(object)
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        return pd.DataFrame({"src": np.where(u_first, u, v),
+                             "dst": np.where(u_first, v, u)})
+
+    oriented = hash_join(j1, d_v, on="v", n_buckets=n_buckets,
+                         left_types={"u": s_t, "v": s_t, "deg_u": i_t},
+                         right_types={"v": s_t, "deg_v": i_t},
+                         bucket_post=orient)
+
+    def stamp_src_bucket(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        import zlib
+
+        h = np.array([zlib.crc32(s.encode()) % n_buckets
+                      for s in t.column("src").to_pylist()], dtype=np.int32)
+        return t.append_column("_bucket", pa.array(h, pa.int32()))
+
+    def wedges_of_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        parts = []
+        for src, g in df.groupby("src", sort=False):
+            ns = sorted(set(g["dst"]))
+            k = len(ns)
+            if k < 2:
+                continue
+            ii, jj = np.triu_indices(k, 1)
+            a = np.array(ns, dtype=object)
+            parts.append(pd.DataFrame({
+                "src": src, "x": a[ii], "y": a[jj]}))
+        if not parts:
+            return pd.DataFrame({"src": pd.Series(dtype="string"),
+                                 "x": pd.Series(dtype="string"),
+                                 "y": pd.Series(dtype="string"),
+                                 "pair": pd.Series(dtype="string")})
+        w = pd.concat(parts, ignore_index=True)
+        w["pair"] = w["x"] + SEP + w["y"]
+        return w
+
+    wedges = oriented.map_batches(
+        stamp_src_bucket, batch_format="pyarrow").groupby(
+        "_bucket").map_groups(wedges_of_bucket, batch_format="pandas")
+
+    def edge_pairs(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        return pa.table({"pair": pc.binary_join_element_wise(
+            t.column("u").cast(pa.string()),
+            t.column("v").cast(pa.string()), SEP)})
+
+    closing = edges.map_batches(edge_pairs, batch_format="pyarrow")
+
+    def node_partials(m: "pd.DataFrame") -> "pd.DataFrame":
+        # merged rows = closed wedges = triangles; emit per-node partial
+        # counts so full triangle rows never leave the join task
+        nodes = pd.concat([m["src"], m["x"], m["y"]], ignore_index=True)
+        vc = nodes.value_counts()
+        return pd.DataFrame({"node": vc.index.astype(object),
+                             "n_part": vc.to_numpy(np.int64)})
+
+    tri_nodes = hash_join(
+        wedges, closing, on="pair", n_buckets=n_buckets,
+        left_types={"src": s_t, "x": s_t, "y": s_t, "pair": s_t},
+        right_types={"pair": s_t},
+        bucket_post=node_partials)
+    return partial_final_agg(tri_nodes, ["node"],
+                             [("n_triangles", "n_part", "sum")])

@@ -159,3 +159,78 @@ def test_khop_subgraph_partitioning_invariant():
     b = run(ray.data.from_pandas(edges).repartition(5))
     pd.testing.assert_frame_equal(a, b)
     assert a["hop"].max() == 3
+
+
+# -------------------------------------------- functional conflicts / triangles
+
+
+def test_functional_conflicts_golden():
+    from dygiepp_ray.pipelines.kg import functional_conflicts
+
+    tri = pd.DataFrame({
+        "subj_norm": ["a", "a", "a", "a", "b", "b", "c"],
+        "pred":      ["R", "R", "R", "S", "R", "R", "R"],
+        # a-R asserts {b, c} (conflict, duplicates collapse); a-S and b-R
+        # and c-R are functional (one distinct object each)
+        "obj_norm":  ["b", "b", "c", "b", "c", "c", "a"],
+    })
+    got = functional_conflicts(
+        ray.data.from_pandas(tri), salt_buckets=2).to_pandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert (row["subj_norm"], row["pred"]) == ("a", "R")
+    assert row["n_objs"] == 2
+    assert (row["obj_min"], row["obj_max"]) == ("b", "c")
+
+
+def _triangle_oracle(edges: list[tuple[str, str]]) -> dict[str, int]:
+    """Brute-force per-node triangle participation."""
+    import itertools
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({x for e in und for x in e})
+    out: dict[str, int] = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            for x in (a, b, c):
+                out[x] = out.get(x, 0) + 1
+    return out
+
+
+def test_triangle_counts_golden_and_invariance():
+    from dygiepp_ray.pipelines.kg import triangle_counts
+
+    # K4 on {a,b,c,d} (every node in 3 triangles) plus a pendant edge and a
+    # self-loop (both ignored), with duplicate/reversed assertions
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e"), ("e", "e"), ("b", "a"), ("c", "a")]
+    tri = pd.DataFrame({
+        "subj_norm": [p[0] for p in pairs],
+        "pred": ["R"] * len(pairs),
+        "obj_norm": [p[1] for p in pairs],
+    })
+    want = _triangle_oracle(pairs)
+    for nparts in (1, 4):
+        ds = ray.data.from_pandas(tri).repartition(nparts)
+        got = triangle_counts(ds, salt_buckets=2).to_pandas()
+        assert dict(zip(got["node"], got["n_triangles"].astype(int))) == want
+
+
+def test_triangle_counts_random_graph_matches_bruteforce():
+    import numpy as np
+
+    from dygiepp_ray.pipelines.kg import triangle_counts
+
+    rng = np.random.RandomState(7)
+    names = [f"n{i:02d}" for i in range(18)]
+    pairs = [(names[rng.randint(18)], names[rng.randint(18)])
+             for _ in range(120)]
+    tri = pd.DataFrame({
+        "subj_norm": [p[0] for p in pairs],
+        "pred": ["R"] * len(pairs),
+        "obj_norm": [p[1] for p in pairs],
+    })
+    want = _triangle_oracle(pairs)
+    got = triangle_counts(
+        ray.data.from_pandas(tri).repartition(3), salt_buckets=2).to_pandas()
+    assert dict(zip(got["node"], got["n_triangles"].astype(int))) == want
