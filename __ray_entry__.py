@@ -431,6 +431,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_user_daily"] = events_user_daily
 
+    def events_retention(sf_dir: str):
+        # day-over-day cohort retention: users active on day d AND d+1.
+        # Distinct (user, day) first — the only corpus-width shuffle, ≤ one
+        # row per (user, day, block) — then a bucketed self-join on user_id
+        # whose bucket_post filters day adjacency and emits per-day PARTIAL
+        # counts, so the per-user day cross product never leaves the join
+        # task (per-user distinct days are bounded by the calendar, so no
+        # skew salt is needed).
+        from dygiepp_ray.aggregates import (grouped_count, partial_final_agg,
+                                            strip_schema_metadata)
+        from dygiepp_ray.joins import hash_join
+
+        ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            # timedelta .dt.days is unit-agnostic (the parquet ts is us, not
+            # ns — an int64 divide by ns-per-day would be off by 1000)
+            epoch_day = (df["ts"].dt.normalize()
+                         - pd.Timestamp("1970-01-01")).dt.days
+            return pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                                 "ym": epoch_day.astype("int64")})
+
+        um = grouped_count(
+            ds.map_batches(prep, batch_format="pandas"),
+            ["user_id", "ym"], out_name="_c", salt_buckets=4,
+        ).select_columns(["user_id", "ym"]).materialize()
+        nxt = um.map_batches(
+            lambda t: strip_schema_metadata(t).rename_columns(
+                ["user_id", "ym_next"]),
+            batch_format="pyarrow")
+
+        def adj_counts(m: pd.DataFrame) -> pd.DataFrame:
+            hit = m[m["ym_next"] == m["ym"] + 1]
+            vc = hit["ym"].value_counts()
+            return pd.DataFrame({
+                "ym": vc.index.to_numpy(dtype="int64"),
+                "retained": vc.to_numpy(dtype="int64")})
+
+        pairs = hash_join(
+            um, nxt, on="user_id", n_buckets=32,
+            left_types={"user_id": pa.int64(), "ym": pa.int64()},
+            right_types={"user_id": pa.int64(), "ym_next": pa.int64()},
+            bucket_post=adj_counts)
+        agg = partial_final_agg(pairs, ["ym"],
+                                [("retained", "retained", "sum")])
+
+        def fmt(df: pd.DataFrame) -> pd.DataFrame:
+            day = pd.to_datetime(df["ym"], unit="D").dt.strftime("%Y-%m-%d")
+            return pd.DataFrame({
+                "day": day,
+                "retained": df["retained"].astype("int64")})
+
+        return agg.map_batches(fmt, batch_format="pandas")
+
+    q["events_retention"] = events_retention
+
     def region_nation_join(sf_dir: str):
         region = _read(sf_dir, "region").to_pandas()
         r_ref = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
@@ -1077,6 +1133,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          n_merges=12, min_count=2)
 
     q["bpe_merges"] = q_bpe_merges
+
+    def q_bpe_encode(sf_dir: str):
+        # tokenizer APPLICATION: learn the merge table, broadcast it once,
+        # encode the corpus in an actor pool with a per-actor word-type
+        # cache, per-block partial token counts + small grouped sum
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.bpe import encode_token_counts, learn_bpe
+
+        _write_oracle(sf_dir, "bpe_encode",
+                      lambda: _o.expected_bpe_token_counts(sf_dir))
+        docs = _read(sf_dir, "documents", ["text"])
+        merges = learn_bpe(docs, n_merges=12, min_count=2)
+        return encode_token_counts(docs, merges)
+
+    q["bpe_encode"] = q_bpe_encode
 
     def q_cms_token_counts(sf_dir: str):
         # count-min sketch point queries over the corpus token stream
@@ -2461,6 +2532,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM events GROUP BY user_id, day
         """,
+        "events_retention": """
+            WITH um AS (
+                SELECT DISTINCT user_id,
+                       datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+                FROM events
+            )
+            SELECT strftime(DATE '1970-01-01' + to_days(CAST(a.d AS INTEGER)),
+                            '%Y-%m-%d') AS day,
+                   count(*) AS retained
+            FROM um a JOIN um b
+              ON b.user_id = a.user_id AND b.d = a.d + 1
+            GROUP BY day
+        """,
         "region_nation_join": """
             SELECT n.n_name AS n_name, r.r_name AS r_name
             FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -3014,6 +3098,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_merges": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/bpe_merges.parquet')
+        """,
+        "bpe_encode": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/bpe_encode.parquet')
         """,
         "cms_token_counts": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/cms_token_counts.parquet')

@@ -2129,3 +2129,53 @@ def expected_dsir_select(sf_dir: str, k: int = 50, dim: int = 1 << 16,
         "doc_id": pa.array([d for _s, d in scored], pa.int64()),
         "dsir_score": pa.array([s for s, _d in scored], pa.int64()),
     })
+
+
+def expected_bpe_token_counts(sf_dir: str, n_merges: int = 12,
+                              min_count: int = 2) -> pa.Table:
+    """Scalar re-walk of BPE learn + encode: re-derive the merge table with
+    the plain dict/Counter loop (same as `expected_bpe_merges`), keep the
+    final per-word-type symbolization, and weight each symbol by the word
+    count — independent of stages/bpe.py's distributed learner/encoder."""
+    from collections import Counter
+
+    import pandas as pd
+
+    df = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    wc: Counter = Counter()
+    for t in df["text"]:
+        wc.update(t.lower().split())
+    table = {w: tuple(w) for w in wc}
+    for _rank in range(n_merges):
+        pc: Counter = Counter()
+        for w, syms in table.items():
+            n = wc[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        if not pc:
+            break
+        (a, b), cnt = max(pc.items(),
+                          key=lambda kv: (kv[1], kv[0][0], kv[0][1]))
+        if cnt < min_count:
+            break
+        ab = a + b
+        new_table = {}
+        for w, syms in table.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(ab); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            new_table[w] = tuple(out)
+        table = new_table
+    tok: Counter = Counter()
+    for w, syms in table.items():
+        n = wc[w]
+        for s in syms:
+            tok[s] += n
+    ks = sorted(tok)
+    return pa.table({"token": pa.array(ks, pa.string()),
+                     "n": pa.array([tok[k] for k in ks], pa.int64())})

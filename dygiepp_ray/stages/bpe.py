@@ -168,3 +168,68 @@ def _merges_ds(merges: list[tuple]) -> "ray.data.Dataset":
         "merged": pa.array([m[3] for m in merges], pa.string()),
         "count": pa.array([m[4] for m in merges], pa.int64()),
     }))
+
+
+# ---------------------------------------------------------- encoding
+
+
+class BpeEncoder:
+    """Actor-pool stage: encode whitespace-lowered words with a learned
+    merge table and emit per-block PARTIAL token counts (token, n_part) —
+    the encoded corpus never leaves the task; the final combine is a small
+    grouped sum. The merge list is broadcast ONCE via `ray.put` and read in
+    `__init__` (once per actor, not per batch); a per-actor word-type cache
+    makes encode cost proportional to distinct types, not corpus tokens.
+
+    Encode semantics: one leftmost-non-overlapping pass per merge, in rank
+    order — identical to the learner's table evolution (`_apply_merge`),
+    and well-defined because a merge's operands can only be produced by
+    strictly earlier-ranked merges."""
+
+    def __init__(self, merges_ref, text_col: str = "text"):
+        self.merges = ray.get(merges_ref)  # [(left, right, merged)] by rank
+        self.text_col = text_col
+        self.cache: dict[str, tuple] = {}
+
+    def _encode_word(self, w: str) -> tuple:
+        syms = self.cache.get(w)
+        if syms is None:
+            syms = tuple(w)
+            for a, b, ab in self.merges:
+                if a in syms:
+                    syms = _apply_merge(syms, a, b, ab)
+            self.cache[w] = syms
+        return syms
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for text in batch[self.text_col]:
+            for w in text.lower().split():
+                c.update(self._encode_word(w))
+        ks = sorted(c)
+        return pd.DataFrame({
+            "token": pd.array(ks, dtype="string"),
+            "n_part": pd.array([c[k] for k in ks], dtype="int64")})
+
+
+def encode_token_counts(docs: "ray.data.Dataset",
+                        merges: "ray.data.Dataset",
+                        text_col: str = "text",
+                        concurrency=(1, 4)) -> "ray.data.Dataset":
+    """(token, n) — corpus token-frequency table under a learned BPE merge
+    table (`learn_bpe` output): the tokenizer-application half of the BPE
+    pipeline (vocabulary usage / token-budget accounting at scale). The
+    merge table is tiny by construction (n_merges rows) — the one
+    legitimate driver-side take — and ships to every encoder actor as one
+    broadcast object."""
+    from ..aggregates import partial_final_agg
+
+    rows = sorted(merges.select_columns(
+        ["rank", "left", "right", "merged"]).take_all(),
+        key=lambda r: r["rank"])
+    ref = ray.put([(r["left"], r["right"], r["merged"]) for r in rows])
+    parts = docs.map_batches(
+        BpeEncoder, fn_constructor_kwargs=dict(merges_ref=ref,
+                                               text_col=text_col),
+        batch_format="pandas", concurrency=concurrency)
+    return partial_final_agg(parts, ["token"], [("n", "n_part", "sum")])

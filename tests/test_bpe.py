@@ -56,3 +56,56 @@ def test_learn_bpe_distributed_matches_local():
 def test_learn_bpe_min_count_stops():
     wc = {"ab": 1, "cd": 1}
     assert learn_bpe_local(wc, n_merges=5, min_count=3) == []
+
+
+def test_encode_token_counts_matches_scalar_oracle():
+    from collections import Counter
+
+    import ray.data
+
+    from dygiepp_ray.stages.bpe import (_apply_merge, encode_token_counts,
+                                        learn_bpe, learn_bpe_local)
+
+    texts = [
+        "the cat sat on the mat",
+        "the bat and the cat chat",
+        "that hat is flat",
+        "rats chase cats and bats",
+    ] * 3
+    df = pd.DataFrame({"text": texts})
+    docs = ray.data.from_pandas(df).repartition(3)
+    merges = learn_bpe(docs, n_merges=8, min_count=2)
+    got = encode_token_counts(docs, merges).to_pandas()
+    got_map = dict(zip(got["token"], got["n"].astype(int)))
+
+    # scalar oracle: same ordered single-pass-per-merge encode
+    wc: Counter = Counter()
+    for t in texts:
+        wc.update(t.lower().split())
+    mlist = learn_bpe_local(dict(wc), n_merges=8, min_count=2)
+    want: Counter = Counter()
+    for w, n in wc.items():
+        syms = tuple(w)
+        for _rank, a, b, ab, _cnt in mlist:
+            syms = _apply_merge(syms, a, b, ab)
+        for s in syms:
+            want[s] += n
+    assert got_map == dict(want)
+    # conservation: encoded symbols concatenate back to the original chars
+    assert sum(len(t) * n for t, n in got_map.items()) == \
+        sum(len(w) * n for w, n in wc.items())
+
+
+def test_encode_token_counts_partitioning_invariant():
+    import ray.data
+
+    from dygiepp_ray.stages.bpe import encode_token_counts, learn_bpe
+
+    df = pd.DataFrame({"text": ["aa ab ba bb ab aa"] * 6 + ["ba babb aab"] * 4})
+    outs = []
+    for nparts in (1, 4):
+        docs = ray.data.from_pandas(df).repartition(nparts)
+        merges = learn_bpe(docs, n_merges=4, min_count=2)
+        got = encode_token_counts(docs, merges).to_pandas()
+        outs.append(dict(zip(got["token"], got["n"].astype(int))))
+    assert outs[0] == outs[1]
