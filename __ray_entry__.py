@@ -1394,6 +1394,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["knn_lsh"] = q_knn_lsh
 
+    def q_knn_recall(sf_dir: str):
+        # ANN-quality eval: recall@10 of the radius-1 LSH ANN vs exact
+        # brute force for 8 queries, in ONE corpus scan (broadcast query
+        # matrix, <=2k rows per (block, query) leave each task)
+        import pyarrow.parquet as pq
+
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.similarity import knn_recall_lsh
+
+        qids = list(range(8))
+        _write_oracle(sf_dir, "knn_recall",
+                      lambda: _o.expected_knn_recall(sf_dir, qids, k=10))
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+        by_id = {int(i): v for i, v in zip(t.column("vec_id").to_pylist(),
+                                           t.column("embedding").to_pylist())}
+        queries = np.asarray([by_id[i] for i in qids], dtype=np.float64)
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        return knn_recall_lsh(emb, queries, qids, k=10)
+
+    q["knn_recall"] = q_knn_recall
+
     def q_knn_lsh_indexed(sf_dir: str):
         # the scale path for REPEATED queries: persisted signature-partitioned
         # index; each query reads only its Hamming-radius partitions
@@ -2924,6 +2946,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_lsh": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/knn_lsh.parquet')
+        """,
+        "knn_recall": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/knn_recall.parquet')
         """,
         "knn_lsh_indexed": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/knn_lsh_indexed.parquet')

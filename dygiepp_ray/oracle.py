@@ -2179,3 +2179,45 @@ def expected_bpe_token_counts(sf_dir: str, n_merges: int = 12,
     ks = sorted(tok)
     return pa.table({"token": pa.array(ks, pa.string()),
                      "n": pa.array([tok[k] for k in ks], pa.int64())})
+
+
+def expected_knn_recall(sf_dir: str, query_ids: list[int], k: int = 10,
+                        n_bits: int = 8, seed: int = 11) -> pa.Table:
+    """Scalar re-walk of `stages/similarity.py:knn_recall_lsh`: full cosine
+    matrix in numpy, exact top-k vs Hamming-radius-1 LSH top-k per query,
+    identical float dtypes / rounding / tie order."""
+    from dygiepp_ray.functions.strings import round_half_up
+    from dygiepp_ray.stages.similarity import (_hyperplanes, _lsh_sig,
+                                               _normalize)
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m = _normalize(np.asarray(t.column("embedding").to_pylist(),
+                              dtype=np.float64))
+    by_id = {int(i): r for r, i in enumerate(ids)}
+    raw = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    qm = _normalize(np.asarray([raw[by_id[q]] for q in query_ids],
+                               dtype=np.float64))
+    # signatures: corpus rows float64-normalized then cast to float32;
+    # queries normalized IN float32 (matching the distributed stage)
+    planes = _hyperplanes(m.shape[1], n_bits, seed)
+    sigs = _lsh_sig(m.astype(np.float32), planes)
+    q32 = _normalize(np.asarray([raw[by_id[q]] for q in query_ids],
+                                dtype=np.float32))
+    qsigs = _lsh_sig(q32, planes)
+
+    out_q, out_r = [], []
+    cos = round_half_up(m @ qm.T, 6)
+    for j, qid in enumerate(query_ids):
+        cj = cos[:, j]
+        order = np.lexsort((ids, -cj))
+        exact = set(ids[order[:k]].tolist())
+        near = {int(qsigs[j])} | {int(qsigs[j]) ^ (1 << b)
+                                  for b in range(n_bits)}
+        in_lsh = np.array([int(s) in near for s in sigs])
+        lsh = set(ids[order[in_lsh[order]][:k]].tolist())
+        out_q.append(int(qid))
+        out_r.append(float(round_half_up(len(exact & lsh) / k, 6)))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "recall": pa.array(out_r, pa.float64())})

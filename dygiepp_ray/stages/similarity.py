@@ -341,3 +341,70 @@ def pca_project(embeddings: "ray.data.Dataset", id_col: str = "vec_id",
 
     return embeddings.select_columns([id_col, vec_col]).map_batches(
         project, batch_format="pandas")
+
+
+def knn_recall_lsh(embeddings: "ray.data.Dataset", queries: "np.ndarray",
+                   query_ids: list[int], k: int = 10, n_bits: int = 8,
+                   seed: int = 11, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> "ray.data.Dataset":
+    """(query_id, recall) — recall@k of the Hamming-radius-1 LSH ANN
+    (`knn_lsh` semantics: same planes, same radius, same 6-dp tie order)
+    against the exact brute-force top-k, for ALL queries in ONE corpus
+    scan: the query matrix is broadcast once, each block emits ≤ 2k rows
+    per query (its local exact top-k and its local in-LSH top-k), and a
+    small per-query group combine computes the overlap. Evaluating Q
+    queries costs one pass, not Q passes — the ANN-quality eval a recall
+    sweep over (n_bits, radius) would run per setting."""
+    import pandas as pd
+
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    q32 = _normalize(np.asarray(queries, dtype=np.float32))
+    planes = _hyperplanes(qm.shape[1], n_bits, seed)
+    qsigs = _lsh_sig(q32, planes)
+    near = [({int(s)} | {int(s) ^ (1 << b) for b in range(n_bits)})
+            for s in qsigs]
+    state_ref = ray.put((qm, planes, near, list(query_ids)))
+
+    def score_block(batch: pd.DataFrame) -> pd.DataFrame:
+        qmat, p, near_sets, qids = ray.get(state_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        ids = batch[id_col].to_numpy()
+        cos = round_half_up(m @ qmat.T, 6)          # (n, Q)
+        sigs = _lsh_sig(m.astype(np.float32), p)
+        parts = []
+        for j, qid in enumerate(qids):
+            cj = cos[:, j]
+            order = np.lexsort((ids, -cj))          # cosine desc, id asc
+            top = order[:k]
+            in_lsh = np.fromiter((int(s) in near_sets[j] for s in sigs),
+                                 dtype=bool, count=len(sigs))
+            lsh_rows = order[in_lsh[order]][:k]
+            for rows, kind in ((top, "exact"), (lsh_rows, "lsh")):
+                if len(rows):
+                    parts.append(pd.DataFrame({
+                        "query_id": np.int64(qid), "kind": kind,
+                        id_col: ids[rows], "cosine": cj[rows]}))
+        if not parts:
+            return pd.DataFrame({
+                "query_id": pd.Series(dtype="int64"),
+                "kind": pd.Series(dtype="string"),
+                id_col: pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64")})
+        return pd.concat(parts, ignore_index=True)
+
+    cands = embeddings.select_columns([id_col, vec_col]).map_batches(
+        score_block, batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        def topk(kind: str) -> set:
+            sub = g[g["kind"] == kind].sort_values(
+                ["cosine", id_col], ascending=[False, True]).head(k)
+            return set(sub[id_col])
+
+        exact, lsh = topk("exact"), topk("lsh")
+        return pd.DataFrame({
+            "query_id": [np.int64(g["query_id"].iloc[0])],
+            "recall": [float(round_half_up(len(exact & lsh) / k, 6))]})
+
+    return cands.groupby("query_id").map_groups(combine,
+                                                batch_format="pandas")

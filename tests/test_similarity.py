@@ -112,3 +112,48 @@ def test_lsh_index_matches_one_shot():
     a = knn_lsh_indexed(idx, qvec, k=10).to_pandas().reset_index(drop=True)
     b = knn_lsh(emb, qvec, k=10).to_pandas().reset_index(drop=True)
     assert a.equals(b) and len(a) == 10
+
+
+def test_knn_recall_lsh_bounds_and_exact_self():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from dygiepp_ray.stages.similarity import knn_recall_lsh
+
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((120, 16)).astype(np.float64)
+    df = pd.DataFrame({"vec_id": np.arange(120, dtype=np.int64),
+                       "embedding": list(vecs)})
+    qids = [0, 5, 9]
+    got = knn_recall_lsh(
+        ray.data.from_pandas(df).repartition(4),
+        vecs[qids], qids, k=10).to_pandas()
+    assert sorted(got["query_id"]) == qids
+    assert ((got["recall"] >= 0.0) & (got["recall"] <= 1.0)).all()
+    # radius-n_bits LSH (near set = everything) must recall exactly 1.0
+    full = knn_recall_lsh(
+        ray.data.from_pandas(df).repartition(4),
+        vecs[qids], qids, k=10, n_bits=1).to_pandas()
+    # n_bits=1: near = {sig, sig^1} = both buckets -> candidate set == corpus
+    assert (full["recall"] == 1.0).all()
+
+
+def test_knn_recall_lsh_partitioning_invariant():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from dygiepp_ray.stages.similarity import knn_recall_lsh
+
+    rng = np.random.RandomState(11)
+    vecs = rng.standard_normal((90, 8)).astype(np.float64)
+    df = pd.DataFrame({"vec_id": np.arange(90, dtype=np.int64),
+                       "embedding": list(vecs)})
+    outs = []
+    for nparts in (1, 5):
+        got = knn_recall_lsh(
+            ray.data.from_pandas(df).repartition(nparts),
+            vecs[[2, 7]], [2, 7], k=5).to_pandas()
+        outs.append(dict(zip(got["query_id"], got["recall"])))
+    assert outs[0] == outs[1]
