@@ -1804,6 +1804,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_components"] = q_kg_components
 
+    def q_kg_kcore(sf_dir: str):
+        # core number per node (largest surviving k-core) — deterministic
+        # peel; broadcast mode (lexicon-bounded vocab), shuffle fallback
+        # pinned equal in tests/test_graph.py
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.graph import kcore_decomposition
+
+        _write_oracle(sf_dir, "kg_kcore",
+                      lambda: _o.expected_kcore(_oracle_triples_table(sf_dir)))
+        return kcore_decomposition(_distinct_edge_ds(sf_dir),
+                                   src="subj_norm", dst="obj_norm",
+                                   mode="broadcast")
+
+    q["kg_kcore"] = q_kg_kcore
+
     def q_kg_pagerank(sf_dir: str):
         from dygiepp_ray import oracle as _o
         from dygiepp_ray.stages.graph import pagerank_fixedpoint
@@ -3420,6 +3435,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_pagerank": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_pagerank.parquet')
+        """,
+        "kg_kcore": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_kcore.parquet')
         """,
         "kg_mention_counts": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_mention_counts.parquet')

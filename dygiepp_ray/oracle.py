@@ -2221,3 +2221,32 @@ def expected_knn_recall(sf_dir: str, query_ids: list[int], k: int = 10,
         out_r.append(float(round_half_up(len(exact & lsh) / k, 6)))
     return pa.table({"query_id": pa.array(out_q, pa.int64()),
                      "recall": pa.array(out_r, pa.float64())})
+
+
+def expected_kcore(triples: pa.Table) -> pa.Table:
+    """Scalar k-core peel over the distinct undirected (subj_norm,
+    obj_norm) edge set, self-loops dropped — adjacency dict + iterative
+    removal, independent of stages/graph.py."""
+    s = triples.column("subj_norm").to_pylist()
+    o = triples.column("obj_norm").to_pylist()
+    und = {tuple(sorted((a, b))) for a, b in zip(s, o) if a != b}
+    adj: dict[str, set] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core: dict[str, int] = {}
+    alive = set(adj)
+    k = 1
+    while alive:
+        while True:
+            low = {v for v in alive
+                   if sum(1 for w in adj[v] if w in alive) < k}
+            if not low:
+                break
+            for v in low:
+                core[v] = k - 1
+            alive -= low
+        k += 1
+    ks = sorted(core)
+    return pa.table({"node": pa.array(ks, pa.string()),
+                     "core": pa.array([core[n] for n in ks], pa.int64())})

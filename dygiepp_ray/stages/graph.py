@@ -501,3 +501,216 @@ def khop_subgraph(edges: "ray.data.Dataset", seeds: "ray.data.Dataset",
     for e in per_hop[1:]:
         union = union.union(e)
     return partial_final_agg(union, [src, dst], [("hop", "hop", "min")])
+
+
+# ------------------------------------------------------------------ k-core
+
+
+def kcore_decomposition(edges: "ray.data.Dataset", src: str = "src",
+                        dst: str = "dst", mode: str = "auto",
+                        n_buckets: int = 32,
+                        broadcast_max_nodes: int = 5_000_000
+                        ) -> "ray.data.Dataset":
+    """(node, core) — core number per node (largest k such that the node
+    survives in the k-core) over the DISTINCT undirected edge set implied
+    by (src, dst); self-loops ignored. Deterministic: the peel result is
+    independent of removal order.
+
+    `mode`: "broadcast" — degree/alive arrays over the sorted node
+    vocabulary, every peel round one vectorized pass (local numpy below
+    `LOCAL_MAX_EDGES`, else per-block `np.bincount` partials streamed to
+    the driver); "shuffle" — the huge-|V| fallback where each round is a
+    bucketed semi-join dropping low-degree endpoints and a grouped
+    re-count, nothing node-shaped ever on the driver; "auto" picks by the
+    distinct-node admission check (same policy as `connected_components`).
+    """
+    if mode == "auto":
+        mode = ("broadcast"
+                if _broadcast_fits(edges, src, dst, broadcast_max_nodes)
+                else "shuffle")
+    if mode == "broadcast":
+        return _kcore_broadcast(edges, src, dst)
+    return _kcore_shuffle(edges, src, dst, n_buckets)
+
+
+def _dedup_undirected(edges: "ray.data.Dataset", src: str,
+                      dst: str) -> "ray.data.Dataset":
+    """Distinct undirected (u < v) edge table, self-loops dropped."""
+    from ..aggregates import grouped_count, strip_schema_metadata
+
+    def canon(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        a = t.column(src).combine_chunks().cast(pa.string())
+        b = t.column(dst).combine_chunks().cast(pa.string())
+        u = pc.min_element_wise(a, b)
+        v = pc.max_element_wise(a, b)
+        return pa.table({"u": u, "v": v}).filter(
+            pc.invert(pc.equal(a, b)))
+
+    return grouped_count(
+        edges.select_columns([src, dst]).map_batches(
+            canon, batch_format="pyarrow"),
+        ["u", "v"], out_name="_c").select_columns(["u", "v"])
+
+
+def _kcore_broadcast(edges: "ray.data.Dataset", src: str,
+                     dst: str) -> "ray.data.Dataset":
+    und = _dedup_undirected(edges, src, dst)
+    names, indexed = _index_edges(und, "u", "v")
+    n = len(names)
+    core = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "core": pa.array([], pa.int64())}))
+
+    def degrees(s: np.ndarray, d: np.ndarray, alive: np.ndarray) -> np.ndarray:
+        keep = alive[s] & alive[d]
+        return (np.bincount(s[keep], minlength=n)
+                + np.bincount(d[keep], minlength=n))
+
+    if indexed.count() <= LOCAL_MAX_EDGES:
+        s, d = _collect_indexed(indexed)
+        alive = np.ones(n, dtype=bool)
+        k = 1
+        while alive.any():
+            while True:
+                deg = degrees(s, d, alive)
+                low = alive & (deg < k)
+                if not low.any():
+                    break
+                core[low] = k - 1
+                alive &= ~low
+            k += 1
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(list(names)),
+            "core": pa.array(core, pa.int64())}))
+
+    # distributed rounds: alive mask broadcast per round, per-block degree
+    # partials (np.bincount over the int32 edge blocks) summed on the
+    # driver — O(|V|) driver state, never O(|E|)
+    alive = np.ones(n, dtype=bool)
+    k = 1
+    while alive.any():
+        while True:
+            alive_ref = ray.put(alive)
+
+            def part_deg(df: pd.DataFrame) -> pd.DataFrame:
+                a = ray.get(alive_ref)
+                s = df["s"].to_numpy()
+                d = df["d"].to_numpy()
+                keep = a[s] & a[d]
+                cnt = (np.bincount(s[keep], minlength=len(a))
+                       + np.bincount(d[keep], minlength=len(a)))
+                nz = np.nonzero(cnt)[0]
+                return pd.DataFrame({"i": nz.astype(np.int64),
+                                     "c": cnt[nz].astype(np.int64)})
+
+            deg = np.zeros(n, dtype=np.int64)
+            for b in indexed.map_batches(
+                    part_deg, batch_format="pandas").iter_batches(
+                    batch_format="pandas"):
+                np.add.at(deg, b["i"].to_numpy(), b["c"].to_numpy())
+            low = alive & (deg < k)
+            if not low.any():
+                break
+            core[low] = k - 1
+            alive &= ~low
+        k += 1
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(list(names)),
+        "core": pa.array(core, pa.int64())}))
+
+
+def _kcore_shuffle(edges: "ray.data.Dataset", src: str, dst: str,
+                   n_buckets: int) -> "ray.data.Dataset":
+    """Huge-|V| peel: each inner round recomputes degrees with a grouped
+    count, finds below-k nodes with a bucketed LEFT join from the alive
+    NODE set onto the degree table (a missing degree row means degree 0 —
+    isolated survivors peel too), and drops edges touching peeled nodes
+    via two bucketed anti-join passes. All data motion is bucketed
+    shuffles; the driver sees only per-round changed-row counts."""
+    from ..aggregates import grouped_count, strip_schema_metadata
+    from ..joins import hash_join
+
+    s_t, i_t = pa.string(), pa.int64()
+    alive = _dedup_undirected(edges, src, dst).materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        typ = t.column("u").type
+        a = pa.chunked_array(list(t.column("u").chunks)
+                             + list(t.column("v").chunks), typ)
+        return pa.table({"node": a})
+
+    alive_nodes = grouped_count(
+        alive.map_batches(explode, batch_format="pyarrow"),
+        ["node"], out_name="_c").select_columns(["node"]).materialize()
+
+    def mark(name_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = strip_schema_metadata(t)
+            t = t.rename_columns([name_col])
+            return t.append_column(
+                "_low", pa.array(np.ones(t.num_rows), pa.float64()))
+
+        return fn
+
+    def anti_post(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["_low"].isna()].drop(columns=["_low"])
+
+    outs = []
+    k = 1
+    while alive_nodes.count() > 0:
+        while True:
+            deg = grouped_count(
+                alive.map_batches(explode, batch_format="pyarrow"),
+                ["node"], out_name="deg")
+
+            def low_post(df: pd.DataFrame, kk=k) -> pd.DataFrame:
+                d = df["deg"].fillna(0).astype("int64")
+                return df.loc[d < kk, ["node"]]
+
+            # block-count discipline: every join emits one block per
+            # sort partition and the union doubles input blocks, so an
+            # unbounded loop would double blocks per round (measured:
+            # 0.8 s -> 47 s per execution by round 8). repartition back to
+            # n_buckets before pinning.
+            low = hash_join(
+                alive_nodes, deg, on="node", how="left",
+                n_buckets=n_buckets,
+                left_types={"node": s_t},
+                right_types={"node": s_t, "deg": i_t},
+                bucket_post=low_post).repartition(2).materialize()
+            if low.count() == 0:
+                break
+            outs.append(low.map_batches(
+                lambda t, kk=k: strip_schema_metadata(t).append_column(
+                    "core", pa.array(np.full(t.num_rows, kk - 1),
+                                     pa.int64())),
+                batch_format="pyarrow").materialize())
+            alive_nodes = hash_join(
+                alive_nodes, low.map_batches(mark("node"),
+                                             batch_format="pyarrow"),
+                on="node", how="left", n_buckets=n_buckets,
+                left_types={"node": s_t},
+                right_types={"node": s_t, "_low": pa.float64()},
+                bucket_post=anti_post).repartition(n_buckets).materialize()
+            st = {"u": s_t, "v": s_t}
+            for col in ("u", "v"):
+                alive = hash_join(
+                    alive, low.map_batches(mark(col),
+                                           batch_format="pyarrow"),
+                    on=col, how="left", n_buckets=n_buckets,
+                    left_types=st,
+                    right_types={col: s_t, "_low": pa.float64()},
+                    bucket_post=anti_post).repartition(n_buckets).materialize()
+        k += 1
+    if not outs:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "core": pa.array([], pa.int64())}))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.union(o)
+    return res

@@ -234,3 +234,64 @@ def test_triangle_counts_random_graph_matches_bruteforce():
     got = triangle_counts(
         ray.data.from_pandas(tri).repartition(3), salt_buckets=2).to_pandas()
     assert dict(zip(got["node"], got["n_triangles"].astype(int))) == want
+
+
+# --------------------------------------------------------------- k-core
+
+
+def _kcore_brute(pairs: list[tuple[str, str]]) -> dict[str, int]:
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    adj: dict[str, set] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core, alive, k = {}, set(adj), 1
+    while alive:
+        while True:
+            low = {v for v in alive
+                   if sum(1 for w in adj[v] if w in alive) < k}
+            if not low:
+                break
+            for v in low:
+                core[v] = k - 1
+            alive -= low
+        k += 1
+    return core
+
+
+def test_kcore_golden_modes_agree():
+    from dygiepp_ray.stages.graph import kcore_decomposition
+
+    # K4 (core 3) + a triangle hanging off it (core 2) + a path tail
+    # (core 1) + duplicate/reversed edges and a self-loop
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e"), ("e", "f"), ("d", "f"),
+             ("f", "g"), ("g", "h"), ("h", "h"), ("b", "a")]
+    want = _kcore_brute(pairs)
+    edges = pd.DataFrame({"src": [p[0] for p in pairs],
+                          "dst": [p[1] for p in pairs]})
+    for mode in ("broadcast", "shuffle"):
+        got = kcore_decomposition(
+            ray.data.from_pandas(edges).repartition(3), mode=mode
+        ).to_pandas()
+        assert dict(zip(got["node"], got["core"].astype(int))) == want, mode
+
+
+def test_kcore_random_graph_modes_and_bruteforce():
+    import numpy as np
+
+    from dygiepp_ray.stages.graph import kcore_decomposition
+
+    rng = np.random.RandomState(5)
+    names = [f"n{i:02d}" for i in range(16)]
+    pairs = [(names[rng.randint(16)], names[rng.randint(16)])
+             for _ in range(60)]
+    want = _kcore_brute(pairs)
+    edges = pd.DataFrame({"src": [p[0] for p in pairs],
+                          "dst": [p[1] for p in pairs]})
+    # broadcast only: the golden test pins shuffle==broadcast; a shuffle
+    # run here costs ~3 min of pure per-round execution overhead at 4 cpus
+    got_b = kcore_decomposition(
+        ray.data.from_pandas(edges).repartition(4), mode="broadcast"
+    ).to_pandas()
+    assert dict(zip(got_b["node"], got_b["core"].astype(int))) == want
