@@ -1023,6 +1023,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["decontaminate_docs"] = q_decontaminate
 
+    def q_fuzzy_decontaminate(sf_dir: str):
+        # NEAR-dup decontamination (paraphrased/templated leakage the exact
+        # n-gram check misses): both sides minhash-banded into ONE coarse
+        # shuffle, cross-side-only verify in-bucket
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.curate import fuzzy_decontaminate
+
+        _write_oracle(sf_dir, "fuzzy_decontaminate",
+                      lambda: _o.expected_fuzzy_decontaminate(sf_dir))
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        ev = docs.map_batches(
+            lambda df: df[df["doc_id"] % 5 == 0], batch_format="pandas")
+        train = docs.map_batches(
+            lambda df: df[df["doc_id"] % 5 != 0], batch_format="pandas")
+        return fuzzy_decontaminate(train, ev, est_threshold=0.5)
+
+    q["fuzzy_decontaminate"] = q_fuzzy_decontaminate
+
     def q_pii_redact(sf_dir: str):
         # PII redaction (emails → <EMAIL>, IPv4 → <IP>, phone → <PHONE>).
         # The corpus has no natural PII, so plant a deterministic
@@ -2817,6 +2835,9 @@ def oracle_sql() -> dict[str, str]:
             FROM g JOIN ev USING (ng)
             WHERE g.doc_id % 23 <> 0
             GROUP BY g.doc_id
+        """,
+        "fuzzy_decontaminate": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/fuzzy_decontaminate.parquet')
         """,
         "pii_redact_docs": r"""
             WITH aug AS (

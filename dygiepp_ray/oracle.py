@@ -2250,3 +2250,36 @@ def expected_kcore(triples: pa.Table) -> pa.Table:
     ks = sorted(core)
     return pa.table({"node": pa.array(ks, pa.string()),
                      "core": pa.array([core[n] for n in ks], pa.int64())})
+
+
+def expected_fuzzy_decontaminate(sf_dir: str, est_threshold: float = 0.5,
+                                 n_perm: int = 64, n_bands: int = 16,
+                                 shingle_k: int = 3) -> pa.Table:
+    """All-cross-pairs brute-force twin of
+    `stages/curate.py:fuzzy_decontaminate` over the doc_id % 5 train/eval
+    split: a (train, eval) pair is contaminated iff it shares >= 1 full
+    band AND its signature-estimated Jaccard >= est_threshold. Signatures
+    reuse the hash family (they define the operator); the two-sided
+    banding/shuffle/cross-verify plumbing is what this checks."""
+    from .stages.dedup import MinHasher
+
+    ids, texts = _read_docs(sf_dir)
+    mh = MinHasher(n_perm=n_perm, shingle_k=shingle_k)
+    sigs = [mh.signature(t) for t in texts]
+    r = n_perm // n_bands
+    tr = [(i, d) for i, d in enumerate(ids) if d % 5 != 0]
+    ev = [(i, d) for i, d in enumerate(ids) if d % 5 == 0]
+    out = []
+    for i, tid in tr:
+        for j, eid in ev:
+            eq = sigs[i] == sigs[j]
+            if not any(eq[b * r: (b + 1) * r].all() for b in range(n_bands)):
+                continue
+            est = float(np.mean(eq))
+            if est >= est_threshold:
+                out.append((tid, eid, round(est, 6)))
+    out.sort()
+    return pa.table({
+        "train_id": pa.array([x[0] for x in out], pa.int64()),
+        "eval_id": pa.array([x[1] for x in out], pa.int64()),
+        "est_jaccard": pa.array([x[2] for x in out], pa.float64())})

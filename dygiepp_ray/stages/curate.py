@@ -417,3 +417,83 @@ def weighted_sample(ds: "ray.data.Dataset", id_col: str, weight_col: str,
     pruned = ds.map_batches(stamp_prune, batch_format="pandas")
     return pruned.sort(["es_key", id_col],
                        descending=[True, False]).limit(k)
+
+
+def fuzzy_decontaminate(train: "ray.data.Dataset",
+                        eval_docs: "ray.data.Dataset",
+                        est_threshold: float = 0.5, n_perm: int = 64,
+                        n_bands: int = 16, shingle_k: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        concurrency=(1, 4),
+                        n_buckets: int = 64) -> "ray.data.Dataset":
+    """(train_id, eval_id, est_jaccard) — NEAR-duplicate decontamination:
+    training docs whose minhash-estimated shingle Jaccard against any
+    benchmark doc is ≥ `est_threshold`. Catches paraphrased/templated eval
+    leakage the exact n-gram `decontaminate` misses.
+
+    Unlike exact decontamination (eval n-grams broadcast to a member-check
+    actor pool), the fuzzy variant needs candidate PAIRS, so it reuses the
+    `minhash_lsh_pairs` machinery with both sides banded into ONE coarse
+    shuffle; in-bucket verification compares only CROSS (train × eval)
+    rows, chunk-bounded like every other pair verify. Neither side is ever
+    collected to the driver — the eval side may be large (a full held-out
+    split), and even a small one costs only its share of the one shuffle."""
+    import numpy as np
+
+    from .dedup import (MinHasher, _dedup_pairs, minhash_bands_with_sig)
+
+    def sigs_of(ds, side: str):
+        s = ds.select_columns([id_col, text_col]).map_batches(
+            MinHasher, fn_constructor_kwargs=dict(
+                n_perm=n_perm, shingle_k=shingle_k,
+                text_col=text_col, id_col=id_col),
+            batch_format="pandas", concurrency=concurrency)
+        return s.map_batches(
+            lambda df, sd=side: minhash_bands_with_sig(
+                df, n_bands, id_col, n_buckets).assign(_sd=sd),
+            batch_format="pandas")
+
+    banded = sigs_of(train, "t").union(sigs_of(eval_docs, "e"))
+
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        id_dtype = df[id_col].dtype
+        df = df[df["band_key"].duplicated(keep=False)]
+        out_a, out_b, out_e = [], [], []
+        for _key, group in df.groupby("band_key", sort=False):
+            tm = group["_sd"].to_numpy() == "t"
+            if not tm.any() or tm.all():
+                continue
+            t_ids = group[id_col].to_numpy()[tm]
+            e_ids = group[id_col].to_numpy()[~tm]
+            sig_t = np.asarray(
+                [np.asarray(s) for s in group["minhash"][tm]])
+            sig_e = np.asarray(
+                [np.asarray(s) for s in group["minhash"][~tm]])
+            ne, p = sig_e.shape
+            chunk = max(1, (32 << 20) // max(1, ne * p))
+            for lo in range(0, len(t_ids), chunk):
+                hi = min(lo + chunk, len(t_ids))
+                est = (sig_t[lo:hi, None, :] == sig_e[None, :, :]).mean(
+                    axis=2)
+                ri, cj = np.nonzero(est >= est_threshold)
+                if ri.size:
+                    out_a.append(t_ids[lo + ri])
+                    out_b.append(e_ids[cj])
+                    out_e.append(est[ri, cj])
+        if not out_a:
+            return pd.DataFrame({
+                "id_a": pd.Series(dtype=id_dtype),
+                "id_b": pd.Series(dtype=id_dtype),
+                "est_jaccard": pd.Series(dtype="float64")})
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "est_jaccard": np.round(np.concatenate(out_e), 6)})
+
+    pairs = banded.groupby("_bucket").map_groups(verify_bucket,
+                                                 batch_format="pandas")
+    deduped = _dedup_pairs(pairs, n_buckets)
+    return deduped.map_batches(
+        lambda df: df.rename(columns={"id_a": "train_id",
+                                      "id_b": "eval_id"}),
+        batch_format="pandas")

@@ -341,3 +341,32 @@ def test_weighted_sample_bias_and_invariance():
         ray.data.from_pandas(df).repartition(11), "doc_id", "w", k=k
     ).to_pandas()
     assert got["doc_id"].tolist() == got2["doc_id"].tolist()
+
+
+def test_fuzzy_decontaminate_cross_side_only():
+    import ray.data
+
+    from dygiepp_ray.stages.curate import fuzzy_decontaminate
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    tweak = base.replace("theta", "THETA")
+    other = "one two three four five six seven eight nine ten " * 2
+    # 1/6: near-identical cross-side pair; 2/5: IDENTICAL train-side pair
+    # (must NOT be reported — same side); 3: unrelated eval doc
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 5, 6],
+        "text": [base, other, "unrelated words here entirely", other,
+                 tweak],
+    })
+    docs = ray.data.from_pandas(df).repartition(2)
+    ev = docs.map_batches(lambda d: d[d["doc_id"] % 3 == 0],
+                          batch_format="pandas")
+    tr = docs.map_batches(lambda d: d[d["doc_id"] % 3 != 0],
+                          batch_format="pandas")
+    got = fuzzy_decontaminate(tr, ev, est_threshold=0.5).to_pandas()
+    pairs = set(zip(got["train_id"], got["eval_id"]))
+    assert (1, 6) in pairs             # near-dup across sides
+    assert (2, 5) not in pairs and (5, 2) not in pairs  # same-side dup
+    assert all(e % 3 == 0 and t % 3 != 0 for t, e in pairs)
+    assert (got["est_jaccard"] >= 0.5).all()
