@@ -1008,6 +1008,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["substring_dups"] = q_substring_dups
 
+    def q_dedup_spans(sf_dir: str):
+        # span-LEVEL exact dedup (Lee et al. 2022): every duplicated
+        # k-token window removed from all but its globally-first occurrence
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.dedup import remove_dup_spans
+
+        _write_oracle(sf_dir, "dedup_spans",
+                      lambda: _o.expected_remove_dup_spans(sf_dir, k=10))
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return remove_dup_spans(docs, k=10)
+
+    q["dedup_spans"] = q_dedup_spans
+
     def q_decontaminate(sf_dir: str):
         # benchmark decontamination: docs with doc_id % 23 == 0 act as the
         # held-out eval set; flag training docs sharing any word 5-gram.
@@ -2997,6 +3010,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_dups": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/ngram_dups.parquet')
+        """,
+        "dedup_spans": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/dedup_spans.parquet')
         """,
         "substring_dups": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/substring_dups.parquet')

@@ -2283,3 +2283,43 @@ def expected_fuzzy_decontaminate(sf_dir: str, est_threshold: float = 0.5,
         "train_id": pa.array([x[0] for x in out], pa.int64()),
         "eval_id": pa.array([x[1] for x in out], pa.int64()),
         "est_jaccard": pa.array([x[2] for x in out], pa.float64())})
+
+
+def expected_remove_dup_spans(sf_dir: str, k: int = 10) -> pa.Table:
+    """Scalar re-walk of `stages/dedup.py:remove_dup_spans`: window hashes
+    per (doc, pos), global keeper = min packed (doc_id, pos), union of loser
+    intervals dropped — plain dicts, same hash family."""
+    from .stages.dedup import _POS_CAP, _token_hash_array, _window_hashes
+
+    ids, texts = _read_docs(sf_dir)
+    first: dict[int, int] = {}
+    inst: list[tuple[int, int, int]] = []  # (wh, doc_id, pos)
+    toks_by_doc: dict[int, list[str]] = {}
+    counts: dict[int, int] = {}
+    for did, text in zip(ids, texts):
+        toks = text.split()
+        toks_by_doc[did] = toks
+        v = (_window_hashes(_token_hash_array(toks), k)
+             >> np.uint64(2)).astype(np.int64)
+        for pos, wh in enumerate(v.tolist()):
+            packed = did * _POS_CAP + pos
+            counts[wh] = counts.get(wh, 0) + 1
+            if wh not in first or packed < first[wh]:
+                first[wh] = packed
+            inst.append((wh, did, pos))
+    out_id, out_text, out_n = [], [], []
+    drops: dict[int, list[int]] = {}
+    for wh, did, pos in inst:
+        if counts[wh] > 1 and did * _POS_CAP + pos != first[wh]:
+            drops.setdefault(did, []).append(pos)
+    for did in ids:
+        toks = toks_by_doc[did]
+        drop = np.zeros(len(toks), dtype=bool)
+        for p in drops.get(did, []):
+            drop[p: p + k] = True
+        out_id.append(did)
+        out_text.append(" ".join(t for t, d in zip(toks, drop) if not d))
+        out_n.append(int(drop.sum()))
+    return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                     "text": pa.array(out_text, pa.string()),
+                     "n_removed": pa.array(out_n, pa.int64())})

@@ -734,3 +734,129 @@ def dedup_against_store(new_docs: "ray.data.Dataset", store_dir: str,
 
     return store.union(newer).groupby("bucket").map_groups(
         merge, batch_format="pandas")
+
+
+# ----------------------------------------------------------- span-level dedup
+
+
+_POS_CAP = 1 << 20  # max token positions per doc for the packed (doc, pos) key
+
+
+def _window_hashes(hs: np.ndarray, k: int) -> np.ndarray:
+    """Positional k-gram window hashes (the `_shingle_values` fold WITHOUT
+    the unique: one value per window start, order preserved)."""
+    m = len(hs) - k + 1
+    if m <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    v = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        v = _splitmix64(v ^ hs[j: j + m])
+    return v
+
+
+def remove_dup_spans(docs: "ray.data.Dataset", k: int = 10,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n_buckets: int = 32) -> "ray.data.Dataset":
+    """(doc_id, text, n_removed) — span-level exact dedup à la "Deduplicating
+    Training Data Makes Language Models Better" (Lee et al. 2022): every
+    k-token window that occurs more than once across the corpus is removed
+    from every occurrence EXCEPT the globally first one (minimum packed
+    (doc_id, pos) — a deterministic keeper rule, so the result is
+    partitioning-invariant). Overlapping duplicate windows remove the union
+    of their token intervals; docs shorter than k tokens pass through.
+
+    Shape: (1) one pass emits (window_hash, packed_pos) rows; (2) a
+    partial+final count/min shrinks to the DUPLICATED hash table (boilerplate
+    only); (3) an inner bucketed `hash_join` windows×dups marks loser
+    instances — the windows side ships 16 B/row and only rows whose hash is
+    duplicated survive the join task; (4) removal intervals join back to the
+    doc table by id and each doc is rebuilt vectorized. Two corpus-scale
+    shuffles total (window join + doc rekey), no driver-side state."""
+    import pandas as pd
+
+    from ..aggregates import partial_final_agg
+    from ..joins import hash_join
+
+    i64 = pa.int64()
+
+    def windows_of(df: pd.DataFrame) -> pd.DataFrame:
+        whs, dids, poss = [], [], []
+        for did, text in zip(df[id_col], df[text_col]):
+            toks = text.split()
+            v = _window_hashes(_token_hash_array(toks), k)
+            if len(v) == 0:
+                continue
+            if len(v) >= _POS_CAP:
+                raise ValueError(
+                    f"doc {did}: {len(v)} windows >= _POS_CAP; "
+                    "split docs (stages/prep.py) before span dedup")
+            whs.append((v >> np.uint64(2)).astype(np.int64))
+            dids.append(np.full(len(v), did, dtype=np.int64))
+            poss.append(np.arange(len(v), dtype=np.int64))
+        if not whs:
+            return pd.DataFrame({"wh": pd.Series(dtype="int64"),
+                                 id_col: pd.Series(dtype="int64"),
+                                 "packed": pd.Series(dtype="int64")})
+        wh = np.concatenate(whs)
+        did = np.concatenate(dids)
+        pos = np.concatenate(poss)
+        return pd.DataFrame({"wh": wh, id_col: did,
+                             "packed": did * _POS_CAP + pos})
+
+    windows = docs.select_columns([id_col, text_col]).map_batches(
+        windows_of, batch_format="pandas")
+
+    dups = partial_final_agg(
+        windows.select_columns(["wh", "packed"]), ["wh"],
+        [("n", None, "count"), ("keeper", "packed", "min")])
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..aggregates import strip_schema_metadata
+
+        t = strip_schema_metadata(t)
+        return t.filter(pc.greater(t.column("n"), 1)).select(
+            ["wh", "keeper"])
+
+    dups = dups.map_batches(dup_only, batch_format="pyarrow")
+
+    def losers(m: pd.DataFrame) -> pd.DataFrame:
+        hit = m[m["packed"] != m["keeper"]]
+        return pd.DataFrame({
+            id_col: hit[id_col].to_numpy(dtype=np.int64),
+            "pos": (hit["packed"] % _POS_CAP).to_numpy(dtype=np.int64)})
+
+    removals = hash_join(
+        windows, dups, on="wh", how="inner", n_buckets=n_buckets,
+        left_types={"wh": i64, id_col: i64, "packed": i64},
+        right_types={"wh": i64, "keeper": i64},
+        bucket_post=losers)
+
+    def rebuild(m: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_text, out_n = [], [], []
+        for did, g in m.groupby(id_col, sort=False):
+            text = g[text_col].iloc[0]
+            toks = text.split()
+            ps = g["pos"].dropna()
+            if not len(ps):
+                out_id.append(did); out_text.append(text); out_n.append(0)
+                continue
+            drop = np.zeros(len(toks), dtype=bool)
+            for p in ps.to_numpy(dtype=np.int64):
+                drop[p: p + k] = True
+            kept = [t for t, d in zip(toks, drop) if not d]
+            out_id.append(did)
+            out_text.append(" ".join(kept))
+            out_n.append(int(drop.sum()))
+        return pd.DataFrame({id_col: pd.array(out_id, dtype="int64"),
+                             text_col: out_text,
+                             "n_removed": pd.array(out_n, dtype="int64")})
+
+    s_t = pa.string()
+    return hash_join(
+        docs.select_columns([id_col, text_col]), removals, on=id_col,
+        how="left", n_buckets=n_buckets,
+        left_types={id_col: i64, text_col: s_t},
+        right_types={id_col: i64, "pos": i64},
+        bucket_post=rebuild)

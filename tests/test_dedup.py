@@ -315,3 +315,44 @@ def test_simhash_large_collision_group_chunked():
     got = simhash_near_dups(docs).to_pandas()
     assert len(got) == n * (n - 1) // 2
     assert (got.hamming == 0).all()
+
+
+def test_remove_dup_spans_keeper_and_union():
+    import numpy as np
+    import ray.data
+
+    from dygiepp_ray.stages.dedup import remove_dup_spans
+
+    span = "q w e r t y u i o p"          # 10 tokens, duplicated
+    doc1 = f"aa bb {span} cc dd"
+    doc2 = f"xx {span} yy zz"             # loser: span removed
+    doc3 = "totally different words only here nothing repeated at all ok"
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": [doc1, doc2, doc3]})
+    for nparts in (1, 3):
+        got = remove_dup_spans(
+            ray.data.from_pandas(df).repartition(nparts), k=10
+        ).to_pandas().set_index("doc_id")
+        # doc 1 holds the globally-first occurrence -> untouched
+        assert got.loc[1, "text"] == doc1
+        assert got.loc[1, "n_removed"] == 0
+        # doc 2 loses exactly the 10 span tokens
+        assert got.loc[2, "text"] == "xx yy zz"
+        assert got.loc[2, "n_removed"] == 10
+        assert got.loc[3, "text"] == doc3
+        assert got.loc[3, "n_removed"] == 0
+
+
+def test_remove_dup_spans_within_doc_and_overlap():
+    import ray.data
+
+    from dygiepp_ray.stages.dedup import remove_dup_spans
+
+    # one doc: the same 10-token span twice -> second occurrence removed
+    span = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    doc = f"{span} mid {span} tail"
+    got = remove_dup_spans(
+        ray.data.from_pandas(pd.DataFrame({
+            "doc_id": [7], "text": [doc]})), k=10).to_pandas()
+    assert got.loc[0, "text"] == f"{span} mid tail"
+    assert got.loc[0, "n_removed"] == 10
