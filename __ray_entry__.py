@@ -1622,6 +1622,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_triangles"] = q_kg_triangles
 
+    def q_kg_predicate_stats(sf_dir: str):
+        # per-predicate schema stats (edge count, subj/obj cardinality,
+        # integer-scaled fanout) — schema induction companion to the
+        # functional-conflict QA
+        _ensure_triples_oracle(sf_dir)
+        return kgp.predicate_stats(_synth_triples(sf_dir), salt_buckets=4)
+
+    q["kg_predicate_stats"] = q_kg_predicate_stats
+
     def q_kg_mentions(sf_dir: str):
         from dygiepp_ray import oracle as _o
 
@@ -3367,6 +3376,18 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
             GROUP BY subj_norm, pred
             HAVING count(DISTINCT obj_norm) > 1
+        """,
+        "kg_predicate_stats": """
+            WITH e AS (
+                SELECT DISTINCT subj_norm, pred, obj_norm
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            )
+            SELECT pred, count(*) AS n_edges,
+                   count(DISTINCT subj_norm) AS n_subj,
+                   count(DISTINCT obj_norm) AS n_obj,
+                   count(*) * 1000 // count(DISTINCT subj_norm)
+                       AS fanout_scaled
+            FROM e GROUP BY pred
         """,
         "kg_triangles": """
             WITH e AS (

@@ -742,3 +742,55 @@ def triangle_counts(triples: "ray.data.Dataset", salt_buckets: int = 1,
         bucket_post=node_partials)
     return partial_final_agg(tri_nodes, ["node"],
                              [("n_triangles", "n_part", "sum")])
+
+
+def predicate_stats(triples: "ray.data.Dataset",
+                    salt_buckets: int = 1) -> "ray.data.Dataset":
+    """(pred, n_edges, n_subj, n_obj, fanout_scaled) — per-predicate schema
+    statistics over DISTINCT (subj, pred, obj) edges: edge count, distinct
+    subject/object cardinalities, and the integer-scaled mean out-fanout
+    (n_edges * 1000 // n_subj; 1000 = perfectly functional predicate). The
+    schema-induction companion to `functional_conflicts`.
+
+    Shape: distinct edges (one salted grouped count — the only shuffle that
+    sees the triple table), then three shrinking partial+final aggregates
+    off the edge table, combined with two bucketed joins on `pred` (tiny:
+    one row per predicate)."""
+    import pandas as pd
+
+    from ..aggregates import partial_final_agg
+    from ..joins import hash_join
+
+    s_t, i_t = pa.string(), pa.int64()
+    edges = grouped_count(
+        triples.select_columns(["subj_norm", "pred", "obj_norm"]),
+        ["subj_norm", "pred", "obj_norm"], out_name="_c",
+        salt_buckets=salt_buckets
+    ).select_columns(["subj_norm", "pred", "obj_norm"]).materialize()
+
+    n_edges = partial_final_agg(edges, ["pred"],
+                                [("n_edges", None, "count")])
+    subj = grouped_count(edges.select_columns(["pred", "subj_norm"]),
+                         ["pred", "subj_norm"], out_name="_c")
+    n_subj = partial_final_agg(subj.select_columns(["pred"]), ["pred"],
+                               [("n_subj", None, "count")])
+    obj = grouped_count(edges.select_columns(["pred", "obj_norm"]),
+                        ["pred", "obj_norm"], out_name="_c")
+    n_obj = partial_final_agg(obj.select_columns(["pred"]), ["pred"],
+                              [("n_obj", None, "count")])
+
+    j1 = hash_join(n_edges, n_subj, on="pred", n_buckets=8,
+                   left_types={"pred": s_t, "n_edges": i_t},
+                   right_types={"pred": s_t, "n_subj": i_t})
+
+    def finish(m: "pd.DataFrame") -> "pd.DataFrame":
+        m = m.copy()
+        m["fanout_scaled"] = (m["n_edges"].astype("int64") * 1000
+                              // m["n_subj"].astype("int64"))
+        return m[["pred", "n_edges", "n_subj", "n_obj", "fanout_scaled"]]
+
+    return hash_join(j1, n_obj, on="pred", n_buckets=8,
+                     left_types={"pred": s_t, "n_edges": i_t,
+                                 "n_subj": i_t},
+                     right_types={"pred": s_t, "n_obj": i_t},
+                     bucket_post=finish)
