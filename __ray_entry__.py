@@ -818,6 +818,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_value_stats"] = events_value_stats
 
+    def events_value_corr(sf_dir: str):
+        # per-type Pearson corr(value, hour-of-day) from EXACT int64 moment
+        # partials: value quantized at scale 1000 (max 560.21 -> x <= 5.6e5,
+        # sum(x^2) <= 3e16 at sf0.1 — 100x headroom in int64), six sums per
+        # (group, block) travel, the float expression tree over the exact
+        # ints is mirrored verbatim in the SQL oracle
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.functions.strings import round_half_up
+
+        ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+        SCALE = 1000
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            x = np.floor(df["value"].to_numpy(np.float64) * SCALE
+                         + 0.5).astype("int64")
+            y = df["ts"].dt.hour.to_numpy().astype("int64")
+            return pd.DataFrame({"event_type": df["event_type"],
+                                 "x": x, "y": y, "xx": x * x,
+                                 "yy": y * y, "xy": x * y})
+
+        agg = partial_final_agg(
+            ds.map_batches(prep, batch_format="pandas"), ["event_type"],
+            [("n", None, "count"), ("sx", "x", "sum"), ("sy", "y", "sum"),
+             ("sxx", "xx", "sum"), ("syy", "yy", "sum"),
+             ("sxy", "xy", "sum")])
+
+        def corr(df: pd.DataFrame) -> pd.DataFrame:
+            n = df["n"].to_numpy("int64").astype("float64")
+            sx = df["sx"].to_numpy("int64").astype("float64")
+            sy = df["sy"].to_numpy("int64").astype("float64")
+            sxx = df["sxx"].to_numpy("int64").astype("float64")
+            syy = df["syy"].to_numpy("int64").astype("float64")
+            sxy = df["sxy"].to_numpy("int64").astype("float64")
+            den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                c = np.where(den2 > 0,
+                             (n * sxy - sx * sy) / np.sqrt(den2), 0.0)
+            return pd.DataFrame({
+                "event_type": df["event_type"],
+                "n": df["n"].to_numpy("int64"),
+                "corr_vh": round_half_up(c, 6)})
+
+        return agg.map_batches(corr, batch_format="pandas")
+
+    q["events_value_corr"] = events_value_corr
+
     def part_type_agg(sf_dir: str):
         from dygiepp_ray.aggregates import partial_final_agg
 
@@ -2633,6 +2679,32 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 6) AS avg_value,
                    count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "events_value_corr": """
+            WITH m AS (
+                SELECT event_type,
+                       CAST(floor(value * 1000 + 0.5) AS BIGINT) AS x,
+                       CAST(hour(ts) AS BIGINT) AS y
+                FROM events
+            ), s AS (
+                SELECT event_type, count(*) AS n,
+                       sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+                       sum(y*y) AS syy, sum(x*y) AS sxy
+                FROM m GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   round(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                         THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                              / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                         ELSE 0.0 END, 6) AS corr_vh
+            FROM s
         """,
         "part_type_agg": """
             SELECT p_type,
