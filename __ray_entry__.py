@@ -1677,6 +1677,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_predicate_stats"] = q_kg_predicate_stats
 
+    def q_kg_entity_kb(sf_dir: str):
+        # the per-entity KB table (make_kb.py:90-103 lifecycle parity):
+        # mention count, in/out degree, top predicate, sorted alias list
+        _ensure_triples_oracle(sf_dir)
+        return kgp.entity_kb(_synth_triples(sf_dir), salt_buckets=4)
+
+    q["kg_entity_kb"] = q_kg_entity_kb
+
     def q_kg_mentions(sf_dir: str):
         from dygiepp_ray import oracle as _o
 
@@ -3448,6 +3456,48 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
             GROUP BY subj_norm, pred
             HAVING count(DISTINCT obj_norm) > 1
+        """,
+        "kg_entity_kb": """
+            WITH t AS (
+                SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            ), m AS (
+                SELECT entity, count(*) AS n_mentions FROM (
+                    SELECT subj_norm AS entity FROM t
+                    UNION ALL SELECT obj_norm FROM t
+                ) GROUP BY entity
+            ), e AS (
+                SELECT DISTINCT subj_norm, pred, obj_norm FROM t
+            ), dout AS (
+                SELECT subj_norm AS entity, count(*) AS out_edges
+                FROM e GROUP BY 1
+            ), din AS (
+                SELECT obj_norm AS entity, count(*) AS in_edges
+                FROM e GROUP BY 1
+            ), tp AS (
+                SELECT entity, pred AS top_pred FROM (
+                    SELECT subj_norm AS entity, pred, count(*) AS c,
+                           row_number() OVER (
+                               PARTITION BY subj_norm
+                               ORDER BY count(*) DESC, pred) AS rn
+                    FROM t GROUP BY subj_norm, pred
+                ) WHERE rn = 1
+            ), al AS (
+                SELECT entity, string_agg(s, '|' ORDER BY s) AS aliases
+                FROM (
+                    SELECT DISTINCT subj_norm AS entity, subj AS s FROM t
+                    UNION SELECT DISTINCT obj_norm, obj FROM t
+                ) GROUP BY entity
+            )
+            SELECT m.entity, m.n_mentions,
+                   CAST(coalesce(dout.out_edges, 0) AS BIGINT) AS out_edges,
+                   CAST(coalesce(din.in_edges, 0) AS BIGINT) AS in_edges,
+                   coalesce(tp.top_pred, '') AS top_pred,
+                   al.aliases
+            FROM m
+            LEFT JOIN dout USING (entity)
+            LEFT JOIN din USING (entity)
+            LEFT JOIN tp ON tp.entity = m.entity
+            JOIN al ON al.entity = m.entity
         """,
         "kg_predicate_stats": """
             WITH e AS (

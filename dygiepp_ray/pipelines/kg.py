@@ -794,3 +794,136 @@ def predicate_stats(triples: "ray.data.Dataset",
                                  "n_subj": i_t},
                      right_types={"pred": s_t, "n_obj": i_t},
                      bucket_post=finish)
+
+
+def entity_kb(triples: "ray.data.Dataset", salt_buckets: int = 1,
+              n_buckets: int = 16) -> "ray.data.Dataset":
+    """(entity, n_mentions, out_edges, in_edges, top_pred, aliases) — the
+    per-entity KB table (reference lifecycle: the entity-centric rows
+    `scripts/eval/make_kb.py:90-103` assembles from flattened triples):
+    mention count over both slots, in/out degree over DISTINCT edges, the
+    most-asserted outgoing predicate (ties: lexicographic), and the
+    '|'-joined sorted distinct surface forms.
+
+    Shape: every per-entity table is a (salted) grouped count off the
+    triple table or the distinct-edge table — all vocabulary-scale — then
+    assembled with bucketed LEFT `hash_join`s on the entity key. Per-group
+    reduces (argmax, alias join) run inside coarse-bucket groups."""
+    import pandas as pd
+
+    from ..aggregates import partial_final_agg, strip_schema_metadata
+
+    from ..joins import hash_join
+
+    s_t, i_t = pa.string(), pa.int64()
+
+    def both_slots(norm_only: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            t = strip_schema_metadata(t)
+            cols = {}
+            ent = []
+            for c in ("subj_norm", "obj_norm"):
+                arr = t.column(c).combine_chunks().cast(pa.string())
+                ent.extend(arr.chunks if isinstance(arr, pa.ChunkedArray)
+                           else [arr])
+            cols["entity"] = pa.concat_arrays(ent)
+            if not norm_only:
+                srf = []
+                for c in ("subj", "obj"):
+                    arr = t.column(c).combine_chunks().cast(pa.string())
+                    srf.extend(arr.chunks
+                               if isinstance(arr, pa.ChunkedArray)
+                               else [arr])
+                cols["surface"] = pa.concat_arrays(srf)
+            return pa.table(cols)
+
+        return fn
+
+    tri = triples.select_columns(
+        ["subj", "pred", "obj", "subj_norm", "obj_norm"]).materialize()
+
+    mentions = grouped_count(
+        tri.map_batches(both_slots(True), batch_format="pyarrow"),
+        ["entity"], out_name="n_mentions", salt_buckets=salt_buckets)
+
+    edges = grouped_count(
+        tri.select_columns(["subj_norm", "pred", "obj_norm"]),
+        ["subj_norm", "pred", "obj_norm"], out_name="_c",
+        salt_buckets=salt_buckets).materialize()
+    deg_out = partial_final_agg(
+        edges.map_batches(
+            lambda t: pa.table(
+                {"entity": strip_schema_metadata(t).column("subj_norm")}),
+            batch_format="pyarrow"),
+        ["entity"], [("out_edges", None, "count")])
+    deg_in = partial_final_agg(
+        edges.map_batches(
+            lambda t: pa.table(
+                {"entity": strip_schema_metadata(t).column("obj_norm")}),
+            batch_format="pyarrow"),
+        ["entity"], [("in_edges", None, "count")])
+
+    pred_counts = grouped_count(
+        tri.select_columns(["subj_norm", "pred"]),
+        ["subj_norm", "pred"], out_name="c", salt_buckets=salt_buckets)
+
+    def top_pred_of(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["entity", "c", "pred"],
+                          ascending=[True, False, True])
+        h = g.groupby("entity", sort=False).head(1)
+        return h[["entity", "pred"]].rename(columns={"pred": "top_pred"})
+
+    top_pred = pred_counts.map_batches(
+        lambda t: strip_schema_metadata(t).rename_columns(
+            ["entity", "pred", "c"]),
+        batch_format="pyarrow").groupby("entity").map_groups(
+        top_pred_of, batch_format="pandas")
+
+    alias_rows = grouped_count(
+        tri.map_batches(both_slots(False), batch_format="pyarrow"),
+        ["entity", "surface"], out_name="_c", salt_buckets=salt_buckets)
+
+    def alias_join(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("entity", sort=False)["surface"].apply(
+            lambda s: "|".join(sorted(s)))
+        return pd.DataFrame({"entity": out.index.astype(object),
+                             "aliases": out.to_numpy(object)})
+
+    aliases = alias_rows.select_columns(["entity", "surface"]).groupby(
+        "entity").map_groups(alias_join, batch_format="pandas")
+
+    def fill0(col: str):
+        def post(df: pd.DataFrame) -> pd.DataFrame:
+            df[col] = df[col].fillna(0).astype("int64")
+            return df
+
+        return post
+
+    kb = hash_join(mentions, deg_out, on="entity", how="left",
+                   n_buckets=n_buckets,
+                   left_types={"entity": s_t, "n_mentions": i_t},
+                   right_types={"entity": s_t, "out_edges": i_t},
+                   bucket_post=fill0("out_edges"))
+    kb = hash_join(kb, deg_in, on="entity", how="left",
+                   n_buckets=n_buckets,
+                   left_types={"entity": s_t, "n_mentions": i_t,
+                               "out_edges": i_t},
+                   right_types={"entity": s_t, "in_edges": i_t},
+                   bucket_post=fill0("in_edges"))
+
+    def fill_pred(df: pd.DataFrame) -> pd.DataFrame:
+        df["top_pred"] = df["top_pred"].fillna("")
+        return df
+
+    kb = hash_join(kb, top_pred, on="entity", how="left",
+                   n_buckets=n_buckets,
+                   left_types={"entity": s_t, "n_mentions": i_t,
+                               "out_edges": i_t, "in_edges": i_t},
+                   right_types={"entity": s_t, "top_pred": s_t},
+                   bucket_post=fill_pred)
+    return hash_join(kb, aliases, on="entity", how="inner",
+                     n_buckets=n_buckets,
+                     left_types={"entity": s_t, "n_mentions": i_t,
+                                 "out_edges": i_t, "in_edges": i_t,
+                                 "top_pred": s_t},
+                     right_types={"entity": s_t, "aliases": s_t})
