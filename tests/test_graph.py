@@ -295,3 +295,37 @@ def test_kcore_random_graph_modes_and_bruteforce():
         ray.data.from_pandas(edges).repartition(4), mode="broadcast"
     ).to_pandas()
     assert dict(zip(got_b["node"], got_b["core"].astype(int))) == want
+
+
+def test_graph_broadcast_distributed_rounds_match_local(monkeypatch):
+    """Force the per-block-partials broadcast path (indexed edge count >
+    LOCAL_MAX_EDGES) and pin it against the local-numpy fast path for CC,
+    PageRank, and k-core — the 100-TB edge-stream branch that small
+    fixtures never reach on their own."""
+    import numpy as np
+
+    import dygiepp_ray.stages.graph as G
+
+    rng = np.random.RandomState(9)
+    names = [f"n{i:02d}" for i in range(14)]
+    pairs = [(names[rng.randint(14)], names[rng.randint(14)])
+             for _ in range(50)]
+    edges = pd.DataFrame({"src": [p[0] for p in pairs],
+                          "dst": [p[1] for p in pairs]})
+    ds = lambda: ray.data.from_pandas(edges).repartition(3)  # noqa: E731
+
+    local_cc = G.connected_components(ds(), mode="broadcast").to_pandas()
+    local_pr = G.pagerank_fixedpoint(ds(), mode="broadcast").to_pandas()
+    local_kc = G.kcore_decomposition(ds(), mode="broadcast").to_pandas()
+
+    monkeypatch.setattr(G, "LOCAL_MAX_EDGES", 0)
+    dist_cc = G.connected_components(ds(), mode="broadcast").to_pandas()
+    dist_pr = G.pagerank_fixedpoint(ds(), mode="broadcast").to_pandas()
+    dist_kc = G.kcore_decomposition(ds(), mode="broadcast").to_pandas()
+
+    for loc, dist, keys in ((local_cc, dist_cc, ["node"]),
+                            (local_pr, dist_pr, ["node"]),
+                            (local_kc, dist_kc, ["node"])):
+        loc = loc.sort_values(keys).reset_index(drop=True)
+        dist = dist.sort_values(keys).reset_index(drop=True)
+        pd.testing.assert_frame_equal(loc, dist)
