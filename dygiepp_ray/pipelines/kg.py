@@ -867,6 +867,20 @@ def entity_kb(triples: "ray.data.Dataset", salt_buckets: int = 1,
         tri.select_columns(["subj_norm", "pred"]),
         ["subj_norm", "pred"], out_name="c", salt_buckets=salt_buckets)
 
+    # per-entity reduces run on COARSE buckets (pandas groupby inside the
+    # task), never one Ray group per entity — the entity vocabulary is
+    # unbounded at web scale
+    def stamp_entity_bucket(t: pa.Table) -> pa.Table:
+        import zlib
+
+        import numpy as np
+
+        t = strip_schema_metadata(t)
+        h = np.array([zlib.crc32(s.encode()) % n_buckets
+                      for s in t.column("entity").to_pylist()],
+                     dtype=np.int32)
+        return t.append_column("_bucket", pa.array(h, pa.int32()))
+
     def top_pred_of(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["entity", "c", "pred"],
                           ascending=[True, False, True])
@@ -876,8 +890,9 @@ def entity_kb(triples: "ray.data.Dataset", salt_buckets: int = 1,
     top_pred = pred_counts.map_batches(
         lambda t: strip_schema_metadata(t).rename_columns(
             ["entity", "pred", "c"]),
-        batch_format="pyarrow").groupby("entity").map_groups(
-        top_pred_of, batch_format="pandas")
+        batch_format="pyarrow").map_batches(
+        stamp_entity_bucket, batch_format="pyarrow").groupby(
+        "_bucket").map_groups(top_pred_of, batch_format="pandas")
 
     alias_rows = grouped_count(
         tri.map_batches(both_slots(False), batch_format="pyarrow"),
@@ -889,8 +904,9 @@ def entity_kb(triples: "ray.data.Dataset", salt_buckets: int = 1,
         return pd.DataFrame({"entity": out.index.astype(object),
                              "aliases": out.to_numpy(object)})
 
-    aliases = alias_rows.select_columns(["entity", "surface"]).groupby(
-        "entity").map_groups(alias_join, batch_format="pandas")
+    aliases = alias_rows.select_columns(["entity", "surface"]).map_batches(
+        stamp_entity_bucket, batch_format="pyarrow").groupby(
+        "_bucket").map_groups(alias_join, batch_format="pandas")
 
     def fill0(col: str):
         def post(df: pd.DataFrame) -> pd.DataFrame:
