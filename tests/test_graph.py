@@ -329,3 +329,42 @@ def test_graph_broadcast_distributed_rounds_match_local(monkeypatch):
         loc = loc.sort_values(keys).reset_index(drop=True)
         dist = dist.sort_values(keys).reset_index(drop=True)
         pd.testing.assert_frame_equal(loc, dist)
+
+
+def test_predicate_stats_golden():
+    from dygiepp_ray.pipelines.kg import predicate_stats
+
+    tri = pd.DataFrame({
+        # R: edges a->b, a->c, b->c (dup collapses): 3 edges, 2 subj, 2 obj
+        # S: a->b only: functional (fanout 1000)
+        "subj_norm": ["a", "a", "a", "b", "a"],
+        "pred":      ["R", "R", "R", "R", "S"],
+        "obj_norm":  ["b", "b", "c", "c", "b"],
+    })
+    got = predicate_stats(
+        ray.data.from_pandas(tri), salt_buckets=2).to_pandas().set_index("pred")
+    assert got.loc["R", "n_edges"] == 3
+    assert got.loc["R", "n_subj"] == 2
+    assert got.loc["R", "n_obj"] == 2
+    assert got.loc["R", "fanout_scaled"] == 1500     # 3 * 1000 // 2
+    assert got.loc["S", "fanout_scaled"] == 1000
+
+
+def test_entity_kb_golden():
+    from dygiepp_ray.pipelines.kg import entity_kb
+
+    tri = pd.DataFrame({
+        "subj": ["The Cat", "the cat", "Dog"],
+        "pred": ["chases", "chases", "bites"],
+        "obj":  ["a dog", "Dog", "Cat"],
+        "subj_norm": ["cat", "cat", "dog"],
+        "obj_norm":  ["dog", "dog", "cat"],
+    })
+    got = entity_kb(ray.data.from_pandas(tri)).to_pandas().set_index("entity")
+    assert got.loc["cat", "n_mentions"] == 3        # 2 subj + 1 obj
+    assert got.loc["cat", "out_edges"] == 1         # distinct (cat,chases,dog)
+    assert got.loc["cat", "in_edges"] == 1
+    assert got.loc["cat", "top_pred"] == "chases"
+    assert got.loc["cat", "aliases"] == "Cat|The Cat|the cat"
+    assert got.loc["dog", "top_pred"] == "bites"
+    assert got.loc["dog", "aliases"] == "Dog|a dog"

@@ -103,3 +103,18 @@ def test_generic_window_fn():
         want = g.sort_values("ts").tail(2)["ts"].tolist()
         have = sorted(got[got["k"] == k]["ts"].tolist())
         assert have == sorted(want)
+
+
+def test_events_retention_shape():
+    """Retention query: distinct (user, day) self-join — synthetic check
+    through the registered query at sf0.001."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    got = E.queries()["events_retention"]("/root/testdata/sf0.001").to_pandas()
+    assert set(got.columns) == {"day", "retained"}
+    assert (got["retained"] > 0).all()
+    # 30 days of events -> at most 29 adjacent-day rows
+    assert 0 < len(got) <= 29
