@@ -2575,8 +2575,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # rest with (a) the 17 queries never driver-checked before this round
     # and (b) 25 of the r2-only relational/text family — prioritizing the
     # ones whose implementation was rewritten since r2 (bucketed windows,
-    # joins, quantiles). After r4 every one of the registered queries has a
-    # green row in at least one artifact; nothing is permanently evicted.
+    # joins, quantiles). Mid-round-4 update: the 13 operators added in this
+    # round's second session (kg_triples_learned, dsir_select, ... below)
+    # would otherwise have NO driver artifact at all, so they take the
+    # window slots of 13 r2-family queries that are (a) fully hash-green in
+    # CORRECTNESS_r02.json and (b) implemented on code paths unchanged since
+    # r2 (plain salted aggregates, broadcast semi/anti joins, sketches).
+    # After r4 every one of the registered queries has a green row in at
+    # least one artifact; nothing is permanently evicted — evicted names
+    # stay registered and qcheck-verified every round.
     flagship = [
         # KG sentinels (the north star; rest of kg_* is green in r3)
         "kg_triples", "kg_span_counts", "kg_pair_counts", "kg_alias_merge",
@@ -2587,17 +2594,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_contexts", "weighted_sample", "bm25_scan_merge", "seeded_split",
         "stratified_sample_orders", "term_postings", "media_features",
         "media_frames", "media_resize", "pca_project",
-        # r2-only family, rewritten-since-r2 implementations first
+        # new in round 4 session 2 (never driver-checked; qcheck-green at
+        # sf0.001 and sf0.01)
+        "kg_triples_learned", "dsir_select", "kg_functional_conflicts",
+        "kg_triangles", "events_retention", "bpe_encode", "knn_recall",
+        "kg_kcore", "fuzzy_decontaminate", "dedup_spans",
+        "kg_predicate_stats", "kg_entity_kb", "events_value_corr",
+        # r2-only family whose implementation was rewritten since r2
         # (windows.py coarse-bucket rewrite, joins, distributed quantiles)
         "lineitem_orders_join", "asof_join_orders", "range_join_events",
         "top2_orders_per_cust", "events_sessions", "running_order_total",
         "quantiles_price", "ccnet_buckets", "tfidf_top_terms",
-        "bigram_counts", "heavy_hitters_tokens", "anti_join_orders",
-        "bloom_anti_join_orders", "semi_join_orders", "broadcast_join_orders",
-        "region_nation_join", "topk_orders", "adaptive_topk_orders",
-        "events_count_salted", "events_user_daily", "events_hopping_windows",
-        "approx_distinct_users", "pivot_status_priority",
-        "rollup_status_priority", "tpch_q1_agg",
+        "bigram_counts", "heavy_hitters_tokens", "events_hopping_windows",
     ]
     assert len(flagship) == 50, len(flagship)
     missing = [n for n in flagship if n not in q]
