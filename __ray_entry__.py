@@ -864,6 +864,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_value_corr"] = events_value_corr
 
+    def events_funnel(sf_dir: str):
+        # ordered conversion funnel view → click → purchase with
+        # first-touch semantics (stage i binds to the earliest event
+        # strictly after the user's first stage-(i-1) completion). Input is
+        # pruned to the funnel's event types at the scan; users are
+        # hash-bucketed (ONE shuffle) and the per-bucket kernel is a
+        # vectorized groupby-min merge chain emitting 3-row partials.
+        from dygiepp_ray.windows import funnel_counts
+
+        ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+        stages = ["view", "click", "purchase"]
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["event_type"].isin(stages)]
+
+        return funnel_counts(ds.map_batches(keep, batch_format="pandas"),
+                             stages)
+
+    q["events_funnel"] = events_funnel
+
+    def events_zscore_outliers(sf_dir: str):
+        # per-type 3σ outliers from EXACT int64 moment partials: value
+        # quantized at scale 100 (max 560.21 → x ≤ 5.7e4, Σx² ≈ n·1e7 —
+        # int64 headroom to ~1e11 rows per type), flag comparison
+        # (n·x − Σx)² > 9·(n·Σx² − Σx²) evaluated in float64 with the
+        # identical expression tree in the SQL oracle. Two streaming
+        # passes; the per-type stats broadcast is 5 rows.
+        from dygiepp_ray.aggregates import group_zscore_outliers
+
+        ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+        SCALE = 100
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            x = np.floor(df["value"].to_numpy(np.float64) * SCALE
+                         + 0.5).astype("int64")
+            return pd.DataFrame({"event_id": df["event_id"].astype("int64"),
+                                 "event_type": df["event_type"],
+                                 "value_q": x})
+
+        return group_zscore_outliers(
+            ds.map_batches(prep, batch_format="pandas"), key="event_type",
+            x_col="value_q", keep_cols=["event_id", "event_type", "value_q"],
+            t_sigma=3)
+
+    q["events_zscore_outliers"] = events_zscore_outliers
+
     def part_type_agg(sf_dir: str):
         from dygiepp_ray.aggregates import partial_final_agg
 
@@ -1943,6 +1989,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_khop_subgraph"] = q_kg_khop
 
+    def q_kg_bfs_distances(sf_dir: str):
+        # multi-source unweighted shortest paths within 3 hops of the 3
+        # highest-degree entities (deterministic (deg DESC, name) tie-break
+        # mirrored in the oracle's ORDER BY): per round ONE bucketed
+        # semi-join + grouped distinct, min-dist partial+final at the end.
+        from dygiepp_ray.aggregates import strip_schema_metadata
+        from dygiepp_ray.stages.graph import bfs_distances
+
+        _ensure_triples_oracle(sf_dir)
+        edges = _distinct_edge_ds(sf_dir).materialize()
+
+        def sym(t):
+            t = strip_schema_metadata(t)
+            u = t.column("subj_norm")
+            v = t.column("obj_norm")
+            c = pa.chunked_array(list(u.chunks) + list(v.chunks), u.type)
+            n = pa.chunked_array(list(v.chunks) + list(u.chunks), u.type)
+            return pa.table({"node": c, "nb": n})
+
+        adj = grouped_count(
+            edges.map_batches(sym, batch_format="pyarrow"),
+            ["node", "nb"], out_name="_c").select_columns(["node", "nb"])
+        deg = grouped_count(adj.select_columns(["node"]), ["node"],
+                            out_name="deg")
+        seeds = (deg.sort(["deg", "node"], descending=[True, False])
+                 .limit(3).select_columns(["node"]).materialize())
+        return bfs_distances(edges, seeds, src="subj_norm", dst="obj_norm",
+                             max_rounds=3, undirected=True,
+                             node_type=pa.string())
+
+    q["kg_bfs_distances"] = q_kg_bfs_distances
+
+    def q_kg_pred_paths(sf_dir: str):
+        # 2-hop predicate path statistics (schema induction): one bucketed
+        # self-join on the shared mid entity, per-bucket (pred_a, pred_b)
+        # partial counts — path rows never leave the join task
+        _ensure_triples_oracle(sf_dir)
+        return kgp.pred_path_counts(_synth_triples(sf_dir), salt_buckets=4)
+
+    q["kg_pred_paths"] = q_kg_pred_paths
+
+    def q_kg_link_predict(sf_dir: str):
+        # common-neighbor link prediction: candidate non-edges scored by
+        # shared-neighbor counts; per-center degree cap (64) bounds the
+        # wedge fanout and is part of the operator contract (the SQL oracle
+        # applies the identical filter)
+        _ensure_triples_oracle(sf_dir)
+        return kgp.link_prediction(_synth_triples(sf_dir),
+                                   max_center_degree=64, min_common=2,
+                                   salt_buckets=4)
+
+    q["kg_link_predict"] = q_kg_link_predict
+
     def q_kg_alias_merge(sf_dir: str):
         # canonical-entity merging beyond the rule canonicalizer: cluster
         # the {surface ∪ rule-canonical} name vocabulary by char-trigram
@@ -2695,6 +2794,45 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 6) AS avg_value,
                    count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "events_funnel": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN v ON v.user_id = e.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.t1
+                GROUP BY e.user_id
+            ), p AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN c ON c.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                GROUP BY e.user_id
+            )
+            SELECT 1 AS stage, 'view' AS stage_name,
+                   (SELECT count(*) FROM v) AS n_users
+            UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+            UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)
+        """,
+        "events_zscore_outliers": """
+            WITH m AS (
+                SELECT event_id, event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_q
+                FROM events
+            ), s AS (
+                SELECT event_type, count(*) AS n, sum(value_q) AS sx,
+                       sum(value_q * value_q) AS sxx
+                FROM m GROUP BY event_type
+            )
+            SELECT m.event_id, m.event_type, m.value_q
+            FROM m JOIN s USING (event_type)
+            WHERE (CAST(n AS DOUBLE) * CAST(value_q AS DOUBLE)
+                   - CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(value_q AS DOUBLE)
+                     - CAST(sx AS DOUBLE))
+                  > 9.0 * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         """,
         "events_value_corr": """
             WITH m AS (
@@ -3518,6 +3656,61 @@ def oracle_sql() -> dict[str, str]:
                    count(*) * 1000 // count(DISTINCT subj_norm)
                        AS fanout_scaled
             FROM e GROUP BY pred
+        """,
+        "kg_pred_paths": """
+            WITH e AS (
+                SELECT DISTINCT subj_norm, pred, obj_norm
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            )
+            SELECT a.pred AS pred_a, b.pred AS pred_b, count(*) AS n_paths
+            FROM e a JOIN e b ON a.obj_norm = b.subj_norm
+            GROUP BY 1, 2
+        """,
+        "kg_link_predict": """
+            WITH e AS (
+                SELECT DISTINCT least(subj_norm, obj_norm) AS u,
+                                greatest(subj_norm, obj_norm) AS v
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+                WHERE subj_norm <> obj_norm
+            ), adj AS (
+                SELECT u AS c, v AS n FROM e UNION ALL SELECT v, u FROM e
+            ), deg AS (
+                SELECT c, count(*) AS d FROM adj GROUP BY c
+            ), ok AS (
+                SELECT adj.c, adj.n FROM adj JOIN deg USING (c)
+                WHERE d <= 64
+            ), p AS (
+                SELECT a.n AS x, b.n AS y, count(*) AS common_neighbors
+                FROM ok a JOIN ok b ON a.c = b.c AND a.n < b.n
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT p.x, p.y, p.common_neighbors FROM p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM e WHERE e.u = p.x AND e.v = p.y)
+        """,
+        "kg_bfs_distances": """
+            WITH RECURSIVE d AS (
+                SELECT DISTINCT subj_norm AS s, obj_norm AS o
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            ), e AS (
+                -- DuckDB 1.0 quirk: inside WITH RECURSIVE, a plain UNION in
+                -- a NON-recursive CTE is executed as UNION ALL (no dedup),
+                -- doubling reciprocal-edge degrees — dedup explicitly
+                SELECT DISTINCT * FROM (
+                    SELECT s AS src, o AS dst FROM d
+                    UNION ALL SELECT o, s FROM d)
+            ), deg AS (
+                SELECT src AS node, count(*) AS dg FROM e GROUP BY src
+            ), seeds AS (
+                SELECT node FROM deg ORDER BY dg DESC, node LIMIT 3
+            ), walk(node, dist) AS (
+                SELECT node, 0 FROM seeds
+                UNION
+                SELECT e.dst, w.dist + 1
+                FROM walk w JOIN e ON e.src = w.node
+                WHERE w.dist < 3
+            )
+            SELECT node, min(dist) AS dist FROM walk GROUP BY node
         """,
         "kg_triangles": """
             WITH e AS (

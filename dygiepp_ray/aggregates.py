@@ -391,3 +391,55 @@ def pivot_counts(ds: "ray.data.Dataset", row_key: str, col_key: str,
         return out
 
     return counted.repartition(1).map_batches(widen, batch_format="pandas")
+
+
+def group_zscore_outliers(ds: "ray.data.Dataset", key: str, x_col: str,
+                          keep_cols: list[str], t_sigma: int = 3,
+                          max_groups: int = 100_000) -> "ray.data.Dataset":
+    """Rows whose int64-quantized `x_col` sits more than `t_sigma`
+    population standard deviations from its group mean. Two streaming
+    passes: (1) exact int64 moment partials (n, Σx, Σx²) per group via
+    `partial_final_agg` — the same exact-moments discipline as the Pearson
+    pipeline — then (2) a vectorized flag pass with the per-group stats
+    broadcast (one tiny dict; `max_groups` is the admission guard, the
+    group key is a low-cardinality dimension by contract). The comparison
+    (n·x − Σx)² > t²·(n·Σx² − (Σx)²) is evaluated in float64 on BOTH
+    engine and oracle — same IEEE expression tree over the same exact
+    integers, so the strict `>` is deterministic (boundary equality has
+    measure zero on continuous data).
+
+    `x_col` must already be int64-quantized by the caller (who owns the
+    scale/overflow-headroom arithmetic for their value range)."""
+    import pandas as pd
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        x = df[x_col].to_numpy("int64")
+        return pd.DataFrame({key: df[key], "_x": x, "_xx": x * x})
+
+    stats = partial_final_agg(
+        ds.map_batches(prep, batch_format="pandas"), [key],
+        [("n", None, "count"), ("sx", "_x", "sum"), ("sxx", "_xx", "sum")])
+    sdf = stats.to_pandas()
+    if len(sdf) > max_groups:
+        raise ValueError(
+            f"group_zscore_outliers: {len(sdf)} groups exceeds the "
+            f"broadcast admission guard ({max_groups}); pre-aggregate or "
+            "shard the key")
+    lut = {k: (float(n), float(sx), float(sxx))
+           for k, n, sx, sxx in zip(sdf[key], sdf["n"].astype("int64"),
+                                    sdf["sx"].astype("int64"),
+                                    sdf["sxx"].astype("int64"))}
+    t2 = float(t_sigma * t_sigma)
+
+    def flag(df: "pd.DataFrame") -> "pd.DataFrame":
+        ks = df[key].to_numpy(object)
+        n = np.array([lut[k][0] for k in ks], dtype="float64")
+        sx = np.array([lut[k][1] for k in ks], dtype="float64")
+        sxx = np.array([lut[k][2] for k in ks], dtype="float64")
+        x = df[x_col].to_numpy("int64").astype("float64")
+        d = n * x - sx
+        lhs = d * d  # explicit multiply (not pow) — mirrors the SQL exactly
+        rhs = t2 * (n * sxx - sx * sx)
+        return df.loc[lhs > rhs, keep_cols]
+
+    return ds.map_batches(flag, batch_format="pandas")

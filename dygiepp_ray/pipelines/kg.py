@@ -943,3 +943,190 @@ def entity_kb(triples: "ray.data.Dataset", salt_buckets: int = 1,
                                  "out_edges": i_t, "in_edges": i_t,
                                  "top_pred": s_t},
                      right_types={"entity": s_t, "aliases": s_t})
+
+
+def pred_path_counts(triples: "ray.data.Dataset", salt_buckets: int = 1,
+                     n_buckets: int = 32) -> "ray.data.Dataset":
+    """(pred_a, pred_b, n_paths) — 2-hop predicate path statistics over the
+    DISTINCT directed edge set: how often an edge labeled `pred_a` arrives at
+    an entity that an edge labeled `pred_b` leaves. The path-pattern
+    companion to `predicate_stats` (schema induction / ontology mining over
+    the extracted KG; reference consumers walk the same 2-hop patterns over
+    the networkx graph built at make_kb.py:97-103).
+
+    Scale shape: ONE salted grouped count distincts the triple table, then a
+    single bucketed self-join on the shared mid entity whose `bucket_post`
+    collapses each bucket to per-(pred_a, pred_b) PARTIAL counts — the 2-hop
+    path rows themselves never leave the join task, and the final combine
+    sees ≤ |preds|² rows per bucket. Hub entities fan out quadratically in
+    any exact path count (the SQL oracle included); the distinct-edge input
+    and per-bucket collapse keep the blowup inside one task's arrays."""
+    import pandas as pd
+
+    from ..aggregates import partial_final_agg, strip_schema_metadata
+    from ..joins import hash_join
+
+    s_t = pa.string()
+    edges = grouped_count(
+        triples.select_columns(["subj_norm", "pred", "obj_norm"]),
+        ["subj_norm", "pred", "obj_norm"], out_name="_c",
+        salt_buckets=salt_buckets,
+    ).select_columns(["subj_norm", "pred", "obj_norm"]).materialize()
+
+    into = edges.map_batches(
+        lambda t: strip_schema_metadata(t).select(
+            ["pred", "obj_norm"]).rename_columns(["pred_a", "mid"]),
+        batch_format="pyarrow")
+    outof = edges.map_batches(
+        lambda t: strip_schema_metadata(t).select(
+            ["subj_norm", "pred"]).rename_columns(["mid", "pred_b"]),
+        batch_format="pyarrow")
+
+    def pair_partials(m: "pd.DataFrame") -> "pd.DataFrame":
+        vc = m.groupby(["pred_a", "pred_b"], sort=False).size()
+        idx = vc.index.to_frame(index=False)
+        return pd.DataFrame({"pred_a": idx["pred_a"].to_numpy(object),
+                             "pred_b": idx["pred_b"].to_numpy(object),
+                             "n_part": vc.to_numpy("int64")})
+
+    paths = hash_join(into, outof, on="mid", n_buckets=n_buckets,
+                      left_types={"pred_a": s_t, "mid": s_t},
+                      right_types={"mid": s_t, "pred_b": s_t},
+                      bucket_post=pair_partials)
+    return partial_final_agg(paths, ["pred_a", "pred_b"],
+                             [("n_paths", "n_part", "sum")])
+
+
+def link_prediction(triples: "ray.data.Dataset", max_center_degree: int = 64,
+                    min_common: int = 2, salt_buckets: int = 1,
+                    n_buckets: int = 32) -> "ray.data.Dataset":
+    """(x, y, common_neighbors) — common-neighbor link prediction over the
+    DISTINCT undirected KG edge set: candidate NON-edges (x < y) scored by
+    how many shared neighbors generate them, keeping scores ≥ `min_common`.
+    Standard KG-completion baseline (common-neighbors; Liben-Nowell &
+    Kleinberg 2003) over the graph the reference materializes at
+    make_kb.py:97-103.
+
+    Scale shape: same canonical distinct-edge pass as `triangle_counts`,
+    then wedge generation at every CENTER whose degree passes
+    `max_center_degree` — the cap bounds the per-center O(d²) pair fanout
+    exactly like `substring_dup_pairs.max_df` bounds bucket size (a
+    boilerplate hub with millions of neighbors would otherwise emit
+    trillions of wedges; the SQL oracle applies the identical degree
+    filter, so the approximation is part of the operator's contract, not
+    drift). Centers are hash-bucketed so each center's full neighborhood
+    lands in one task; per-bucket pair counts collapse before the
+    partial+final sum, and existing edges are removed with a bucketed LEFT
+    join marker pass (no driver-side edge set)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..aggregates import partial_final_agg, strip_schema_metadata
+    from ..joins import hash_join
+
+    s_t, i_t = pa.string(), pa.int64()
+    SEP = "\x1f"
+
+    def canon(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        s = t.column("subj_norm").combine_chunks().cast(pa.string())
+        o = t.column("obj_norm").combine_chunks().cast(pa.string())
+        u = pc.min_element_wise(s, o)
+        v = pc.max_element_wise(s, o)
+        keep = pc.invert(pc.equal(s, o))
+        return pa.table({"u": u, "v": v}).filter(keep)
+
+    edges = grouped_count(
+        triples.select_columns(["subj_norm", "obj_norm"]).map_batches(
+            canon, batch_format="pyarrow"),
+        ["u", "v"], out_name="_c", salt_buckets=salt_buckets
+    ).select_columns(["u", "v"]).materialize()
+
+    def sym(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        u = t.column("u")
+        v = t.column("v")
+        typ = u.type
+        c = pa.chunked_array(list(u.chunks) + list(v.chunks), typ)
+        n = pa.chunked_array(list(v.chunks) + list(u.chunks), typ)
+        return pa.table({"c": c, "n": n})
+
+    adj = edges.map_batches(sym, batch_format="pyarrow")
+    deg = grouped_count(adj.select_columns(["c"]), ["c"], out_name="deg")
+
+    def keep_small(m: "pd.DataFrame") -> "pd.DataFrame":
+        return m.loc[m["deg"].to_numpy("int64") <= max_center_degree,
+                     ["c", "n"]]
+
+    ok = hash_join(adj, deg, on="c", n_buckets=n_buckets,
+                   left_types={"c": s_t, "n": s_t},
+                   right_types={"c": s_t, "deg": i_t},
+                   bucket_post=keep_small)
+
+    def stamp_center_bucket(t: pa.Table) -> pa.Table:
+        import zlib
+
+        t = strip_schema_metadata(t)
+        h = np.array([zlib.crc32(s.encode()) % n_buckets
+                      for s in t.column("c").to_pylist()], dtype=np.int32)
+        return t.append_column("_bucket", pa.array(h, pa.int32()))
+
+    def pair_partials(df: "pd.DataFrame") -> "pd.DataFrame":
+        parts = []
+        for _, g in df.groupby("c", sort=False):
+            ns = sorted(set(g["n"]))
+            k = len(ns)
+            if k < 2:
+                continue
+            ii, jj = np.triu_indices(k, 1)
+            a = np.array(ns, dtype=object)
+            parts.append(pd.DataFrame({"x": a[ii], "y": a[jj]}))
+        if not parts:
+            return pd.DataFrame({"x": pd.Series(dtype="string"),
+                                 "y": pd.Series(dtype="string"),
+                                 "n_part": pd.Series(dtype="int64")})
+        w = pd.concat(parts, ignore_index=True)
+        vc = w.groupby(["x", "y"], sort=False).size()
+        idx = vc.index.to_frame(index=False)
+        return pd.DataFrame({"x": idx["x"].to_numpy(object),
+                             "y": idx["y"].to_numpy(object),
+                             "n_part": vc.to_numpy("int64")})
+
+    cand = partial_final_agg(
+        ok.map_batches(stamp_center_bucket, batch_format="pyarrow").groupby(
+            "_bucket").map_groups(pair_partials, batch_format="pandas"),
+        ["x", "y"], [("common_neighbors", "n_part", "sum")])
+
+    def keep_min(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        t = t.filter(pc.greater_equal(t.column("common_neighbors"),
+                                      min_common))
+        pair = pc.binary_join_element_wise(
+            t.column("x").cast(pa.string()),
+            t.column("y").cast(pa.string()), SEP)
+        return t.append_column("pair", pair)
+
+    cand = cand.map_batches(keep_min, batch_format="pyarrow")
+
+    def edge_marks(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        pair = pc.binary_join_element_wise(
+            t.column("u").cast(pa.string()),
+            t.column("v").cast(pa.string()), SEP)
+        return pa.table({
+            "pair": pair,
+            "_edge": pa.array(np.ones(t.num_rows), pa.float64())})
+
+    marks = edges.map_batches(edge_marks, batch_format="pyarrow")
+
+    def anti_post(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df.loc[df["_edge"].isna(), ["x", "y", "common_neighbors"]]
+        out["common_neighbors"] = out["common_neighbors"].astype("int64")
+        return out
+
+    return hash_join(cand, marks, on="pair", how="left",
+                     n_buckets=n_buckets,
+                     left_types={"x": s_t, "y": s_t,
+                                 "common_neighbors": i_t, "pair": s_t},
+                     right_types={"pair": s_t, "_edge": pa.float64()},
+                     bucket_post=anti_post)

@@ -714,3 +714,91 @@ def _kcore_shuffle(edges: "ray.data.Dataset", src: str, dst: str,
     for o in outs[1:]:
         res = res.union(o)
     return res
+
+
+def bfs_distances(edges: "ray.data.Dataset", seeds: "ray.data.Dataset",
+                  src: str = "src", dst: str = "dst", max_rounds: int = 3,
+                  n_buckets: int = 32, undirected: bool = True,
+                  node_type: "pa.DataType | None" = None) -> "ray.data.Dataset":
+    """(node, dist) — multi-source unweighted shortest-path distances
+    within `max_rounds` hops of `seeds` (dist 0), over the DISTINCT edge
+    table. The node-level companion to `khop_subgraph` (which returns the
+    reached EDGES): unweighted SSSP / "distance from the KG hubs", the
+    neighborhood-radius slice users take from the reference's networkx
+    graph (make_kb.py:97-103).
+
+    Scale shape: each round is ONE bucketed semi-join of the (optionally
+    symmetrized) adjacency against the current frontier plus a grouped
+    distinct — the frontier stays a Dataset end-to-end, so hub-explosion
+    frontiers spill instead of landing on the driver. Rounds re-expand
+    already-visited nodes rather than anti-joining them out (`min(dist)`
+    discards the longer rediscovery, exactly as in `khop_subgraph`); with
+    small bounded `max_rounds` the wasted re-expansion is cheaper than an
+    extra anti-join shuffle per round.
+
+    `seeds` must have exactly one column named `node`."""
+    if node_type is None:
+        from ..joins import _arrow_types
+
+        node_type = _arrow_types(edges)[src]
+    nt = node_type
+
+    adj = edges
+    if undirected:
+        def sym(t: pa.Table) -> pa.Table:
+            t = strip_schema_metadata(t)
+            u = t.column(src)
+            v = t.column(dst)
+            c = pa.chunked_array(list(u.chunks) + list(v.chunks), u.type)
+            n = pa.chunked_array(list(v.chunks) + list(u.chunks), u.type)
+            return pa.table({src: c, dst: n})
+
+        from ..aggregates import grouped_count
+
+        adj = grouped_count(
+            edges.map_batches(sym, batch_format="pyarrow"), [src, dst],
+            out_name="_c").select_columns([src, dst])
+    adj = adj.materialize()
+
+    from ..aggregates import grouped_count
+
+    def stamp_dist(h: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = strip_schema_metadata(t)
+            return t.append_column(
+                "dist", pa.array(np.full(t.num_rows, h), pa.int64()))
+
+        return fn
+
+    rounds: list["ray.data.Dataset"] = [
+        seeds.map_batches(
+            lambda t: strip_schema_metadata(t).select(["node"]),
+            batch_format="pyarrow").map_batches(
+            stamp_dist(0), batch_format="pyarrow").materialize()]
+    frontier = rounds[0].map_batches(
+        lambda t: strip_schema_metadata(t).select(
+            ["node"]).rename_columns([src]),
+        batch_format="pyarrow")
+    for h in range(1, max_rounds + 1):
+        reached = hash_join(
+            adj, frontier, on=src, n_buckets=n_buckets,
+            left_cols=[src, dst], right_cols=[src],
+            left_types={src: nt, dst: nt}, right_types={src: nt})
+        nodes = grouped_count(
+            reached.select_columns([dst]), [dst], out_name="_c"
+        ).map_batches(
+            lambda t: strip_schema_metadata(t).select(
+                [dst]).rename_columns(["node"]),
+            batch_format="pyarrow").map_batches(
+            stamp_dist(h), batch_format="pyarrow").materialize()
+        rounds.append(nodes)
+        if h < max_rounds:
+            frontier = nodes.map_batches(
+                lambda t: strip_schema_metadata(t).select(
+                    ["node"]).rename_columns([src]),
+                batch_format="pyarrow")
+
+    union = rounds[0]
+    for r in rounds[1:]:
+        union = union.union(r)
+    return partial_final_agg(union, ["node"], [("dist", "dist", "min")])

@@ -145,3 +145,53 @@ def sessionize(ds, partition_by, ts_col: str, gap: "pd.Timedelta",
         return out
 
     return _bucketed(ds, keys, order, True, kernel, n_buckets)
+
+
+def funnel_counts(ds, stages: list[str], user_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "ts",
+                  n_buckets: int = 64) -> "ray.data.Dataset":
+    """Ordered conversion funnel: per user, stage i counts iff the user has
+    a stage-i event STRICTLY AFTER their first completion of stage i-1
+    (first-touch semantics: each stage binds to the earliest timestamp that
+    satisfies the order constraint). Returns one row per stage:
+    (stage, stage_name, n_users).
+
+    Scale shape: the input is pre-filtered to the funnel's event types,
+    users are hash-bucketed so each user's history lands in one task (the
+    `_bucketed` coarse-key discipline — ONE shuffle), and the per-bucket
+    kernel is vectorized (one groupby-min merge chain per stage, no
+    per-user Python). Buckets emit 3-row PARTIAL counts; the final combine
+    is a partial+final sum over ≤ len(stages) keys."""
+    from .aggregates import partial_final_agg
+
+    keys, order = [user_col], [ts_col]
+
+    def kernel(df: pd.DataFrame, ks: list[str]) -> pd.DataFrame:
+        counts = []
+        t_prev = None
+        for i, st in enumerate(stages):
+            sub = df[df[type_col] == st]
+            if i == 0:
+                t = sub.groupby(user_col, sort=False)[ts_col].min()
+            elif not len(t_prev):
+                t = t_prev
+            else:
+                # reset_index so the join key is a plain column on both
+                # sides (a named index + same-named column makes the later
+                # groupby ambiguous)
+                tp = t_prev.rename("_tp").reset_index()
+                m = sub.merge(tp, on=user_col, how="inner")
+                m = m[m[ts_col] > m["_tp"]]
+                t = m.groupby(user_col, sort=False)[ts_col].min()
+            counts.append(int(len(t)))
+            t_prev = t
+        return pd.DataFrame({
+            "stage": np.arange(1, len(stages) + 1, dtype="int64"),
+            "stage_name": np.array(stages, dtype=object),
+            "n_part": np.array(counts, dtype="int64")})
+
+    # pre-filtering to the funnel's event types is the caller's read-time
+    # concern (push it into the scan, not a second pass here)
+    partials = _bucketed(ds, keys, order, True, kernel, n_buckets)
+    return partial_final_agg(partials, ["stage", "stage_name"],
+                             [("n_users", "n_part", "sum")])

@@ -168,3 +168,42 @@ def test_broadcast_set_filter_semi_and_anti():
                                "keep_if_member": False},
         batch_format="pyarrow", concurrency=1).to_pandas()
     assert len(anti) == 97 and not {5, 7, 11} & set(anti["id"])
+
+
+def test_group_zscore_outliers_vs_pandas():
+    import numpy as np
+
+    from dygiepp_ray.aggregates import group_zscore_outliers
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], size=300),
+        "x": np.floor(rng.exponential(50.0, size=300) * 100 + 0.5
+                      ).astype("int64"),
+        "rid": np.arange(300, dtype="int64"),
+    })
+    got = group_zscore_outliers(
+        ray.data.from_pandas(df).repartition(3), key="g", x_col="x",
+        keep_cols=["rid", "g", "x"], t_sigma=2).to_pandas()
+    # pandas population-stddev oracle
+    want_ids = []
+    for g, sub in df.groupby("g"):
+        mu = sub["x"].mean()
+        sd = sub["x"].std(ddof=0)
+        want_ids.extend(sub.loc[(sub["x"] - mu).abs() > 2 * sd, "rid"])
+    assert sorted(got["rid"]) == sorted(want_ids)
+    assert len(want_ids) > 0  # the fixture must exercise the flag path
+
+
+def test_group_zscore_outliers_admission_guard():
+    import numpy as np
+
+    import pytest
+
+    from dygiepp_ray.aggregates import group_zscore_outliers
+
+    df = pd.DataFrame({"g": [f"g{i}" for i in range(30)],
+                       "x": np.arange(30, dtype="int64")})
+    with pytest.raises(ValueError, match="admission guard"):
+        group_zscore_outliers(ray.data.from_pandas(df), key="g", x_col="x",
+                              keep_cols=["g", "x"], max_groups=10).to_pandas()

@@ -368,3 +368,166 @@ def test_entity_kb_golden():
     assert got.loc["cat", "aliases"] == "Cat|The Cat|the cat"
     assert got.loc["dog", "top_pred"] == "bites"
     assert got.loc["dog", "aliases"] == "Dog|a dog"
+
+
+# --------------------------------- link prediction / pred paths / BFS dist
+
+
+def _common_neighbor_oracle(edges, cap=64, min_common=2):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict[str, set] = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    centers = [c for c, ns in adj.items() if len(ns) <= cap]
+    import itertools
+
+    counts: dict[tuple, int] = {}
+    for c in centers:
+        for x, y in itertools.combinations(sorted(adj[c]), 2):
+            counts[(x, y)] = counts.get((x, y), 0) + 1
+    return {p: n for p, n in counts.items()
+            if n >= min_common and p not in und}
+
+
+def _lp_triples(pairs):
+    return pd.DataFrame({
+        "subj_norm": [p[0] for p in pairs],
+        "pred": ["R"] * len(pairs),
+        "obj_norm": [p[1] for p in pairs],
+    })
+
+
+def test_link_prediction_golden_and_invariance():
+    from dygiepp_ray.pipelines.kg import link_prediction
+
+    # hub h connects a,b,c,d (all non-adjacent pairs share >= 1 neighbor);
+    # a-b also share z; existing edge a-c must be excluded even though it
+    # has 2 common neighbors via h and w
+    pairs = [("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"),
+             ("z", "a"), ("z", "b"), ("w", "a"), ("w", "c"),
+             ("a", "c"), ("a", "a"), ("h", "a")]
+    want = _common_neighbor_oracle(pairs)
+    assert want  # the fixture must exercise the >= min_common path
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(_lp_triples(pairs)).repartition(nparts)
+        got = link_prediction(ds, salt_buckets=2, n_buckets=4).to_pandas()
+        got_d = {(x, y): int(n) for x, y, n in
+                 zip(got["x"], got["y"], got["common_neighbors"])}
+        assert got_d == want
+
+
+def test_link_prediction_degree_cap_excludes_hub_wedges():
+    from dygiepp_ray.pipelines.kg import link_prediction
+
+    # cap=2: hub h (degree 4) is excluded as a CENTER, so its 6 wedge pairs
+    # among {a,b,c,d} vanish; the surviving centers a,b (degree 2) still
+    # vote (h,z) to 2 — the brute-force oracle applies the same cap
+    pairs = [("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"),
+             ("z", "a"), ("z", "b")]
+    got = link_prediction(ray.data.from_pandas(_lp_triples(pairs)),
+                          max_center_degree=2, min_common=2,
+                          n_buckets=4).to_pandas()
+    got_d = {(x, y): int(n) for x, y, n in
+             zip(got["x"], got["y"], got["common_neighbors"])}
+    assert got_d == _common_neighbor_oracle(pairs, cap=2, min_common=2)
+    assert got_d == {("h", "z"): 2}
+    want = _common_neighbor_oracle(pairs, cap=2, min_common=1)
+    got1 = link_prediction(ray.data.from_pandas(_lp_triples(pairs)),
+                           max_center_degree=2, min_common=1,
+                           n_buckets=4).to_pandas()
+    got_d = {(x, y): int(n) for x, y, n in
+             zip(got1["x"], got1["y"], got1["common_neighbors"])}
+    assert got_d == want
+
+
+def test_link_prediction_random_graph_matches_bruteforce():
+    import numpy as np
+
+    from dygiepp_ray.pipelines.kg import link_prediction
+
+    rng = np.random.RandomState(11)
+    names = [f"n{i:02d}" for i in range(14)]
+    pairs = [(names[rng.randint(14)], names[rng.randint(14)])
+             for _ in range(60)]
+    want = _common_neighbor_oracle(pairs, cap=6, min_common=2)
+    got = link_prediction(ray.data.from_pandas(_lp_triples(pairs)).repartition(3),
+                          max_center_degree=6, min_common=2,
+                          salt_buckets=2, n_buckets=4).to_pandas()
+    got_d = {(x, y): int(n) for x, y, n in
+             zip(got["x"], got["y"], got["common_neighbors"])}
+    assert got_d == want
+
+
+def test_pred_path_counts_golden():
+    from dygiepp_ray.pipelines.kg import pred_path_counts
+
+    tri = pd.DataFrame({
+        "subj_norm": ["a", "a", "b", "b", "c", "a"],
+        "pred":      ["P", "P", "Q", "R", "Q", "P"],  # a-P-b duplicated
+        "obj_norm":  ["b", "b", "c", "c", "a", "c"],
+    })
+    # distinct edges: a-P-b, b-Q-c, b-R-c, c-Q-a, a-P-c
+    # paths: P(a->b)->Q(b->c), P(a->b)->R, Q(b->c)->Q(c->a), R(b->c)->Q,
+    #        Q(c->a)->P(a->b), Q(c->a)->P(a->c), P(a->c)->Q(c->a)
+    want = {("P", "Q"): 2, ("P", "R"): 1, ("Q", "Q"): 1, ("R", "Q"): 1,
+            ("Q", "P"): 2}
+    for nparts in (1, 3):
+        got = pred_path_counts(
+            ray.data.from_pandas(tri).repartition(nparts),
+            salt_buckets=2, n_buckets=4).to_pandas()
+        got_d = {(a, b): int(n) for a, b, n in
+                 zip(got["pred_a"], got["pred_b"], got["n_paths"])}
+        assert got_d == want
+
+
+def _bfs_oracle(edges, seeds, max_rounds, undirected=True):
+    adj: dict[str, set] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        if undirected:
+            adj.setdefault(v, set()).add(u)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_rounds + 1):
+        nxt = set()
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = h
+                    nxt.add(m)
+        frontier = nxt
+    return dist
+
+
+def _seed_ds(names):
+    return ray.data.from_pandas(pd.DataFrame({"node": names}))
+
+
+def test_bfs_distances_golden():
+    from dygiepp_ray.stages.graph import bfs_distances
+
+    # path a-b-c-d-e plus branch b-x; undirected reach from {a}
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "b")]
+    want = _bfs_oracle(pairs, ["a"], 3)
+    got = bfs_distances(_edge_ds(pairs), _seed_ds(["a"]), max_rounds=3,
+                        n_buckets=4).to_pandas()
+    assert dict(zip(got["node"], got["dist"].astype(int))) == want
+
+
+def test_bfs_distances_directed_multi_seed_and_invariance():
+    from dygiepp_ray.stages.graph import bfs_distances
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    names = [f"n{i:02d}" for i in range(16)]
+    pairs = [(names[rng.randint(16)], names[rng.randint(16)])
+             for _ in range(40)]
+    seeds = ["n00", "n07"]
+    want = _bfs_oracle(pairs, seeds, 2, undirected=False)
+    for nparts in (1, 3):
+        got = bfs_distances(_edge_ds(pairs).repartition(nparts),
+                            _seed_ds(seeds), max_rounds=2,
+                            undirected=False, n_buckets=4).to_pandas()
+        assert dict(zip(got["node"], got["dist"].astype(int))) == want

@@ -118,3 +118,61 @@ def test_events_retention_shape():
     assert (got["retained"] > 0).all()
     # 30 days of events -> at most 29 adjacent-day rows
     assert 0 < len(got) <= 29
+
+
+def _funnel_oracle(df, stages):
+    """Per-user first-touch funnel counts, pure pandas."""
+    counts = []
+    t_prev = None
+    for i, st in enumerate(stages):
+        sub = df[df["event_type"] == st]
+        if i == 0:
+            t = sub.groupby("user_id")["ts"].min()
+        else:
+            m = sub.merge(t_prev.rename("_tp"), left_on="user_id",
+                          right_index=True, how="inner")
+            t = m[m["ts"] > m["_tp"]].groupby("user_id")["ts"].min()
+        counts.append(len(t))
+        t_prev = t
+    return counts
+
+
+def test_funnel_counts_vs_pandas_oracle():
+    from dygiepp_ray.windows import funnel_counts
+
+    rng = np.random.RandomState(9)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 40, size=n),
+        "event_type": rng.choice(["view", "click", "purchase"], size=n,
+                                 p=[0.5, 0.3, 0.2]),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.permutation(n), unit="m"),
+    })
+    stages = ["view", "click", "purchase"]
+    want = _funnel_oracle(df, stages)
+    for nb in (4, 64):
+        got = funnel_counts(ray.data.from_pandas(df).repartition(3),
+                            stages, n_buckets=nb).to_pandas()
+        got = got.sort_values("stage")
+        assert got["stage_name"].tolist() == stages
+        assert got["n_users"].astype(int).tolist() == want
+
+
+def test_funnel_counts_order_constraint_is_strict():
+    from dygiepp_ray.windows import funnel_counts
+
+    t0 = pd.Timestamp("2024-01-01")
+    # u1 completes in order; u2 clicks BEFORE viewing (stage 2 not reached);
+    # u3 clicks at exactly the view timestamp (strict > → not reached)
+    df = pd.DataFrame({
+        "user_id":    [1, 1, 1, 2, 2, 3, 3],
+        "event_type": ["view", "click", "purchase",
+                       "click", "view", "view", "click"],
+        "ts": [t0, t0 + pd.Timedelta("1min"), t0 + pd.Timedelta("2min"),
+               t0, t0 + pd.Timedelta("1min"), t0, t0],
+    })
+    got = funnel_counts(ray.data.from_pandas(df),
+                        ["view", "click", "purchase"]).to_pandas()
+    got = got.sort_values("stage")
+    assert got["n_users"].astype(int).tolist() == [3, 1, 1]
