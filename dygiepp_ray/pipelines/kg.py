@@ -807,15 +807,37 @@ def entity_kb(triples: "ray.data.Dataset", salt_buckets: int = 1,
 
     Shape: every per-entity table is a (salted) grouped count off the
     triple table or the distinct-edge table — all vocabulary-scale — then
-    assembled with bucketed LEFT `hash_join`s on the entity key. Per-group
-    reduces (argmax, alias join) run inside coarse-bucket groups."""
+    the five partial tables are UNIONED under one wide nullable schema and
+    assembled in a SINGLE coarse-entity-bucket shuffle whose per-bucket
+    kernel does the degree fills, the top-pred argmax and the alias join in
+    vectorized pandas (was: two per-reduce shuffles + four bucketed LEFT
+    joins — 6 assembly shuffles → 1)."""
+    import numpy as np
     import pandas as pd
 
     from ..aggregates import partial_final_agg, strip_schema_metadata
 
-    from ..joins import hash_join
-
     s_t, i_t = pa.string(), pa.int64()
+    WIDE = pa.schema([("entity", s_t), ("n_mentions", i_t),
+                      ("out_edges", i_t), ("in_edges", i_t),
+                      ("pred", s_t), ("c", i_t), ("surface", s_t)])
+
+    def widen(cols_of):
+        """Lift a narrow partial table into the shared wide schema with
+        typed nulls for the columns the source doesn't carry."""
+
+        def fn(t: pa.Table) -> pa.Table:
+            t = strip_schema_metadata(t)
+            have = cols_of(t)
+            n = t.num_rows
+            out = {}
+            for f in WIDE:
+                out[f.name] = (have[f.name].cast(f.type)
+                               if f.name in have
+                               else pa.nulls(n, f.type))
+            return pa.Table.from_pydict(out, schema=WIDE)
+
+        return fn
 
     def both_slots(norm_only: bool):
         def fn(t: pa.Table) -> pa.Table:
@@ -844,7 +866,11 @@ def entity_kb(triples: "ray.data.Dataset", salt_buckets: int = 1,
 
     mentions = grouped_count(
         tri.map_batches(both_slots(True), batch_format="pyarrow"),
-        ["entity"], out_name="n_mentions", salt_buckets=salt_buckets)
+        ["entity"], out_name="n_mentions", salt_buckets=salt_buckets
+    ).map_batches(
+        widen(lambda t: {"entity": t.column("entity"),
+                         "n_mentions": t.column("n_mentions")}),
+        batch_format="pyarrow")
 
     edges = grouped_count(
         tri.select_columns(["subj_norm", "pred", "obj_norm"]),
@@ -855,25 +881,45 @@ def entity_kb(triples: "ray.data.Dataset", salt_buckets: int = 1,
             lambda t: pa.table(
                 {"entity": strip_schema_metadata(t).column("subj_norm")}),
             batch_format="pyarrow"),
-        ["entity"], [("out_edges", None, "count")])
+        ["entity"], [("out_edges", None, "count")]).map_batches(
+        widen(lambda t: {"entity": t.column("entity"),
+                         "out_edges": t.column("out_edges")}),
+        batch_format="pyarrow")
     deg_in = partial_final_agg(
         edges.map_batches(
             lambda t: pa.table(
                 {"entity": strip_schema_metadata(t).column("obj_norm")}),
             batch_format="pyarrow"),
-        ["entity"], [("in_edges", None, "count")])
+        ["entity"], [("in_edges", None, "count")]).map_batches(
+        widen(lambda t: {"entity": t.column("entity"),
+                         "in_edges": t.column("in_edges")}),
+        batch_format="pyarrow")
 
     pred_counts = grouped_count(
         tri.select_columns(["subj_norm", "pred"]),
-        ["subj_norm", "pred"], out_name="c", salt_buckets=salt_buckets)
+        ["subj_norm", "pred"], out_name="c", salt_buckets=salt_buckets
+    ).map_batches(
+        widen(lambda t: {"entity": t.column("subj_norm"),
+                         "pred": t.column("pred"), "c": t.column("c")}),
+        batch_format="pyarrow")
+
+    alias_rows = grouped_count(
+        tri.map_batches(both_slots(False), batch_format="pyarrow"),
+        ["entity", "surface"], out_name="_c", salt_buckets=salt_buckets
+    ).map_batches(
+        widen(lambda t: {"entity": t.column("entity"),
+                         "surface": t.column("surface")}),
+        batch_format="pyarrow")
+
+    union = mentions.union(deg_out).union(deg_in).union(
+        pred_counts).union(alias_rows)
 
     # per-entity reduces run on COARSE buckets (pandas groupby inside the
     # task), never one Ray group per entity — the entity vocabulary is
-    # unbounded at web scale
+    # unbounded at web scale. Every row of one entity lands in one bucket,
+    # so the argmax / alias join / degree fills are bucket-local.
     def stamp_entity_bucket(t: pa.Table) -> pa.Table:
         import zlib
-
-        import numpy as np
 
         t = strip_schema_metadata(t)
         h = np.array([zlib.crc32(s.encode()) % n_buckets
@@ -881,68 +927,42 @@ def entity_kb(triples: "ray.data.Dataset", salt_buckets: int = 1,
                      dtype=np.int32)
         return t.append_column("_bucket", pa.array(h, pa.int32()))
 
-    def top_pred_of(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["entity", "c", "pred"],
-                          ascending=[True, False, True])
-        h = g.groupby("entity", sort=False).head(1)
-        return h[["entity", "pred"]].rename(columns={"pred": "top_pred"})
+    def assemble(df: "pd.DataFrame") -> "pd.DataFrame":
+        base = df.loc[df["n_mentions"].notna(), ["entity", "n_mentions"]]
+        base = base.copy()
+        base["n_mentions"] = base["n_mentions"].astype("int64")
 
-    top_pred = pred_counts.map_batches(
-        lambda t: strip_schema_metadata(t).rename_columns(
-            ["entity", "pred", "c"]),
-        batch_format="pyarrow").map_batches(
-        stamp_entity_bucket, batch_format="pyarrow").groupby(
-        "_bucket").map_groups(top_pred_of, batch_format="pandas")
+        def int_col(col: str) -> "pd.DataFrame":
+            sub = df.loc[df[col].notna(), ["entity", col]]
+            return sub
 
-    alias_rows = grouped_count(
-        tri.map_batches(both_slots(False), batch_format="pyarrow"),
-        ["entity", "surface"], out_name="_c", salt_buckets=salt_buckets)
+        out = base.merge(int_col("out_edges"), on="entity", how="left")
+        out = out.merge(int_col("in_edges"), on="entity", how="left")
+        for col in ("out_edges", "in_edges"):
+            out[col] = out[col].fillna(0).astype("int64")
 
-    def alias_join(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("entity", sort=False)["surface"].apply(
+        pc_rows = df.loc[df["pred"].notna(), ["entity", "pred", "c"]]
+        if len(pc_rows):
+            pc_rows = pc_rows.sort_values(
+                ["entity", "c", "pred"], ascending=[True, False, True])
+            tp = pc_rows.groupby("entity", sort=False).head(1)[
+                ["entity", "pred"]].rename(columns={"pred": "top_pred"})
+            out = out.merge(tp, on="entity", how="left")
+            out["top_pred"] = out["top_pred"].fillna("")
+        else:
+            out["top_pred"] = ""
+
+        al_rows = df.loc[df["surface"].notna(), ["entity", "surface"]]
+        al = al_rows.groupby("entity", sort=False)["surface"].apply(
             lambda s: "|".join(sorted(s)))
-        return pd.DataFrame({"entity": out.index.astype(object),
-                             "aliases": out.to_numpy(object)})
+        out = out.merge(al.rename("aliases").reset_index(), on="entity",
+                        how="inner")
+        return out[["entity", "n_mentions", "out_edges", "in_edges",
+                    "top_pred", "aliases"]]
 
-    aliases = alias_rows.select_columns(["entity", "surface"]).map_batches(
+    return union.map_batches(
         stamp_entity_bucket, batch_format="pyarrow").groupby(
-        "_bucket").map_groups(alias_join, batch_format="pandas")
-
-    def fill0(col: str):
-        def post(df: pd.DataFrame) -> pd.DataFrame:
-            df[col] = df[col].fillna(0).astype("int64")
-            return df
-
-        return post
-
-    kb = hash_join(mentions, deg_out, on="entity", how="left",
-                   n_buckets=n_buckets,
-                   left_types={"entity": s_t, "n_mentions": i_t},
-                   right_types={"entity": s_t, "out_edges": i_t},
-                   bucket_post=fill0("out_edges"))
-    kb = hash_join(kb, deg_in, on="entity", how="left",
-                   n_buckets=n_buckets,
-                   left_types={"entity": s_t, "n_mentions": i_t,
-                               "out_edges": i_t},
-                   right_types={"entity": s_t, "in_edges": i_t},
-                   bucket_post=fill0("in_edges"))
-
-    def fill_pred(df: pd.DataFrame) -> pd.DataFrame:
-        df["top_pred"] = df["top_pred"].fillna("")
-        return df
-
-    kb = hash_join(kb, top_pred, on="entity", how="left",
-                   n_buckets=n_buckets,
-                   left_types={"entity": s_t, "n_mentions": i_t,
-                               "out_edges": i_t, "in_edges": i_t},
-                   right_types={"entity": s_t, "top_pred": s_t},
-                   bucket_post=fill_pred)
-    return hash_join(kb, aliases, on="entity", how="inner",
-                     n_buckets=n_buckets,
-                     left_types={"entity": s_t, "n_mentions": i_t,
-                                 "out_edges": i_t, "in_edges": i_t,
-                                 "top_pred": s_t},
-                     right_types={"entity": s_t, "aliases": s_t})
+        "_bucket").map_groups(assemble, batch_format="pandas")
 
 
 def pred_path_counts(triples: "ray.data.Dataset", salt_buckets: int = 1,
