@@ -1745,6 +1745,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_mention_counts"] = q_kg_mentions
 
+    def q_kg_type_infer(sf_dir: str):
+        # entity typing by modal mention label (ties: lexicographic): the
+        # typed-mention count table reduced per entity with the coarse-
+        # bucket argmax helper — one aggregate shuffle + one bucket shuffle
+        # at unbounded entity cardinality
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.aggregates import argmax_per_key
+
+        _write_oracle(sf_dir, "kg_mention_counts",
+                      lambda: _o.expected_mention_counts(
+                          _oracle_docs_table(sf_dir),
+                          {**ENTITY_LEXICON, **DOC_LEXICON}))
+        predicted = _docs_predicted(sf_dir)
+        mentions = predicted.map_batches(flatten_ner_mentions,
+                                         batch_format="pyarrow")
+        counts = grouped_count(
+            mentions.select_columns(["mention_norm", "label"]),
+            ["mention_norm", "label"], out_name="n", salt_buckets=8)
+        top = argmax_per_key(counts, key="mention_norm",
+                             order_cols=["n", "label"],
+                             ascending=[False, True],
+                             keep_cols=["mention_norm", "label", "n"])
+
+        def rename(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"entity": df["mention_norm"],
+                                 "etype": df["label"],
+                                 "n_mentions": df["n"].astype("int64")})
+
+        return top.map_batches(rename, batch_format="pandas")
+
+    q["kg_type_infer"] = q_kg_type_infer
+
+    def q_kg_star_query(sf_dir: str):
+        # conjunctive star query: subjects asserting BOTH a USED-FOR and a
+        # COMPARE edge, with per-predicate assertion counts — ONE
+        # partial+final aggregate over conditional indicator columns (no
+        # join, no pivot repartition)
+        from dygiepp_ray.aggregates import partial_final_agg
+
+        _ensure_triples_oracle(sf_dir)
+        tri = _synth_triples(sf_dir).select_columns(["subj_norm", "pred"])
+        P1, P2 = "USED-FOR", "COMPARE"
+
+        def indicators(df: pd.DataFrame) -> pd.DataFrame:
+            keep = df[df["pred"].isin([P1, P2])]
+            return pd.DataFrame({
+                "subj_norm": keep["subj_norm"],
+                "c1": (keep["pred"] == P1).to_numpy("int64"),
+                "c2": (keep["pred"] == P2).to_numpy("int64")})
+
+        agg = partial_final_agg(
+            tri.map_batches(indicators, batch_format="pandas"),
+            ["subj_norm"], [("n_p1", "c1", "sum"), ("n_p2", "c2", "sum")])
+
+        def both(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[(df["n_p1"] > 0) & (df["n_p2"] > 0)].copy()
+            df["n_p1"] = df["n_p1"].astype("int64")
+            df["n_p2"] = df["n_p2"].astype("int64")
+            return df[["subj_norm", "n_p1", "n_p2"]]
+
+        return agg.map_batches(both, batch_format="pandas")
+
+    q["kg_star_query"] = q_kg_star_query
+
     def q_kg_linked(sf_dir: str):
         from dygiepp_ray import oracle as _o
 
@@ -3819,6 +3883,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_kcore": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_kcore.parquet')
+        """,
+        "kg_type_infer": """
+            WITH m AS (
+                SELECT * FROM read_parquet(
+                    '/tmp/dygiepp_ray_oracle/kg_mention_counts.parquet')
+            ), r AS (
+                SELECT mention_norm AS entity, label AS etype, n,
+                       row_number() OVER (
+                           PARTITION BY mention_norm
+                           ORDER BY n DESC, label) AS rk
+                FROM m
+            )
+            SELECT entity, etype, n AS n_mentions FROM r WHERE rk = 1
+        """,
+        "kg_star_query": """
+            SELECT subj_norm,
+                   CAST(sum(CASE WHEN pred = 'USED-FOR' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_p1,
+                   CAST(sum(CASE WHEN pred = 'COMPARE' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_p2
+            FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            GROUP BY subj_norm
+            HAVING n_p1 > 0 AND n_p2 > 0
         """,
         "kg_mention_counts": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_mention_counts.parquet')

@@ -207,3 +207,28 @@ def test_group_zscore_outliers_admission_guard():
     with pytest.raises(ValueError, match="admission guard"):
         group_zscore_outliers(ray.data.from_pandas(df), key="g", x_col="x",
                               keep_cols=["g", "x"], max_groups=10).to_pandas()
+
+
+def test_argmax_per_key_matches_pandas():
+    import numpy as np
+
+    from dygiepp_ray.aggregates import argmax_per_key
+
+    rng = np.random.RandomState(12)
+    df = pd.DataFrame({
+        "k": rng.choice([f"e{i}" for i in range(25)], size=200),
+        "lab": rng.choice(list("abcd"), size=200),
+        "n": rng.randint(0, 5, size=200).astype("int64"),
+    })
+    # collapse to (k, lab) counts first so ties exercise the lab tie-break
+    cnt = df.groupby(["k", "lab"], as_index=False)["n"].sum()
+    want = (cnt.sort_values(["k", "n", "lab"],
+                            ascending=[True, False, True])
+            .groupby("k").head(1).set_index("k")["lab"].to_dict())
+    for nb in (3, 16):
+        got = argmax_per_key(
+            ray.data.from_pandas(cnt).repartition(3), key="k",
+            order_cols=["n", "lab"], ascending=[False, True],
+            keep_cols=["k", "lab", "n"], n_buckets=nb).to_pandas()
+        assert len(got) == len(want)
+        assert dict(zip(got["k"], got["lab"])) == want
