@@ -2035,6 +2035,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_pagerank"] = q_kg_pagerank
 
+    def q_kg_ppr(sf_dir: str):
+        # PageRank personalized to the 3 lexicographically-smallest
+        # subjects (entity relatedness): exact-int64 fixed point, teleport
+        # mass pinned to the seed set; oracle = single-threaded dict
+        # re-walk of the identical spec
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.graph import personalized_pagerank
+
+        def seed_list() -> list[str]:
+            t = _oracle_triples_table(sf_dir)
+            return sorted(set(t.column("subj_norm").to_pylist()))[:3]
+
+        _write_oracle(sf_dir, "kg_ppr",
+                      lambda: _o.expected_personalized_pagerank(
+                          _oracle_triples_table(sf_dir), seed_list()))
+        edges = _distinct_edge_ds(sf_dir).materialize()
+        seeds = (grouped_count(edges.select_columns(["subj_norm"]),
+                               ["subj_norm"], out_name="_n")
+                 .select_columns(["subj_norm"])
+                 .sort("subj_norm").limit(3).map_batches(
+                     lambda t: t.rename_columns(["node"]),
+                     batch_format="pyarrow").materialize())
+        return personalized_pagerank(edges, seeds, src="subj_norm",
+                                     dst="obj_norm", mode="broadcast")
+
+    q["kg_ppr"] = q_kg_ppr
+
     def q_kg_khop(sf_dir: str):
         # 2-hop subgraph expansion from the 5 lexicographically-smallest
         # subjects: each hop is ONE bucketed semi-join of the distinct edge
@@ -3880,6 +3907,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_pagerank": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_pagerank.parquet')
+        """,
+        "kg_ppr": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_ppr.parquet')
         """,
         "kg_kcore": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_kcore.parquet')

@@ -1363,6 +1363,44 @@ def expected_components(triples: pa.Table) -> pa.Table:
     })
 
 
+def expected_personalized_pagerank(triples: pa.Table,
+                                    seeds: list[str],
+                                    n_iter: int = 10) -> pa.Table:
+    """Integer fixed-point PERSONALIZED PageRank recompute
+    (stages/graph.py:personalized_pagerank spec): units start at
+    GRAPH_UNITS on the seed set only, the teleport term
+    GRAPH_UNITS*15//100 lands only on seeds, shares floor-divide exactly
+    as the engine does — single-threaded dict arithmetic is exact int64,
+    so it must hash-match both execution modes bit for bit."""
+    from .functions.strings import round_half_up
+
+    edges = _distinct_edges(triples)
+    nodes = sorted({n for e in edges for n in e})
+    # k counts the GIVEN seed set; a seed absent from the graph contributes
+    # no mass but still scales rank (documented mass-loss discipline, same
+    # as rounding/dangling loss — matches both engine modes)
+    seed_set = set(seeds)
+    k = len(seed_set)
+    seed_set &= set(nodes)
+    outdeg: dict = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base_seed = GRAPH_UNITS * 15 // 100
+    units = {v: (GRAPH_UNITS if v in seed_set else 0) for v in nodes}
+    for _ in range(n_iter):
+        share = {u: units[u] * 85 // (100 * d) for u, d in outdeg.items()}
+        nxt = {v: (base_seed if v in seed_set else 0) for v in nodes}
+        for u, v in edges:
+            nxt[v] += share[u]
+        units = nxt
+    return pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "rank_units": pa.array([units[v] for v in nodes], pa.int64()),
+        "rank": pa.array([float(round_half_up(units[v] / (k * GRAPH_UNITS), 9))
+                          for v in nodes], pa.float64()),
+    })
+
+
 def expected_alias_merge(triples: pa.Table, threshold: float = 0.5,
                          k: int = 3, n_perm: int = 64,
                          n_bands: int = 16) -> pa.Table:

@@ -802,3 +802,179 @@ def bfs_distances(edges: "ray.data.Dataset", seeds: "ray.data.Dataset",
     for r in rounds[1:]:
         union = union.union(r)
     return partial_final_agg(union, ["node"], [("dist", "dist", "min")])
+
+
+def personalized_pagerank(edges: "ray.data.Dataset",
+                          seeds: "ray.data.Dataset", src: str = "src",
+                          dst: str = "dst", n_iter: int = 10,
+                          n_buckets: int = 32, mode: str = "auto",
+                          broadcast_max_nodes: int = 5_000_000
+                          ) -> "ray.data.Dataset":
+    """(node, rank_units, rank) — PageRank personalized to a seed set
+    (entity relatedness / recommendation over the extracted KG: rank mass
+    teleports back to `seeds` instead of uniformly). Same exact-int64
+    fixed-point discipline as `pagerank_fixedpoint`, same dual
+    broadcast/shuffle execution, identical result in both modes.
+
+    Spec (k = |seeds|, total teleport mass fixed at k·UNITS):
+      units⁰(v)   = UNITS if v ∈ S else 0
+      share(u)    = units(u) * 85 // (100 * outdeg(u))
+      unitsᵗ⁺¹(v) = [v ∈ S] * (UNITS * 15 // 100) + Σ_{(u,v)∈E} share(u)
+      rank        = units / (k * UNITS), half-up 9 decimals.
+
+    `seeds` must have one column `node`; the seed set is collected to the
+    driver (personalization sets are small by nature — an assert guards
+    the admission)."""
+    from ..functions.strings import round_half_up
+
+    seed_names = [r["node"] for r in seeds.take_all()]
+    assert len(seed_names) <= 100_000, "personalization set too large"
+    seed_set = set(seed_names)
+    k = len(seed_set)
+    base_seed = UNITS * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+
+    if mode == "auto":
+        mode = ("broadcast"
+                if _broadcast_fits(edges, src, dst, broadcast_max_nodes)
+                else "shuffle")
+
+    if mode == "broadcast":
+        names, indexed = _index_edges(edges, src, dst)
+        n_nodes = len(names)
+        name_list = list(names)
+        pos = {n: i for i, n in enumerate(name_list)}
+        seed_idx = np.array(sorted(pos[s] for s in seed_set if s in pos),
+                            dtype=np.int64)
+        base_vec = np.zeros(n_nodes, dtype=np.int64)
+        base_vec[seed_idx] = base_seed
+
+        def one_pass_outdeg():
+            outdeg = np.zeros(n_nodes, dtype=np.int64)
+            for batch in indexed.map_batches(
+                    lambda df: pd.DataFrame(
+                        dict(zip(("n", "c"),
+                                 np.unique(df["s"].to_numpy(),
+                                           return_counts=True)))),
+                    batch_format="pandas").iter_batches(batch_format="numpy"):
+                np.add.at(outdeg, batch["n"], batch["c"].astype(np.int64))
+            return outdeg
+
+        if indexed.count() <= LOCAL_MAX_EDGES:
+            s, d = _collect_indexed(indexed)
+            outdeg = np.zeros(n_nodes, dtype=np.int64)
+            np.add.at(outdeg, s, 1)
+            units = np.zeros(n_nodes, dtype=np.int64)
+            units[seed_idx] = UNITS
+            for _ in range(n_iter):
+                share = np.zeros(n_nodes, dtype=np.int64)
+                nz = outdeg > 0
+                share[nz] = units[nz] * DAMP_NUM // (DAMP_DEN * outdeg[nz])
+                incoming = np.zeros(n_nodes, dtype=np.int64)
+                np.add.at(incoming, d, share[s])
+                units = base_vec + incoming
+        else:
+            outdeg = one_pass_outdeg()
+            units = np.zeros(n_nodes, dtype=np.int64)
+            units[seed_idx] = UNITS
+            for _ in range(n_iter):
+                share = np.zeros(n_nodes, dtype=np.int64)
+                nz = outdeg > 0
+                share[nz] = units[nz] * DAMP_NUM // (DAMP_DEN * outdeg[nz])
+                share_ref = ray.put(share)
+
+                def deliver(df: pd.DataFrame) -> pd.DataFrame:
+                    sh = ray.get(share_ref)
+                    acc = np.zeros(len(sh), dtype=np.int64)
+                    np.add.at(acc, df["d"].to_numpy(),
+                              sh[df["s"].to_numpy()])
+                    touched = np.nonzero(acc)[0]
+                    return pd.DataFrame({"n": touched.astype(np.int64),
+                                         "v": acc[touched]})
+
+                incoming = np.zeros(n_nodes, dtype=np.int64)
+                for batch in indexed.map_batches(
+                        deliver, batch_format="pandas").iter_batches(
+                        batch_format="numpy"):
+                    np.add.at(incoming, batch["n"], batch["v"])
+                units = base_vec + incoming
+        rank = round_half_up(units.astype(np.float64) / (k * UNITS), 9)
+        out = pa.table({"node": pa.array(name_list, pa.string()),
+                        "rank_units": pa.array(units, pa.int64()),
+                        "rank": pa.array(rank, pa.float64())})
+        return ray.data.from_arrow(out)
+
+    # ---- shuffle mode (|V| beyond broadcast): same loop as
+    # _pagerank_shuffle with the teleport term gated on seed membership
+    e = edges.select_columns([src, dst]).map_batches(
+        lambda t: strip_schema_metadata(t).rename_columns(["u", "v"]),
+        batch_format="pyarrow").materialize()
+    nodes = _nodes_of(edges, src, dst).materialize()
+    node_type = pa.string()
+
+    outdeg = partial_final_agg(
+        e.map_batches(lambda t: pa.table({"node": t.column("u")}),
+                      batch_format="pyarrow"),
+        ["node"], [("outdeg", None, "count")]).materialize()
+
+    seed_arr = pa.array(sorted(seed_set), pa.string())
+
+    def init_units(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        is_seed = pc.is_in(t.column("node"), value_set=seed_arr)
+        u = pc.if_else(is_seed, pa.scalar(UNITS, pa.int64()),
+                       pa.scalar(0, pa.int64()))
+        return t.append_column("units", u.combine_chunks()
+                               if isinstance(u, pa.ChunkedArray) else u)
+
+    ranks = nodes.map_batches(init_units, batch_format="pyarrow").materialize()
+
+    for _ in range(n_iter):
+        shares = hash_join(
+            ranks, outdeg, on="node", n_buckets=n_buckets,
+            left_types={"node": node_type, "units": pa.int64()},
+            right_types={"node": node_type, "outdeg": pa.int64()},
+            bucket_post=lambda df: pd.DataFrame({
+                "node": df["node"],
+                "share": (df["units"].to_numpy() * DAMP_NUM)
+                         // (DAMP_DEN * df["outdeg"].to_numpy()),
+            }),
+        )
+        delivered = hash_join(
+            e, shares.map_batches(lambda t: t.rename_columns(["u", "share"]),
+                                  batch_format="pyarrow"),
+            on="u", n_buckets=n_buckets,
+            left_types={"u": node_type, "v": node_type},
+            right_types={"u": node_type, "share": pa.int64()},
+            bucket_post=lambda df: df.groupby("v", as_index=False)
+                                     .agg(in_sum=("share", "sum")),
+        )
+        summed = partial_final_agg(
+            delivered.map_batches(
+                lambda t: t.rename_columns(["node", "in_sum"]),
+                batch_format="pyarrow"),
+            ["node"], [("in_sum", "in_sum", "sum")])
+        joined = hash_join(
+            nodes, summed, on="node", n_buckets=n_buckets, how="left",
+            left_types={"node": node_type},
+            right_types={"node": node_type, "in_sum": pa.int64()},
+        )
+
+        def refresh(df: pd.DataFrame) -> pd.DataFrame:
+            s = df["in_sum"].fillna(0).astype("int64")
+            b = np.where(df["node"].isin(seed_set), base_seed, 0)
+            return pd.DataFrame({"node": df["node"],
+                                 "units": (b + s).astype("int64")})
+
+        ranks = joined.map_batches(refresh,
+                                   batch_format="pandas").materialize()
+        # block-count discipline: joins in a loop double blocks per round
+        ranks = ranks.repartition(n_buckets).materialize()
+
+    def finalize(t: pa.Table) -> pa.Table:
+        units = t.column("units").to_numpy(zero_copy_only=False)
+        rank = round_half_up(units.astype(np.float64) / (k * UNITS), 9)
+        return pa.table({"node": t.column("node"),
+                         "rank_units": t.column("units"),
+                         "rank": pa.array(rank, pa.float64())})
+
+    return ranks.map_batches(finalize, batch_format="pyarrow")

@@ -531,3 +531,42 @@ def test_bfs_distances_directed_multi_seed_and_invariance():
                             _seed_ds(seeds), max_rounds=2,
                             undirected=False, n_buckets=4).to_pandas()
         assert dict(zip(got["node"], got["dist"].astype(int))) == want
+
+
+def test_personalized_pagerank_modes_and_oracle():
+    from dygiepp_ray.oracle import expected_personalized_pagerank
+    from dygiepp_ray.stages.graph import personalized_pagerank
+
+    # DISTINCT edges: the operator contract takes a deduped edge table
+    # (the oracle's _distinct_edges would otherwise collapse multi-edges
+    # that the engine counted into outdeg)
+    pairs = sorted({("v%02d" % ((i * 7) % 20), "v%02d" % ((i * 13 + 5) % 20))
+                    for i in range(60)})
+    ds = _edge_ds(pairs)
+    seeds = ["v00", "v03", "v05"]
+    sd = ray.data.from_pandas(pd.DataFrame({"node": seeds}))
+    b = personalized_pagerank(ds, sd, n_iter=4, mode="broadcast").to_pandas(
+        ).sort_values("node").reset_index(drop=True)
+    s = personalized_pagerank(ds, sd, n_iter=4, mode="shuffle",
+                              n_buckets=4).to_pandas(
+        ).sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, s)
+    want = expected_personalized_pagerank(
+        _pairs_table(pairs), seeds, n_iter=4).to_pandas(
+        ).sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, want)
+    # sanity: mass concentrates on/near seeds, zero on unreachable-from-seed
+    assert b.set_index("node").loc["v00", "rank_units"] > 0
+
+
+def test_personalized_pagerank_seed_locality():
+    from dygiepp_ray.stages.graph import personalized_pagerank
+
+    # two disconnected 2-cycles; seeding in one leaves the other at 0
+    pairs = [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")]
+    sd = ray.data.from_pandas(pd.DataFrame({"node": ["a"]}))
+    got = personalized_pagerank(_edge_ds(pairs), sd, n_iter=6,
+                                mode="broadcast").to_pandas()
+    r = got.set_index("node")["rank_units"]
+    assert r["x"] == 0 and r["y"] == 0
+    assert r["a"] > 0 and r["b"] > 0
