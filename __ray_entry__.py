@@ -689,6 +689,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["quantiles_price"] = quantiles_price
 
+    def approx_quantiles_price(sf_dir: str):
+        # ONE-PASS approximate quantiles (mergeable fixed-bin histogram
+        # sketch, stages/sketch.py): error ≤ one bin width
+        # ((110000−0)/2^16 ≈ 1.68), vs the exact 3-pass
+        # distributed_quantiles behind `quantiles_price`. Every float
+        # expression (bin, edge value, ceil-rank) is mirrored verbatim in
+        # the SQL oracle.
+        from dygiepp_ray.stages.sketch import histogram_quantiles
+
+        ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+        return histogram_quantiles(ds, "l_extendedprice",
+                                   probs=[0.25, 0.5, 0.75, 0.9, 0.99],
+                                   lo=0.0, hi=110000.0, bits=16)
+
+    q["approx_quantiles_price"] = approx_quantiles_price
+
     def approx_distinct_users(sf_dir: str):
         # HyperLogLog count-distinct (p=12, ~1.6% s.e.): partial registers
         # per block -> (group, register) max merge -> per-group estimate
@@ -3101,6 +3117,35 @@ def oracle_sql() -> dict[str, str]:
              AND a.ts < b.ts + INTERVAL 10 MINUTE
              AND a.event_id <> b.event_id
             GROUP BY a.user_id
+        """,
+        "approx_quantiles_price": """
+            WITH params(prob) AS (
+                VALUES (0.25), (0.5), (0.75), (0.9), (0.99)
+            ), b AS (
+                SELECT least(greatest(CAST(floor(
+                           (l_extendedprice - 0.0) * (65536.0 / 110000.0))
+                           AS BIGINT), 0), 65535) AS bin
+                FROM lineitem
+            ), c AS (
+                SELECT bin, count(*) AS n FROM b GROUP BY bin
+            ), w AS (
+                SELECT bin, sum(n) OVER (ORDER BY bin) AS cum FROM c
+            ), t AS (
+                SELECT count(*) AS tot FROM lineitem
+            ), r AS (
+                SELECT prob,
+                       (CAST(prob * 1000000 AS BIGINT) * tot + 999999)
+                           // 1000000 AS rk
+                FROM params, t
+            ), pick AS (
+                SELECT r.prob, min(w.bin) AS bin
+                FROM r JOIN w ON w.cum >= r.rk GROUP BY r.prob
+            )
+            SELECT CAST(p.prob AS DOUBLE) AS prob,
+                   round(0.0 + (p.bin + 1) / (65536.0 / 110000.0), 6)
+                       AS value,
+                   t.tot AS n
+            FROM pick p, t
         """,
         "quantiles_price": """
             SELECT l_returnflag,

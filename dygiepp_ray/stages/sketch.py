@@ -176,3 +176,62 @@ def cms_point_counts(ds: "ray.data.Dataset", col: str, probes: list[str],
         col: pa.array(list(probes), pa.string()),
         "est": pa.array(ests, pa.int64()),
     }))
+
+
+def histogram_quantiles(ds: "ray.data.Dataset", col: str,
+                        probs: list[float], lo: float, hi: float,
+                        bits: int = 16) -> "ray.data.Dataset":
+    """(prob, value, n) — one-pass mergeable approximate quantiles over a
+    fixed 2^bits-bin histogram of [lo, hi): the streaming companion to
+    `aggregates.distributed_quantiles` (exact, 3 passes). Error is bounded
+    by one bin width ((hi−lo)/2^bits); values outside [lo, hi) clip into
+    the edge bins (caller owns the range, e.g. from column statistics).
+
+    Deterministic & partitioning-invariant by construction: the partial is
+    a per-block (bin, count) table (≤ 2^bits rows per block — np.unique,
+    no compression step that would depend on block boundaries), the merge
+    is a commutative partial+final sum, and the quantile pick is the
+    smallest bin whose cumulative count reaches ceil(p·n) (quantile_disc
+    discipline), reported as the bin's UPPER edge rounded half-up to 6
+    decimals. Every float expression (bin = floor((x−lo)·scale), edge
+    value) is simple enough to mirror verbatim in a SQL oracle."""
+    from ..aggregates import strip_schema_metadata
+    from ..functions.strings import round_half_up
+
+    nb = 1 << bits
+    scale = nb / (hi - lo)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[col].to_numpy(np.float64)
+        b = np.floor((x - lo) * scale).astype(np.int64)
+        np.clip(b, 0, nb - 1, out=b)
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bin": uniq, "n": cnt.astype(np.int64)})
+
+    hist = partial_final_agg(ds.map_batches(partial, batch_format="pandas"),
+                             ["bin"], [("n", "n", "sum")])
+
+    def pick(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        df = t.to_pandas().sort_values("bin")
+        cum = df["n"].to_numpy(np.int64).cumsum()
+        bins = df["bin"].to_numpy(np.int64)
+        total = int(cum[-1]) if len(cum) else 0
+        out_p, out_v, out_n = [], [], []
+        for p in probs:
+            # ceil(p·n) in exact nonneg-int arithmetic (p quantized to 1e-6
+            # first), so the SQL oracle's // mirrors it bit for bit
+            rank = (int(p * 1_000_000) * total + 999_999) // 1_000_000
+            i = int(np.searchsorted(cum, max(rank, 1)))
+            b = int(bins[min(i, len(bins) - 1)]) if len(bins) else 0
+            out_p.append(p)
+            out_v.append(float(round_half_up(
+                np.float64(lo) + (b + 1) / np.float64(scale), 6)))
+            out_n.append(total)
+        return pa.table({"prob": pa.array(out_p, pa.float64()),
+                         "value": pa.array(out_v, pa.float64()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    # the final histogram is ≤ 2^bits rows by construction — one task
+    return hist.repartition(1).map_batches(pick, batch_format="pyarrow",
+                                           batch_size=None)

@@ -82,3 +82,51 @@ def test_cms_point_counts_bounds_and_determinism():
         width=1024, depth=4,
     ).to_pandas().set_index("token")["est"]
     assert (got == got2).all()
+
+
+def test_histogram_quantiles_within_bin_width_and_invariant():
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from dygiepp_ray.stages.sketch import histogram_quantiles
+
+    rng = np.random.RandomState(8)
+    x = rng.exponential(2000.0, size=5000) + 900.0
+    df = pd.DataFrame({"v": x})
+    probs = [0.25, 0.5, 0.9]
+    lo, hi, bits = 0.0, 40000.0, 16
+    width = (hi - lo) / (1 << bits)
+    runs = []
+    for nparts in (1, 7):
+        got = histogram_quantiles(
+            ray.data.from_pandas(df).repartition(nparts), "v",
+            probs=probs, lo=lo, hi=hi, bits=bits).to_pandas()
+        got = got.sort_values("prob").reset_index(drop=True)
+        runs.append(got)
+        assert got["n"].tolist() == [5000] * 3
+        # each pick = upper edge of the bin holding the exact disc-quantile:
+        # within one bin width above the exact order statistic
+        xs = np.sort(x)
+        for p, v in zip(got["prob"], got["value"]):
+            exact = xs[int(np.ceil(p * len(xs))) - 1]
+            assert exact <= v <= exact + width + 1e-9
+    pd.testing.assert_frame_equal(runs[0], runs[1])
+
+
+def test_histogram_quantiles_clips_out_of_range():
+    import pandas as pd
+
+    import ray.data
+
+    from dygiepp_ray.stages.sketch import histogram_quantiles
+
+    # values beyond hi land in the top bin; below lo in bin 0
+    df = pd.DataFrame({"v": [-5.0, 0.5, 99.0, 1e9]})
+    got = histogram_quantiles(ray.data.from_pandas(df), "v",
+                              probs=[0.5, 1.0], lo=0.0, hi=100.0,
+                              bits=4).to_pandas()
+    assert got["n"].tolist() == [4, 4]
+    # p=1.0 must pick the clipped top bin's upper edge (= hi)
+    assert got.loc[got["prob"] == 1.0, "value"].iloc[0] == 100.0
