@@ -705,6 +705,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["approx_quantiles_price"] = approx_quantiles_price
 
+    def upsert_orders(sf_dir: str):
+        # CDC-style upsert merge (last-writer-wins): base = orders; the
+        # change stream is a deterministic transform of orders (every 7th
+        # key re-priced, stamped one day later) mirrored exactly in the
+        # oracle. Merge = union + per-key argmax on (version DESC,
+        # src DESC) via the coarse-bucket argmax_per_key — ONE shuffle, no
+        # join; ties (same version) resolve to the update side.
+        from dygiepp_ray.aggregates import argmax_per_key
+
+        ds = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+        def base_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "o_totalprice": df["o_totalprice"],
+                "version": (df["o_orderdate"]
+                            - pd.Timestamp("1970-01-01")).dt.days
+                           .astype("int64"),
+                "src": np.zeros(len(df), dtype="int64")})
+
+        def update_rows(df: pd.DataFrame) -> pd.DataFrame:
+            upd = df[df["o_orderkey"] % 7 == 0]
+            return pd.DataFrame({
+                "o_orderkey": upd["o_orderkey"].astype("int64"),
+                "o_totalprice": upd["o_totalprice"] + 1000.0,
+                "version": ((upd["o_orderdate"]
+                             - pd.Timestamp("1970-01-01")).dt.days
+                            + 1).astype("int64"),
+                "src": np.ones(len(upd), dtype="int64")})
+
+        base = ds.map_batches(base_rows, batch_format="pandas")
+        updates = ds.map_batches(update_rows, batch_format="pandas")
+        merged = argmax_per_key(
+            base.union(updates), key="o_orderkey",
+            order_cols=["version", "src"], ascending=[False, False],
+            keep_cols=["o_orderkey", "o_totalprice", "version"])
+
+        def fmt(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["o_totalprice"] = df["o_totalprice"].round(2)
+            return df
+
+        return merged.map_batches(fmt, batch_format="pandas")
+
+    q["upsert_orders"] = upsert_orders
+
     def approx_distinct_users(sf_dir: str):
         # HyperLogLog count-distinct (p=12, ~1.6% s.e.): partial registers
         # per block -> (group, register) max merge -> per-group estimate
@@ -3117,6 +3164,33 @@ def oracle_sql() -> dict[str, str]:
              AND a.ts < b.ts + INTERVAL 10 MINUTE
              AND a.event_id <> b.event_id
             GROUP BY a.user_id
+        """,
+        "upsert_orders": """
+            WITH base AS (
+                SELECT o_orderkey, o_totalprice,
+                       CAST(datediff('day', DATE '1970-01-01',
+                                     CAST(o_orderdate AS DATE)) AS BIGINT)
+                           AS version,
+                       0 AS src
+                FROM orders
+            ), upd AS (
+                SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+                       CAST(datediff('day', DATE '1970-01-01',
+                                     CAST(o_orderdate AS DATE)) + 1
+                            AS BIGINT) AS version,
+                       1 AS src
+                FROM orders WHERE o_orderkey % 7 = 0
+            ), u AS (
+                SELECT * FROM base UNION ALL SELECT * FROM upd
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY o_orderkey
+                    ORDER BY version DESC, src DESC) AS rk
+                FROM u
+            )
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+                   version
+            FROM r WHERE rk = 1
         """,
         "approx_quantiles_price": """
             WITH params(prob) AS (
