@@ -752,6 +752,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["upsert_orders"] = upsert_orders
 
+    def edit1_part_names(sf_dir: str):
+        # typo-level fuzzy matching over the part-name catalog: FastSS
+        # deletion-neighborhood blocking (lossless for ed ≤ 1), exact
+        # two-pointer verify inside coarse key buckets — the precision
+        # complement to alias_pairs' trigram-Jaccard recall
+        from dygiepp_ray.stages.linking import edit1_name_pairs
+
+        ds = _read(sf_dir, "part", ["p_name"])
+        names = grouped_count(
+            ds.map_batches(
+                lambda df: pd.DataFrame({"name": df["p_name"]}),
+                batch_format="pandas"),
+            ["name"], out_name="_n").select_columns(["name"])
+        return edit1_name_pairs(names, name_col="name", min_len=2)
+
+    q["edit1_part_names"] = edit1_part_names
+
     def approx_distinct_users(sf_dir: str):
         # HyperLogLog count-distinct (p=12, ~1.6% s.e.): partial registers
         # per block -> (group, register) max merge -> per-group estimate
@@ -3164,6 +3181,15 @@ def oracle_sql() -> dict[str, str]:
              AND a.ts < b.ts + INTERVAL 10 MINUTE
              AND a.event_id <> b.event_id
             GROUP BY a.user_id
+        """,
+        "edit1_part_names": """
+            WITH n AS (
+                SELECT DISTINCT p_name AS name FROM part
+                WHERE length(p_name) >= 2
+            )
+            SELECT a.name AS id_a, b.name AS id_b
+            FROM n a JOIN n b ON a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= 1
         """,
         "upsert_orders": """
             WITH base AS (

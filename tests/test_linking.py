@@ -138,3 +138,39 @@ def test_alias_merge_shuffle_cc_fallback_matches_broadcast():
     pd.testing.assert_frame_equal(shuffle, broadcast)
     assert shuffle["weight"].sum() == len(subs)
     assert len(shuffle) < len(subs)  # something actually merged
+
+
+def test_edit1_exact_check():
+    from dygiepp_ray.stages.linking import _edit1
+
+    assert _edit1("cold widget", "bold widget")       # substitution
+    assert _edit1("widget", "widgets")                # insertion
+    assert _edit1("widgets", "widget")                # deletion
+    assert _edit1("ab", "b") and _edit1("b", "ab")    # edge position
+    assert not _edit1("cold", "bolt")                 # 2 substitutions
+    assert not _edit1("abc", "abcde")                 # length gap 2
+    assert not _edit1("abcd", "badc")
+
+
+def test_edit1_name_pairs_matches_bruteforce():
+    import itertools
+
+    import pandas as pd
+
+    import ray.data
+
+    from dygiepp_ray.stages.linking import _edit1, edit1_name_pairs
+
+    names = ["cold widget", "bold widget", "cold widgets", "gold widget",
+             "sprocket", "sprockets", "sprocket", "socket", "x",
+             "rocket", "rocketx", "entirely different"]
+    uniq = sorted({n for n in names if len(n) >= 2})
+    want = {(a, b) for a, b in itertools.combinations(uniq, 2)
+            if _edit1(a, b)}
+    assert len(want) >= 5  # fixture exercises sub/ins/del shapes
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"name": names})).repartition(nparts)
+        got = edit1_name_pairs(ds, name_col="name").to_pandas()
+        got_pairs = set(zip(got["id_a"], got["id_b"]))
+        assert got_pairs == want
