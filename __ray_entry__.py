@@ -2142,6 +2142,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_ppr"] = q_kg_ppr
 
+    def q_kg_scc(sf_dir: str):
+        # taxonomy-cycle QA: strongly connected components of the
+        # HYPONYM-OF subgraph (a non-singleton SCC = a hierarchy cycle);
+        # deterministic BSP trim+coloring, oracle = iterative Tarjan
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.aggregates import strip_schema_metadata
+        from dygiepp_ray.stages.graph import strongly_connected_components
+
+        PRED = "HYPONYM-OF"
+        _write_oracle(sf_dir, "kg_scc",
+                      lambda: _o.expected_scc(_oracle_triples_table(sf_dir),
+                                              pred=PRED))
+        tri = _synth_triples(sf_dir).select_columns(
+            ["subj_norm", "pred", "obj_norm"])
+
+        def keep(t):
+            t = strip_schema_metadata(t)
+            return t.filter(pc.equal(t.column("pred"), PRED)).select(
+                ["subj_norm", "obj_norm"])
+
+        edges = grouped_count(
+            tri.map_batches(keep, batch_format="pyarrow"),
+            ["subj_norm", "obj_norm"], out_name="_n"
+        ).select_columns(["subj_norm", "obj_norm"])
+        return strongly_connected_components(edges, src="subj_norm",
+                                             dst="obj_norm")
+
+    q["kg_scc"] = q_kg_scc
+
     def q_kg_khop(sf_dir: str):
         # 2-hop subgraph expansion from the 5 lexicographically-smallest
         # subjects: each hop is ONE bucketed semi-join of the distinct edge
@@ -4055,6 +4084,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_ppr": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_ppr.parquet')
+        """,
+        "kg_scc": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_scc.parquet')
         """,
         "kg_kcore": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_kcore.parquet')

@@ -1363,6 +1363,74 @@ def expected_components(triples: pa.Table) -> pa.Table:
     })
 
 
+def expected_scc(triples: pa.Table, pred: str | None = None) -> pa.Table:
+    """(node, scc_id) via single-threaded iterative Tarjan over the distinct
+    directed edge set (optionally restricted to one predicate); scc_id =
+    the lexicographically smallest member. Tarjan's grouping is unique, so
+    it must match the distributed coloring algorithm exactly."""
+    if pred is not None:
+        keep = pa.compute.equal(triples.column("pred"), pred)
+        triples = triples.filter(keep)
+    edges = _distinct_edges(triples)
+    nodes = sorted({n for e in edges for n in e})
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+    index: dict = {}
+    low: dict = {}
+    on: set = set()
+    stack: list = []
+    sccs: list = []
+    counter = [0]
+
+    def strong(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on.add(v)
+            recurse = False
+            ns = adj.get(v, [])
+            for i in range(pi, len(ns)):
+                w = ns[i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on:
+                    low[v] = min(low[v], index[w])
+            if not recurse:
+                if work and work[-1][1] > 0:
+                    pv = work[-1][0]
+                    low[pv] = min(low[pv], low[v])
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        on.discard(w)
+                        comp.append(w)
+                        if w == v:
+                            break
+                    sccs.append(comp)
+
+    for nd in nodes:
+        if nd not in index:
+            strong(nd)
+    rep: dict = {}
+    for comp in sccs:
+        m = min(comp)
+        for w in comp:
+            rep[w] = m
+    return pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "scc_id": pa.array([rep[nd] for nd in nodes], pa.string()),
+    })
+
+
 def expected_personalized_pagerank(triples: pa.Table,
                                     seeds: list[str],
                                     n_iter: int = 10) -> pa.Table:

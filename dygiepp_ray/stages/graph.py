@@ -978,3 +978,128 @@ def personalized_pagerank(edges: "ray.data.Dataset",
                          "rank": pa.array(rank, pa.float64())})
 
     return ranks.map_batches(finalize, batch_format="pyarrow")
+
+
+def strongly_connected_components(edges: "ray.data.Dataset",
+                                  src: str = "src", dst: str = "dst",
+                                  broadcast_max_nodes: int = 5_000_000
+                                  ) -> "ray.data.Dataset":
+    """(node, scc_id) — strongly connected components of the DIRECTED
+    distinct edge set; scc_id = the lexicographically smallest member
+    (taxonomy-cycle QA: a non-singleton SCC in a hierarchy predicate like
+    HYPONYM-OF is a cycle violating the ontology).
+
+    Algorithm (deterministic bulk-synchronous coloring, the Pregel-style
+    FW-BW/coloring family): repeat { TRIM in/out-degree-0 nodes to
+    fixpoint (each is its own SCC); FORWARD min-label coloring to fixpoint
+    (color(v) = min index over v's remaining ancestors ∪ v — every pass is
+    a vectorized min-scatter over the alive edge list, so a fixpoint costs
+    O(longest remaining path) passes, the documented BSP-SCC bound);
+    BACKWARD mark from each color root within its color class; extract
+    every marked node (the root's SCC — the root is provably its SCC's
+    minimum: a smaller member would be an ancestor of the root,
+    contradicting color(root)=root) } until no nodes remain. Trimming
+    first collapses the DAG-like bulk so the coloring rounds track the
+    cyclic core, not the graph.
+
+    Execution: node state (alive / color / mark / scc) lives in driver
+    arrays over the sorted node vocabulary — the same |V|-bounded
+    broadcast-mode contract as `connected_components` / `pagerank` (KG
+    node vocabularies are orders of magnitude smaller than edge sets);
+    the edge list is collected int32 below LOCAL_MAX_EDGES and otherwise
+    streamed per pass with the state `ray.put` per round. A huge-|V|
+    shuffle fallback is NOT provided for SCC (unlike CC/PageRank/k-core):
+    a per-pass bucketed-join coloring fixpoint multiplies the
+    O(longest-path) pass count by shuffle latency — callers above the
+    node cap get an explicit error, not a silent cliff."""
+    names, indexed = _index_edges(edges, src, dst)
+    n = len(names)
+    if n > broadcast_max_nodes:
+        raise ValueError(
+            f"strongly_connected_components: |V|={n} exceeds the broadcast "
+            f"admission ({broadcast_max_nodes}); no shuffle fallback is "
+            "provided for SCC (see docstring)")
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "scc_id": pa.array([], pa.string())}))
+
+    local = indexed.count() <= LOCAL_MAX_EDGES
+    if local:
+        s_all, d_all = _collect_indexed(indexed)
+        s_all = s_all.astype(np.int64)
+        d_all = d_all.astype(np.int64)
+
+    def passes(fn):
+        """Run fn(s, d) over the (alive-unfiltered) edge arrays: locally in
+        one call, or streamed block-wise (fn must be merge-commutative —
+        every use below is a min- or or-scatter into driver state)."""
+        if local:
+            fn(s_all, d_all)
+            return
+        for b in indexed.iter_batches(batch_format="numpy"):
+            fn(b["s"].astype(np.int64), b["d"].astype(np.int64))
+
+    INF = np.iinfo(np.int64).max
+    alive = np.ones(n, dtype=bool)
+    scc = np.full(n, -1, dtype=np.int64)
+
+    while alive.any():
+        # ---- trim to fixpoint: in0/out0 alive nodes are singleton SCCs
+        while True:
+            outd = np.zeros(n, dtype=np.int64)
+            ind = np.zeros(n, dtype=np.int64)
+
+            def deg(s, d):
+                keep = alive[s] & alive[d]
+                np.add.at(outd, s[keep], 1)
+                np.add.at(ind, d[keep], 1)
+
+            passes(deg)
+            trim = alive & ((outd == 0) | (ind == 0))
+            if not trim.any():
+                break
+            ix = np.nonzero(trim)[0]
+            scc[ix] = ix
+            alive[trim] = False
+        if not alive.any():
+            break
+
+        # ---- forward min-label coloring to fixpoint
+        color = np.arange(n, dtype=np.int64)
+        color[~alive] = INF
+        while True:
+            before = color.copy()
+
+            def fwd(s, d):
+                keep = alive[s] & alive[d]
+                np.minimum.at(color, d[keep], before[s[keep]])
+
+            passes(fwd)
+            if (color == before).all():
+                break
+
+        # ---- backward mark within color class, from the color roots
+        ix_alive = np.nonzero(alive)[0]
+        mark = np.zeros(n, dtype=bool)
+        mark[ix_alive[color[ix_alive] == ix_alive]] = True
+        while True:
+            before_m = mark.copy()
+
+            def bwd(s, d):
+                keep = (alive[s] & alive[d] & before_m[d]
+                        & (color[s] == color[d]))
+                mark[s[keep]] = True
+
+            passes(bwd)
+            if (mark == before_m).all():
+                break
+
+        ix = np.nonzero(alive & mark)[0]
+        scc[ix] = color[ix]
+        alive[ix] = False
+
+    name_list = list(names)
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(name_list, pa.string()),
+        "scc_id": pa.array([name_list[i] for i in scc], pa.string())}))

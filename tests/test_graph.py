@@ -570,3 +570,72 @@ def test_personalized_pagerank_seed_locality():
     r = got.set_index("node")["rank_units"]
     assert r["x"] == 0 and r["y"] == 0
     assert r["a"] > 0 and r["b"] > 0
+
+
+def _scc_oracle(pairs):
+    from dygiepp_ray.oracle import expected_scc
+
+    t = _pairs_table(pairs)
+    t = t.append_column("pred", pa.array(["R"] * t.num_rows, pa.string()))
+    df = expected_scc(t).to_pandas()
+    return dict(zip(df["node"], df["scc_id"]))
+
+
+def test_scc_golden_shapes():
+    from dygiepp_ray.stages.graph import strongly_connected_components
+
+    # 3-cycle {a,b,c}, 2-cycle {d,e} hanging off it, DAG tail f->g,
+    # self-loop singleton z, isolated-by-direction pair x->y
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+             ("e", "d"), ("e", "f"), ("f", "g"), ("z", "z"), ("x", "y")]
+    got = strongly_connected_components(_edge_ds(pairs)).to_pandas()
+    gd = dict(zip(got["node"], got["scc_id"]))
+    assert gd == _scc_oracle(pairs)
+    assert gd["a"] == gd["b"] == gd["c"] == "a"
+    assert gd["d"] == gd["e"] == "d"
+    assert gd["f"] == "f" and gd["g"] == "g"
+    assert gd["x"] == "x" and gd["y"] == "y" and gd["z"] == "z"
+
+
+def test_scc_random_digraphs_match_tarjan():
+    import numpy as np
+
+    from dygiepp_ray.stages.graph import strongly_connected_components
+
+    for seed, nn, ne in [(3, 12, 30), (4, 20, 45), (5, 25, 100)]:
+        rng = np.random.RandomState(seed)
+        names = [f"n{i:02d}" for i in range(nn)]
+        pairs = sorted({(names[rng.randint(nn)], names[rng.randint(nn)])
+                        for _ in range(ne)})
+        got = strongly_connected_components(
+            _edge_ds(pairs).repartition(3)).to_pandas()
+        assert dict(zip(got["node"], got["scc_id"])) == _scc_oracle(pairs)
+
+
+def test_scc_streaming_path_matches_local(monkeypatch):
+    import numpy as np
+
+    import dygiepp_ray.stages.graph as g
+
+    rng = np.random.RandomState(9)
+    names = [f"n{i:02d}" for i in range(15)]
+    pairs = sorted({(names[rng.randint(15)], names[rng.randint(15)])
+                    for _ in range(40)})
+    local = g.strongly_connected_components(_edge_ds(pairs)).to_pandas()
+    monkeypatch.setattr(g, "LOCAL_MAX_EDGES", 0)
+    streamed = g.strongly_connected_components(
+        _edge_ds(pairs).repartition(4)).to_pandas()
+    pd.testing.assert_frame_equal(
+        local.sort_values("node").reset_index(drop=True),
+        streamed.sort_values("node").reset_index(drop=True))
+
+
+def test_scc_admission_guard():
+    import pytest
+
+    from dygiepp_ray.stages.graph import strongly_connected_components
+
+    with pytest.raises(ValueError, match="broadcast admission"):
+        strongly_connected_components(
+            _edge_ds([("a", "b"), ("b", "a")]),
+            broadcast_max_nodes=1).to_pandas()
