@@ -2171,6 +2171,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_scc"] = q_kg_scc
 
+    def q_kg_negative_samples(sf_dir: str):
+        # corrupt-tail negative sampling (KG-embedding training data):
+        # splitmix64 draws into the broadcast sorted vocabulary, own-tail
+        # drop inline, true-edge collisions removed by one bucketed
+        # anti-join marker pass (filtered, not re-drawn — contract)
+        from dygiepp_ray import oracle as _o
+
+        _write_oracle(sf_dir, "kg_negative_samples",
+                      lambda: _o.expected_negative_samples(
+                          _oracle_triples_table(sf_dir), k=2))
+        return kgp.negative_samples(_synth_triples(sf_dir), k=2)
+
+    q["kg_negative_samples"] = q_kg_negative_samples
+
     def q_kg_khop(sf_dir: str):
         # 2-hop subgraph expansion from the 5 lexicographically-smallest
         # subjects: each hop is ONE bucketed semi-join of the distinct edge
@@ -4087,6 +4101,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_scc": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_scc.parquet')
+        """,
+        "kg_negative_samples": """
+            SELECT * FROM read_parquet(
+                '/tmp/dygiepp_ray_oracle/kg_negative_samples.parquet')
         """,
         "kg_kcore": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_kcore.parquet')

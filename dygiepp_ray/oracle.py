@@ -1363,6 +1363,48 @@ def expected_components(triples: pa.Table) -> pa.Table:
     })
 
 
+def expected_negative_samples(triples: pa.Table, k: int = 2,
+                              seed: int = 17) -> pa.Table:
+    """Scalar re-walk of pipelines/kg.py:negative_samples — same distinct
+    edge set, same sorted vocabulary, same splitmix64 draws (the hash
+    family IS the operator's spec, reused like expected_alias_merge reuses
+    CharNameMinHasher), same own-tail drop and true-edge filter."""
+    import numpy as np
+
+    from .stages.dedup import _splitmix64
+    from .stages.sketch import hash64_values
+
+    SEP = "\x1f"
+    edges = sorted({(s, p, o) for s, p, o in zip(
+        triples.column("subj_norm").to_pylist(),
+        triples.column("pred").to_pylist(),
+        triples.column("obj_norm").to_pylist())})
+    true_set = set(edges)
+    vocab = sorted({e for s, _p, o in edges for e in (s, o)})
+    V = np.array(vocab, dtype=object)
+    nv = np.uint64(len(V))
+    keys = np.array([s + SEP + p + SEP + o for s, p, o in edges],
+                    dtype=object)
+    h = hash64_values(keys)
+    out_s, out_p, out_o, out_j = [], [], [], []
+    for j in range(1, k + 1):
+        hj = _splitmix64(h ^ np.uint64(seed + j))
+        cand = V[(hj % nv).astype(np.int64)]
+        for (s, p, o), c in zip(edges, cand):
+            if c == o or (s, p, c) in true_set:
+                continue
+            out_s.append(s)
+            out_p.append(p)
+            out_o.append(c)
+            out_j.append(j)
+    return pa.table({
+        "subj_norm": pa.array(out_s, pa.string()),
+        "pred": pa.array(out_p, pa.string()),
+        "obj_neg": pa.array(out_o, pa.string()),
+        "neg_ix": pa.array(out_j, pa.int64()),
+    })
+
+
 def expected_scc(triples: pa.Table, pred: str | None = None) -> pa.Table:
     """(node, scc_id) via single-threaded iterative Tarjan over the distinct
     directed edge set (optionally restricted to one predicate); scc_id =

@@ -1150,3 +1150,112 @@ def link_prediction(triples: "ray.data.Dataset", max_center_degree: int = 64,
                                  "common_neighbors": i_t, "pair": s_t},
                      right_types={"pair": s_t, "_edge": pa.float64()},
                      bucket_post=anti_post)
+
+
+def negative_samples(triples: "ray.data.Dataset", k: int = 2,
+                     seed: int = 17, n_buckets: int = 32,
+                     max_vocab: int = 50_000_000) -> "ray.data.Dataset":
+    """(subj_norm, pred, obj_neg, neg_ix) — deterministic corrupt-tail
+    negative sampling over the DISTINCT edge set (training data for KG
+    link-prediction / embedding models: k filtered negatives per positive,
+    the standard corruption protocol of TransE-family pipelines).
+
+    Replacement tails are drawn by hashing (edge, neg_ix) with the
+    engine's shared splitmix64 family into the SORTED entity vocabulary —
+    no RNG state, so any partitioning draws identical negatives and a
+    single-threaded oracle re-walk hash-matches exactly. Draws that hit
+    the original tail are dropped inline; draws that collide with a TRUE
+    edge are removed by one bucketed anti-join marker pass (filtered—not
+    re-drawn: at web scale re-drawing would need an iterated join loop for
+    a ~|E_sp|/|V| collision rate; the drop is part of the operator
+    contract and the oracle applies it identically).
+
+    The vocabulary is broadcast once via `ray.put` (entity vocabularies
+    are lexicon-bounded — same admission contract as the graph broadcast
+    modes, guarded by `max_vocab`); the edge set streams."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    from ..aggregates import strip_schema_metadata
+    from ..joins import hash_join
+    from ..stages.dedup import _splitmix64
+    from ..stages.sketch import hash64_values
+
+    s_t, i_t = pa.string(), pa.int64()
+    SEP = "\x1f"
+
+    edges = grouped_count(
+        triples.select_columns(["subj_norm", "pred", "obj_norm"]),
+        ["subj_norm", "pred", "obj_norm"], out_name="_c"
+    ).select_columns(["subj_norm", "pred", "obj_norm"]).materialize()
+
+    def ents(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        u, v = t.column("subj_norm"), t.column("obj_norm")
+        arr = pa.chunked_array(list(u.chunks) + list(v.chunks), u.type)
+        return pa.table({"entity": arr})
+
+    vocab_rows = grouped_count(
+        edges.map_batches(ents, batch_format="pyarrow"), ["entity"],
+        out_name="_n").select_columns(["entity"]).take_all()
+    if len(vocab_rows) > max_vocab:
+        raise ValueError(
+            f"negative_samples: |V|={len(vocab_rows)} exceeds the "
+            f"broadcast admission ({max_vocab})")
+    vocab = np.array(sorted(r["entity"] for r in vocab_rows), dtype=object)
+    vocab_ref = ray.put(vocab)
+    nv = np.uint64(len(vocab))
+
+    def draw(df: "pd.DataFrame") -> "pd.DataFrame":
+        V = ray.get(vocab_ref)
+        key = (df["subj_norm"].astype(str) + SEP + df["pred"].astype(str)
+               + SEP + df["obj_norm"].astype(str))
+        h = hash64_values(key.to_numpy(object))
+        parts = []
+        for j in range(1, k + 1):
+            hj = _splitmix64(h ^ np.uint64(seed + j))
+            cand = V[(hj % nv).astype(np.int64)]
+            keep = cand != df["obj_norm"].to_numpy(object)
+            parts.append(pd.DataFrame({
+                "subj_norm": df["subj_norm"].to_numpy(object)[keep],
+                "pred": df["pred"].to_numpy(object)[keep],
+                "obj_neg": cand[keep],
+                "neg_ix": np.full(int(keep.sum()), j, dtype="int64")}))
+        out = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+            {"subj_norm": [], "pred": [], "obj_neg": [], "neg_ix": []})
+        out["tkey"] = (out["subj_norm"].astype(str) + SEP
+                       + out["pred"].astype(str) + SEP
+                       + out["obj_neg"].astype(str))
+        return out
+
+    cands = edges.map_batches(draw, batch_format="pandas")
+
+    def true_marks(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        tkey = pc.binary_join_element_wise(
+            t.column("subj_norm").cast(pa.string()),
+            t.column("pred").cast(pa.string()),
+            t.column("obj_norm").cast(pa.string()), SEP)
+        import numpy as _np
+
+        return pa.table({"tkey": tkey,
+                         "_true": pa.array(_np.ones(t.num_rows),
+                                           pa.float64())})
+
+    marks = edges.map_batches(true_marks, batch_format="pyarrow")
+
+    def anti_post(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df.loc[df["_true"].isna(),
+                     ["subj_norm", "pred", "obj_neg", "neg_ix"]]
+        out["neg_ix"] = out["neg_ix"].astype("int64")
+        return out
+
+    return hash_join(cands, marks, on="tkey", how="left",
+                     n_buckets=n_buckets,
+                     left_types={"subj_norm": s_t, "pred": s_t,
+                                 "obj_neg": s_t, "neg_ix": i_t,
+                                 "tkey": s_t},
+                     right_types={"tkey": s_t, "_true": pa.float64()},
+                     bucket_post=anti_post)

@@ -211,3 +211,37 @@ def test_edge_diff_statuses():
     # c-P-z: removed; d-P-q: added
     assert got[["subj_norm", "w_old", "w_new", "status"]].values.tolist() == [
         ["a", 2, 1, "changed"], ["c", 1, 0, "removed"], ["d", 0, 1, "added"]]
+
+
+def test_negative_samples_contract_and_invariance():
+    import pandas as pd
+
+    import ray.data
+
+    from dygiepp_ray.oracle import expected_negative_samples
+    from dygiepp_ray.pipelines.kg import negative_samples
+
+    tri = pd.DataFrame({
+        "subj_norm": ["a", "a", "b", "c", "d", "a"],
+        "pred":      ["P", "P", "P", "Q", "Q", "Q"],  # a-P-b duplicated
+        "obj_norm":  ["b", "b", "c", "a", "b", "d"],
+    })
+    import pyarrow as pa
+
+    want = expected_negative_samples(
+        pa.Table.from_pandas(tri), k=3).to_pandas()
+    want = want.sort_values(list(want.columns)).reset_index(drop=True)
+    true_set = set(zip(tri["subj_norm"], tri["pred"], tri["obj_norm"]))
+    for nparts in (1, 3):
+        got = negative_samples(
+            ray.data.from_pandas(tri).repartition(nparts), k=3,
+            n_buckets=4).to_pandas()
+        got = got.sort_values(list(want.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    # contract: no emitted negative reproduces a true edge or its own tail
+    assert not any((s, p, o) in true_set for s, p, o in
+                   zip(got["subj_norm"], got["pred"], got["obj_neg"]))
+    # at most k negatives per distinct positive, labeled 1..k
+    assert set(got["neg_ix"]).issubset({1, 2, 3})
+    per_pos = got.groupby(["subj_norm", "pred"]).size()
+    assert len(got) > 0 and per_pos.max() <= 3 * 2  # ≤ k per distinct edge
