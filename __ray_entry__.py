@@ -2897,10 +2897,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # After r4 every one of the registered queries has a green row in at
     # least one artifact; nothing is permanently evicted — evicted names
     # stay registered and qcheck-verified every round.
+    #
+    # Session-4 update: the 13 operators from session 3 (kg_link_predict,
+    # kg_ppr, kg_scc, ... below) also had no artifact, so the window now
+    # holds 7 kg sentinels + ALL 43 never-driver-checked queries = 50.
+    # Evicted to make room: kg_khop_subgraph (hash-green in r3) and the 12
+    # r2-family relational/text queries (hash-green by name in r2; their
+    # post-r2 rewrites stay pinned by qcheck + pytest equivalence tests).
+    # Queries added in session 4 itself register after the window and are
+    # the round-5 rotation list (see ROUND4_NOTES.md).
     flagship = [
         # KG sentinels (the north star; rest of kg_* is green in r3)
         "kg_triples", "kg_span_counts", "kg_pair_counts", "kg_alias_merge",
-        "kg_khop_subgraph", "kg_diff", "kg_eval_prf", "kg_build_resume",
+        "kg_diff", "kg_eval_prf", "kg_build_resume",
         # never driver-checked before round 4 (judge-run green in r3)
         "pack_sequences", "mixture_sample", "bpe_merges", "cms_token_counts",
         "compression_ratio", "skew_join_lineitem", "chunk_documents",
@@ -2913,12 +2922,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles", "events_retention", "bpe_encode", "knn_recall",
         "kg_kcore", "fuzzy_decontaminate", "dedup_spans",
         "kg_predicate_stats", "kg_entity_kb", "events_value_corr",
-        # r2-only family whose implementation was rewritten since r2
-        # (windows.py coarse-bucket rewrite, joins, distributed quantiles)
-        "lineitem_orders_join", "asof_join_orders", "range_join_events",
-        "top2_orders_per_cust", "events_sessions", "running_order_total",
-        "quantiles_price", "ccnet_buckets", "tfidf_top_terms",
-        "bigram_counts", "heavy_hitters_tokens", "events_hopping_windows",
+        # new in round 4 session 3 (never driver-checked; qcheck-green at
+        # sf0.001 and sf0.01)
+        "kg_link_predict", "kg_pred_paths", "kg_bfs_distances",
+        "events_funnel", "events_zscore_outliers", "kg_type_infer",
+        "kg_star_query", "kg_ppr", "approx_quantiles_price",
+        "upsert_orders", "edit1_part_names", "kg_scc",
+        "kg_negative_samples",
     ]
     assert len(flagship) == 50, len(flagship)
     missing = [n for n in flagship if n not in q]
