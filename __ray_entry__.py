@@ -2185,6 +2185,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_negative_samples"] = q_kg_negative_samples
 
+    def q_kg_inverse_detect(sf_dir: str):
+        # inverse/symmetric predicate detection (reverse-relation leakage
+        # QA, Toutanova & Chen 2015): one bucketed self-join of the
+        # distinct edge table against its reversed copy, per-bucket
+        # (pred_a, pred_b) partials; overlap fraction in exact scaled ints
+        _ensure_triples_oracle(sf_dir)
+        return kgp.inverse_predicates(_synth_triples(sf_dir),
+                                      salt_buckets=4)
+
+    q["kg_inverse_detect"] = q_kg_inverse_detect
+
     def q_kg_khop(sf_dir: str):
         # 2-hop subgraph expansion from the 5 lexicographically-smallest
         # subjects: each hop is ONE bucketed semi-join of the distinct edge
@@ -3954,6 +3965,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.pred AS pred_a, b.pred AS pred_b, count(*) AS n_paths
             FROM e a JOIN e b ON a.obj_norm = b.subj_norm
             GROUP BY 1, 2
+        """,
+        "kg_inverse_detect": """
+            WITH e AS (
+                SELECT DISTINCT subj_norm AS s, pred AS p, obj_norm AS o
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            ), inv AS (
+                SELECT a.p AS pred_a, b.p AS pred_b, count(*) AS n_inv
+                FROM e a JOIN e b ON a.s = b.o AND a.o = b.s
+                GROUP BY 1, 2
+            ), tot AS (
+                SELECT p AS pred_a, count(*) AS n_a FROM e GROUP BY 1
+            )
+            SELECT pred_a, pred_b, n_inv, n_a,
+                   CAST((n_inv * 10000) // n_a AS BIGINT) AS frac_scaled
+            FROM inv JOIN tot USING (pred_a)
         """,
         "kg_link_predict": """
             WITH e AS (

@@ -1259,3 +1259,94 @@ def negative_samples(triples: "ray.data.Dataset", k: int = 2,
                                  "tkey": s_t},
                      right_types={"tkey": s_t, "_true": pa.float64()},
                      bucket_post=anti_post)
+
+
+def inverse_predicates(triples: "ray.data.Dataset", scale: int = 10_000,
+                       salt_buckets: int = 1,
+                       n_buckets: int = 32) -> "ray.data.Dataset":
+    """(pred_a, pred_b, n_inv, n_a, frac_scaled) — inverse/symmetric
+    predicate detection over the DISTINCT directed edge set: for every
+    ordered predicate pair, how many `pred_a` edges (s, o) have the exact
+    reverse edge (o, pred_b, s), plus `pred_a`'s total edge count and the
+    integer-scaled overlap fraction n_inv * scale // n_a. pred_a == pred_b
+    rows measure predicate symmetry. This is the standard KG schema-QA /
+    train-test-leakage probe (reverse-relation leakage, Toutanova & Chen
+    2015; the reference's consumers would walk the same reversed pairs over
+    the networkx graph built at scripts/data/shared/make_kb.py:97-103).
+
+    Scale shape: one salted grouped count distincts the triple table, then
+    ONE bucketed self-join on the (s, o) pair key against the reversed
+    copy, whose `bucket_post` collapses each bucket to per-(pred_a, pred_b)
+    PARTIAL counts — matched edge rows never leave the join task and the
+    final combine sees ≤ |preds|² rows per bucket. Per-predicate totals are
+    a second shrinking grouped count (|preds| rows), attached with a tiny
+    bucketed join; `frac_scaled` stays in exact nonneg-int arithmetic
+    (floor division) so the SQL oracle's `//` mirrors it bit-for-bit."""
+    import pandas as pd
+
+    from ..aggregates import partial_final_agg, strip_schema_metadata
+    from ..joins import hash_join
+
+    s_t, i_t = pa.string(), pa.int64()
+    SEP = "\x1f"
+
+    edges = grouped_count(
+        triples.select_columns(["subj_norm", "pred", "obj_norm"]),
+        ["subj_norm", "pred", "obj_norm"], out_name="_c",
+        salt_buckets=salt_buckets,
+    ).select_columns(["subj_norm", "pred", "obj_norm"]).materialize()
+
+    def fwd(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        key = pc.binary_join_element_wise(
+            t.column("subj_norm").cast(pa.string()),
+            t.column("obj_norm").cast(pa.string()), SEP)
+        return pa.table({"pkey": key, "pred_a": t.column("pred")})
+
+    def rev(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        key = pc.binary_join_element_wise(
+            t.column("obj_norm").cast(pa.string()),
+            t.column("subj_norm").cast(pa.string()), SEP)
+        return pa.table({"pkey": key, "pred_b": t.column("pred")})
+
+    def pair_partials(m: "pd.DataFrame") -> "pd.DataFrame":
+        vc = m.groupby(["pred_a", "pred_b"], sort=False).size()
+        idx = vc.index.to_frame(index=False)
+        return pd.DataFrame({"pred_a": idx["pred_a"].to_numpy(object),
+                             "pred_b": idx["pred_b"].to_numpy(object),
+                             "n_part": vc.to_numpy("int64")})
+
+    matched = hash_join(
+        edges.map_batches(fwd, batch_format="pyarrow"),
+        edges.map_batches(rev, batch_format="pyarrow"),
+        on="pkey", n_buckets=n_buckets,
+        left_types={"pkey": s_t, "pred_a": s_t},
+        right_types={"pkey": s_t, "pred_b": s_t},
+        bucket_post=pair_partials)
+    inv = partial_final_agg(matched, ["pred_a", "pred_b"],
+                            [("n_inv", "n_part", "sum")])
+
+    totals = grouped_count(
+        edges.select_columns(["pred"]), ["pred"], out_name="n_a",
+        salt_buckets=salt_buckets,
+    ).map_batches(
+        lambda t: strip_schema_metadata(t).rename_columns(
+            ["pred_a", "n_a"]),
+        batch_format="pyarrow")
+
+    def attach_frac(m: "pd.DataFrame") -> "pd.DataFrame":
+        n_inv = m["n_inv"].to_numpy("int64")
+        n_a = m["n_a"].to_numpy("int64")
+        return pd.DataFrame({
+            "pred_a": m["pred_a"].to_numpy(object),
+            "pred_b": m["pred_b"].to_numpy(object),
+            "n_inv": n_inv,
+            "n_a": n_a,
+            "frac_scaled": (n_inv * scale) // n_a,
+        })
+
+    return hash_join(inv, totals, on="pred_a", n_buckets=4,
+                     left_types={"pred_a": s_t, "pred_b": s_t, "n_inv": i_t},
+                     right_types={"pred_a": s_t, "n_a": i_t},
+                     bucket_post=attach_frac)

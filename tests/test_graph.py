@@ -639,3 +639,59 @@ def test_scc_admission_guard():
         strongly_connected_components(
             _edge_ds([("a", "b"), ("b", "a")]),
             broadcast_max_nodes=1).to_pandas()
+
+
+def _inverse_pred_oracle(tri_rows, scale=10_000):
+    edges = set(tri_rows)
+    inv: dict[tuple, int] = {}
+    for s, p, o in edges:
+        for s2, p2, o2 in edges:
+            if s2 == o and o2 == s:
+                inv[(p, p2)] = inv.get((p, p2), 0) + 1
+    tot: dict[str, int] = {}
+    for _, p, _ in edges:
+        tot[p] = tot.get(p, 0) + 1
+    return {(a, b): (n, tot[a], n * scale // tot[a])
+            for (a, b), n in inv.items()}
+
+
+def test_inverse_predicates_golden_and_invariance():
+    from dygiepp_ray.pipelines.kg import inverse_predicates
+
+    # P/Q are exact inverses on (a,b); R is symmetric on (c,d); the
+    # self-loop (e,P,e) is its own reverse; (a,P,c) has no reverse
+    rows = [("a", "P", "b"), ("b", "Q", "a"), ("c", "R", "d"),
+            ("d", "R", "c"), ("e", "P", "e"), ("a", "P", "c"),
+            ("a", "P", "b")]  # duplicate collapses
+    want = _inverse_pred_oracle(set(rows))
+    assert want[("P", "Q")] == (1, 3, 3333)
+    assert want[("R", "R")] == (2, 2, 10_000)
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(pd.DataFrame(
+            rows, columns=["subj_norm", "pred", "obj_norm"])
+        ).repartition(nparts)
+        got = inverse_predicates(ds, salt_buckets=2, n_buckets=4).to_pandas()
+        got_d = {(a, b): (int(n), int(t), int(f)) for a, b, n, t, f in
+                 zip(got["pred_a"], got["pred_b"], got["n_inv"],
+                     got["n_a"], got["frac_scaled"])}
+        assert got_d == want
+
+
+def test_inverse_predicates_random_matches_bruteforce():
+    import numpy as np
+
+    from dygiepp_ray.pipelines.kg import inverse_predicates
+
+    rng = np.random.RandomState(7)
+    names = [f"n{i}" for i in range(8)]
+    preds = ["P", "Q", "R"]
+    rows = [(names[rng.randint(8)], preds[rng.randint(3)],
+             names[rng.randint(8)]) for _ in range(120)]
+    want = _inverse_pred_oracle(set(rows))
+    ds = ray.data.from_pandas(pd.DataFrame(
+        rows, columns=["subj_norm", "pred", "obj_norm"])).repartition(3)
+    got = inverse_predicates(ds, salt_buckets=2, n_buckets=4).to_pandas()
+    got_d = {(a, b): (int(n), int(t), int(f)) for a, b, n, t, f in
+             zip(got["pred_a"], got["pred_b"], got["n_inv"],
+                 got["n_a"], got["frac_scaled"])}
+    assert got_d == want
