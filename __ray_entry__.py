@@ -2915,12 +2915,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Evicted to make room: kg_khop_subgraph (hash-green in r3) and the 12
     # r2-family relational/text queries (hash-green by name in r2; their
     # post-r2 rewrites stay pinned by qcheck + pytest equivalence tests).
-    # Queries added in session 4 itself register after the window and are
-    # the round-5 rotation list (see ROUND4_NOTES.md).
+    # Queries added in session 4 itself swap in for r3-green kg sentinels
+    # one-for-one (kg_triples always stays); overflow past the sentinel
+    # budget becomes the round-5 rotation list (see ROUND4_NOTES.md).
     flagship = [
         # KG sentinels (the north star; rest of kg_* is green in r3)
         "kg_triples", "kg_span_counts", "kg_pair_counts", "kg_alias_merge",
-        "kg_diff", "kg_eval_prf", "kg_build_resume",
+        "kg_diff", "kg_eval_prf",
         # never driver-checked before round 4 (judge-run green in r3)
         "pack_sequences", "mixture_sample", "bpe_merges", "cms_token_counts",
         "compression_ratio", "skew_join_lineitem", "chunk_documents",
@@ -2940,6 +2941,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_star_query", "kg_ppr", "approx_quantiles_price",
         "upsert_orders", "edit1_part_names", "kg_scc",
         "kg_negative_samples",
+        # new in round 4 session 4 (each evicts one r3-green kg sentinel)
+        "kg_inverse_detect",
     ]
     assert len(flagship) == 50, len(flagship)
     missing = [n for n in flagship if n not in q]
