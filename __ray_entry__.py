@@ -2255,6 +2255,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_pred_paths"] = q_kg_pred_paths
 
+    def q_kg_rule_mining(sf_dir: str):
+        # AMIE-lite 2-hop Horn rules pred_c(x,z) <= pred_a(x,y) & pred_b(y,z)
+        # with integer-scaled standard confidence; the mid-degree cap (64)
+        # bounds the path fanout and is part of the operator contract (the
+        # SQL oracle applies the identical filter)
+        _ensure_triples_oracle(sf_dir)
+        return kgp.rule_mining(_synth_triples(sf_dir), max_mid_degree=64,
+                               min_support=1, salt_buckets=4)
+
+    q["kg_rule_mining"] = q_kg_rule_mining
+
     def q_kg_link_predict(sf_dir: str):
         # common-neighbor link prediction: candidate non-edges scored by
         # shared-neighbor counts; per-center degree cap (64) bounds the
@@ -2921,7 +2932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     flagship = [
         # KG sentinels (the north star; rest of kg_* is green in r3)
         "kg_triples", "kg_span_counts", "kg_pair_counts", "kg_alias_merge",
-        "kg_diff", "kg_eval_prf",
+        "kg_diff",
         # never driver-checked before round 4 (judge-run green in r3)
         "pack_sequences", "mixture_sample", "bpe_merges", "cms_token_counts",
         "compression_ratio", "skew_join_lineitem", "chunk_documents",
@@ -2942,7 +2953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upsert_orders", "edit1_part_names", "kg_scc",
         "kg_negative_samples",
         # new in round 4 session 4 (each evicts one r3-green kg sentinel)
-        "kg_inverse_detect",
+        "kg_inverse_detect", "kg_rule_mining",
     ]
     assert len(flagship) == 50, len(flagship)
     missing = [n for n in flagship if n not in q]
@@ -3983,6 +3994,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred_a, pred_b, n_inv, n_a,
                    CAST((n_inv * 10000) // n_a AS BIGINT) AS frac_scaled
             FROM inv JOIN tot USING (pred_a)
+        """,
+        "kg_rule_mining": """
+            WITH e AS (
+                SELECT DISTINCT subj_norm AS s, pred AS p, obj_norm AS o
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            ), ind AS (
+                SELECT o AS mid, count(*) AS ind FROM e GROUP BY 1
+            ), outd AS (
+                SELECT s AS mid, count(*) AS outd FROM e GROUP BY 1
+            ), ok AS (
+                SELECT i.mid FROM ind i JOIN outd d ON i.mid = d.mid
+                WHERE i.ind <= 64 AND d.outd <= 64
+            ), paths AS (
+                SELECT DISTINCT a.p AS pred_a, b.p AS pred_b,
+                                a.s AS x, b.o AS z
+                FROM e a JOIN ok ON a.o = ok.mid
+                         JOIN e b ON b.s = a.o
+            ), body AS (
+                SELECT pred_a, pred_b, count(*) AS n_body
+                FROM paths GROUP BY 1, 2
+            ), sup AS (
+                SELECT p.pred_a, p.pred_b, h.p AS pred_c,
+                       count(*) AS n_support
+                FROM paths p JOIN e h ON h.s = p.x AND h.o = p.z
+                GROUP BY 1, 2, 3
+            )
+            SELECT s.pred_a, s.pred_b, s.pred_c, s.n_support, b.n_body,
+                   CAST((s.n_support * 10000) // b.n_body AS BIGINT)
+                       AS conf_scaled
+            FROM sup s JOIN body b USING (pred_a, pred_b)
+            WHERE s.n_support >= 1
         """,
         "kg_link_predict": """
             WITH e AS (

@@ -1350,3 +1350,161 @@ def inverse_predicates(triples: "ray.data.Dataset", scale: int = 10_000,
                      left_types={"pred_a": s_t, "pred_b": s_t, "n_inv": i_t},
                      right_types={"pred_a": s_t, "n_a": i_t},
                      bucket_post=attach_frac)
+
+
+def rule_mining(triples: "ray.data.Dataset", max_mid_degree: int = 64,
+                min_support: int = 1, scale: int = 10_000,
+                salt_buckets: int = 1,
+                n_buckets: int = 32) -> "ray.data.Dataset":
+    """(pred_a, pred_b, pred_c, n_support, n_body, conf_scaled) — AMIE-lite
+    2-hop Horn-rule mining over the DISTINCT directed edge set: for every
+    rule `pred_c(x, z) <= pred_a(x, y) AND pred_b(y, z)`, `n_body` counts the
+    DISTINCT (x, z) pairs connected by the body path, `n_support` how many of
+    those are also closed by a `pred_c` head edge, and `conf_scaled` the
+    integer-scaled standard confidence n_support * scale // n_body (Galárraga
+    et al. 2013, AMIE). Schema/ontology induction over the KG the reference's
+    consumers materialize at scripts/data/shared/make_kb.py:97-103.
+
+    Scale shape: mid entities whose in- OR out-degree exceeds
+    `max_mid_degree` are dropped BEFORE the path join — the cap bounds the
+    per-mid O(d_in * d_out) fanout exactly like `link_prediction`'s center
+    cap, and the SQL oracle applies the identical filter, so the
+    approximation is part of the operator's contract. The path self-join is
+    ONE bucketed join on the mid whose `bucket_post` dedups path rows before
+    they leave the task; global body dedup is a salted grouped count over
+    (pred_a, pred_b, x, z); head closure is ONE more bucketed join on the
+    (x, z) key collapsing to per-rule PARTIAL counts inside the task."""
+    import pandas as pd
+
+    from ..aggregates import partial_final_agg, strip_schema_metadata
+    from ..joins import hash_join
+
+    s_t, i_t = pa.string(), pa.int64()
+    SEP = "\x1f"
+
+    edges = grouped_count(
+        triples.select_columns(["subj_norm", "pred", "obj_norm"]),
+        ["subj_norm", "pred", "obj_norm"], out_name="_c",
+        salt_buckets=salt_buckets,
+    ).select_columns(["subj_norm", "pred", "obj_norm"]).materialize()
+
+    in_deg = grouped_count(edges.select_columns(["obj_norm"]),
+                           ["obj_norm"], out_name="ind").map_batches(
+        lambda t: strip_schema_metadata(t).rename_columns(["mid", "ind"]),
+        batch_format="pyarrow")
+    out_deg = grouped_count(edges.select_columns(["subj_norm"]),
+                            ["subj_norm"], out_name="outd").map_batches(
+        lambda t: strip_schema_metadata(t).rename_columns(["mid", "outd"]),
+        batch_format="pyarrow")
+
+    def keep_small(m: "pd.DataFrame") -> "pd.DataFrame":
+        ok = ((m["ind"].to_numpy("int64") <= max_mid_degree)
+              & (m["outd"].to_numpy("int64") <= max_mid_degree))
+        return m.loc[ok, ["mid"]]
+
+    # inner join == only entities with BOTH in- and out-edges can be a mid
+    mid_ok = hash_join(in_deg, out_deg, on="mid", n_buckets=n_buckets,
+                       left_types={"mid": s_t, "ind": i_t},
+                       right_types={"mid": s_t, "outd": i_t},
+                       bucket_post=keep_small)
+
+    into = edges.map_batches(
+        lambda t: strip_schema_metadata(t).select(
+            ["subj_norm", "pred", "obj_norm"]).rename_columns(
+            ["x", "pred_a", "mid"]),
+        batch_format="pyarrow")
+    outof = edges.map_batches(
+        lambda t: strip_schema_metadata(t).select(
+            ["subj_norm", "pred", "obj_norm"]).rename_columns(
+            ["mid", "pred_b", "z"]),
+        batch_format="pyarrow")
+
+    into_ok = hash_join(into, mid_ok, on="mid", n_buckets=n_buckets,
+                        left_types={"x": s_t, "pred_a": s_t, "mid": s_t},
+                        right_types={"mid": s_t})
+    outof_ok = hash_join(outof, mid_ok, on="mid", n_buckets=n_buckets,
+                         left_types={"mid": s_t, "pred_b": s_t, "z": s_t},
+                         right_types={"mid": s_t})
+
+    def path_dedup(m: "pd.DataFrame") -> "pd.DataFrame":
+        # per-bucket dedup only (same (pa,pb,x,z) can arise via mids in
+        # other buckets) — the global grouped_count below finishes the job
+        return m.drop_duplicates(["pred_a", "pred_b", "x", "z"])[
+            ["pred_a", "pred_b", "x", "z"]]
+
+    paths = grouped_count(
+        hash_join(into_ok, outof_ok, on="mid", n_buckets=n_buckets,
+                  left_types={"x": s_t, "pred_a": s_t, "mid": s_t},
+                  right_types={"mid": s_t, "pred_b": s_t, "z": s_t},
+                  bucket_post=path_dedup),
+        ["pred_a", "pred_b", "x", "z"], out_name="_c",
+        salt_buckets=salt_buckets,
+    ).select_columns(["pred_a", "pred_b", "x", "z"]).materialize()
+
+    body = grouped_count(paths.select_columns(["pred_a", "pred_b"]),
+                         ["pred_a", "pred_b"], out_name="n_body",
+                         salt_buckets=salt_buckets)
+
+    def path_key(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        key = pc.binary_join_element_wise(
+            t.column("x").cast(pa.string()),
+            t.column("z").cast(pa.string()), SEP)
+        return pa.table({"hkey": key, "pred_a": t.column("pred_a"),
+                         "pred_b": t.column("pred_b")})
+
+    def head_key(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        key = pc.binary_join_element_wise(
+            t.column("subj_norm").cast(pa.string()),
+            t.column("obj_norm").cast(pa.string()), SEP)
+        return pa.table({"hkey": key, "pred_c": t.column("pred")})
+
+    def rule_partials(m: "pd.DataFrame") -> "pd.DataFrame":
+        vc = m.groupby(["pred_a", "pred_b", "pred_c"], sort=False).size()
+        idx = vc.index.to_frame(index=False)
+        return pd.DataFrame({"pred_a": idx["pred_a"].to_numpy(object),
+                             "pred_b": idx["pred_b"].to_numpy(object),
+                             "pred_c": idx["pred_c"].to_numpy(object),
+                             "n_part": vc.to_numpy("int64")})
+
+    closed = hash_join(
+        paths.map_batches(path_key, batch_format="pyarrow"),
+        edges.map_batches(head_key, batch_format="pyarrow"),
+        on="hkey", n_buckets=n_buckets,
+        left_types={"hkey": s_t, "pred_a": s_t, "pred_b": s_t},
+        right_types={"hkey": s_t, "pred_c": s_t},
+        bucket_post=rule_partials)
+    sup = partial_final_agg(closed, ["pred_a", "pred_b", "pred_c"],
+                            [("n_support", "n_part", "sum")])
+
+    def body_key(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        key = pc.binary_join_element_wise(
+            t.column("pred_a").cast(pa.string()),
+            t.column("pred_b").cast(pa.string()), SEP)
+        return t.append_column("bkey", key)
+
+    def attach_conf(m: "pd.DataFrame") -> "pd.DataFrame":
+        keep = m["n_support"].to_numpy("int64") >= min_support
+        m = m.loc[keep]
+        n_sup = m["n_support"].to_numpy("int64")
+        n_body = m["n_body"].to_numpy("int64")
+        return pd.DataFrame({
+            "pred_a": m["pred_a"].to_numpy(object),
+            "pred_b": m["pred_b"].to_numpy(object),
+            "pred_c": m["pred_c"].to_numpy(object),
+            "n_support": n_sup,
+            "n_body": n_body,
+            "conf_scaled": (n_sup * scale) // n_body,
+        })
+
+    return hash_join(
+        sup.map_batches(body_key, batch_format="pyarrow"),
+        body.map_batches(body_key, batch_format="pyarrow").select_columns(
+            ["bkey", "n_body"]),
+        on="bkey", n_buckets=4,
+        left_types={"bkey": s_t, "pred_a": s_t, "pred_b": s_t,
+                    "pred_c": s_t, "n_support": i_t},
+        right_types={"bkey": s_t, "n_body": i_t},
+        bucket_post=attach_conf)

@@ -695,3 +695,77 @@ def test_inverse_predicates_random_matches_bruteforce():
              zip(got["pred_a"], got["pred_b"], got["n_inv"],
                  got["n_a"], got["frac_scaled"])}
     assert got_d == want
+
+
+def _rule_mining_oracle(tri_rows, cap=64, min_support=1, scale=10_000):
+    edges = set(tri_rows)
+    ind: dict[str, int] = {}
+    outd: dict[str, int] = {}
+    for s, p, o in edges:
+        ind[o] = ind.get(o, 0) + 1
+        outd[s] = outd.get(s, 0) + 1
+    ok = {e for e in ind if e in outd and ind[e] <= cap and outd[e] <= cap}
+    paths = {(pa, pb, x, z)
+             for x, pa, y in edges if y in ok
+             for y2, pb, z in edges if y2 == y}
+    body: dict[tuple, int] = {}
+    for pa, pb, _, _ in paths:
+        body[(pa, pb)] = body.get((pa, pb), 0) + 1
+    sup: dict[tuple, int] = {}
+    for pa, pb, x, z in paths:
+        for s, pc_, o in edges:
+            if s == x and o == z:
+                sup[(pa, pb, pc_)] = sup.get((pa, pb, pc_), 0) + 1
+    return {(pa, pb, pc_): (n, body[(pa, pb)],
+                            n * scale // body[(pa, pb)])
+            for (pa, pb, pc_), n in sup.items() if n >= min_support}
+
+
+def _rule_df_to_dict(got):
+    return {(a, b, c): (int(s), int(nb), int(f)) for a, b, c, s, nb, f in
+            zip(got["pred_a"], got["pred_b"], got["pred_c"],
+                got["n_support"], got["n_body"], got["conf_scaled"])}
+
+
+def test_rule_mining_golden_and_invariance():
+    from dygiepp_ray.pipelines.kg import rule_mining
+
+    # transitive P: a-P->b-P->c closed by a-P->c => rule (P,P,P) conf 1/2
+    # (the other body pair (b,d) from b-P->c-P->d is open); Q(x,z) closed
+    # by the 2-hop P-path too
+    rows = [("a", "P", "b"), ("b", "P", "c"), ("c", "P", "d"),
+            ("a", "P", "c"), ("a", "Q", "c")]
+    want = _rule_mining_oracle(set(rows))
+    assert want[("P", "P", "P")] == (1, 3, 3333)
+    assert want[("P", "P", "Q")] == (1, 3, 3333)
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(pd.DataFrame(
+            rows, columns=["subj_norm", "pred", "obj_norm"])
+        ).repartition(nparts)
+        got = rule_mining(ds, salt_buckets=2, n_buckets=4).to_pandas()
+        assert _rule_df_to_dict(got) == want
+
+
+def test_rule_mining_random_matches_bruteforce_with_cap():
+    import numpy as np
+
+    from dygiepp_ray.pipelines.kg import rule_mining
+
+    rng = np.random.RandomState(11)
+    names = [f"n{i}" for i in range(40)]
+    preds = ["P", "Q", "R"]
+    rows = [(names[rng.randint(40)], preds[rng.randint(3)],
+             names[rng.randint(40)]) for _ in range(150)]
+    # sanity: the tight cap must actually drop at least one mid
+    from collections import Counter
+    ind = Counter(o for _, _, o in set(rows))
+    outd = Counter(s for s, _, _ in set(rows))
+    assert any(ind[e] > 6 or outd[e] > 6 for e in set(ind) & set(outd))
+    # a tight cap exercises the mid-degree filter (part of the contract)
+    want = _rule_mining_oracle(set(rows), cap=6)
+    assert want  # non-degenerate
+    ds = ray.data.from_pandas(pd.DataFrame(
+        rows, columns=["subj_norm", "pred", "obj_norm"])).repartition(3)
+    got = rule_mining(ds, max_mid_degree=6, salt_buckets=2,
+                      n_buckets=4).to_pandas()
+    assert _rule_df_to_dict(got) == want
