@@ -2266,6 +2266,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_rule_mining"] = q_kg_rule_mining
 
+    def q_kg_domain_range(sf_dir: str):
+        # predicate domain/range signature induction: edges typed by the
+        # modal-mention-label table (kg_type_infer's reduce) through two
+        # bucketed left joins with in-task signature partials; per-pred
+        # totals attached with a tiny join, share in exact scaled ints
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.aggregates import argmax_per_key
+
+        _ensure_triples_oracle(sf_dir)
+        _write_oracle(sf_dir, "kg_mention_counts",
+                      lambda: _o.expected_mention_counts(
+                          _oracle_docs_table(sf_dir),
+                          {**ENTITY_LEXICON, **DOC_LEXICON}))
+        mentions = _docs_predicted(sf_dir).map_batches(
+            flatten_ner_mentions, batch_format="pyarrow")
+        counts = grouped_count(
+            mentions.select_columns(["mention_norm", "label"]),
+            ["mention_norm", "label"], out_name="n", salt_buckets=8)
+        types = argmax_per_key(
+            counts, key="mention_norm", order_cols=["n", "label"],
+            ascending=[False, True],
+            keep_cols=["mention_norm", "label", "n"]).map_batches(
+            lambda df: pd.DataFrame({"entity": df["mention_norm"],
+                                     "etype": df["label"]}),
+            batch_format="pandas")
+        return kgp.domain_range_signatures(_synth_triples(sf_dir), types,
+                                           salt_buckets=4)
+
+    q["kg_domain_range"] = q_kg_domain_range
+
     def q_kg_link_predict(sf_dir: str):
         # common-neighbor link prediction: candidate non-edges scored by
         # shared-neighbor counts; per-center degree cap (64) bounds the
@@ -2932,7 +2962,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     flagship = [
         # KG sentinels (the north star; rest of kg_* is green in r3)
         "kg_triples", "kg_span_counts", "kg_pair_counts", "kg_alias_merge",
-        "kg_diff",
         # never driver-checked before round 4 (judge-run green in r3)
         "pack_sequences", "mixture_sample", "bpe_merges", "cms_token_counts",
         "compression_ratio", "skew_join_lineitem", "chunk_documents",
@@ -2953,7 +2982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upsert_orders", "edit1_part_names", "kg_scc",
         "kg_negative_samples",
         # new in round 4 session 4 (each evicts one r3-green kg sentinel)
-        "kg_inverse_detect", "kg_rule_mining",
+        "kg_inverse_detect", "kg_rule_mining", "kg_domain_range",
     ]
     assert len(flagship) == 50, len(flagship)
     missing = [n for n in flagship if n not in q]
@@ -3994,6 +4023,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred_a, pred_b, n_inv, n_a,
                    CAST((n_inv * 10000) // n_a AS BIGINT) AS frac_scaled
             FROM inv JOIN tot USING (pred_a)
+        """,
+        "kg_domain_range": """
+            WITH m AS (
+                SELECT * FROM read_parquet(
+                    '/tmp/dygiepp_ray_oracle/kg_mention_counts.parquet')
+            ), r AS (
+                SELECT mention_norm AS entity, label AS etype,
+                       row_number() OVER (
+                           PARTITION BY mention_norm
+                           ORDER BY n DESC, label) AS rk
+                FROM m
+            ), ty AS (
+                SELECT entity, etype FROM r WHERE rk = 1
+            ), e AS (
+                SELECT DISTINCT subj_norm, pred, obj_norm
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            ), typed AS (
+                SELECT e.pred,
+                       COALESCE(ts.etype, 'UNKNOWN') AS subj_type,
+                       COALESCE(tobj.etype, 'UNKNOWN') AS obj_type
+                FROM e LEFT JOIN ty ts ON e.subj_norm = ts.entity
+                       LEFT JOIN ty tobj ON e.obj_norm = tobj.entity
+            ), sig AS (
+                SELECT pred, subj_type, obj_type, count(*) AS n_edges
+                FROM typed GROUP BY 1, 2, 3
+            ), tot AS (
+                SELECT pred, count(*) AS n_pred FROM e GROUP BY 1
+            )
+            SELECT s.pred, s.subj_type, s.obj_type, s.n_edges, t.n_pred,
+                   CAST((s.n_edges * 10000) // t.n_pred AS BIGINT)
+                       AS frac_scaled
+            FROM sig s JOIN tot t USING (pred)
         """,
         "kg_rule_mining": """
             WITH e AS (

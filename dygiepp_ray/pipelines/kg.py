@@ -1508,3 +1508,100 @@ def rule_mining(triples: "ray.data.Dataset", max_mid_degree: int = 64,
                     "pred_c": s_t, "n_support": i_t},
         right_types={"bkey": s_t, "n_body": i_t},
         bucket_post=attach_conf)
+
+
+def domain_range_signatures(triples: "ray.data.Dataset",
+                            types: "ray.data.Dataset",
+                            scale: int = 10_000, salt_buckets: int = 1,
+                            n_buckets: int = 32) -> "ray.data.Dataset":
+    """(pred, subj_type, obj_type, n_edges, n_pred, frac_scaled) — predicate
+    domain/range signature induction over the DISTINCT edge set: each edge
+    is typed by looking up its subject and object in the `types` table
+    ((entity, etype); untyped entities fall back to 'UNKNOWN'), then the
+    (pred, subj_type, obj_type) histogram is attached to per-predicate
+    totals with the integer-scaled signature share n_edges * scale //
+    n_pred. Standard ontology/schema induction over the KG the reference's
+    consumers materialize at scripts/data/shared/make_kb.py:90-103 (the
+    per-entity label there is the same modal mention label).
+
+    Scale shape: TWO bucketed left joins re-key the edge table through the
+    types lookup (subject side then object side — same shape as
+    `alias_merge_edges`' re-keying), the second collapsing to per-signature
+    PARTIAL counts inside the join task; per-predicate totals are a
+    shrinking grouped count attached with a tiny final join. No driver-side
+    type dict — the types side streams through the same buckets."""
+    import pandas as pd
+
+    from ..aggregates import partial_final_agg, strip_schema_metadata
+    from ..joins import hash_join
+
+    s_t, i_t = pa.string(), pa.int64()
+
+    edges = grouped_count(
+        triples.select_columns(["subj_norm", "pred", "obj_norm"]),
+        ["subj_norm", "pred", "obj_norm"], out_name="_c",
+        salt_buckets=salt_buckets,
+    ).select_columns(["subj_norm", "pred", "obj_norm"]).materialize()
+
+    t_subj = types.map_batches(
+        lambda t: strip_schema_metadata(t).select(
+            ["entity", "etype"]).rename_columns(["subj_norm", "subj_type"]),
+        batch_format="pyarrow")
+    t_obj = types.map_batches(
+        lambda t: strip_schema_metadata(t).select(
+            ["entity", "etype"]).rename_columns(["obj_norm", "obj_type"]),
+        batch_format="pyarrow")
+
+    def fill_subj(m: "pd.DataFrame") -> "pd.DataFrame":
+        m = m.copy()
+        m["subj_type"] = m["subj_type"].fillna("UNKNOWN")
+        return m[["pred", "obj_norm", "subj_type"]]
+
+    typed_s = hash_join(edges, t_subj, on="subj_norm", how="left",
+                        n_buckets=n_buckets,
+                        left_types={"subj_norm": s_t, "pred": s_t,
+                                    "obj_norm": s_t},
+                        right_types={"subj_norm": s_t, "subj_type": s_t},
+                        bucket_post=fill_subj)
+
+    def sig_partials(m: "pd.DataFrame") -> "pd.DataFrame":
+        m = m.copy()
+        m["obj_type"] = m["obj_type"].fillna("UNKNOWN")
+        vc = m.groupby(["pred", "subj_type", "obj_type"], sort=False).size()
+        idx = vc.index.to_frame(index=False)
+        return pd.DataFrame({
+            "pred": idx["pred"].to_numpy(object),
+            "subj_type": idx["subj_type"].to_numpy(object),
+            "obj_type": idx["obj_type"].to_numpy(object),
+            "n_part": vc.to_numpy("int64")})
+
+    sigs = partial_final_agg(
+        hash_join(typed_s, t_obj, on="obj_norm", how="left",
+                  n_buckets=n_buckets,
+                  left_types={"pred": s_t, "obj_norm": s_t,
+                              "subj_type": s_t},
+                  right_types={"obj_norm": s_t, "obj_type": s_t},
+                  bucket_post=sig_partials),
+        ["pred", "subj_type", "obj_type"], [("n_edges", "n_part", "sum")])
+
+    totals = grouped_count(
+        edges.select_columns(["pred"]), ["pred"], out_name="n_pred",
+        salt_buckets=salt_buckets)
+
+    def attach_frac(m: "pd.DataFrame") -> "pd.DataFrame":
+        n_e = m["n_edges"].to_numpy("int64")
+        n_p = m["n_pred"].to_numpy("int64")
+        return pd.DataFrame({
+            "pred": m["pred"].to_numpy(object),
+            "subj_type": m["subj_type"].to_numpy(object),
+            "obj_type": m["obj_type"].to_numpy(object),
+            "n_edges": n_e,
+            "n_pred": n_p,
+            "frac_scaled": (n_e * scale) // n_p,
+        })
+
+    return hash_join(sigs, totals, on="pred", n_buckets=4,
+                     left_types={"pred": s_t, "subj_type": s_t,
+                                 "obj_type": s_t, "n_edges": i_t},
+                     right_types={"pred": s_t, "n_pred": i_t},
+                     bucket_post=attach_frac)

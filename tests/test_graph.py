@@ -769,3 +769,67 @@ def test_rule_mining_random_matches_bruteforce_with_cap():
     got = rule_mining(ds, max_mid_degree=6, salt_buckets=2,
                       n_buckets=4).to_pandas()
     assert _rule_df_to_dict(got) == want
+
+
+def _domain_range_oracle(tri_rows, type_map, scale=10_000):
+    edges = set(tri_rows)
+    sig: dict[tuple, int] = {}
+    tot: dict[str, int] = {}
+    for s, p, o in edges:
+        st = type_map.get(s, "UNKNOWN")
+        ot = type_map.get(o, "UNKNOWN")
+        sig[(p, st, ot)] = sig.get((p, st, ot), 0) + 1
+        tot[p] = tot.get(p, 0) + 1
+    return {(p, st, ot): (n, tot[p], n * scale // tot[p])
+            for (p, st, ot), n in sig.items()}
+
+
+def test_domain_range_signatures_golden_and_invariance():
+    from dygiepp_ray.pipelines.kg import domain_range_signatures
+
+    rows = [("a", "P", "b"), ("a", "P", "c"), ("d", "P", "b"),
+            ("b", "Q", "e"), ("a", "P", "b")]  # duplicate collapses
+    tmap = {"a": "Method", "b": "Task", "c": "Task", "d": "Metric"}
+    # e is untyped -> UNKNOWN
+    want = _domain_range_oracle(rows, tmap)
+    assert want[("P", "Method", "Task")] == (2, 3, 6666)
+    assert want[("Q", "Task", "UNKNOWN")] == (1, 1, 10_000)
+    types_df = pd.DataFrame({"entity": list(tmap), "etype": list(tmap.values()),
+                             "n_mentions": [1] * len(tmap)})
+    for nparts in (1, 3):
+        tri = ray.data.from_pandas(pd.DataFrame(
+            rows, columns=["subj_norm", "pred", "obj_norm"])
+        ).repartition(nparts)
+        types = ray.data.from_pandas(types_df).repartition(nparts)
+        got = domain_range_signatures(tri, types, salt_buckets=2,
+                                      n_buckets=4).to_pandas()
+        got_d = {(p, s, o): (int(n), int(t), int(f)) for p, s, o, n, t, f in
+                 zip(got["pred"], got["subj_type"], got["obj_type"],
+                     got["n_edges"], got["n_pred"], got["frac_scaled"])}
+        assert got_d == want
+
+
+def test_domain_range_signatures_random_matches_bruteforce():
+    import numpy as np
+
+    from dygiepp_ray.pipelines.kg import domain_range_signatures
+
+    rng = np.random.RandomState(13)
+    names = [f"n{i}" for i in range(20)]
+    preds = ["P", "Q", "R"]
+    etypes = ["A", "B", "C"]
+    rows = [(names[rng.randint(20)], preds[rng.randint(3)],
+             names[rng.randint(20)]) for _ in range(120)]
+    tmap = {n: etypes[rng.randint(3)] for n in names[:15]}  # 5 untyped
+    want = _domain_range_oracle(rows, tmap)
+    tri = ray.data.from_pandas(pd.DataFrame(
+        rows, columns=["subj_norm", "pred", "obj_norm"])).repartition(3)
+    types = ray.data.from_pandas(pd.DataFrame(
+        {"entity": list(tmap), "etype": list(tmap.values()),
+         "n_mentions": [1] * len(tmap)})).repartition(2)
+    got = domain_range_signatures(tri, types, salt_buckets=2,
+                                  n_buckets=4).to_pandas()
+    got_d = {(p, s, o): (int(n), int(t), int(f)) for p, s, o, n, t, f in
+             zip(got["pred"], got["subj_type"], got["obj_type"],
+                 got["n_edges"], got["n_pred"], got["frac_scaled"])}
+    assert got_d == want
