@@ -308,3 +308,116 @@ def transitive_closure(triples: "ray.data.Dataset") -> "ray.data.Dataset":
         return res.rename(columns={"arg0": "subj", "arg1": "obj", "rel": "pred"})
 
     return triples.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+
+
+def calibration_bins(preds: "ray.data.Dataset", gold: "ray.data.Dataset",
+                     n_bins: int = 10, scale: int = 10_000,
+                     salt_buckets: int = 1,
+                     n_buckets: int = 32) -> "ray.data.Dataset":
+    """(bin, n_pred, n_correct, prec_scaled) — confidence calibration of an
+    extractor: DISTINCT predicted triple instances (doc_id, subj_norm, pred,
+    obj_norm, conf) are split into `n_bins` equal-width confidence bins over
+    the observed [min, max] range and each bin's precision against the gold
+    triple set is reported as the exact scaled integer n_correct * scale //
+    n_pred. The reliability-diagram companion to `triple_prf` / `p_at_k`
+    (reference sweep semantics eval_utils.py:763-783); a well-calibrated
+    extractor's precision rises with the bin index.
+
+    Scale shape: the min/max confidence envelope is ONE tiny global
+    aggregate (two scalars broadcast into the binning closure — never the
+    rows); bin stamping is a vectorized map; gold membership is ONE
+    bucketed LEFT-join marker pass on the composite key whose bucket_post
+    collapses to per-bin PARTIAL (n, n_correct) pairs, so joined rows never
+    leave the task. Bin arithmetic is float64 with the identical expression
+    tree on both engines; when the envelope is degenerate (cmax == cmin)
+    every row lands in bin 0 by contract."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..aggregates import grouped_count, partial_final_agg, strip_schema_metadata
+    from ..joins import hash_join
+    from ray.data.aggregate import Max, Min
+
+    s_t, i_t = pa.string(), pa.int64()
+    SEP = "\x1f"
+
+    p = grouped_count(
+        preds.select_columns(["doc_id", "subj_norm", "pred", "obj_norm",
+                              "conf"]),
+        ["doc_id", "subj_norm", "pred", "obj_norm", "conf"], out_name="_c",
+        salt_buckets=salt_buckets,
+    ).select_columns(["doc_id", "subj_norm", "pred", "obj_norm", "conf"]
+                     ).materialize()
+
+    mm = p.aggregate(Min("conf"), Max("conf"))
+    cmin = float(mm["min(conf)"])
+    cmax = float(mm["max(conf)"])
+
+    def stamp_bin(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        conf = t.column("conf").combine_chunks().cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        if cmax == cmin:
+            b = np.zeros(len(conf), dtype=np.int64)
+        else:
+            b = np.minimum(
+                n_bins - 1,
+                np.floor(((conf - cmin) * float(n_bins)) / (cmax - cmin)
+                         ).astype(np.int64))
+        key = pc.binary_join_element_wise(
+            t.column("doc_id").cast(pa.string()),
+            t.column("subj_norm").cast(pa.string()),
+            t.column("pred").cast(pa.string()),
+            t.column("obj_norm").cast(pa.string()), SEP)
+        return pa.table({"tkey": key, "bin": pa.array(b, pa.int64())})
+
+    def gold_keys(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        key = pc.binary_join_element_wise(
+            t.column("doc_id").cast(pa.string()),
+            t.column("subj_norm").cast(pa.string()),
+            t.column("pred").cast(pa.string()),
+            t.column("obj_norm").cast(pa.string()), SEP)
+        return pa.table({"tkey": key})
+
+    g = grouped_count(
+        gold.select_columns(["doc_id", "subj_norm", "pred", "obj_norm"]
+                            ).map_batches(gold_keys, batch_format="pyarrow"),
+        ["tkey"], out_name="_c", salt_buckets=salt_buckets,
+    ).map_batches(
+        lambda t: strip_schema_metadata(t).select(["tkey"]).append_column(
+            "_gold", pa.array(np.ones(t.num_rows), pa.float64())),
+        batch_format="pyarrow")
+
+    def bin_partials(m: "pd.DataFrame") -> "pd.DataFrame":
+        ok = m["_gold"].notna().to_numpy()
+        gb = m.groupby("bin", sort=False)
+        n = gb.size()
+        c = pd.Series(ok, index=m.index).groupby(m["bin"], sort=False).sum()
+        return pd.DataFrame({"bin": n.index.to_numpy("int64"),
+                             "n_part": n.to_numpy("int64"),
+                             "c_part": c.reindex(n.index).to_numpy("int64")})
+
+    marked = hash_join(
+        p.map_batches(stamp_bin, batch_format="pyarrow"), g,
+        on="tkey", how="left", n_buckets=n_buckets,
+        left_types={"tkey": s_t, "bin": i_t},
+        right_types={"tkey": s_t, "_gold": pa.float64()},
+        bucket_post=bin_partials)
+
+    agg = partial_final_agg(marked, ["bin"],
+                            [("n_pred", "n_part", "sum"),
+                             ("n_correct", "c_part", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        n = t.column("n_pred").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("n_correct").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.table({"bin": t.column("bin"),
+                         "n_pred": pa.array(n, pa.int64()),
+                         "n_correct": pa.array(c, pa.int64()),
+                         "prec_scaled": pa.array((c * scale) // n,
+                                                 pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

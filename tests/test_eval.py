@@ -132,3 +132,79 @@ def test_transitive_closure_dataset():
     d1 = out[out["doc_id"] == "d1"]
     assert set(zip(d1["subj"], d1["obj"])) == {("a", "b"), ("b", "c"), ("a", "c")}
     assert len(out[out["doc_id"] == "d2"]) == 1  # no cross-doc closure
+
+
+def _calibration_oracle(pred_rows, gold_rows, n_bins=10, scale=10_000):
+    import math
+
+    p = sorted(set(pred_rows))
+    gold = {r[:4] for r in gold_rows}
+    confs = [c for *_k, c in p]
+    cmin, cmax = min(confs), max(confs)
+    out: dict[int, list[int]] = {}
+    for *k, c in p:
+        if cmax == cmin:
+            b = 0
+        else:
+            b = min(n_bins - 1,
+                    int(math.floor(((c - cmin) * float(n_bins))
+                                   / (cmax - cmin))))
+        n, ok = out.setdefault(b, [0, 0])
+        out[b][0] = n + 1
+        out[b][1] = ok + (1 if tuple(k) in gold else 0)
+    return {b: (n, ok, ok * scale // n) for b, (n, ok) in out.items()}
+
+
+def test_calibration_bins_golden_and_invariance():
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.pipelines.evaluate import calibration_bins
+
+    pred_rows = [
+        ("d1", "a", "P", "b", 0.1), ("d1", "a", "P", "c", 0.2),
+        ("d2", "a", "P", "b", 0.9), ("d2", "x", "Q", "y", 1.0),
+        ("d1", "a", "P", "b", 0.1),  # duplicate instance collapses
+        ("d3", "m", "R", "n", 0.55),
+    ]
+    gold_rows = [("d1", "a", "P", "b"), ("d2", "a", "P", "b"),
+                 ("d2", "x", "Q", "y")]
+    want = _calibration_oracle(pred_rows, gold_rows)
+    # envelope [.1, 1.0]: conf .1 -> bin 0 (correct), .2 -> bin 1 (wrong),
+    # .9 -> bin 8, 1.0 -> bin 9 (both correct)
+    assert want[0] == (1, 1, 10_000)
+    assert want[1] == (1, 0, 0)
+    assert want[8] == (1, 1, 10_000)
+    assert want[9] == (1, 1, 10_000)
+    pdf = pd.DataFrame(pred_rows, columns=["doc_id", "subj_norm", "pred",
+                                           "obj_norm", "conf"])
+    gdf = pd.DataFrame(gold_rows, columns=["doc_id", "subj_norm", "pred",
+                                           "obj_norm"])
+    for nparts in (1, 3):
+        got = calibration_bins(
+            ray.data.from_pandas(pdf).repartition(nparts),
+            ray.data.from_pandas(gdf).repartition(nparts),
+            salt_buckets=2, n_buckets=4).to_pandas()
+        got_d = {int(b): (int(n), int(c), int(s)) for b, n, c, s in
+                 zip(got["bin"], got["n_pred"], got["n_correct"],
+                     got["prec_scaled"])}
+        assert got_d == want
+
+
+def test_calibration_bins_degenerate_envelope():
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.pipelines.evaluate import calibration_bins
+
+    pdf = pd.DataFrame([("d1", "a", "P", "b", 0.5), ("d1", "a", "P", "c", 0.5)],
+                       columns=["doc_id", "subj_norm", "pred", "obj_norm",
+                                "conf"])
+    gdf = pd.DataFrame([("d1", "a", "P", "b")],
+                       columns=["doc_id", "subj_norm", "pred", "obj_norm"])
+    got = calibration_bins(ray.data.from_pandas(pdf),
+                           ray.data.from_pandas(gdf), n_buckets=2).to_pandas()
+    assert got["bin"].tolist() == [0]
+    assert int(got["n_pred"].iloc[0]) == 2
+    assert int(got["n_correct"].iloc[0]) == 1
+    assert int(got["prec_scaled"].iloc[0]) == 5000
