@@ -2317,6 +2317,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_calibration"] = q_kg_calibration
 
+    def q_source_quality_filter(sf_dir: str):
+        # per-source quality curation (RefinedWeb/C4-style domain filter):
+        # vectorized scoring, per-block per-source partials, ONE salted
+        # aggregate; mean kept in exact scaled-integer arithmetic
+        from dygiepp_ray.stages.curate import source_quality_stats
+
+        return source_quality_stats(
+            _read(sf_dir, "documents", ["doc_id", "text", "source"]),
+            threshold_scaled=450_000, salt_buckets=4)
+
+    q["source_quality_filter"] = q_source_quality_filter
+
     def q_kg_link_predict(sf_dir: str):
         # common-neighbor link prediction: candidate non-edges scored by
         # shared-neighbor counts; per-center degree cap (64) bounds the
@@ -2982,7 +2994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # budget becomes the round-5 rotation list (see ROUND4_NOTES.md).
     flagship = [
         # KG sentinels (the north star; rest of kg_* is green in r3)
-        "kg_triples", "kg_span_counts", "kg_pair_counts",
+        "kg_triples", "kg_span_counts",
         # never driver-checked before round 4 (judge-run green in r3)
         "pack_sequences", "mixture_sample", "bpe_merges", "cms_token_counts",
         "compression_ratio", "skew_join_lineitem", "chunk_documents",
@@ -3004,7 +3016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negative_samples",
         # new in round 4 session 4 (each evicts one r3-green kg sentinel)
         "kg_inverse_detect", "kg_rule_mining", "kg_domain_range",
-        "kg_calibration",
+        "kg_calibration", "source_quality_filter",
     ]
     assert len(flagship) == 50, len(flagship)
     missing = [n for n in flagship if n not in q]
@@ -3213,6 +3225,40 @@ def oracle_sql() -> dict[str, str]:
                          + least(stop_ratio, 0.4) * 0.5
                          + uniq_ratio * 0.4), 6) AS quality
             FROM r
+        """,
+        "source_quality_filter": f"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, source,
+                       length(toks)::BIGINT AS n_tokens,
+                       length(list_filter(toks, x -> x IN ({_STOP_SQL})))::BIGINT AS n_stop,
+                       length(list_distinct(toks))::BIGINT AS n_uniq
+                FROM t
+            ), r AS (
+                SELECT source, n_tokens,
+                       round(n_stop::DOUBLE / greatest(n_tokens, 1), 6) AS stop_ratio,
+                       round(n_uniq::DOUBLE / greatest(n_tokens, 1), 6) AS uniq_ratio
+                FROM s
+            ), q AS (
+                SELECT source,
+                       CAST(round(round(least(1.0,
+                           (least(n_tokens, 100) / 100.0) * 0.4
+                           + least(stop_ratio, 0.4) * 0.5
+                           + uniq_ratio * 0.4), 6) * 1000000) AS BIGINT) AS qs
+                FROM r
+            ), agg AS (
+                SELECT source, count(*) AS n_docs,
+                       CAST(sum(qs) AS BIGINT) // count(*) AS mean_q_scaled
+                FROM q GROUP BY source
+            )
+            SELECT source, n_docs, mean_q_scaled,
+                   CAST(CASE WHEN mean_q_scaled >= 450000 THEN 1 ELSE 0 END
+                        AS BIGINT) AS kept
+            FROM agg
         """,
         "normalize_surface": """
             SELECT doc_id,

@@ -497,3 +497,53 @@ def fuzzy_decontaminate(train: "ray.data.Dataset",
         lambda df: df.rename(columns={"id_a": "train_id",
                                       "id_b": "eval_id"}),
         batch_format="pandas")
+
+
+def source_quality_stats(docs: "ray.data.Dataset",
+                         threshold_scaled: int = 450_000,
+                         salt_buckets: int = 1) -> "ray.data.Dataset":
+    """(source, n_docs, mean_q_scaled, kept) — per-source quality curation
+    (RefinedWeb/C4-style domain filtering): every document is scored with
+    the `quality_score` heuristics, per-source means are kept in exact
+    integer arithmetic (quality is 6-dp-rounded, so q * 1e6 is integral;
+    the mean is the floor-divided sum), and a source is `kept` (1/0) when
+    its mean reaches `threshold_scaled`. Downstream pipelines drop every
+    document of a flagged source — the per-source table IS the broadcast
+    side of that filter, so this operator returns it rather than
+    re-materializing the corpus.
+
+    Scale shape: scoring is one vectorized map over (doc_id, text, source);
+    per-(source) partials are computed INSIDE each block before the single
+    salted partial+final aggregation — unbounded source cardinality never
+    becomes one Ray group per source, and document rows never shuffle."""
+    from ..aggregates import partial_final_agg
+    from .text import quality_score
+
+    def score_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        q = quality_score(batch[["doc_id", "text"]])
+        qs = np.rint(q["quality"].to_numpy("float64") * 1_000_000
+                     ).astype("int64")
+        part = pd.DataFrame({"source": batch["source"].to_numpy(object),
+                             "qs": qs})
+        gb = part.groupby("source", sort=False)["qs"]
+        agg = gb.agg(["sum", "count"]).reset_index()
+        return pd.DataFrame({"source": agg["source"].to_numpy(object),
+                             "q_part": agg["sum"].to_numpy("int64"),
+                             "n_part": agg["count"].to_numpy("int64")})
+
+    agg = partial_final_agg(
+        docs.map_batches(score_partial, batch_format="pandas"),
+        ["source"], [("q_sum", "q_part", "sum"), ("n_docs", "n_part", "sum")])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        q_sum = df["q_sum"].to_numpy("int64")
+        n = df["n_docs"].to_numpy("int64")
+        mean_q = q_sum // n
+        return pd.DataFrame({
+            "source": df["source"].to_numpy(object),
+            "n_docs": n,
+            "mean_q_scaled": mean_q,
+            "kept": (mean_q >= threshold_scaled).astype("int64"),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")

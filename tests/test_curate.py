@@ -370,3 +370,37 @@ def test_fuzzy_decontaminate_cross_side_only():
     assert (2, 5) not in pairs and (5, 2) not in pairs  # same-side dup
     assert all(e % 3 == 0 and t % 3 != 0 for t, e in pairs)
     assert (got["est_jaccard"] >= 0.5).all()
+
+
+def test_source_quality_stats_golden_and_invariance():
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.stages.curate import source_quality_stats
+    from dygiepp_ray.stages.text import quality_score
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the cat sat on the mat with a hat",
+                 "alpha beta gamma delta epsilon zeta",
+                 "the the the the the the",
+                 "a quick brown fox jumps over the lazy dog by the river"],
+        "source": ["s1", "s2", "s1", "s2"],
+    })
+    q = quality_score(docs[["doc_id", "text"]])
+    qs = np.rint(q["quality"].to_numpy("float64") * 1_000_000).astype("int64")
+    want = {}
+    for src in ("s1", "s2"):
+        mask = (docs["source"] == src).to_numpy()
+        mean_q = int(qs[mask].sum()) // int(mask.sum())
+        want[src] = (int(mask.sum()), mean_q, int(mean_q >= 450_000))
+    assert want["s1"][2] != want["s2"][2]  # threshold splits the sources
+    for nparts in (1, 3):
+        got = source_quality_stats(
+            ray.data.from_pandas(docs).repartition(nparts),
+            salt_buckets=2).to_pandas()
+        got_d = {s: (int(n), int(m), int(k)) for s, n, m, k in
+                 zip(got["source"], got["n_docs"], got["mean_q_scaled"],
+                     got["kept"])}
+        assert got_d == want
