@@ -2329,6 +2329,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["source_quality_filter"] = q_source_quality_filter
 
+    def q_kg_alias_type_conflicts(sf_dir: str):
+        # sameAs QA: per-cluster type profile of every multi-member alias
+        # cluster (over-eager merges visible as n_types >= 2; min_types=0
+        # keeps the profile non-degenerate on corpora whose clusters are
+        # type-pure). Same LSH/CC passes as kg_alias_merge; types attach
+        # via bucketed left join; per-component reduce on coarse buckets
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.aggregates import argmax_per_key
+        from dygiepp_ray.stages.linking import alias_type_conflicts
+
+        _write_oracle(sf_dir, "kg_alias_mapping",
+                      lambda: _o.expected_alias_mapping(
+                          _oracle_triples_table(sf_dir)))
+        _write_oracle(sf_dir, "kg_mention_counts",
+                      lambda: _o.expected_mention_counts(
+                          _oracle_docs_table(sf_dir),
+                          {**ENTITY_LEXICON, **DOC_LEXICON}))
+        mentions = _docs_predicted(sf_dir).map_batches(
+            flatten_ner_mentions, batch_format="pyarrow")
+        counts = grouped_count(
+            mentions.select_columns(["mention_norm", "label"]),
+            ["mention_norm", "label"], out_name="n", salt_buckets=8)
+        types = argmax_per_key(
+            counts, key="mention_norm", order_cols=["n", "label"],
+            ascending=[False, True],
+            keep_cols=["mention_norm", "label", "n"]).map_batches(
+            lambda df: pd.DataFrame({"entity": df["mention_norm"],
+                                     "etype": df["label"]}),
+            batch_format="pandas")
+        return alias_type_conflicts(_synth_triples(sf_dir), types,
+                                    min_members=2, min_types=0)
+
+    q["kg_alias_type_conflicts"] = q_kg_alias_type_conflicts
+
     def q_kg_link_predict(sf_dir: str):
         # common-neighbor link prediction: candidate non-edges scored by
         # shared-neighbor counts; per-center degree cap (64) bounds the
@@ -2994,7 +3028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # budget becomes the round-5 rotation list (see ROUND4_NOTES.md).
     flagship = [
         # KG sentinels (the north star; rest of kg_* is green in r3)
-        "kg_triples", "kg_span_counts",
+        "kg_triples",
         # never driver-checked before round 4 (judge-run green in r3)
         "pack_sequences", "mixture_sample", "bpe_merges", "cms_token_counts",
         "compression_ratio", "skew_join_lineitem", "chunk_documents",
@@ -3017,6 +3051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round 4 session 4 (each evicts one r3-green kg sentinel)
         "kg_inverse_detect", "kg_rule_mining", "kg_domain_range",
         "kg_calibration", "source_quality_filter",
+        "kg_alias_type_conflicts",
     ]
     assert len(flagship) == 50, len(flagship)
     missing = [n for n in flagship if n not in q]
@@ -4091,6 +4126,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred_a, pred_b, n_inv, n_a,
                    CAST((n_inv * 10000) // n_a AS BIGINT) AS frac_scaled
             FROM inv JOIN tot USING (pred_a)
+        """,
+        "kg_alias_type_conflicts": """
+            WITH map AS (
+                SELECT name, component FROM read_parquet(
+                    '/tmp/dygiepp_ray_oracle/kg_alias_mapping.parquet')
+            ), m AS (
+                SELECT * FROM read_parquet(
+                    '/tmp/dygiepp_ray_oracle/kg_mention_counts.parquet')
+            ), r AS (
+                SELECT mention_norm AS entity, label AS etype,
+                       row_number() OVER (
+                           PARTITION BY mention_norm
+                           ORDER BY n DESC, label) AS rk
+                FROM m
+            ), ty AS (
+                SELECT entity, etype FROM r WHERE rk = 1
+            ), mem AS (
+                SELECT map.component, map.name, ty.etype
+                FROM map LEFT JOIN ty ON map.name = ty.entity
+            )
+            SELECT component, count(*) AS n_members,
+                   count(DISTINCT etype) AS n_types,
+                   COALESCE(array_to_string(list_sort(
+                       list(DISTINCT etype) FILTER (WHERE etype IS NOT NULL)
+                   ), '|'), '') AS types
+            FROM mem GROUP BY component
+            HAVING count(*) >= 2
         """,
         "kg_calibration": """
             WITH p0 AS (

@@ -1511,23 +1511,12 @@ def expected_personalized_pagerank(triples: pa.Table,
     })
 
 
-def expected_alias_merge(triples: pa.Table, threshold: float = 0.5,
-                         k: int = 3, n_perm: int = 64,
-                         n_bands: int = 16) -> pa.Table:
-    """Scalar recompute of stages/linking.py:alias_merge_edges: name pairs
-    are candidates iff they share >= 1 full char-minhash band (signatures
-    reuse the operator's own hash family — they define it; the LSH
-    banding / shuffle / join plumbing is what this verifies), verified by
-    exact char-k-gram Jaccard >= threshold; union-find with min-member
-    representative; triples re-keyed and counted."""
+def _alias_canon_map(names: list, threshold: float, k: int, n_perm: int,
+                     n_bands: int) -> dict:
+    """Shared union-find core of the alias-merge oracles: name -> canonical
+    (lexicographically-smallest cluster member; self for singletons)."""
     from .stages.linking import CharNameMinHasher, exact_name_jaccard
 
-    subj = triples.column("subj").to_pylist()
-    pred = triples.column("pred").to_pylist()
-    obj = triples.column("obj").to_pylist()
-    s_n = triples.column("subj_norm").to_pylist()
-    o_n = triples.column("obj_norm").to_pylist()
-    names = sorted(set(subj) | set(obj) | set(s_n) | set(o_n))
     mh = CharNameMinHasher(n_perm=n_perm, k=k)
     sigs = {n: mh.signature(n) for n in names}
     r = n_perm // n_bands
@@ -1554,7 +1543,43 @@ def expected_alias_merge(triples: pa.Table, threshold: float = 0.5,
     for n in names:
         rt = find(n)
         comp_min[rt] = min(comp_min.get(rt, n), n)
-    canon = {n: comp_min[find(n)] for n in names}
+    return {n: comp_min[find(n)] for n in names}
+
+
+def expected_alias_mapping(triples: pa.Table, threshold: float = 0.5,
+                           k: int = 3, n_perm: int = 64,
+                           n_bands: int = 16) -> pa.Table:
+    """(name, component) for EVERY vocabulary name (singletons map to
+    themselves) — the full canonicalization map behind
+    expected_alias_merge, exposed for type-consistency QA oracles."""
+    subj = triples.column("subj").to_pylist()
+    obj = triples.column("obj").to_pylist()
+    s_n = triples.column("subj_norm").to_pylist()
+    o_n = triples.column("obj_norm").to_pylist()
+    names = sorted(set(subj) | set(obj) | set(s_n) | set(o_n))
+    canon = _alias_canon_map(names, threshold, k, n_perm, n_bands)
+    return pa.table({
+        "name": pa.array(names, pa.string()),
+        "component": pa.array([canon[n] for n in names], pa.string()),
+    })
+
+
+def expected_alias_merge(triples: pa.Table, threshold: float = 0.5,
+                         k: int = 3, n_perm: int = 64,
+                         n_bands: int = 16) -> pa.Table:
+    """Scalar recompute of stages/linking.py:alias_merge_edges: name pairs
+    are candidates iff they share >= 1 full char-minhash band (signatures
+    reuse the operator's own hash family — they define it; the LSH
+    banding / shuffle / join plumbing is what this verifies), verified by
+    exact char-k-gram Jaccard >= threshold; union-find with min-member
+    representative; triples re-keyed and counted."""
+    subj = triples.column("subj").to_pylist()
+    pred = triples.column("pred").to_pylist()
+    obj = triples.column("obj").to_pylist()
+    s_n = triples.column("subj_norm").to_pylist()
+    o_n = triples.column("obj_norm").to_pylist()
+    names = sorted(set(subj) | set(obj) | set(s_n) | set(o_n))
+    canon = _alias_canon_map(names, threshold, k, n_perm, n_bands)
     counts: dict = {}
     for s, p, o in zip(subj, pred, obj):
         key = (canon[s], p, canon[o])

@@ -368,3 +368,115 @@ def edit1_name_pairs(names: "ray.data.Dataset", name_col: str = "name",
     pairs = var.map_batches(stamp, batch_format="pandas").groupby(
         "_bucket").map_groups(verify_bucket, batch_format="pandas")
     return _dedup_pairs(pairs, n_buckets)
+
+
+def alias_type_conflicts(triples: "ray.data.Dataset",
+                         types: "ray.data.Dataset",
+                         threshold: float = 0.5, k: int = 3,
+                         min_members: int = 2, min_types: int = 2,
+                         n_buckets: int = 32,
+                         cc_broadcast_max_nodes: int = 5_000_000
+                         ) -> "ray.data.Dataset":
+    """(component, n_members, n_types, types) — sameAs/type-consistency QA
+    over the alias clustering: components of the `alias_merge_edges` name
+    graph with ≥ `min_members` members and ≥ `min_types` DISTINCT entity
+    types from the `types` table ((entity, etype); untyped members still
+    count toward n_members). With the default min_types=2 this reports
+    type-CONFLICTED clusters — the standard signal of an over-eager merge
+    (two real-world entities collapsed by surface similarity); with
+    min_types=0 it is the full per-cluster type profile (conflicts visible
+    via the n_types column). The QA companion the reference's KB consumers
+    would run after the make_kb.py:90-103 canonicalization.
+
+    Scale shape: same vocabulary/LSH/CC passes as `alias_merge_edges`
+    (admission-guarded broadcast CC with the bucketed-shuffle fallback
+    above the node cap); the full (name -> component) map is ONE bucketed
+    left join of the vocabulary against the CC mapping (singletons keep
+    themselves), types attach with ONE more bucketed left join, and the
+    per-component reduce runs on coarse hash(component) buckets — never
+    one Ray group per component."""
+    import pyarrow as pa
+
+    from ..aggregates import grouped_count, strip_schema_metadata
+    from ..joins import hash_join
+    from .graph import connected_components
+
+    s_t = pa.string()
+
+    tri = triples.select_columns(
+        ["subj", "obj", "subj_norm", "obj_norm"]).materialize()
+
+    def explode_names(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        cols = [t.column(c).combine_chunks().cast(pa.string())
+                for c in ("subj", "obj", "subj_norm", "obj_norm")]
+        chunks = []
+        for c in cols:
+            chunks.extend(c.chunks if isinstance(c, pa.ChunkedArray) else [c])
+        return pa.table({"name": pa.concat_arrays(chunks)})
+
+    names = grouped_count(
+        tri.map_batches(explode_names, batch_format="pyarrow"),
+        ["name"], out_name="_n").select_columns(["name"])
+
+    pairs = alias_pairs(names, threshold=threshold, k=k)
+    mapping = connected_components(
+        pairs, src="id_a", dst="id_b", mode="auto",
+        broadcast_max_nodes=cc_broadcast_max_nodes).materialize()
+
+    def fill_self(m: "pd.DataFrame") -> "pd.DataFrame":
+        m = m.copy()
+        m["component"] = m["component"].fillna(m["name"])
+        return m[["name", "component"]]
+
+    full_map = hash_join(
+        names, mapping.map_batches(
+            lambda t: strip_schema_metadata(t).rename_columns(
+                ["name", "component"]),
+            batch_format="pyarrow"),
+        on="name", how="left", n_buckets=n_buckets,
+        left_types={"name": s_t},
+        right_types={"name": s_t, "component": s_t},
+        bucket_post=fill_self)
+
+    t_side = types.map_batches(
+        lambda t: strip_schema_metadata(t).select(
+            ["entity", "etype"]).rename_columns(["name", "etype"]),
+        batch_format="pyarrow")
+
+    mem = hash_join(full_map, t_side, on="name", how="left",
+                    n_buckets=n_buckets,
+                    left_types={"name": s_t, "component": s_t},
+                    right_types={"name": s_t, "etype": s_t})
+
+    def stamp_comp_bucket(t: pa.Table) -> pa.Table:
+        import zlib
+
+        t = strip_schema_metadata(t)
+        h = np.array([zlib.crc32(s.encode()) % n_buckets
+                      for s in t.column("component").to_pylist()],
+                     dtype=np.int32)
+        return t.append_column("_cb", pa.array(h, pa.int32()))
+
+    def comp_reduce(df: "pd.DataFrame") -> "pd.DataFrame":
+        rows = []
+        for comp, g in df.groupby("component", sort=False):
+            if len(g) < min_members:
+                continue
+            tys = sorted(set(g["etype"].dropna()))
+            if len(tys) < min_types:
+                continue
+            rows.append((comp, len(g), len(tys), "|".join(tys)))
+        if not rows:
+            return pd.DataFrame({"component": pd.Series(dtype="string"),
+                                 "n_members": pd.Series(dtype="int64"),
+                                 "n_types": pd.Series(dtype="int64"),
+                                 "types": pd.Series(dtype="string")})
+        out = pd.DataFrame(rows, columns=["component", "n_members",
+                                          "n_types", "types"])
+        out["n_members"] = out["n_members"].astype("int64")
+        out["n_types"] = out["n_types"].astype("int64")
+        return out
+
+    return (mem.map_batches(stamp_comp_bucket, batch_format="pyarrow")
+            .groupby("_cb").map_groups(comp_reduce, batch_format="pandas"))

@@ -174,3 +174,89 @@ def test_edit1_name_pairs_matches_bruteforce():
         got = edit1_name_pairs(ds, name_col="name").to_pandas()
         got_pairs = set(zip(got["id_a"], got["id_b"]))
         assert got_pairs == want
+
+
+def test_alias_type_conflicts_golden_and_invariance():
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.stages.linking import alias_type_conflicts
+
+    # "neural network" / "neural networks" cluster by char-trigram LSH;
+    # typed Method vs Task => conflict. "kernel" stays a singleton.
+    tri = pd.DataFrame({
+        "subj": ["neural network", "neural networks", "kernel"],
+        "pred": ["USED-FOR", "USED-FOR", "USED-FOR"],
+        "obj": ["parsing", "tagging", "svm"],
+        "subj_norm": ["neural network", "neural networks", "kernel"],
+        "obj_norm": ["parsing", "tagging", "svm"],
+    })
+    types = pd.DataFrame({
+        "entity": ["neural network", "neural networks", "parsing", "svm"],
+        "etype": ["Method", "Task", "Task", "Method"],
+    })
+    for nparts in (1, 2):
+        got = alias_type_conflicts(
+            ray.data.from_pandas(tri).repartition(nparts),
+            ray.data.from_pandas(types).repartition(nparts),
+            n_buckets=4).to_pandas()
+        assert len(got) == 1
+        row = got.iloc[0]
+        assert row["component"] == "neural network"
+        assert int(row["n_members"]) == 2
+        assert int(row["n_types"]) == 2
+        assert row["types"] == "Method|Task"
+
+
+def test_alias_type_conflicts_no_conflicts_empty_schema():
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.stages.linking import alias_type_conflicts
+
+    tri = pd.DataFrame({
+        "subj": ["aaa"], "pred": ["P"], "obj": ["zzz"],
+        "subj_norm": ["aaa"], "obj_norm": ["zzz"],
+    })
+    types = pd.DataFrame({"entity": ["aaa"], "etype": ["Method"]})
+    got = alias_type_conflicts(ray.data.from_pandas(tri),
+                               ray.data.from_pandas(types),
+                               n_buckets=2).to_pandas()
+    # all-empty Ray results drop their column schema through to_pandas
+    # (documented engine quirk) — the contract here is just emptiness
+    assert len(got) == 0
+
+
+def test_expected_alias_mapping_consistent_with_merge():
+    import pyarrow as pa
+
+    from dygiepp_ray import oracle as o
+
+    tri = pa.table({
+        "subj": ["neural network", "neural networks", "kernel"],
+        "pred": ["USED-FOR"] * 3,
+        "obj": ["parsing", "parsing", "svm"],
+        "subj_norm": ["neural network", "neural networks", "kernel"],
+        "obj_norm": ["parsing", "parsing", "svm"],
+    })
+    mapping = o.expected_alias_mapping(tri)
+    m = dict(zip(mapping.column("name").to_pylist(),
+                 mapping.column("component").to_pylist()))
+    # both neural-network surfaces share one representative; singletons self
+    assert m["neural network"] == m["neural networks"] == "neural network"
+    assert m["kernel"] == "kernel"
+    # re-keying the edge table through the mapping reproduces
+    # expected_alias_merge exactly
+    merged = o.expected_alias_merge(tri)
+    counts: dict = {}
+    for s, p, ob in zip(tri.column("subj").to_pylist(),
+                        tri.column("pred").to_pylist(),
+                        tri.column("obj").to_pylist()):
+        key = (m[s], p, m[ob])
+        counts[key] = counts.get(key, 0) + 1
+    got = {(a, b, c): w for a, b, c, w in zip(
+        merged.column("subj_canon").to_pylist(),
+        merged.column("pred").to_pylist(),
+        merged.column("obj_canon").to_pylist(),
+        merged.column("weight").to_pylist())}
+    assert got == counts
