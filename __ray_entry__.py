@@ -2363,6 +2363,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_alias_type_conflicts"] = q_kg_alias_type_conflicts
 
+    def q_embedding_quantize(sf_dir: str):
+        # SQ8 scalar quantization summary: per-dim global envelope from one
+        # tiny per-block partial pass (2 x dim scalars broadcast back), then
+        # one vectorized quantizing map; exact int outputs
+        from dygiepp_ray.stages.similarity import scalar_quantize_stats
+
+        return scalar_quantize_stats(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+    q["embedding_quantize"] = q_embedding_quantize
+
     def q_kg_link_predict(sf_dir: str):
         # common-neighbor link prediction: candidate non-edges scored by
         # shared-neighbor counts; per-center degree cap (64) bounds the
@@ -4126,6 +4137,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred_a, pred_b, n_inv, n_a,
                    CAST((n_inv * 10000) // n_a AS BIGINT) AS frac_scaled
             FROM inv JOIN tot USING (pred_a)
+        """,
+        "embedding_quantize": """
+            WITH u AS (
+                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                       generate_subscripts(embedding, 1) AS d
+                FROM embeddings
+            ), mm AS (
+                SELECT d, min(x) AS mn, max(x) AS mx FROM u GROUP BY d
+            ), qq AS (
+                SELECT u.vec_id,
+                       CASE WHEN mm.mx = mm.mn THEN 0
+                            ELSE least(255, CAST(floor(
+                                ((u.x - mm.mn) * 255.0) / (mm.mx - mm.mn))
+                                AS BIGINT))
+                       END AS c
+                FROM u JOIN mm USING (d)
+            )
+            SELECT vec_id, CAST(sum(c) AS BIGINT) AS code_sum,
+                   min(c) AS code_min, max(c) AS code_max
+            FROM qq GROUP BY vec_id
         """,
         "kg_alias_type_conflicts": """
             WITH map AS (

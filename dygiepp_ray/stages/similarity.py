@@ -408,3 +408,50 @@ def knn_recall_lsh(embeddings: "ray.data.Dataset", queries: "np.ndarray",
 
     return cands.groupby("query_id").map_groups(combine,
                                                 batch_format="pandas")
+
+
+def scalar_quantize_stats(embeddings: "ray.data.Dataset", levels: int = 256,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> "ray.data.Dataset":
+    """(vec_id, code_sum, code_min, code_max) — per-vector summary of int8-
+    style scalar quantization: every dimension is affinely mapped onto
+    [0, levels) over its GLOBAL [min, max] envelope (the standard SQ8
+    compression step in ANN index builds, e.g. Faiss ScalarQuantizer;
+    degenerate dimensions map to code 0), and the per-vector code sum /
+    min / max are reported in exact integer arithmetic so the SQL oracle
+    mirrors the float64 binning expression bit for bit.
+
+    Scale shape: pass 1 reduces each block to ONE (min[dim], max[dim])
+    partial row — the driver combines num_blocks tiny rows into the
+    2 × dim envelope and broadcasts it into the quantizing closure (never
+    the vectors); pass 2 is a single vectorized map. Two streaming passes
+    over the pruned (id, vector) read, no materialization."""
+
+    def envelope_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _batch_matrix(batch, vec_col)
+        return pd.DataFrame({"mn": [m.min(axis=0).tolist()],
+                             "mx": [m.max(axis=0).tolist()]})
+
+    parts = embeddings.select_columns([vec_col]).map_batches(
+        envelope_partial, batch_format="pandas").take_all()
+    mn = np.min(np.array([p["mn"] for p in parts], dtype=np.float64), axis=0)
+    mx = np.max(np.array([p["mx"] for p in parts], dtype=np.float64), axis=0)
+    span = mx - mn
+    ok = span > 0.0
+
+    def quantize(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _batch_matrix(batch, vec_col)
+        codes = np.zeros(m.shape, dtype=np.int64)
+        if ok.any():
+            scaled = ((m[:, ok] - mn[ok]) * float(levels - 1)) / span[ok]
+            codes[:, ok] = np.minimum(levels - 1,
+                                      np.floor(scaled).astype(np.int64))
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "code_sum": codes.sum(axis=1),
+            "code_min": codes.min(axis=1),
+            "code_max": codes.max(axis=1),
+        })
+
+    return embeddings.select_columns([id_col, vec_col]).map_batches(
+        quantize, batch_format="pandas")

@@ -157,3 +157,39 @@ def test_knn_recall_lsh_partitioning_invariant():
             vecs[[2, 7]], [2, 7], k=5).to_pandas()
         outs.append(dict(zip(got["query_id"], got["recall"])))
     assert outs[0] == outs[1]
+
+
+def test_scalar_quantize_stats_golden_and_invariance():
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.stages.similarity import scalar_quantize_stats
+
+    vecs = [[0.0, 1.0, 5.0], [1.0, 1.0, 7.0], [0.5, 1.0, 6.0]]
+    df = pd.DataFrame({"vec_id": [10, 11, 12], "embedding": vecs})
+
+    # brute-force oracle (dim 1 is degenerate -> code 0)
+    arr = np.array(vecs, dtype=np.float64)
+    mn, mx = arr.min(axis=0), arr.max(axis=0)
+    want = {}
+    for vid, row in zip(df["vec_id"], arr):
+        codes = []
+        for d in range(3):
+            if mx[d] == mn[d]:
+                codes.append(0)
+            else:
+                codes.append(min(255, int(math.floor(
+                    ((row[d] - mn[d]) * 255.0) / (mx[d] - mn[d])))))
+        want[vid] = (sum(codes), min(codes), max(codes))
+    assert want[10] == (0, 0, 0)
+    assert want[11] == (510, 0, 255)
+    for nparts in (1, 3):
+        got = scalar_quantize_stats(
+            ray.data.from_pandas(df).repartition(nparts)).to_pandas()
+        got_d = {int(v): (int(s), int(a), int(b)) for v, s, a, b in
+                 zip(got["vec_id"], got["code_sum"], got["code_min"],
+                     got["code_max"])}
+        assert got_d == want
