@@ -2374,6 +2374,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["embedding_quantize"] = q_embedding_quantize
 
+    def q_label_centroids(sf_dir: str):
+        # per-class embedding prototypes in exact fixed-point arithmetic:
+        # per-block (label, dim) int64 partial sums, ONE partial+final
+        # aggregate; truncating integer mean mirrored by DuckDB's //
+        from dygiepp_ray.stages.cluster import label_centroids
+
+        return label_centroids(
+            _read(sf_dir, "embeddings", ["embedding", "label"]))
+
+    q["label_centroids"] = q_label_centroids
+
     def q_kg_link_predict(sf_dir: str):
         # common-neighbor link prediction: candidate non-edges scored by
         # shared-neighbor counts; per-center degree cap (64) bounds the
@@ -4137,6 +4148,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred_a, pred_b, n_inv, n_a,
                    CAST((n_inv * 10000) // n_a AS BIGINT) AS frac_scaled
             FROM inv JOIN tot USING (pred_a)
+        """,
+        "label_centroids": """
+            WITH u AS (
+                SELECT label,
+                       CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                            AS BIGINT) AS x,
+                       generate_subscripts(embedding, 1) AS d
+                FROM embeddings
+            )
+            SELECT label, CAST(d AS BIGINT) AS d,
+                   count(*) AS n_vecs,
+                   CAST(sum(x) AS BIGINT) // count(*) AS centroid_scaled
+            FROM u GROUP BY label, d
         """,
         "embedding_quantize": """
             WITH u AS (

@@ -317,3 +317,59 @@ def knn_pq(embeddings: "ray.data.Dataset", codebooks: np.ndarray,
     scored = embeddings.select_columns([id_col, vec_col]).map_batches(
         score_block, batch_format="pandas")
     return scored.sort(["adc", id_col]).limit(k)
+
+
+def label_centroids(embeddings: "ray.data.Dataset", scale: int = 1_000_000,
+                    label_col: str = "label",
+                    vec_col: str = "embedding") -> "ray.data.Dataset":
+    """(label, d, n_vecs, centroid_scaled) — per-class embedding prototypes
+    (nearest-class-mean / SemDeDup-style class statistics): each dimension
+    of every vector is fixed-pointed to `scale` units (float64 cast →
+    round-to-nearest int64, exact for |x| ≲ 9e12/scale) and the per-label
+    per-dimension mean is the floor-divided exact integer sum — bitwise
+    partitioning-invariant, unlike a float mean whose partial order drifts.
+
+    Scale shape: one vectorized pass computes per-(label) per-dimension
+    int64 partial sums INSIDE each block (a (labels × dim)-row partial per
+    block, never the vectors), one partial+final aggregation on (label, d)
+    finishes. Label cardinality × dim is the only shuffled row count."""
+    from ..aggregates import partial_final_agg
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _matrix(batch, vec_col)
+        fixed = np.rint(m * float(scale)).astype(np.int64)
+        labels = batch[label_col].to_numpy()
+        dim = m.shape[1]
+        frames = []
+        for lab in np.unique(labels):
+            rows = fixed[labels == lab]
+            frames.append(pd.DataFrame({
+                "label": np.full(dim, lab),
+                "d": np.arange(1, dim + 1, dtype=np.int64),
+                "s_part": rows.sum(axis=0),
+                "n_part": np.full(dim, rows.shape[0], dtype=np.int64),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    agg = partial_final_agg(
+        embeddings.select_columns([label_col, vec_col]).map_batches(
+            partials, batch_format="pandas"),
+        ["label", "d"], [("s_sum", "s_part", "sum"),
+                         ("n_vecs", "n_part", "sum")])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["s_sum"].to_numpy("int64")
+        n = df["n_vecs"].to_numpy("int64")
+        # DuckDB integer // truncates toward zero (checked: -7//2 = -3);
+        # mirror with exact int64 sign * (|s| // n) — no float division,
+        # which would lose exactness past 2^53
+        cent = np.sign(s) * (np.abs(s) // n)
+        out = pd.DataFrame({
+            "label": df["label"].to_numpy(),
+            "d": df["d"].to_numpy("int64"),
+            "n_vecs": n,
+            "centroid_scaled": cent,
+        })
+        return out
+
+    return agg.map_batches(finish, batch_format="pandas")

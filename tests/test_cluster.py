@@ -127,3 +127,38 @@ def test_pq_adc_approximates_exact_l2():
                   k=10).to_pandas()
     assert got["vec_id"].tolist() == got2["vec_id"].tolist()
     assert got["adc"].tolist() == got2["adc"].tolist()
+
+
+def test_label_centroids_golden_and_invariance():
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.stages.cluster import label_centroids
+
+    df = pd.DataFrame({
+        "vec_id": [0, 1, 2, 3],
+        "embedding": [[1.0, -0.5], [0.0, -0.5], [2.0, 2.0], [-3.0, 0.25]],
+        "label": [7, 7, 9, 9],
+    })
+    # fixed-point oracle (scale 1e6, truncating division)
+    want = {}
+    for lab in (7, 9):
+        rows = np.rint(np.array(
+            [v for v, l in zip(df["embedding"], df["label"]) if l == lab],
+            dtype=np.float64) * 1e6).astype(np.int64)
+        s = rows.sum(axis=0)
+        n = rows.shape[0]
+        cent = np.sign(s) * (np.abs(s) // n)
+        for d in range(2):
+            want[(lab, d + 1)] = (n, int(cent[d]))
+    assert want[(7, 1)] == (2, 500_000)
+    assert want[(7, 2)] == (2, -500_000)
+    assert want[(9, 2)] == (2, 1_125_000)
+    for nparts in (1, 3):
+        got = label_centroids(
+            ray.data.from_pandas(df).repartition(nparts)).to_pandas()
+        got_d = {(int(l), int(d)): (int(n), int(c)) for l, d, n, c in
+                 zip(got["label"], got["d"], got["n_vecs"],
+                     got["centroid_scaled"])}
+        assert got_d == want
