@@ -2385,6 +2385,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["label_centroids"] = q_label_centroids
 
+    def q_kg_redundant_edges(sf_dir: str):
+        # transitive-reduction candidates: edges implied by a same-pred
+        # 2-hop path through a third entity; per-(pred, mid) degree cap
+        # (64) is part of the contract (identical filter in the oracle)
+        _ensure_triples_oracle(sf_dir)
+        return kgp.redundant_edges(_synth_triples(sf_dir),
+                                   max_mid_degree=64, salt_buckets=4)
+
+    q["kg_redundant_edges"] = q_kg_redundant_edges
+
     def q_kg_link_predict(sf_dir: str):
         # common-neighbor link prediction: candidate non-edges scored by
         # shared-neighbor counts; per-center degree cap (64) bounds the
@@ -4148,6 +4158,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred_a, pred_b, n_inv, n_a,
                    CAST((n_inv * 10000) // n_a AS BIGINT) AS frac_scaled
             FROM inv JOIN tot USING (pred_a)
+        """,
+        "kg_redundant_edges": """
+            WITH e AS (
+                SELECT DISTINCT subj_norm AS s, pred AS p, obj_norm AS o
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            ), nl AS (
+                SELECT * FROM e WHERE s <> o
+            ), ind AS (
+                SELECT p, o AS mid, count(*) AS ind FROM nl GROUP BY 1, 2
+            ), outd AS (
+                SELECT p, s AS mid, count(*) AS outd FROM nl GROUP BY 1, 2
+            ), ok AS (
+                SELECT i.p, i.mid FROM ind i
+                JOIN outd d ON i.p = d.p AND i.mid = d.mid
+                WHERE i.ind <= 64 AND d.outd <= 64
+            ), paths AS (
+                SELECT DISTINCT a.p, a.s AS x, b.o AS z
+                FROM nl a
+                JOIN ok ON a.p = ok.p AND a.o = ok.mid
+                JOIN nl b ON b.p = a.p AND b.s = a.o
+            )
+            SELECT e.s AS subj_norm, e.p AS pred, e.o AS obj_norm
+            FROM e JOIN paths ON e.p = paths.p AND e.s = paths.x
+                               AND e.o = paths.z
         """,
         "label_centroids": """
             WITH u AS (

@@ -1605,3 +1605,133 @@ def domain_range_signatures(triples: "ray.data.Dataset",
                                  "obj_type": s_t, "n_edges": i_t},
                      right_types={"pred": s_t, "n_pred": i_t},
                      bucket_post=attach_frac)
+
+
+def redundant_edges(triples: "ray.data.Dataset", max_mid_degree: int = 64,
+                    salt_buckets: int = 1,
+                    n_buckets: int = 32) -> "ray.data.Dataset":
+    """(subj_norm, pred, obj_norm) — transitive-redundancy QA over the
+    DISTINCT edge set: edges (x, p, z) for which a same-predicate 2-hop
+    path x -p-> y -p-> z exists through a third entity (path legs must be
+    non-loop edges, so y != x and y != z). For a transitively-closed
+    predicate these are the transitive-reduction candidates a KB curator
+    reviews before materializing (the closure companion of
+    `transitive_closure` in pipelines/evaluate.py; consumers walk the same
+    graph built at scripts/data/shared/make_kb.py:97-103).
+
+    Scale shape: the same mid-degree admission cap as `rule_mining`, but
+    per (pred, mid) — a hub entity only blocks paths of the predicates it
+    is actually hot in; the cap is part of the operator contract (the SQL
+    oracle filters identically). ONE bucketed self-join on the (pred, mid)
+    key emits per-bucket-deduped path rows, a salted grouped count
+    finishes the global dedup, and redundancy is ONE more bucketed
+    semi-join of the edge table against the path table."""
+    import pandas as pd
+
+    from ..aggregates import strip_schema_metadata
+    from ..joins import hash_join
+
+    s_t, i_t = pa.string(), pa.int64()
+    SEP = "\x1f"
+
+    edges = grouped_count(
+        triples.select_columns(["subj_norm", "pred", "obj_norm"]),
+        ["subj_norm", "pred", "obj_norm"], out_name="_c",
+        salt_buckets=salt_buckets,
+    ).select_columns(["subj_norm", "pred", "obj_norm"]).materialize()
+
+    def legs(t: pa.Table) -> pa.Table:
+        # non-loop edges only — a self-loop leg would make every incident
+        # edge trivially "redundant"
+        t = strip_schema_metadata(t)
+        keep = pc.invert(pc.equal(t.column("subj_norm"),
+                                  t.column("obj_norm")))
+        return t.filter(keep)
+
+    nl = edges.map_batches(legs, batch_format="pyarrow")
+
+    def pm_key(sub: str, mid: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = strip_schema_metadata(t)
+            key = pc.binary_join_element_wise(
+                t.column("pred").cast(pa.string()),
+                t.column(mid).cast(pa.string()), SEP)
+            return pa.table({"pmkey": key, "pred": t.column("pred"),
+                             "other": t.column(sub)})
+        return fn
+
+    in_deg = grouped_count(
+        nl.map_batches(pm_key("subj_norm", "obj_norm"),
+                       batch_format="pyarrow").select_columns(["pmkey"]),
+        ["pmkey"], out_name="ind")
+    out_deg = grouped_count(
+        nl.map_batches(pm_key("obj_norm", "subj_norm"),
+                       batch_format="pyarrow").select_columns(["pmkey"]),
+        ["pmkey"], out_name="outd")
+
+    def keep_small(m: "pd.DataFrame") -> "pd.DataFrame":
+        ok = ((m["ind"].to_numpy("int64") <= max_mid_degree)
+              & (m["outd"].to_numpy("int64") <= max_mid_degree))
+        return m.loc[ok, ["pmkey"]]
+
+    mid_ok = hash_join(in_deg, out_deg, on="pmkey", n_buckets=n_buckets,
+                       left_types={"pmkey": s_t, "ind": i_t},
+                       right_types={"pmkey": s_t, "outd": i_t},
+                       bucket_post=keep_small)
+
+    into = hash_join(
+        nl.map_batches(pm_key("subj_norm", "obj_norm"),
+                       batch_format="pyarrow"),
+        mid_ok, on="pmkey", n_buckets=n_buckets,
+        left_types={"pmkey": s_t, "pred": s_t, "other": s_t},
+        right_types={"pmkey": s_t},
+        bucket_post=lambda m: m.rename(columns={"other": "x"})[
+            ["pmkey", "pred", "x"]])
+    outof = hash_join(
+        nl.map_batches(pm_key("obj_norm", "subj_norm"),
+                       batch_format="pyarrow"),
+        mid_ok, on="pmkey", n_buckets=n_buckets,
+        left_types={"pmkey": s_t, "pred": s_t, "other": s_t},
+        right_types={"pmkey": s_t},
+        bucket_post=lambda m: m.rename(columns={"other": "z"})[["pmkey", "z"]])
+
+    def path_dedup(m: "pd.DataFrame") -> "pd.DataFrame":
+        return m.drop_duplicates(["pred", "x", "z"])[["pred", "x", "z"]]
+
+    paths = grouped_count(
+        hash_join(into, outof, on="pmkey", n_buckets=n_buckets,
+                  left_types={"pmkey": s_t, "pred": s_t, "x": s_t},
+                  right_types={"pmkey": s_t, "z": s_t},
+                  bucket_post=path_dedup),
+        ["pred", "x", "z"], out_name="_c", salt_buckets=salt_buckets,
+    ).select_columns(["pred", "x", "z"])
+
+    def edge_key(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        key = pc.binary_join_element_wise(
+            t.column("pred").cast(pa.string()),
+            t.column("subj_norm").cast(pa.string()),
+            t.column("obj_norm").cast(pa.string()), SEP)
+        return pa.table({"ekey": key, "subj_norm": t.column("subj_norm"),
+                         "pred": t.column("pred"),
+                         "obj_norm": t.column("obj_norm")})
+
+    def path_edge_key(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        key = pc.binary_join_element_wise(
+            t.column("pred").cast(pa.string()),
+            t.column("x").cast(pa.string()),
+            t.column("z").cast(pa.string()), SEP)
+        return pa.table({"ekey": key})
+
+    def semi_post(m: "pd.DataFrame") -> "pd.DataFrame":
+        return m[["subj_norm", "pred", "obj_norm"]]
+
+    return hash_join(
+        edges.map_batches(edge_key, batch_format="pyarrow"),
+        paths.map_batches(path_edge_key, batch_format="pyarrow"),
+        on="ekey", n_buckets=n_buckets,
+        left_types={"ekey": s_t, "subj_norm": s_t, "pred": s_t,
+                    "obj_norm": s_t},
+        right_types={"ekey": s_t},
+        bucket_post=semi_post)

@@ -833,3 +833,61 @@ def test_domain_range_signatures_random_matches_bruteforce():
              zip(got["pred"], got["subj_type"], got["obj_type"],
                  got["n_edges"], got["n_pred"], got["frac_scaled"])}
     assert got_d == want
+
+
+def _redundant_oracle(tri_rows, cap=64):
+    edges = set(tri_rows)
+    nl = {(s, p, o) for s, p, o in edges if s != o}
+    ind: dict[tuple, int] = {}
+    outd: dict[tuple, int] = {}
+    for s, p, o in nl:
+        ind[(p, o)] = ind.get((p, o), 0) + 1
+        outd[(p, s)] = outd.get((p, s), 0) + 1
+    ok = {k for k in ind
+          if k in outd and ind[k] <= cap and outd[k] <= cap}
+    paths = {(p, x, z)
+             for x, p, y in nl if (p, y) in ok
+             for y2, p2, z in nl if p2 == p and y2 == y}
+    return {(s, p, o) for s, p, o in edges if (p, s, o) in paths}
+
+
+def test_redundant_edges_golden_and_invariance():
+    from dygiepp_ray.pipelines.kg import redundant_edges
+
+    # chain a-P->b-P->c plus shortcut a-P->c => shortcut is redundant;
+    # cycle x-P->y-P->x => both edges redundant? (x,P,x) not an edge, so
+    # no; Q edge not redundant; self-loop leg (s,P,s) never counts
+    rows = [("a", "P", "b"), ("b", "P", "c"), ("a", "P", "c"),
+            ("x", "Q", "y"), ("s", "P", "s"), ("s", "P", "t"),
+            ("a", "P", "b")]  # duplicate collapses
+    want = _redundant_oracle(set(rows))
+    assert want == {("a", "P", "c")}
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(pd.DataFrame(
+            rows, columns=["subj_norm", "pred", "obj_norm"])
+        ).repartition(nparts)
+        got = redundant_edges(ds, salt_buckets=2, n_buckets=4).to_pandas()
+        got_s = {(s, p, o) for s, p, o in
+                 zip(got["subj_norm"], got["pred"], got["obj_norm"])}
+        assert got_s == want
+
+
+def test_redundant_edges_random_matches_bruteforce_with_cap():
+    import numpy as np
+
+    from dygiepp_ray.pipelines.kg import redundant_edges
+
+    rng = np.random.RandomState(17)
+    names = [f"n{i}" for i in range(25)]
+    preds = ["P", "Q"]
+    rows = [(names[rng.randint(25)], preds[rng.randint(2)],
+             names[rng.randint(25)]) for _ in range(160)]
+    want = _redundant_oracle(set(rows), cap=4)
+    assert want  # non-degenerate
+    ds = ray.data.from_pandas(pd.DataFrame(
+        rows, columns=["subj_norm", "pred", "obj_norm"])).repartition(3)
+    got = redundant_edges(ds, max_mid_degree=4, salt_buckets=2,
+                          n_buckets=4).to_pandas()
+    got_s = {(s, p, o) for s, p, o in
+             zip(got["subj_norm"], got["pred"], got["obj_norm"])}
+    assert got_s == want
