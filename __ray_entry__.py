@@ -2395,6 +2395,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_redundant_edges"] = q_kg_redundant_edges
 
+    def q_kg_taxonomy_depth(sf_dir: str):
+        # taxonomy layering QA over the HYPONYM-OF subgraph: depth = min
+        # hops walking parent -> child from the 3 hub parents with the
+        # most DISTINCT children (deterministic (count DESC, name)
+        # tie-break; strict no-parent roots don't exist in cyclic
+        # extractions, so hub roots keep the contract non-degenerate),
+        # bounded at 4 rounds — both knobs mirrored in the recursive oracle
+        from dygiepp_ray.aggregates import strip_schema_metadata
+        from dygiepp_ray.stages.graph import bfs_distances
+
+        _ensure_triples_oracle(sf_dir)
+        tri = _synth_triples(sf_dir).map_batches(
+            lambda t: t.filter(pc.equal(t.column("pred"), "HYPONYM-OF")),
+            batch_format="pyarrow")
+        hyp = grouped_count(
+            tri.select_columns(["subj_norm", "obj_norm"]),
+            ["subj_norm", "obj_norm"], out_name="_w"
+        ).select_columns(["subj_norm", "obj_norm"]).materialize()
+        fanout = grouped_count(
+            hyp.select_columns(["obj_norm"]).map_batches(
+                lambda t: strip_schema_metadata(t).rename_columns(["node"]),
+                batch_format="pyarrow"),
+            ["node"], out_name="n_children")
+        seeds = (fanout.sort(["n_children", "node"],
+                             descending=[True, False])
+                 .limit(3).select_columns(["node"]).materialize())
+        return bfs_distances(hyp, seeds, src="obj_norm",
+                             dst="subj_norm", max_rounds=4,
+                             undirected=False, node_type=pa.string())
+
+    q["kg_taxonomy_depth"] = q_kg_taxonomy_depth
+
     def q_kg_link_predict(sf_dir: str):
         # common-neighbor link prediction: candidate non-edges scored by
         # shared-neighbor counts; per-center degree cap (64) bounds the
@@ -4158,6 +4190,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred_a, pred_b, n_inv, n_a,
                    CAST((n_inv * 10000) // n_a AS BIGINT) AS frac_scaled
             FROM inv JOIN tot USING (pred_a)
+        """,
+        "kg_taxonomy_depth": """
+            WITH RECURSIVE h AS (
+                SELECT DISTINCT subj_norm AS child, obj_norm AS parent
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+                WHERE pred = 'HYPONYM-OF'
+            ), fanout AS (
+                SELECT parent AS node, count(*) AS n_children
+                FROM h GROUP BY parent
+            ), roots AS (
+                SELECT node FROM fanout
+                ORDER BY n_children DESC, node LIMIT 3
+            ), walk(node, dist) AS (
+                SELECT node, 0 FROM roots
+                UNION
+                SELECT h.child, w.dist + 1
+                FROM walk w JOIN h ON h.parent = w.node
+                WHERE w.dist < 4
+            )
+            SELECT node, min(dist) AS dist FROM walk GROUP BY node
         """,
         "kg_redundant_edges": """
             WITH e AS (
