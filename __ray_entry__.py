@@ -2427,6 +2427,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_taxonomy_depth"] = q_kg_taxonomy_depth
 
+    def q_doc_novelty(sf_dir: str):
+        # per-document corpus novelty (Lee et al. span-dedup profile as a
+        # score): distinct k-token windows vs globally-first-won windows,
+        # exact integer share; winner rule shared with dedup_spans
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.dedup import doc_novelty
+
+        _write_oracle(sf_dir, "doc_novelty",
+                      lambda: _o.expected_doc_novelty(sf_dir, k=10))
+        return doc_novelty(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           k=10)
+
+    q["doc_novelty"] = q_doc_novelty
+
     def q_kg_link_predict(sf_dir: str):
         # common-neighbor link prediction: candidate non-edges scored by
         # shared-neighbor counts; per-center degree cap (64) bounds the
@@ -4190,6 +4204,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred_a, pred_b, n_inv, n_a,
                    CAST((n_inv * 10000) // n_a AS BIGINT) AS frac_scaled
             FROM inv JOIN tot USING (pred_a)
+        """,
+        "doc_novelty": """
+            SELECT * FROM read_parquet(
+                '/tmp/dygiepp_ray_oracle/doc_novelty.parquet')
         """,
         "kg_taxonomy_depth": """
             WITH RECURSIVE h AS (

@@ -2496,3 +2496,40 @@ def expected_remove_dup_spans(sf_dir: str, k: int = 10) -> pa.Table:
     return pa.table({"doc_id": pa.array(out_id, pa.int64()),
                      "text": pa.array(out_text, pa.string()),
                      "n_removed": pa.array(out_n, pa.int64())})
+
+
+def expected_doc_novelty(sf_dir: str, k: int = 10,
+                         scale: int = 10_000) -> pa.Table:
+    """Scalar re-walk of `stages/dedup.py:doc_novelty`: per-hash global
+    winner = min packed (doc_id, pos); per-doc distinct window hashes and
+    won hashes counted with plain dicts, same hash family."""
+    from .stages.dedup import _POS_CAP, _token_hash_array, _window_hashes
+
+    ids, texts = _read_docs(sf_dir)
+    first: dict[int, int] = {}
+    seen: dict[int, set] = {}
+    for did, text in zip(ids, texts):
+        toks = text.split()
+        v = (_window_hashes(_token_hash_array(toks), k)
+             >> np.uint64(2)).astype(np.int64)
+        if len(v) == 0:
+            continue
+        seen[did] = set(v.tolist())
+        for pos, wh in enumerate(v.tolist()):
+            packed = did * _POS_CAP + pos
+            if wh not in first or packed < first[wh]:
+                first[wh] = packed
+    won: dict[int, int] = {}
+    for wh, packed in first.items():
+        did = packed // _POS_CAP
+        won[did] = won.get(did, 0) + 1
+    rows = sorted(seen)
+    n_w = [len(seen[d]) for d in rows]
+    n_n = [won.get(d, 0) for d in rows]
+    return pa.table({
+        "doc_id": pa.array(rows, pa.int64()),
+        "n_windows": pa.array(n_w, pa.int64()),
+        "n_novel": pa.array(n_n, pa.int64()),
+        "novelty_scaled": pa.array(
+            [n * scale // w for n, w in zip(n_n, n_w)], pa.int64()),
+    })

@@ -860,3 +860,92 @@ def remove_dup_spans(docs: "ray.data.Dataset", k: int = 10,
         left_types={id_col: i64, text_col: s_t},
         right_types={id_col: i64, "pos": i64},
         bucket_post=rebuild)
+
+
+def doc_novelty(docs: "ray.data.Dataset", k: int = 10, scale: int = 10_000,
+                id_col: str = "doc_id", text_col: str = "text",
+                n_buckets: int = 32) -> "ray.data.Dataset":
+    """(doc_id, n_windows, n_novel, novelty_scaled) — per-document novelty
+    against the whole corpus (the memorization/duplication profile of Lee
+    et al. 2022, aggregated per document instead of rewriting text):
+    `n_windows` counts a doc's DISTINCT k-token window hashes, `n_novel`
+    how many of those the doc is the globally-FIRST occurrence of (minimum
+    packed (doc_id, pos) — the same deterministic keeper rule as
+    `remove_dup_spans`), and `novelty_scaled` the exact integer share
+    n_novel * scale // n_windows. Boilerplate-heavy documents score near 0.
+    Docs shorter than k tokens have no windows and are absent by contract.
+
+    Scale shape: the window pass emits (hash, doc, packed) rows once; the
+    global winner per hash is a partial+final MIN (per-block partials ship
+    one row per (hash, block)); per-doc novel counts and per-doc distinct
+    window totals are two more salted shrinking aggregations; one small
+    bucketed left join attaches them. No driver-side state."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..aggregates import grouped_count, partial_final_agg, strip_schema_metadata
+    from ..joins import hash_join
+
+    i64 = pa.int64()
+
+    def windows_of(df: pd.DataFrame) -> pd.DataFrame:
+        whs, dids, poss = [], [], []
+        for did, text in zip(df[id_col], df[text_col]):
+            toks = text.split()
+            v = _window_hashes(_token_hash_array(toks), k)
+            if len(v) == 0:
+                continue
+            if len(v) >= _POS_CAP:
+                raise ValueError(
+                    f"doc {did}: {len(v)} windows >= _POS_CAP; "
+                    "split docs (stages/prep.py) before novelty profiling")
+            whs.append((v >> np.uint64(2)).astype(np.int64))
+            dids.append(np.full(len(v), did, dtype=np.int64))
+            poss.append(np.arange(len(v), dtype=np.int64))
+        if not whs:
+            return pd.DataFrame({"wh": pd.Series(dtype="int64"),
+                                 id_col: pd.Series(dtype="int64"),
+                                 "packed": pd.Series(dtype="int64")})
+        wh = np.concatenate(whs)
+        did = np.concatenate(dids)
+        pos = np.concatenate(poss)
+        return pd.DataFrame({"wh": wh, id_col: did,
+                             "packed": did * _POS_CAP + pos})
+
+    windows = docs.select_columns([id_col, text_col]).map_batches(
+        windows_of, batch_format="pandas").materialize()
+
+    winners = partial_final_agg(
+        windows.select_columns(["wh", "packed"]), ["wh"],
+        [("keeper", "packed", "min")])
+
+    def winner_doc(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        doc = pc.divide(t.column("keeper"), _POS_CAP)
+        return pa.table({id_col: doc.cast(pa.int64())})
+
+    novel = grouped_count(
+        winners.map_batches(winner_doc, batch_format="pyarrow"),
+        [id_col], out_name="n_novel", salt_buckets=4)
+
+    totals = grouped_count(
+        grouped_count(windows.select_columns([id_col, "wh"]),
+                      [id_col, "wh"], out_name="_c", salt_buckets=4
+                      ).select_columns([id_col]),
+        [id_col], out_name="n_windows", salt_buckets=4)
+
+    def attach(m: pd.DataFrame) -> pd.DataFrame:
+        n_w = m["n_windows"].to_numpy("int64")
+        n_n = m["n_novel"].fillna(0).to_numpy("int64")
+        return pd.DataFrame({
+            id_col: m[id_col].to_numpy("int64"),
+            "n_windows": n_w,
+            "n_novel": n_n,
+            "novelty_scaled": (n_n * scale) // n_w,
+        })
+
+    return hash_join(totals, novel, on=id_col, how="left",
+                     n_buckets=n_buckets,
+                     left_types={id_col: i64, "n_windows": i64},
+                     right_types={id_col: i64, "n_novel": i64},
+                     bucket_post=attach)

@@ -356,3 +356,31 @@ def test_remove_dup_spans_within_doc_and_overlap():
             "doc_id": [7], "text": [doc]})), k=10).to_pandas()
     assert got.loc[0, "text"] == f"{span} mid tail"
     assert got.loc[0, "n_removed"] == 10
+
+
+def test_doc_novelty_golden_and_invariance():
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.stages.dedup import doc_novelty
+
+    span = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            span + " aa bb",             # doc1: 3 windows, all first
+            "xx " + span,                # doc2: 2 windows; the span window
+                                          # is doc1's -> 1 novel
+            "yy zz",                     # doc3: < k tokens -> absent
+            "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11",  # doc4: 2 novel windows
+        ],
+    })
+    for nparts in (1, 3):
+        got = doc_novelty(ray.data.from_pandas(docs).repartition(nparts),
+                          k=10, n_buckets=4).to_pandas()
+        d = {int(r.doc_id): (int(r.n_windows), int(r.n_novel),
+                             int(r.novelty_scaled))
+             for r in got.itertuples()}
+        assert d == {1: (3, 3, 10_000), 2: (2, 1, 5_000),
+                     4: (2, 2, 10_000)}
