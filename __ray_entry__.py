@@ -2441,6 +2441,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["doc_novelty"] = q_doc_novelty
 
+    def q_knn_graph(sf_dir: str):
+        # approximate kNN graph: top-5 cosine neighbors within each
+        # coarse k-means cell (nprobe=1, SemDeDup scope contract); one
+        # assignment pass + one cell shuffle, chunked in-cell GEMM
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.cluster import knn_graph
+
+        _write_oracle(sf_dir, "knn_graph",
+                      lambda: _o.expected_knn_graph(sf_dir, k=5,
+                                                    n_clusters=8, n_iter=4))
+        cents = _fit_centroids(sf_dir, k=8, n_iter=4)
+        return knn_graph(_read(sf_dir, "embeddings",
+                               ["vec_id", "embedding"]), cents, k=5)
+
+    q["knn_graph"] = q_knn_graph
+
     def q_kg_link_predict(sf_dir: str):
         # common-neighbor link prediction: candidate non-edges scored by
         # shared-neighbor counts; per-center degree cap (64) bounds the
@@ -4204,6 +4220,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred_a, pred_b, n_inv, n_a,
                    CAST((n_inv * 10000) // n_a AS BIGINT) AS frac_scaled
             FROM inv JOIN tot USING (pred_a)
+        """,
+        "knn_graph": """
+            SELECT * FROM read_parquet(
+                '/tmp/dygiepp_ray_oracle/knn_graph.parquet')
         """,
         "doc_novelty": """
             SELECT * FROM read_parquet(

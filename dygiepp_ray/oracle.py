@@ -2533,3 +2533,40 @@ def expected_doc_novelty(sf_dir: str, k: int = 10,
         "novelty_scaled": pa.array(
             [n * scale // w for n, w in zip(n_n, n_w)], pa.int64()),
     })
+
+
+def expected_knn_graph(sf_dir: str, k: int = 5, n_clusters: int = 8,
+                       n_iter: int = 4) -> pa.Table:
+    """Scalar re-walk of `stages/cluster.py:knn_graph`: same deterministic
+    Lloyd centroids, nprobe=1 cell scope, per-cell float64 cosine GEMM,
+    (cosine DESC on the 6-dp rounding, nb_id ASC) neighbor order."""
+    from .functions.strings import round_half_up
+
+    ids, mat = _read_embeddings(sf_dir)
+    centroids = _kmeans_single(mat, ids, n_clusters, n_iter)
+    d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=-1)
+    labels = d.argmin(axis=1)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    nm = mat / norms[:, None]
+    out_src, out_nb, out_cos = [], [], []
+    for cell in np.unique(labels):
+        sel = np.where(labels == cell)[0]
+        if len(sel) < 2:
+            continue
+        cell_ids = ids[sel]
+        cm = nm[sel]
+        cos = round_half_up(cm @ cm.T, 6)
+        for r in range(len(sel)):
+            row = cos[r].copy()
+            row[r] = np.inf
+            order = np.lexsort((cell_ids, -row))
+            take = order[row[order] != np.inf][:k]
+            out_src.extend([int(cell_ids[r])] * len(take))
+            out_nb.extend(int(x) for x in cell_ids[take])
+            out_cos.extend(float(x) for x in row[take])
+    return pa.table({
+        "vec_id": pa.array(out_src, pa.int64()),
+        "nb_id": pa.array(out_nb, pa.int64()),
+        "cosine": pa.array(out_cos, pa.float64()),
+    })

@@ -373,3 +373,71 @@ def label_centroids(embeddings: "ray.data.Dataset", scale: int = 1_000_000,
         return out
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def knn_graph(embeddings: "ray.data.Dataset", centroids: np.ndarray,
+              k: int = 5, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> "ray.data.Dataset":
+    """(vec_id, nb_id, cosine) — approximate k-NN graph over the embedding
+    column: every vector's top-`k` cosine neighbors WITHIN its coarse
+    k-means cell (nprobe=1 — the SemDeDup in-cluster contract; cross-cell
+    neighbors are sacrificed by design, exactly like `semantic_dedup`'s
+    pair scope). Neighbor order is (cosine DESC on the 6-dp rounding,
+    nb_id ASC) so the result is deterministic across engines and
+    partitionings; cells smaller than k+1 emit what they have. The
+    building block for kNN-graph clustering / connectivity-based semantic
+    dedup at corpus scale.
+
+    Scale shape: one vectorized assignment pass stamps the cell id
+    (centroids broadcast once via ray.put), ONE shuffle groups each cell
+    into a single task, and the in-cell exact compare is a chunked
+    row-block × cellᵀ matmul (the `embedding_near_dups` memory bound);
+    size the centroid count ~sqrt(n) so cells stay task-sized."""
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def stamp(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        m = _matrix(batch, vec_col)
+        labels, _ = _assign(m, c)
+        return pd.DataFrame({
+            id_col: batch[id_col].values,
+            "cluster": labels.astype(np.int32),
+            vec_col: batch[vec_col].values,
+        })
+
+    stamped = embeddings.select_columns([id_col, vec_col]).map_batches(
+        stamp, batch_format="pandas")
+
+    def per_cell(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        m = _matrix(df, vec_col)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        m = m / norms[:, None]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "nb_id": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        out_src, out_nb, out_cos = [], [], []
+        chunk = max(1, (32 << 20) // max(1, n * 8))
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            cos = round_half_up(m[lo:hi] @ m.T, 6)
+            for r in range(hi - lo):
+                row = cos[r].copy()
+                row[lo + r] = np.inf  # exclude self by POSITION
+                order = np.lexsort((ids, -row))
+                take = order[row[order] != np.inf][:k]
+                out_src.append(np.full(len(take), ids[lo + r],
+                                       dtype=np.int64))
+                out_nb.append(ids[take])
+                out_cos.append(row[take])
+        return pd.DataFrame({
+            id_col: np.concatenate(out_src),
+            "nb_id": np.concatenate(out_nb),
+            "cosine": np.concatenate(out_cos),
+        })
+
+    return stamped.groupby("cluster").map_groups(per_cell,
+                                                 batch_format="pandas")

@@ -162,3 +162,46 @@ def test_label_centroids_golden_and_invariance():
                  zip(got["label"], got["d"], got["n_vecs"],
                      got["centroid_scaled"])}
         assert got_d == want
+
+
+def test_knn_graph_matches_bruteforce_in_cell():
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.functions.strings import round_half_up
+    from dygiepp_ray.stages.cluster import knn_graph
+
+    rng = np.random.RandomState(3)
+    # two well-separated blobs so the cell contract is unambiguous
+    a = rng.randn(12, 4) * 0.1 + np.array([5.0, 0, 0, 0])
+    b = rng.randn(10, 4) * 0.1 + np.array([0, 5.0, 0, 0])
+    mat = np.concatenate([a, b])
+    ids = np.arange(len(mat))
+    centroids = np.array([[5.0, 0, 0, 0], [0, 5.0, 0, 0]])
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(map(list, mat))})
+
+    # brute-force in-cell oracle
+    labels = np.array([0] * 12 + [1] * 10)
+    nm = mat / np.linalg.norm(mat, axis=1)[:, None]
+    want = set()
+    for cell in (0, 1):
+        sel = np.where(labels == cell)[0]
+        cm = nm[sel]
+        cos = round_half_up(cm @ cm.T, 6)
+        for r in range(len(sel)):
+            row = cos[r].copy()
+            row[r] = np.inf
+            order = np.lexsort((ids[sel], -row))
+            take = [o for o in order if row[o] != np.inf][:3]
+            for t in take:
+                want.add((int(ids[sel][r]), int(ids[sel][t]),
+                          float(row[t])))
+    for nparts in (1, 3):
+        got = knn_graph(ray.data.from_pandas(df).repartition(nparts),
+                        centroids, k=3).to_pandas()
+        got_s = {(int(s), int(n), float(c)) for s, n, c in
+                 zip(got["vec_id"], got["nb_id"], got["cosine"])}
+        assert got_s == want
+        # every vector has exactly k neighbors (cells are large enough)
+        assert got["vec_id"].value_counts().eq(3).all()
