@@ -2457,6 +2457,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["knn_graph"] = q_knn_graph
 
+    def q_kg_functional_repair(sf_dir: str):
+        # functional-slot conflict RESOLUTION: per (subj, pred) keep the
+        # object with the most raw assertions (support DESC, obj ASC tie);
+        # one salted support count + one coarse-bucket argmax reduce
+        _ensure_triples_oracle(sf_dir)
+        return kgp.functional_repair(_synth_triples(sf_dir), salt_buckets=4)
+
+    q["kg_functional_repair"] = q_kg_functional_repair
+
     def q_kg_link_predict(sf_dir: str):
         # common-neighbor link prediction: candidate non-edges scored by
         # shared-neighbor counts; per-center degree cap (64) bounds the
@@ -4220,6 +4229,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred_a, pred_b, n_inv, n_a,
                    CAST((n_inv * 10000) // n_a AS BIGINT) AS frac_scaled
             FROM inv JOIN tot USING (pred_a)
+        """,
+        "kg_functional_repair": """
+            WITH s AS (
+                SELECT subj_norm, pred, obj_norm, count(*) AS support
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+                GROUP BY 1, 2, 3
+            ), r AS (
+                SELECT subj_norm, pred, obj_norm, support,
+                       count(*) OVER (PARTITION BY subj_norm, pred)
+                           AS n_objs,
+                       row_number() OVER (
+                           PARTITION BY subj_norm, pred
+                           ORDER BY support DESC, obj_norm) AS rk
+                FROM s
+            )
+            SELECT subj_norm, pred, obj_norm, support,
+                   CAST(n_objs AS BIGINT) AS n_objs
+            FROM r WHERE rk = 1
         """,
         "knn_graph": """
             SELECT * FROM read_parquet(

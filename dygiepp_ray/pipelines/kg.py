@@ -1735,3 +1735,50 @@ def redundant_edges(triples: "ray.data.Dataset", max_mid_degree: int = 64,
                     "obj_norm": s_t},
         right_types={"ekey": s_t},
         bucket_post=semi_post)
+
+
+def functional_repair(triples: "ray.data.Dataset",
+                      salt_buckets: int = 1,
+                      n_buckets: int = 16) -> "ray.data.Dataset":
+    """(subj_norm, pred, obj_norm, support, n_objs) — conflict RESOLUTION
+    for functional slots: for every (subject, predicate), keep the single
+    winning object by (support DESC, obj_norm ASC), where support counts
+    the raw assertions behind each object. The repair companion of
+    `functional_conflicts` (the KB build's make_kb.py:90-95 one-value-per-
+    slot assumption, enforced by majority vote instead of just reported);
+    `n_objs` carries how contested the slot was.
+
+    Shape: one salted grouped count over the raw triple table (support per
+    (subj, pred, obj)), one shrinking per-(subj, pred) count attached via
+    the same coarse-bucket reduce that picks the argmax row — the
+    `argmax_per_key` pattern with the contest size computed in-bucket."""
+    import numpy as np
+    import pandas as pd
+
+    support = grouped_count(
+        triples.select_columns(["subj_norm", "pred", "obj_norm"]),
+        ["subj_norm", "pred", "obj_norm"], out_name="support",
+        salt_buckets=salt_buckets)
+
+    def stamp(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        key = df["subj_norm"].astype(str) + "\x1f" + df["pred"].astype(str)
+        h = pd.util.hash_pandas_object(key, index=False).to_numpy()
+        df["_fb"] = (h % np.uint64(n_buckets)).astype("int64")
+        return df
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.drop(columns=["_fb"]).sort_values(
+            ["subj_norm", "pred", "support", "obj_norm"],
+            ascending=[True, True, False, True], kind="mergesort")
+        g = df.groupby(["subj_norm", "pred"], sort=False)
+        win = g.head(1).copy()
+        n_objs = g.size().to_numpy("int64")
+        win["n_objs"] = n_objs
+        win["support"] = win["support"].astype("int64")
+        return win[["subj_norm", "pred", "obj_norm", "support", "n_objs"]]
+
+    import numpy as np
+
+    return (support.map_batches(stamp, batch_format="pandas")
+            .groupby("_fb").map_groups(per_bucket, batch_format="pandas"))

@@ -891,3 +891,26 @@ def test_redundant_edges_random_matches_bruteforce_with_cap():
     got_s = {(s, p, o) for s, p, o in
              zip(got["subj_norm"], got["pred"], got["obj_norm"])}
     assert got_s == want
+
+
+def test_functional_repair_golden_and_invariance():
+    from dygiepp_ray.pipelines.kg import functional_repair
+
+    tri = pd.DataFrame({
+        "subj_norm": ["a", "a", "a", "a", "b", "b", "c"],
+        "pred":      ["R", "R", "R", "R", "R", "R", "S"],
+        # a-R: b asserted 3x, c once -> winner b (support 3, contested 2);
+        # b-R: tie c/d support 1 -> lexicographic winner c;
+        # c-S: uncontested
+        "obj_norm":  ["b", "b", "b", "c", "c", "d", "x"],
+    })
+    for nparts in (1, 3):
+        got = functional_repair(
+            ray.data.from_pandas(tri).repartition(nparts),
+            salt_buckets=2, n_buckets=4).to_pandas()
+        d = {(r.subj_norm, r.pred): (r.obj_norm, int(r.support),
+                                     int(r.n_objs))
+             for r in got.itertuples()}
+        assert d == {("a", "R"): ("b", 3, 2),
+                     ("b", "R"): ("c", 1, 2),
+                     ("c", "S"): ("x", 1, 1)}
