@@ -1033,6 +1033,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["quality_score"] = q_quality
 
+    def q_gopher_filter(sf_dir: str):
+        # Gopher quality rules (Rae et al. 2021, SQL-mirrorable subset):
+        # exact scaled-integer ratios + composite keep flag, pure per-row map
+        from dygiepp_ray.stages.text import gopher_stats
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            gopher_stats, batch_format="pandas"
+        )
+
+    q["gopher_filter"] = q_gopher_filter
+
     def q_normalize(sf_dir: str):
         return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
             normalize_text, batch_format="pandas"
@@ -2103,6 +2114,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_kcore"] = q_kg_kcore
 
+    def q_kg_communities(sf_dir: str):
+        # community detection by deterministic synchronous label propagation
+        # (fixed rounds, exact integer votes, min-label ties); |V|-bounded
+        # broadcast contract, streamed-rounds path pinned in tests
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.graph import label_propagation
+
+        _write_oracle(sf_dir, "kg_communities",
+                      lambda: _o.expected_label_propagation(
+                          _oracle_triples_table(sf_dir)))
+        return label_propagation(_distinct_edge_ds(sf_dir),
+                                 src="subj_norm", dst="obj_norm")
+
+    q["kg_communities"] = q_kg_communities
+
+    def q_repo_stats(sf_dir: str):
+        # per-repository inventory over the north-rule corpus shape: one
+        # scan, distinct-pair (repo, kind, value) dedup shuffle, tiny final
+        # sum; oracle = raw corpus + independent hashlib sha, aggregated in
+        # SQL
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.repostats import repo_stats
+
+        corpus_dir = _synth_corpus_dir(sf_dir)
+        _write_oracle(sf_dir, "corpus_sha",
+                      lambda: _o.expected_corpus_sha(corpus_dir))
+        return repo_stats(ray.data.read_parquet(corpus_dir))
+
+    q["repo_stats"] = q_repo_stats
+
+    def q_repo_clones(sf_dir: str):
+        # cross-repo exact clone detection on the content_sha256 invariant:
+        # two partial+final shuffles, no content leaves the scan tasks
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.repostats import cross_repo_clones
+
+        corpus_dir = _synth_corpus_dir(sf_dir)
+        _write_oracle(sf_dir, "corpus_sha",
+                      lambda: _o.expected_corpus_sha(corpus_dir))
+        return cross_repo_clones(ray.data.read_parquet(corpus_dir),
+                                 min_repos=2)
+
+    q["repo_clones"] = q_repo_clones
+
     def q_kg_pagerank(sf_dir: str):
         from dygiepp_ray import oracle as _o
         from dygiepp_ray.stages.graph import pagerank_fixedpoint
@@ -2384,6 +2439,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "embeddings", ["embedding", "label"]))
 
     q["label_centroids"] = q_label_centroids
+
+    def q_embedding_link(sf_dir: str):
+        # nearest-class-prototype linking (the entity-linking shape over
+        # the embeddings table): exact int64 fixed-point distances, tiny
+        # prototype table broadcast once; oracle = scalar re-walk
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.cluster import embedding_link
+
+        _write_oracle(sf_dir, "embedding_link",
+                      lambda: _o.expected_embedding_link(sf_dir))
+
+        def widen_label(t: "pa.Table") -> "pa.Table":
+            i = t.schema.get_field_index("label")
+            return t.set_column(i, "label",
+                                pc.cast(t.column("label"), pa.int64()))
+
+        return embedding_link(
+            _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+            .map_batches(widen_label, batch_format="pyarrow"))
+
+    q["embedding_link"] = q_embedding_link
 
     def q_kg_redundant_edges(sf_dir: str):
         # transitive-reduction candidates: edges implied by a same-pred
@@ -3362,6 +3438,58 @@ def oracle_sql() -> dict[str, str]:
                          (least(n_tokens, 100) / 100.0) * 0.4
                          + least(stop_ratio, 0.4) * 0.5
                          + uniq_ratio * 0.4), 6) AS quality
+            FROM r
+        """,
+        "gopher_filter": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks,
+                       regexp_split_to_array(text, '\\n') AS lines
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       length(toks)::BIGINT AS n_words,
+                       length(lines)::BIGINT AS n_lines,
+                       coalesce(list_sum(list_transform(toks, x -> length(x))),
+                                0)::BIGINT AS sum_chars,
+                       length(list_filter(toks, x -> contains(x, '#')
+                              OR contains(x, '...')))::BIGINT AS n_symbol,
+                       length(list_filter(toks,
+                              x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
+                       length(list_filter(lines, l -> starts_with(l, '-')
+                              OR starts_with(l, '*')
+                              OR starts_with(l, '•')))::BIGINT AS n_bullet,
+                       length(list_filter(lines,
+                              l -> ends_with(l, '...')))::BIGINT AS n_ell,
+                       (list_contains(toks, 'the')::BIGINT
+                        + list_contains(toks, 'be')::BIGINT
+                        + list_contains(toks, 'to')::BIGINT
+                        + list_contains(toks, 'of')::BIGINT
+                        + list_contains(toks, 'and')::BIGINT
+                        + list_contains(toks, 'that')::BIGINT
+                        + list_contains(toks, 'have')::BIGINT
+                        + list_contains(toks, 'with')::BIGINT) AS stop_hits
+                FROM t
+            ), r AS (
+                SELECT doc_id, n_words, n_lines,
+                       (sum_chars * 1000000) // greatest(n_words, 1) AS mwl_scaled,
+                       (n_symbol * 1000000) // greatest(n_words, 1) AS symbol_scaled,
+                       (n_bullet * 1000000) // greatest(n_lines, 1) AS bullet_scaled,
+                       (n_ell * 1000000) // greatest(n_lines, 1) AS ellipsis_scaled,
+                       (n_alpha * 1000000) // greatest(n_words, 1) AS alpha_scaled,
+                       stop_hits
+                FROM s
+            )
+            SELECT doc_id, n_words, n_lines, mwl_scaled, symbol_scaled,
+                   bullet_scaled, ellipsis_scaled, alpha_scaled, stop_hits,
+                   CAST(n_words >= 20 AND n_words <= 100000
+                        AND mwl_scaled BETWEEN 3000000 AND 10000000
+                        AND symbol_scaled <= 100000
+                        AND bullet_scaled <= 900000
+                        AND ellipsis_scaled <= 300000
+                        AND alpha_scaled >= 800000
+                        AND stop_hits >= 2 AS BIGINT) AS keep
             FROM r
         """,
         "source_quality_filter": f"""
@@ -4616,6 +4744,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_kcore": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_kcore.parquet')
+        """,
+        "kg_communities": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_communities.parquet')
+        """,
+        "repo_stats": """
+            SELECT repo,
+                   COUNT(*) AS n_files,
+                   COUNT(DISTINCT lang) AS n_langs,
+                   COUNT(DISTINCT "commit") AS n_commits,
+                   COUNT(DISTINCT content_sha256) AS n_distinct_content,
+                   CAST(SUM(strlen(content)) AS BIGINT) AS total_bytes
+            FROM read_parquet('/tmp/dygiepp_ray_oracle/corpus_sha.parquet')
+            GROUP BY repo
+        """,
+        "embedding_link": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/embedding_link.parquet')
+        """,
+        "repo_clones": """
+            WITH per AS (
+                SELECT content_sha256 AS sha, repo, COUNT(*) AS c
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/corpus_sha.parquet')
+                GROUP BY 1, 2
+            )
+            SELECT sha,
+                   COUNT(*) AS n_repos,
+                   CAST(SUM(c) AS BIGINT) AS n_files,
+                   MIN(repo) AS first_repo
+            FROM per GROUP BY sha HAVING COUNT(*) >= 2
         """,
         "kg_type_infer": """
             WITH m AS (

@@ -2570,3 +2570,99 @@ def expected_knn_graph(sf_dir: str, k: int = 5, n_clusters: int = 8,
         "nb_id": pa.array(out_nb, pa.int64()),
         "cosine": pa.array(out_cos, pa.float64()),
     })
+
+
+def expected_label_propagation(triples: pa.Table, n_iter: int = 5) -> pa.Table:
+    """(node, community) via a single-threaded dict re-walk of the IDENTICAL
+    synchronous-LPA spec in stages/graph.py:label_propagation — same distinct
+    edge set, same sorted-vocabulary label init, same per-round most-frequent-
+    neighbor-label update with (count DESC, label ASC) tie-break, same fixed
+    round count with global-fixpoint early exit."""
+    from collections import Counter, defaultdict
+
+    edges = _distinct_edges(triples)
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    E = [(idx[u], idx[v]) for u, v in edges]
+    lab = list(range(len(nodes)))
+    for _ in range(n_iter):
+        votes: dict = defaultdict(Counter)
+        for u, v in E:
+            votes[v][lab[u]] += 1
+            votes[u][lab[v]] += 1
+        new = lab[:]
+        for node, c in votes.items():
+            new[node] = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if new == lab:
+            break
+        lab = new
+    return pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "community": pa.array([nodes[i] for i in lab], pa.string()),
+    })
+
+
+def expected_corpus_sha(corpus_dir: str) -> pa.Table:
+    """The raw north-rule corpus table plus an INDEPENDENTLY recomputed
+    content_sha256 column (hashlib directly, not the engine's stamp) — the
+    oracle input for the corpus-shape queries (repo_stats, repo_clones),
+    whose real relational work then happens in DuckDB SQL."""
+    import glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(corpus_dir + "/part-*.parquet"))
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    shas = [hashlib.sha256(c.encode("utf-8")).hexdigest()
+            for c in t.column("content").to_pylist()]
+    return t.append_column("content_sha256", pa.array(shas, pa.string()))
+
+
+def expected_embedding_link(sf_dir: str, scale: int = 1_000_000) -> pa.Table:
+    """Single-threaded re-walk of stages/cluster.py:embedding_link — exact
+    fixed-point class centroids (truncated integer means, per-label sums in
+    plain python int), then per-row argmin of the int64 squared distance
+    computed in the DIFFERENCE form (engine uses the expanded GEMM form;
+    both are exact integers, so they agree bit-for-bit), ties to the
+    lexicographically smallest label."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "label", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    labels = t.column("label").to_pylist()
+    vecs = [np.rint(np.asarray(v, dtype=np.float64) * scale).astype(np.int64)
+            for v in t.column("embedding").to_pylist()]
+    by_label: dict = {}
+    for lab, x in zip(labels, vecs):
+        s, n = by_label.setdefault(lab, [None, 0])
+        by_label[lab][0] = x.astype(object) if s is None else s + x
+        by_label[lab][1] = n + 1
+    labs = sorted(by_label)
+    cents = []
+    for lab in labs:
+        s, n = by_label[lab]
+        cents.append(np.array(
+            [int(v) // n if v >= 0 else -((-int(v)) // n) for v in s],
+            dtype=np.int64))
+    out_pred, out_dist = [], []
+    for x in vecs:
+        best_lab, best_d = None, None
+        for lab, c in zip(labs, cents):
+            d = int(((x - c) ** 2).sum())
+            if best_d is None or d < best_d:
+                best_lab, best_d = lab, d
+        out_pred.append(best_lab)
+        out_dist.append(best_d)
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "label": pa.array([int(x) for x in labels], pa.int64()),
+        "label_pred": pa.array([int(x) for x in out_pred], pa.int64()),
+        "dist_scaled2": pa.array(out_dist, pa.int64()),
+        "match": pa.array([int(a == b) for a, b in zip(labels, out_pred)],
+                          pa.int64()),
+    })

@@ -441,3 +441,55 @@ def knn_graph(embeddings: "ray.data.Dataset", centroids: np.ndarray,
 
     return stamped.groupby("cluster").map_groups(per_cell,
                                                  batch_format="pandas")
+
+
+def embedding_link(embeddings: "ray.data.Dataset", scale: int = 1_000_000,
+                   id_col: str = "vec_id", label_col: str = "label",
+                   vec_col: str = "embedding") -> "ray.data.Dataset":
+    """(vec_id, label, label_pred, dist_scaled2, match) — link every
+    embedding to its nearest CLASS PROTOTYPE (the label_centroids
+    fixed-point means): the entity-linking shape (mention embedding →
+    candidate entity prototype) over the embeddings table.
+
+    Exactness: vectors fixed-point to `scale` units (int64), centroids are
+    label_centroids' exact truncated integer means, and the squared L2
+    distance is an int64 sum of squared integer differences — every
+    quantity is an exact integer, so argmin + (distance, label ASC)
+    tie-break is bitwise deterministic across partitionings and matches
+    the single-threaded oracle re-walk with no float surface at all.
+
+    Scale shape: the prototype table is tiny (labels × dim) — collected
+    once, `ray.put` once; assignment is one vectorized pass over the
+    embedding blocks (int64 GEMM via the expanded form x²-2xc+c², exact in
+    int64 well past any realistic dim × scale²)."""
+    from .. import aggregates as _agg  # noqa: F401 (parity with family)
+
+    cents = label_centroids(embeddings, scale=scale, label_col=label_col,
+                            vec_col=vec_col).to_pandas()
+    labels = sorted(cents["label"].unique())
+    dim = int(cents["d"].max())
+    C = np.zeros((len(labels), dim), dtype=np.int64)
+    lab_ix = {lab: i for i, lab in enumerate(labels)}
+    C[cents["label"].map(lab_ix).to_numpy(),
+      cents["d"].to_numpy("int64") - 1] = cents["centroid_scaled"].to_numpy("int64")
+    c_ref = ray.put((labels, C, (C.astype(np.int64) ** 2).sum(axis=1)))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        labs, cmat, c2 = ray.get(c_ref)
+        x = np.rint(_matrix(batch, vec_col) * float(scale)).astype(np.int64)
+        # expanded form is EXACT here (all int64): ||x-c||² = x² - 2xc + c²
+        x2 = (x ** 2).sum(axis=1)
+        dist = x2[:, None] - 2 * (x @ cmat.T) + c2[None, :]
+        best = dist.argmin(axis=1)  # ties -> first = smallest label (sorted)
+        pred = np.array(labs, dtype=object)[best]
+        true = batch[label_col].to_numpy()
+        return pd.DataFrame({
+            "vec_id": batch[id_col].to_numpy(),
+            "label": true,
+            "label_pred": pred,
+            "dist_scaled2": dist[np.arange(len(best)), best],
+            "match": (true == pred).astype(np.int64),
+        })
+
+    return embeddings.select_columns([id_col, label_col, vec_col]).map_batches(
+        assign, batch_format="pandas")

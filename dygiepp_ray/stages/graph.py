@@ -1103,3 +1103,109 @@ def strongly_connected_components(edges: "ray.data.Dataset",
     return ray.data.from_arrow(pa.table({
         "node": pa.array(name_list, pa.string()),
         "scc_id": pa.array([name_list[i] for i in scc], pa.string())}))
+
+
+def label_propagation(edges: "ray.data.Dataset", src: str = "src",
+                      dst: str = "dst", n_iter: int = 5,
+                      broadcast_max_nodes: int = 5_000_000
+                      ) -> "ray.data.Dataset":
+    """(node, community) — community detection by SYNCHRONOUS label
+    propagation (Raghavan et al. 2007, made deterministic): labels start as
+    the node's own index (sorted-name order, so index order == name order);
+    each round every node adopts the most frequent label among its
+    neighbors' PREVIOUS-round labels (each distinct edge contributes one
+    undirected vote in both directions), ties broken by the MINIMUM label;
+    isolated or vote-less nodes keep their label. The round count is FIXED
+    (`n_iter`, with early exit on a global fixpoint), which both bounds the
+    well-known bipartite oscillation of synchronous LPA and makes the result
+    a deterministic spec: exact integer vote counts + min tie-break are
+    order-independent, so distributed evaluation matches a single-threaded
+    re-walk bit-for-bit (oracle.py:expected_label_propagation).
+
+    Execution contract mirrors `strongly_connected_components`: the label
+    array lives on the driver over the sorted node vocabulary (|V|-bounded
+    broadcast mode — KG vocabularies are far smaller than edge sets; callers
+    above `broadcast_max_nodes` get an explicit error, not a silent cliff,
+    because a shuffle fallback would pay one groupby-argmax shuffle per
+    round). The edge list is collected int64 below LOCAL_MAX_EDGES,
+    otherwise each round streams compacted per-block (node, label, count)
+    partials to the driver (counts commute; merge is exact int64).
+
+    Input contract: DISTINCT directed edges (callers dedup first, as the
+    CC/PageRank family does) — a multi-edge input would double votes.
+    """
+    names, indexed = _index_edges(edges, src, dst)
+    n = len(names)
+    if n > broadcast_max_nodes:
+        raise ValueError(
+            f"label_propagation: |V|={n} exceeds the broadcast admission "
+            f"({broadcast_max_nodes}); no shuffle fallback is provided "
+            "(see docstring)")
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "community": pa.array([], pa.string())}))
+
+    local = indexed.count() <= LOCAL_MAX_EDGES
+    if local:
+        s_all, d_all = _collect_indexed(indexed)
+        s_all = s_all.astype(np.int64)
+        d_all = d_all.astype(np.int64)
+
+    labels = np.arange(n, dtype=np.int64)
+    nn = np.int64(n)  # key = node * n + label fits int64 under the admission
+
+    def vote_partial(s: np.ndarray, d: np.ndarray, lab: np.ndarray):
+        vn = np.concatenate([d, s])
+        vl = np.concatenate([lab[s], lab[d]])
+        key = vn * nn + vl
+        uk, cnt = np.unique(key, return_counts=True)
+        return uk, cnt.astype(np.int64)
+
+    for _ in range(n_iter):
+        if local:
+            keys, cnts = vote_partial(s_all, d_all, labels)
+        else:
+            lab_ref = ray.put(labels)
+
+            def part(b: dict) -> dict:
+                lab = ray.get(lab_ref)
+                uk, c = vote_partial(b["s"].astype(np.int64),
+                                     b["d"].astype(np.int64), lab)
+                return {"k": uk, "c": c}
+
+            acc_k = np.zeros(0, dtype=np.int64)
+            acc_c = np.zeros(0, dtype=np.int64)
+            for b in indexed.map_batches(
+                    part, batch_format="numpy").iter_batches(
+                    batch_format="numpy"):
+                acc_k = np.concatenate([acc_k, b["k"]])
+                acc_c = np.concatenate([acc_c, b["c"]])
+                if len(acc_k) > 4_000_000:  # re-compact the running merge
+                    uk, inv = np.unique(acc_k, return_inverse=True)
+                    m = np.zeros(len(uk), dtype=np.int64)
+                    np.add.at(m, inv, acc_c)
+                    acc_k, acc_c = uk, m
+            keys, inv = np.unique(acc_k, return_inverse=True)
+            cnts = np.zeros(len(keys), dtype=np.int64)
+            np.add.at(cnts, inv, acc_c)
+
+        vn = keys // nn
+        vl = keys % nn
+        # winner per node: count DESC, then label ASC (lexsort: last key is
+        # the primary) — first row of each node group after the sort
+        order = np.lexsort((vl, -cnts, vn))
+        vn_s = vn[order]
+        vl_s = vl[order]
+        head = np.ones(len(vn_s), dtype=bool)
+        head[1:] = vn_s[1:] != vn_s[:-1]
+        new = labels.copy()
+        new[vn_s[head]] = vl_s[head]
+        if (new == labels).all():
+            break
+        labels = new
+
+    name_list = list(names)
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(name_list, pa.string()),
+        "community": pa.array([name_list[i] for i in labels], pa.string())}))

@@ -767,3 +767,66 @@ def bm25_scores(ds, terms: tuple, k1: float = 1.2, b: float = 0.75,
     scored = ds.map_batches(score, batch_format="pandas")
     return scored.sort(["score", "doc_id"],
                        descending=[True, False]).limit(top_n)
+
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_SCALE = 1_000_000
+
+
+def gopher_stats(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-document Gopher quality rules (Rae et al. 2021 §A1.1, simplified
+    to the SQL-mirrorable subset): word/line counts, mean word length,
+    symbol-token ratio (# / ...), bullet-start and ellipsis-end line
+    fractions, alphabetic-word fraction, Gopher-stopword hits, and the
+    composite keep flag. Every ratio is an exact scaled integer
+    (`n * 1e6 // max(den, 1)`, floor) and the flag is int64 0/1, so the
+    value-hash oracle holds bit-for-bit (no float rounding surface).
+
+    Pure per-row map — embarrassingly parallel, no shuffle; the per-token
+    python loops match the existing quality_score idiom (token-level
+    predicates aren't expressible as pandas str kernels without losing the
+    exact SQL mirror)."""
+    toks = batch["text"].str.lower().str.split()
+    lines = batch["text"].str.split("\n")
+    n_words = toks.str.len().astype("int64")
+    n_lines = lines.str.len().astype("int64")
+    sum_chars = toks.map(lambda ws: sum(len(w) for w in ws)).astype("int64")
+    n_symbol = toks.map(
+        lambda ws: sum(("#" in w) or ("..." in w) for w in ws)).astype("int64")
+    n_alpha = toks.map(
+        lambda ws: sum(any("a" <= c <= "z" for c in w) for w in ws)
+    ).astype("int64")
+    n_bullet = lines.map(
+        lambda ls: sum(l.startswith(("-", "*", "•")) for l in ls)
+    ).astype("int64")
+    n_ell_end = lines.map(
+        lambda ls: sum(l.endswith("...") for l in ls)).astype("int64")
+    stop_hits = toks.map(
+        lambda ws: sum(s in set(ws) for s in _GOPHER_STOPS)).astype("int64")
+
+    wden = n_words.clip(lower=1)
+    lden = n_lines.clip(lower=1)
+    mwl = (sum_chars * _GOPHER_SCALE) // wden
+    symbol = (n_symbol * _GOPHER_SCALE) // wden
+    alpha = (n_alpha * _GOPHER_SCALE) // wden
+    bullet = (n_bullet * _GOPHER_SCALE) // lden
+    ell_end = (n_ell_end * _GOPHER_SCALE) // lden
+    keep = (
+        (n_words >= 20) & (n_words <= 100_000)
+        & (mwl >= 3 * _GOPHER_SCALE) & (mwl <= 10 * _GOPHER_SCALE)
+        & (symbol <= _GOPHER_SCALE // 10)
+        & (bullet <= 900_000) & (ell_end <= 300_000)
+        & (alpha >= 800_000) & (stop_hits >= 2)
+    ).astype("int64")
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "n_words": n_words,
+        "n_lines": n_lines,
+        "mwl_scaled": mwl,
+        "symbol_scaled": symbol,
+        "bullet_scaled": bullet,
+        "ellipsis_scaled": ell_end,
+        "alpha_scaled": alpha,
+        "stop_hits": stop_hits,
+        "keep": keep,
+    })

@@ -205,3 +205,47 @@ def test_knn_graph_matches_bruteforce_in_cell():
         assert got_s == want
         # every vector has exactly k neighbors (cells are large enough)
         assert got["vec_id"].value_counts().eq(3).all()
+
+
+def test_embedding_link_golden_and_tie_break():
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.stages.cluster import embedding_link
+
+    df = pd.DataFrame({
+        "vec_id": [0, 1, 2, 3, 4],
+        "embedding": [[0.0, 0.0], [0.2, 0.0], [4.0, 4.0], [3.8, 4.0],
+                      [2.0, 2.0]],  # equidistant from both prototypes
+        "label": [1, 1, 2, 2, 1],
+    })
+    got = embedding_link(ray.data.from_pandas(df)).to_pandas().set_index(
+        "vec_id").sort_index()
+    # prototypes: label1 mean of rows 0,1,4 = (0.733..,0.666..) truncated;
+    # label2 = (3.9, 4.0) — rows 0/1 link to 1, rows 2/3 to 2
+    assert got.loc[0, "label_pred"] == 1
+    assert got.loc[1, "label_pred"] == 1
+    assert got.loc[2, "label_pred"] == 2
+    assert got.loc[3, "label_pred"] == 2
+    assert set(got["match"].unique()) <= {0, 1}
+    # exact integers end-to-end
+    assert str(got["dist_scaled2"].dtype) == "int64"
+
+
+def test_embedding_link_partitioning_invariant():
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.stages.cluster import embedding_link
+
+    df = pd.DataFrame({
+        "vec_id": list(range(12)),
+        "embedding": [[(i * 7 % 5) / 3.0, (i * 3 % 7) / 5.0]
+                      for i in range(12)],
+        "label": [i % 3 for i in range(12)],
+    })
+    one = embedding_link(ray.data.from_pandas(df).repartition(1)).to_pandas(
+        ).sort_values("vec_id").reset_index(drop=True)
+    many = embedding_link(ray.data.from_pandas(df).repartition(5)).to_pandas(
+        ).sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(one, many)

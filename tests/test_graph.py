@@ -914,3 +914,69 @@ def test_functional_repair_golden_and_invariance():
         assert d == {("a", "R"): ("b", 3, 2),
                      ("b", "R"): ("c", 1, 2),
                      ("c", "S"): ("x", 1, 1)}
+
+
+# ---------------------------------------------------------------- LPA
+
+
+def test_label_propagation_disjoint_triangles_golden():
+    from dygiepp_ray.stages.graph import label_propagation
+
+    # two disjoint triangles converge to min-member communities in 2 rounds
+    pairs = [("a", "b"), ("a", "c"), ("b", "c"),
+             ("p", "q"), ("p", "r"), ("q", "r")]
+    got = label_propagation(_edge_ds(pairs)).to_pandas()
+    comm = dict(zip(got["node"], got["community"]))
+    assert comm == {"a": "a", "b": "a", "c": "a",
+                    "p": "p", "q": "p", "r": "p"}
+
+
+def test_label_propagation_matches_scalar_oracle_random():
+    from dygiepp_ray.stages.graph import label_propagation
+
+    # pseudo-random graphs incl. reciprocal edges and a self-loop; engine
+    # must match the single-threaded dict re-walk bit-for-bit
+    for salt in (1, 2, 3):
+        pairs = sorted({("v%02d" % ((i * 7 + salt) % 23),
+                         "v%02d" % ((i * 13 + 5 * salt) % 23))
+                        for i in range(60)})
+        got = label_propagation(_edge_ds(pairs)).to_pandas().sort_values(
+            "node").reset_index(drop=True)
+        exp = o.expected_label_propagation(_pairs_table(pairs)).to_pandas()
+        pd.testing.assert_frame_equal(got, exp)
+
+
+def test_label_propagation_streamed_rounds_match_local(monkeypatch):
+    """Force the per-round streamed-partials path (LOCAL_MAX_EDGES=0) and
+    pin it against the local fast path — the 100-TB rounds path stays
+    bit-identical, not just reachable."""
+    import dygiepp_ray.stages.graph as g
+    from dygiepp_ray.stages.graph import label_propagation
+
+    pairs = sorted({("u%02d" % ((i * 11) % 17), "u%02d" % ((i * 5 + 3) % 17))
+                    for i in range(40)})
+    local = label_propagation(_edge_ds(pairs)).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    monkeypatch.setattr(g, "LOCAL_MAX_EDGES", 0)
+    streamed = label_propagation(_edge_ds(pairs)).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(streamed, local)
+
+
+def test_label_propagation_admission_guard():
+    from dygiepp_ray.stages.graph import label_propagation
+
+    with pytest.raises(ValueError, match="broadcast admission"):
+        label_propagation(_edge_ds([("a", "b")]), broadcast_max_nodes=1)
+
+
+def test_label_propagation_partitioning_invariant():
+    from dygiepp_ray.stages.graph import label_propagation
+
+    pairs = sorted({("w%02d" % ((i * 3) % 19), "w%02d" % ((i * 7 + 2) % 19))
+                    for i in range(50)})
+    one = label_propagation(_edge_ds(pairs).repartition(1)).to_pandas(
+        ).sort_values("node").reset_index(drop=True)
+    many = label_propagation(_edge_ds(pairs).repartition(7)).to_pandas(
+        ).sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(one, many)

@@ -291,3 +291,35 @@ def test_tfidf_join_path_parity():
     want = norm(tfidf_top_terms(ds, top_n=2).to_pandas())
     got = norm(tfidf_top_terms(ds, top_n=2, df_broadcast_limit=0).to_pandas())
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_gopher_stats_golden():
+    import pandas as pd
+
+    from dygiepp_ray.stages.text import gopher_stats
+
+    batch = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            # 2 lines, one bullet line, one ellipsis-end line
+            "- the list starts here\nit continues to the end...",
+            "# # # #",               # all symbol tokens, no alpha
+            "",                       # empty doc: denominators clamp to 1
+        ],
+    })
+    got = gopher_stats(batch).set_index("doc_id")
+    r1 = got.loc[1]
+    assert r1["n_words"] == 10 and r1["n_lines"] == 2
+    assert r1["bullet_scaled"] == 500_000      # 1 of 2 lines
+    assert r1["ellipsis_scaled"] == 500_000    # 1 of 2 lines
+    assert r1["alpha_scaled"] == 900_000       # 9 of 10 tokens (not '-')
+    assert r1["mwl_scaled"] == 4_000_000       # 40 chars / 10 words
+    assert r1["stop_hits"] == 2                # {the, to}
+    r2 = got.loc[2]
+    assert r2["n_words"] == 4
+    assert r2["symbol_scaled"] == 1_000_000
+    assert r2["alpha_scaled"] == 0
+    assert r2["keep"] == 0
+    r3 = got.loc[3]
+    assert r3["n_words"] == 0 and r3["n_lines"] == 1
+    assert r3["mwl_scaled"] == 0 and r3["keep"] == 0
