@@ -1388,25 +1388,41 @@ def rule_mining(triples: "ray.data.Dataset", max_mid_degree: int = 64,
         salt_buckets=salt_buckets,
     ).select_columns(["subj_norm", "pred", "obj_norm"]).materialize()
 
-    in_deg = grouped_count(edges.select_columns(["obj_norm"]),
-                           ["obj_norm"], out_name="ind").map_batches(
-        lambda t: strip_schema_metadata(t).rename_columns(["mid", "ind"]),
-        batch_format="pyarrow")
-    out_deg = grouped_count(edges.select_columns(["subj_norm"]),
-                            ["subj_norm"], out_name="outd").map_batches(
-        lambda t: strip_schema_metadata(t).rename_columns(["mid", "outd"]),
-        batch_format="pyarrow")
+    import numpy as np
+
+    def deg_partials(t: pa.Table) -> "pd.DataFrame":
+        # both degree roles in ONE pass over the edge blocks (r4 rework:
+        # was two grouped_counts + a bucketed join, re-executed per
+        # consumer) — per-block compacted (mid, ind_p, outd_p) partials
+        t = strip_schema_metadata(t)
+        df = t.select(["subj_norm", "obj_norm"]).to_pandas()
+        o = df.groupby("subj_norm", sort=False).size()
+        i = df.groupby("obj_norm", sort=False).size()
+        return pd.concat([
+            pd.DataFrame({"mid": o.index.to_numpy(object),
+                          "ind_p": np.zeros(len(o), dtype=np.int64),
+                          "outd_p": o.to_numpy("int64")}),
+            pd.DataFrame({"mid": i.index.to_numpy(object),
+                          "ind_p": i.to_numpy("int64"),
+                          "outd_p": np.zeros(len(i), dtype=np.int64)}),
+        ], ignore_index=True)
+
+    deg = partial_final_agg(
+        edges.map_batches(deg_partials, batch_format="pyarrow"),
+        ["mid"], [("ind", "ind_p", "sum"), ("outd", "outd_p", "sum")])
 
     def keep_small(m: "pd.DataFrame") -> "pd.DataFrame":
-        ok = ((m["ind"].to_numpy("int64") <= max_mid_degree)
-              & (m["outd"].to_numpy("int64") <= max_mid_degree))
+        ind = m["ind"].to_numpy("int64")
+        outd = m["outd"].to_numpy("int64")
+        # ind/outd > 0 == the old inner join: only entities with BOTH in-
+        # and out-edges can be a mid
+        ok = (ind > 0) & (outd > 0) & (ind <= max_mid_degree) \
+            & (outd <= max_mid_degree)
         return m.loc[ok, ["mid"]]
 
-    # inner join == only entities with BOTH in- and out-edges can be a mid
-    mid_ok = hash_join(in_deg, out_deg, on="mid", n_buckets=n_buckets,
-                       left_types={"mid": s_t, "ind": i_t},
-                       right_types={"mid": s_t, "outd": i_t},
-                       bucket_post=keep_small)
+    # small by the cap's purpose (vocabulary-bounded) and consumed by TWO
+    # joins below — pin it so the degree pass runs once
+    mid_ok = deg.map_batches(keep_small, batch_format="pandas").materialize()
 
     into = edges.map_batches(
         lambda t: strip_schema_metadata(t).select(
@@ -1631,7 +1647,7 @@ def redundant_edges(triples: "ray.data.Dataset", max_mid_degree: int = 64,
     from ..aggregates import strip_schema_metadata
     from ..joins import hash_join
 
-    s_t, i_t = pa.string(), pa.int64()
+    s_t = pa.string()
     SEP = "\x1f"
 
     edges = grouped_count(
@@ -1660,24 +1676,44 @@ def redundant_edges(triples: "ray.data.Dataset", max_mid_degree: int = 64,
                              "other": t.column(sub)})
         return fn
 
-    in_deg = grouped_count(
-        nl.map_batches(pm_key("subj_norm", "obj_norm"),
-                       batch_format="pyarrow").select_columns(["pmkey"]),
-        ["pmkey"], out_name="ind")
-    out_deg = grouped_count(
-        nl.map_batches(pm_key("obj_norm", "subj_norm"),
-                       batch_format="pyarrow").select_columns(["pmkey"]),
-        ["pmkey"], out_name="outd")
+    import numpy as np
+
+    from ..aggregates import partial_final_agg
+
+    def deg_partials(t: pa.Table) -> "pd.DataFrame":
+        # both (pred, mid) degree roles in ONE pass (r4 rework: was two
+        # grouped_counts + a bucketed join, re-executed per consumer)
+        t = strip_schema_metadata(t)
+        pred = t.column("pred").cast(pa.string())
+        k_in = pc.binary_join_element_wise(
+            pred, t.column("obj_norm").cast(pa.string()), SEP)
+        k_out = pc.binary_join_element_wise(
+            pred, t.column("subj_norm").cast(pa.string()), SEP)
+        vin = pd.Series(k_in.to_pandas()).value_counts(sort=False)
+        vout = pd.Series(k_out.to_pandas()).value_counts(sort=False)
+        return pd.concat([
+            pd.DataFrame({"pmkey": vin.index.to_numpy(object),
+                          "ind_p": vin.to_numpy("int64"),
+                          "outd_p": np.zeros(len(vin), dtype=np.int64)}),
+            pd.DataFrame({"pmkey": vout.index.to_numpy(object),
+                          "ind_p": np.zeros(len(vout), dtype=np.int64),
+                          "outd_p": vout.to_numpy("int64")}),
+        ], ignore_index=True)
+
+    deg = partial_final_agg(
+        nl.map_batches(deg_partials, batch_format="pyarrow"),
+        ["pmkey"], [("ind", "ind_p", "sum"), ("outd", "outd_p", "sum")])
 
     def keep_small(m: "pd.DataFrame") -> "pd.DataFrame":
-        ok = ((m["ind"].to_numpy("int64") <= max_mid_degree)
-              & (m["outd"].to_numpy("int64") <= max_mid_degree))
+        ind = m["ind"].to_numpy("int64")
+        outd = m["outd"].to_numpy("int64")
+        # > 0 on both == the old inner join (mid needs both leg directions)
+        ok = (ind > 0) & (outd > 0) & (ind <= max_mid_degree) \
+            & (outd <= max_mid_degree)
         return m.loc[ok, ["pmkey"]]
 
-    mid_ok = hash_join(in_deg, out_deg, on="pmkey", n_buckets=n_buckets,
-                       left_types={"pmkey": s_t, "ind": i_t},
-                       right_types={"pmkey": s_t, "outd": i_t},
-                       bucket_post=keep_small)
+    # consumed by two joins below — pin so the degree pass runs once
+    mid_ok = deg.map_batches(keep_small, batch_format="pandas").materialize()
 
     into = hash_join(
         nl.map_batches(pm_key("subj_norm", "obj_norm"),
