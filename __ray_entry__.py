@@ -2129,6 +2129,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_communities"] = q_kg_communities
 
+    def q_kg_hits(sf_dir: str):
+        # HITS hubs/authorities as the exact fixed-point integer spec
+        # (max-rescale in micro-units); |V|-bounded broadcast contract,
+        # streamed-pass path pinned in tests; oracle = dict re-walk
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.graph import hits_scores
+
+        _write_oracle(sf_dir, "kg_hits",
+                      lambda: _o.expected_hits(_oracle_triples_table(sf_dir)))
+        return hits_scores(_distinct_edge_ds(sf_dir),
+                           src="subj_norm", dst="obj_norm")
+
+    q["kg_hits"] = q_kg_hits
+
+    def q_kg_clustering(sf_dir: str):
+        # local clustering coefficient: triangle counts + degree, exact
+        # scaled-integer cc, one bucketed LEFT join; SQL oracle extends the
+        # kg_triangles self-join CTE with the degree table
+        _ensure_triples_oracle(sf_dir)
+        edges = _distinct_edge_ds(sf_dir).materialize()
+        return kgp.clustering_coefficient(edges, scale=10_000,
+                                          salt_buckets=4)
+
+    q["kg_clustering"] = q_kg_clustering
+
     def q_repo_stats(sf_dir: str):
         # per-repository inventory over the north-rule corpus shape: one
         # scan, distinct-pair (repo, kind, value) dedup shuffle, tiny final
@@ -4747,6 +4772,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_communities": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_communities.parquet')
+        """,
+        "kg_hits": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_hits.parquet')
+        """,
+        "kg_clustering": """
+            WITH e AS (
+                SELECT DISTINCT least(subj_norm, obj_norm) AS u,
+                                greatest(subj_norm, obj_norm) AS v
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+                WHERE subj_norm <> obj_norm
+            ), t AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM e e1
+                JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            ), tn AS (
+                SELECT a AS node FROM t
+                UNION ALL SELECT b FROM t
+                UNION ALL SELECT c FROM t
+            ), tc AS (
+                SELECT node, count(*) AS n_triangles FROM tn GROUP BY node
+            ), d AS (
+                SELECT node, count(*) AS deg FROM (
+                    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+                ) GROUP BY node
+            )
+            SELECT d.node, d.deg,
+                   coalesce(tc.n_triangles, 0) AS n_triangles,
+                   CASE WHEN d.deg >= 2
+                        THEN (2 * coalesce(tc.n_triangles, 0) * 10000)
+                             // (d.deg * (d.deg - 1))
+                        ELSE 0 END AS cc_scaled
+            FROM d LEFT JOIN tc USING (node)
         """,
         "repo_stats": """
             SELECT repo,

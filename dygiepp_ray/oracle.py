@@ -2666,3 +2666,38 @@ def expected_embedding_link(sf_dir: str, scale: int = 1_000_000) -> pa.Table:
         "match": pa.array([int(a == b) for a, b in zip(labels, out_pred)],
                           pa.int64()),
     })
+
+
+def expected_hits(triples: pa.Table, n_iter: int = 8) -> pa.Table:
+    """Single-threaded dict re-walk of stages/graph.py:hits_scores — same
+    distinct edge set, same int micro-unit sum-scatters, same exact
+    max-rescale floor(x*U/mx) (python bigints make the engine's divmod
+    split unnecessary but produce the identical floor)."""
+    from collections import defaultdict
+
+    U = 1_000_000
+    edges = _distinct_edges(triples)
+    nodes = sorted({n for e in edges for n in e})
+    hub = {v: U for v in nodes}
+    auth = {v: 0 for v in nodes}
+
+    def rescale(d: dict) -> dict:
+        mx = max(d.values(), default=0)
+        if mx <= 0:
+            return {v: 0 for v in nodes}
+        return {v: d.get(v, 0) * U // mx for v in nodes}
+
+    for _ in range(n_iter):
+        acc = defaultdict(int)
+        for u, v in edges:
+            acc[v] += hub[u]
+        auth = rescale(acc)
+        acc = defaultdict(int)
+        for u, v in edges:
+            acc[u] += auth[v]
+        hub = rescale(acc)
+    return pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "auth_units": pa.array([auth[v] for v in nodes], pa.int64()),
+        "hub_units": pa.array([hub[v] for v in nodes], pa.int64()),
+    })

@@ -744,6 +744,73 @@ def triangle_counts(triples: "ray.data.Dataset", salt_buckets: int = 1,
                              [("n_triangles", "n_part", "sum")])
 
 
+def clustering_coefficient(triples: "ray.data.Dataset", scale: int = 10_000,
+                           salt_buckets: int = 1,
+                           n_buckets: int = 32) -> "ray.data.Dataset":
+    """(node, deg, n_triangles, cc_scaled) — LOCAL clustering coefficient
+    over the DISTINCT undirected non-loop edge set: cc = 2T / (deg·(deg−1))
+    as the exact scaled integer `2·T·scale // (deg·(deg−1))` (0 for
+    deg < 2). Graph-quality analytics composing `triangle_counts` (which
+    already bounds hub wedges at O(sqrt(m))) with a per-node degree count
+    and ONE bucketed LEFT join; all arithmetic integer, so the driver
+    value-hash oracle holds bit-for-bit.
+
+    Callers chaining off an expensive triples pipeline should pass a
+    materialized distinct-edge dataset — `triples` is consumed twice
+    (triangles + degrees)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..aggregates import strip_schema_metadata
+    from ..joins import hash_join
+
+    s_t, i_t = pa.string(), pa.int64()
+    tri = triangle_counts(triples, salt_buckets=salt_buckets,
+                          n_buckets=n_buckets)
+
+    def canon(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        s = t.column("subj_norm").combine_chunks().cast(pa.string())
+        o = t.column("obj_norm").combine_chunks().cast(pa.string())
+        u = pc.min_element_wise(s, o)
+        v = pc.max_element_wise(s, o)
+        keep = pc.invert(pc.equal(s, o))
+        return pa.table({"u": u, "v": v}).filter(keep)
+
+    edges = grouped_count(
+        triples.select_columns(["subj_norm", "obj_norm"]).map_batches(
+            canon, batch_format="pyarrow"),
+        ["u", "v"], out_name="_c", salt_buckets=salt_buckets
+    ).select_columns(["u", "v"])
+
+    def explode_nodes(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        cols = []
+        for c in ("u", "v"):
+            arr = t.column(c).combine_chunks()
+            cols.extend(arr.chunks if isinstance(arr, pa.ChunkedArray)
+                        else [arr])
+        return pa.table({"node": pa.concat_arrays(cols)})
+
+    deg = grouped_count(
+        edges.map_batches(explode_nodes, batch_format="pyarrow"),
+        ["node"], out_name="deg")
+
+    def cc_post(m: "pd.DataFrame") -> "pd.DataFrame":
+        d = m["deg"].to_numpy("int64")
+        t3 = m["n_triangles"].fillna(0).to_numpy("int64")
+        cc = np.where(d >= 2,
+                      (2 * t3 * scale) // np.maximum(d * (d - 1), 1),
+                      np.int64(0))
+        return pd.DataFrame({"node": m["node"].to_numpy(object),
+                             "deg": d, "n_triangles": t3, "cc_scaled": cc})
+
+    return hash_join(deg, tri, on="node", how="left", n_buckets=n_buckets,
+                     left_types={"node": s_t, "deg": i_t},
+                     right_types={"node": s_t, "n_triangles": i_t},
+                     bucket_post=cc_post)
+
+
 def predicate_stats(triples: "ray.data.Dataset",
                     salt_buckets: int = 1) -> "ray.data.Dataset":
     """(pred, n_edges, n_subj, n_obj, fanout_scaled) — per-predicate schema

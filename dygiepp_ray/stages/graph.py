@@ -1209,3 +1209,99 @@ def label_propagation(edges: "ray.data.Dataset", src: str = "src",
     return ray.data.from_arrow(pa.table({
         "node": pa.array(name_list, pa.string()),
         "community": pa.array([name_list[i] for i in labels], pa.string())}))
+
+
+HITS_UNITS = 1_000_000  # 1.0 of hub/authority mass, in micro-units
+
+
+def hits_scores(edges: "ray.data.Dataset", src: str = "src",
+                dst: str = "dst", n_iter: int = 8,
+                broadcast_max_nodes: int = 5_000_000
+                ) -> "ray.data.Dataset":
+    """(node, auth_units, hub_units) — HITS hubs/authorities (Kleinberg
+    1999) as a deterministic FIXED-POINT integer spec: scores live in int64
+    micro-units, each half-iteration is an exact integer sum-scatter over
+    the DISTINCT edge set (auth[v] += hub[u] over u→v, then hub[u] +=
+    auth[v]), and normalization is max-rescale `x * HITS_UNITS // max(x)`
+    computed exactly via divmod splitting (q·U + r·U//mx), so every value
+    is order-independent and the distributed evaluation matches a
+    single-threaded dict re-walk bit-for-bit — the same determinism
+    discipline as the integer PageRank above (float L2-normalized HITS
+    would not survive partial-sum reordering).
+
+    Execution contract mirrors `label_propagation`: driver score arrays
+    over the sorted |V|-bounded vocabulary (admission error above the
+    cap), edge list local below LOCAL_MAX_EDGES else streamed per pass
+    with compacted per-block partials. Exactness bound (asserted): the
+    pre-rescale maximum must stay below 2^63 / HITS_UNITS ≈ 9.2e12 —
+    i.e. max in/out degree below ~9.2e6, far above any |V|-bounded KG."""
+    names, indexed = _index_edges(edges, src, dst)
+    n = len(names)
+    if n > broadcast_max_nodes:
+        raise ValueError(
+            f"hits_scores: |V|={n} exceeds the broadcast admission "
+            f"({broadcast_max_nodes}); no shuffle fallback is provided "
+            "(see label_propagation docstring)")
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "auth_units": pa.array([], pa.int64()),
+            "hub_units": pa.array([], pa.int64())}))
+
+    local = indexed.count() <= LOCAL_MAX_EDGES
+    if local:
+        s_all, d_all = _collect_indexed(indexed)
+        s_all = s_all.astype(np.int64)
+        d_all = d_all.astype(np.int64)
+
+    def scatter(from_ix_col: str, vals: np.ndarray) -> np.ndarray:
+        """One exact int64 sum-scatter pass over the edge set: returns
+        acc[to] = Σ vals[from] (from/to = (s, d) or (d, s))."""
+        acc = np.zeros(n, dtype=np.int64)
+        if local:
+            if from_ix_col == "s":
+                np.add.at(acc, d_all, vals[s_all])
+            else:
+                np.add.at(acc, s_all, vals[d_all])
+            return acc
+        val_ref = ray.put(vals)
+
+        def part(b: dict) -> dict:
+            v = ray.get(val_ref)
+            s = b["s"].astype(np.int64)
+            d = b["d"].astype(np.int64)
+            loc = np.zeros(len(v), dtype=np.int64)
+            if from_ix_col == "s":
+                np.add.at(loc, d, v[s])
+            else:
+                np.add.at(loc, s, v[d])
+            touched = np.nonzero(loc)[0]
+            return {"n": touched.astype(np.int64), "v": loc[touched]}
+
+        for b in indexed.map_batches(
+                part, batch_format="numpy").iter_batches(
+                batch_format="numpy"):
+            np.add.at(acc, b["n"], b["v"])
+        return acc
+
+    def rescale(x: np.ndarray) -> np.ndarray:
+        mx = int(x.max())
+        if mx <= 0:
+            return x
+        assert mx < (2 ** 63) // HITS_UNITS, "hits_scores: degree overflow"
+        # exact floor(x * U / mx) without 128-bit: x = q*mx + r →
+        # x*U//mx == q*U + r*U//mx (r < mx keeps r*U inside int64 by the
+        # asserted bound)
+        q, r = np.divmod(x, mx)
+        return q * HITS_UNITS + (r * HITS_UNITS) // mx
+
+    hub = np.full(n, HITS_UNITS, dtype=np.int64)
+    auth = np.zeros(n, dtype=np.int64)
+    for _ in range(n_iter):
+        auth = rescale(scatter("s", hub))
+        hub = rescale(scatter("d", auth))
+
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(list(names), pa.string()),
+        "auth_units": pa.array(auth, pa.int64()),
+        "hub_units": pa.array(hub, pa.int64())}))

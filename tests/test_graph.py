@@ -980,3 +980,80 @@ def test_label_propagation_partitioning_invariant():
     many = label_propagation(_edge_ds(pairs).repartition(7)).to_pandas(
         ).sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(one, many)
+
+
+# ---------------------------------------------------------------- HITS
+
+
+def test_hits_golden_hubs_and_authorities():
+    from dygiepp_ray.stages.graph import HITS_UNITS, hits_scores
+
+    # a and d point at b; a also points at c -> b is the top authority,
+    # a the top hub; exact integer spec matches the dict re-walk
+    pairs = [("a", "b"), ("a", "c"), ("d", "b")]
+    got = hits_scores(_edge_ds(pairs)).to_pandas().set_index("node")
+    exp = o.expected_hits(_pairs_table(pairs)).to_pandas().set_index("node")
+    pd.testing.assert_frame_equal(got.sort_index(), exp.sort_index())
+    assert got["auth_units"].idxmax() == "b"
+    assert got["auth_units"].max() == HITS_UNITS  # max-rescaled
+    assert got["hub_units"].idxmax() == "a"
+    assert got.loc["a", "auth_units"] == 0  # nothing points at a
+
+
+def test_hits_matches_oracle_random_and_streamed(monkeypatch):
+    import dygiepp_ray.stages.graph as g
+    from dygiepp_ray.stages.graph import hits_scores
+
+    pairs = sorted({("h%02d" % ((i * 7 + 1) % 19),
+                     "h%02d" % ((i * 11 + 4) % 19)) for i in range(45)})
+    got = hits_scores(_edge_ds(pairs)).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    exp = o.expected_hits(_pairs_table(pairs)).to_pandas()
+    pd.testing.assert_frame_equal(got, exp)
+    # per-pass streamed path (the 100-TB rounds path) is bit-identical
+    monkeypatch.setattr(g, "LOCAL_MAX_EDGES", 0)
+    streamed = hits_scores(_edge_ds(pairs).repartition(5)).to_pandas(
+        ).sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(streamed, exp)
+
+
+def test_hits_admission_guard():
+    from dygiepp_ray.stages.graph import hits_scores
+
+    with pytest.raises(ValueError, match="broadcast admission"):
+        hits_scores(_edge_ds([("a", "b")]), broadcast_max_nodes=1)
+
+
+# --------------------------------------------------- clustering coefficient
+
+
+def _tri_ds(pairs):
+    return ray.data.from_pandas(pd.DataFrame(
+        {"subj_norm": [p[0] for p in pairs],
+         "obj_norm": [p[1] for p in pairs]}))
+
+
+def test_clustering_coefficient_golden():
+    from dygiepp_ray.pipelines.kg import clustering_coefficient
+
+    # K3 {a,b,c} plus pendant edge c-d
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    got = clustering_coefficient(_tri_ds(pairs)).to_pandas().set_index("node")
+    assert got.loc["a", "cc_scaled"] == 10_000   # deg 2, 1 triangle
+    assert got.loc["b", "cc_scaled"] == 10_000
+    assert got.loc["c", "cc_scaled"] == 3_333    # 2*1*1e4 // (3*2)
+    assert got.loc["c", "deg"] == 3
+    assert got.loc["d", "cc_scaled"] == 0 and got.loc["d", "deg"] == 1
+    assert got.loc["d", "n_triangles"] == 0
+
+
+def test_clustering_coefficient_partitioning_invariant():
+    from dygiepp_ray.pipelines.kg import clustering_coefficient
+
+    pairs = sorted({("c%02d" % ((i * 5) % 13), "c%02d" % ((i * 7 + 2) % 13))
+                    for i in range(30)})
+    one = clustering_coefficient(_tri_ds(pairs).repartition(1)).to_pandas(
+        ).sort_values("node").reset_index(drop=True)
+    many = clustering_coefficient(_tri_ds(pairs).repartition(6)).to_pandas(
+        ).sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(one, many)
