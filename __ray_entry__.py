@@ -2154,6 +2154,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_clustering"] = q_kg_clustering
 
+    def q_orders_percentile(sf_dir: str):
+        # exact percent_rank over large partitions: distinct (group, price)
+        # counts, then the two-phase banded ordered_prefix_sum (few
+        # partitions, each spanning the dataset — the opposite regime of
+        # the per-key cumsum family); all rank arithmetic integer
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.windows import ordered_prefix_sum
+
+        counts = grouped_count(
+            _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]),
+            ["o_orderpriority", "o_totalprice"], out_name="n").materialize()
+        totals = {r["o_orderpriority"]: int(r["n_grp"])
+                  for r in partial_final_agg(
+                      counts, ["o_orderpriority"],
+                      [("n_grp", "n", "sum")]).take_all()}
+        tot_ref = ray.put(totals)
+        pre = ordered_prefix_sum(counts, "o_orderpriority", "o_totalprice",
+                                 "n", out_col="cum_n")
+
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            tot = ray.get(tot_ref)
+            n_grp = df["o_orderpriority"].map(tot).astype("int64")
+            n = df["n"].to_numpy("int64")
+            cum = df["cum_n"].to_numpy("int64")
+            den = np.maximum(n_grp.to_numpy() - 1, 1)
+            return pd.DataFrame({
+                "o_orderpriority": df["o_orderpriority"],
+                "o_totalprice": df["o_totalprice"],
+                "n": n, "cum_n": cum, "n_grp": n_grp,
+                "pct_scaled": ((cum - n) * 1_000_000) // den,
+            })
+
+        return pre.map_batches(finish, batch_format="pandas")
+
+    q["orders_percentile"] = q_orders_percentile
+
+    def q_events_interarrival(sf_dir: str):
+        # per-type inter-event gap statistics: deterministic (ts, event_id)
+        # ordering inside coarse user buckets, exact microsecond integers
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.windows import lag_diff
+
+        ds = _read(sf_dir, "events",
+                   ["event_id", "user_id", "event_type", "ts"])
+        lagged = lag_diff(ds, ["user_id", "event_type"],
+                          ["ts", "event_id"], value_col="ts",
+                          out_col="gap")
+
+        def per_block(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.dropna(subset=["gap"])
+            us = (g["gap"] // pd.Timedelta(microseconds=1)).astype("int64")
+            t = pd.DataFrame({"event_type": g["event_type"], "gap_us": us})
+            gg = (t.groupby("event_type", sort=False)["gap_us"]
+                  .agg(["count", "sum"]).reset_index())
+            return pd.DataFrame({"event_type": gg["event_type"],
+                                 "n_p": gg["count"].astype("int64"),
+                                 "s_p": gg["sum"].astype("int64")})
+
+        agg = partial_final_agg(
+            lagged.map_batches(per_block, batch_format="pandas"),
+            ["event_type"], [("n_gaps", "n_p", "sum"),
+                             ("sum_gap_us", "s_p", "sum")])
+
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            n = df["n_gaps"].to_numpy("int64")
+            s = df["sum_gap_us"].to_numpy("int64")
+            return pd.DataFrame({"event_type": df["event_type"],
+                                 "n_gaps": n, "sum_gap_us": s,
+                                 "mean_gap_us": s // np.maximum(n, 1)})
+
+        return agg.map_batches(finish, batch_format="pandas")
+
+    q["events_interarrival"] = q_events_interarrival
+
     def q_repo_stats(sf_dir: str):
         # per-repository inventory over the north-rule corpus shape: one
         # scan, distinct-pair (repo, kind, value) dedup shuffle, tiny final
@@ -4772,6 +4846,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_communities": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_communities.parquet')
+        """,
+        "orders_percentile": """
+            WITH c AS (
+                SELECT o_orderpriority, o_totalprice, COUNT(*) AS n
+                FROM orders GROUP BY 1, 2
+            ), w AS (
+                SELECT o_orderpriority, o_totalprice, n,
+                       SUM(n) OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice) AS cum_n,
+                       SUM(n) OVER (PARTITION BY o_orderpriority) AS n_grp
+                FROM c
+            )
+            SELECT o_orderpriority, o_totalprice,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(cum_n AS BIGINT) AS cum_n,
+                   CAST(n_grp AS BIGINT) AS n_grp,
+                   CAST((cum_n - n) * 1000000 AS BIGINT)
+                       // CAST(greatest(n_grp - 1, 1) AS BIGINT) AS pct_scaled
+            FROM w
+        """,
+        "events_interarrival": """
+            WITH g AS (
+                SELECT event_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS gap_us
+                FROM events
+            )
+            SELECT event_type, COUNT(*) AS n_gaps,
+                   CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+                   CAST(SUM(gap_us) AS BIGINT) // COUNT(*) AS mean_gap_us
+            FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
         """,
         "kg_hits": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_hits.parquet')

@@ -195,3 +195,79 @@ def funnel_counts(ds, stages: list[str], user_col: str = "user_id",
     partials = _bucketed(ds, keys, order, True, kernel, n_buckets)
     return partial_final_agg(partials, ["stage", "stage_name"],
                              [("n_users", "n_part", "sum")])
+
+
+def ordered_prefix_sum(ds: "ray.data.Dataset", partition_by, order_col: str,
+                       value_col: str, out_col: str = "cum",
+                       n_bands: int = 64) -> "ray.data.Dataset":
+    """Global ordered INCLUSIVE prefix sum of `value_col` per partition key
+    — `SUM(v) OVER (PARTITION BY k ORDER BY o)` for partitions too large
+    for one task (the per-key cumsum in `running_sum` handles the
+    high-cardinality-key case; this primitive handles the opposite: FEW
+    partitions, each spanning the whole dataset).
+
+    Two-phase banded scan: (0) one tiny pass finds the global [lo, hi] of
+    `order_col`; rows route to `n_bands` order-aligned range bands (the
+    float band expression only ROUTES rows — sums stay exact int64, so
+    banding does not affect results); (1) per-(partition, band) sums —
+    bounded at |partitions| × n_bands rows — collect to the driver, which
+    computes exclusive band offsets per partition and broadcasts them;
+    (2) each (partition, band) group sorts locally and adds its offset.
+
+    Contract: `order_col` values are UNIQUE within a partition (callers
+    pre-aggregate ties first — a distinct (key, order) table), and the
+    partition cardinality is bounded (offsets live on the driver)."""
+    keys = _as_list(partition_by)
+
+    def block_env(t) -> "pd.DataFrame":
+        col = t[order_col]
+        import pyarrow.compute as _pc
+
+        return pd.DataFrame({"lo": [_pc.min(col).as_py()],
+                             "hi": [_pc.max(col).as_py()]})
+
+    env = ds.select_columns([order_col]).map_batches(
+        block_env, batch_format="pyarrow").to_pandas()
+    lo = float(env["lo"].min())
+    hi = float(env["hi"].max())
+    span = (hi - lo) or 1.0
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        o = df[order_col].to_numpy(np.float64)
+        b = np.floor((o - lo) * float(n_bands) / span)
+        df["_band"] = np.clip(b, 0, n_bands - 1).astype(np.int64)
+        return df
+
+    stamped = ds.map_batches(stamp, batch_format="pandas").materialize()
+
+    def band_partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys + ["_band"], sort=False)[value_col].sum()
+        out = g.index.to_frame(index=False)
+        out["_bsum"] = g.to_numpy()
+        return out
+
+    bs = (stamped.map_batches(band_partials, batch_format="pandas")
+          .to_pandas()
+          .groupby(keys + ["_band"], sort=False)["_bsum"].sum()
+          .reset_index()
+          .sort_values(keys + ["_band"], kind="mergesort"))
+    grp = bs.groupby(keys, sort=False)["_bsum"]
+    bs["_off"] = grp.cumsum() - bs["_bsum"]
+    off = {tuple(r[k] for k in keys) + (r["_band"],): r["_off"]
+           for r in bs.to_dict("records")}
+    import ray as _ray
+
+    off_ref = _ray.put(off)
+
+    def per_band(df: pd.DataFrame) -> pd.DataFrame:
+        offs = _ray.get(off_ref)
+        df = df.sort_values(keys + [order_col], kind="mergesort").copy()
+        cum = df.groupby(keys, sort=False)[value_col].cumsum()
+        key0 = tuple(df.iloc[0][k] for k in keys) + (df.iloc[0]["_band"],)
+        # one (partition, band) per group — a single offset applies
+        df[out_col] = cum + offs[key0]
+        return df.drop(columns=["_band"])
+
+    return stamped.groupby(keys + ["_band"]).map_groups(
+        per_band, batch_format="pandas")

@@ -176,3 +176,29 @@ def test_funnel_counts_order_constraint_is_strict():
                         ["view", "click", "purchase"]).to_pandas()
     got = got.sort_values("stage")
     assert got["n_users"].astype(int).tolist() == [3, 1, 1]
+
+
+def test_ordered_prefix_sum_golden_and_band_invariance():
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.windows import ordered_prefix_sum
+
+    df = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"] * 3,
+        "o": [1.0, 2.0, 5.0, 7.0, 9.0, 2.0, 4.0, 6.0],
+        "v": [10, 20, 30, 40, 50, 1, 2, 3],
+    })
+    got = ordered_prefix_sum(ray.data.from_pandas(df), "k", "o", "v",
+                             out_col="cum", n_bands=4).to_pandas(
+        ).sort_values(["k", "o"]).reset_index(drop=True)
+    assert got["cum"].tolist() == [10, 30, 60, 100, 150, 1, 3, 6]
+    # band count must not affect results (banding only routes rows)
+    one = ordered_prefix_sum(ray.data.from_pandas(df), "k", "o", "v",
+                             n_bands=1).to_pandas().sort_values(
+        ["k", "o"]).reset_index(drop=True)
+    many = ordered_prefix_sum(ray.data.from_pandas(df).repartition(4),
+                              "k", "o", "v", n_bands=16).to_pandas(
+        ).sort_values(["k", "o"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(one, many)
+    assert one["cum"].tolist() == got["cum"].tolist()
