@@ -2653,6 +2653,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_link_predict"] = q_kg_link_predict
 
+    def q_kg_neighbor_jaccard(sf_dir: str):
+        # neighborhood-Jaccard entity-resolution candidates: pairs sharing
+        # >= 2 neighbors scored by integer-scaled Jaccard of their FULL
+        # neighborhoods; the per-center degree cap (64) bounds wedge fanout
+        # and is mirrored in the SQL oracle (operator contract). Existing
+        # edges stay, flagged is_edge.
+        _ensure_triples_oracle(sf_dir)
+        return kgp.neighborhood_jaccard(_synth_triples(sf_dir),
+                                        max_center_degree=64, min_common=2,
+                                        salt_buckets=4)
+
+    q["kg_neighbor_jaccard"] = q_kg_neighbor_jaccard
+
     def q_kg_alias_merge(sf_dir: str):
         # canonical-entity merging beyond the rule canonicalizer: cluster
         # the {surface ∪ rule-canonical} name vocabulary by char-trigram
@@ -4701,6 +4714,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.x, p.y, p.common_neighbors FROM p
             WHERE NOT EXISTS (
                 SELECT 1 FROM e WHERE e.u = p.x AND e.v = p.y)
+        """,
+        "kg_neighbor_jaccard": """
+            WITH e AS (
+                SELECT DISTINCT least(subj_norm, obj_norm) AS u,
+                                greatest(subj_norm, obj_norm) AS v
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+                WHERE subj_norm <> obj_norm
+            ), adj AS (
+                SELECT u AS c, v AS n FROM e UNION ALL SELECT v, u FROM e
+            ), deg AS (
+                SELECT c, count(*) AS d FROM adj GROUP BY c
+            ), ok AS (
+                SELECT adj.c, adj.n FROM adj JOIN deg USING (c)
+                WHERE d <= 64
+            ), p AS (
+                SELECT a.n AS x, b.n AS y, count(*) AS common_neighbors
+                FROM ok a JOIN ok b ON a.c = b.c AND a.n < b.n
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT p.x, p.y, p.common_neighbors,
+                   dx.d AS deg_x, dy.d AS deg_y,
+                   CAST((p.common_neighbors * 1000000)
+                        // (dx.d + dy.d - p.common_neighbors) AS BIGINT)
+                       AS jaccard_scaled,
+                   CASE WHEN EXISTS (
+                       SELECT 1 FROM e WHERE e.u = p.x AND e.v = p.y)
+                       THEN 1 ELSE 0 END AS is_edge
+            FROM p
+            JOIN deg dx ON dx.c = p.x
+            JOIN deg dy ON dy.c = p.y
         """,
         "kg_bfs_distances": """
             WITH RECURSIVE d AS (

@@ -1219,6 +1219,177 @@ def link_prediction(triples: "ray.data.Dataset", max_center_degree: int = 64,
                      bucket_post=anti_post)
 
 
+def neighborhood_jaccard(triples: "ray.data.Dataset",
+                         max_center_degree: int = 64, min_common: int = 2,
+                         scale: int = 1_000_000, salt_buckets: int = 1,
+                         n_buckets: int = 32) -> "ray.data.Dataset":
+    """(x, y, common_neighbors, deg_x, deg_y, jaccard_scaled, is_edge) —
+    neighborhood-overlap similarity over the DISTINCT undirected KG edge
+    set: every pair (x < y) sharing ≥ `min_common` neighbors, scored by the
+    integer-scaled Jaccard of their neighborhoods
+    floor(common · scale / (deg_x + deg_y − common)). The classic
+    entity-resolution / sameAs-candidate signal (two surface forms naming
+    the same real entity connect to the same things) — the QA complement of
+    `link_prediction`, which keeps only NON-edges; here existing edges stay
+    and are flagged `is_edge` instead.
+
+    Scale shape: identical wedge generation to `link_prediction` — centers
+    whose degree exceeds `max_center_degree` are excluded, which bounds the
+    per-center O(d²) fanout; the SQL oracle applies the same filter, so the
+    cap is part of the operator contract (common_neighbors counts only
+    commons that pass it, while deg_x / deg_y are the FULL degrees — the
+    score is therefore a lower bound around hub neighbors, the standard
+    trade at web scale). Degrees and the edge flag attach via three
+    bucketed hash joins; the Jaccard arithmetic is exact int64 so any
+    partitioning hash-matches the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..aggregates import partial_final_agg, strip_schema_metadata
+    from ..joins import hash_join
+
+    s_t, i_t = pa.string(), pa.int64()
+    SEP = "\x1f"
+
+    def canon(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        s = t.column("subj_norm").combine_chunks().cast(pa.string())
+        o = t.column("obj_norm").combine_chunks().cast(pa.string())
+        u = pc.min_element_wise(s, o)
+        v = pc.max_element_wise(s, o)
+        keep = pc.invert(pc.equal(s, o))
+        return pa.table({"u": u, "v": v}).filter(keep)
+
+    edges = grouped_count(
+        triples.select_columns(["subj_norm", "obj_norm"]).map_batches(
+            canon, batch_format="pyarrow"),
+        ["u", "v"], out_name="_c", salt_buckets=salt_buckets
+    ).select_columns(["u", "v"]).materialize()
+
+    def sym(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        u = t.column("u")
+        v = t.column("v")
+        typ = u.type
+        c = pa.chunked_array(list(u.chunks) + list(v.chunks), typ)
+        n = pa.chunked_array(list(v.chunks) + list(u.chunks), typ)
+        return pa.table({"c": c, "n": n})
+
+    adj = edges.map_batches(sym, batch_format="pyarrow")
+    deg = grouped_count(adj.select_columns(["c"]), ["c"],
+                        out_name="deg").materialize()
+
+    def keep_small(m: "pd.DataFrame") -> "pd.DataFrame":
+        return m.loc[m["deg"].to_numpy("int64") <= max_center_degree,
+                     ["c", "n"]]
+
+    ok = hash_join(adj, deg, on="c", n_buckets=n_buckets,
+                   left_types={"c": s_t, "n": s_t},
+                   right_types={"c": s_t, "deg": i_t},
+                   bucket_post=keep_small)
+
+    def stamp_center_bucket(t: pa.Table) -> pa.Table:
+        import zlib
+
+        t = strip_schema_metadata(t)
+        h = np.array([zlib.crc32(s.encode()) % n_buckets
+                      for s in t.column("c").to_pylist()], dtype=np.int32)
+        return t.append_column("_bucket", pa.array(h, pa.int32()))
+
+    def pair_partials(df: "pd.DataFrame") -> "pd.DataFrame":
+        parts = []
+        for _, g in df.groupby("c", sort=False):
+            ns = sorted(set(g["n"]))
+            k = len(ns)
+            if k < 2:
+                continue
+            ii, jj = np.triu_indices(k, 1)
+            a = np.array(ns, dtype=object)
+            parts.append(pd.DataFrame({"x": a[ii], "y": a[jj]}))
+        if not parts:
+            return pd.DataFrame({"x": pd.Series(dtype="string"),
+                                 "y": pd.Series(dtype="string"),
+                                 "n_part": pd.Series(dtype="int64")})
+        w = pd.concat(parts, ignore_index=True)
+        vc = w.groupby(["x", "y"], sort=False).size()
+        idx = vc.index.to_frame(index=False)
+        return pd.DataFrame({"x": idx["x"].to_numpy(object),
+                             "y": idx["y"].to_numpy(object),
+                             "n_part": vc.to_numpy("int64")})
+
+    cand = partial_final_agg(
+        ok.map_batches(stamp_center_bucket, batch_format="pyarrow").groupby(
+            "_bucket").map_groups(pair_partials, batch_format="pandas"),
+        ["x", "y"], [("common_neighbors", "n_part", "sum")])
+
+    def keep_min(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        return t.filter(pc.greater_equal(t.column("common_neighbors"),
+                                         min_common))
+
+    cand = cand.map_batches(keep_min, batch_format="pyarrow")
+
+    def renamed_deg(col: str, out: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = strip_schema_metadata(t)
+            return pa.table({col: t.column("c"),
+                             out: t.column("deg").cast(pa.int64())})
+
+        return fn
+
+    with_dx = hash_join(
+        cand, deg.map_batches(renamed_deg("x", "deg_x"),
+                              batch_format="pyarrow"),
+        on="x", n_buckets=n_buckets,
+        left_types={"x": s_t, "y": s_t, "common_neighbors": i_t},
+        right_types={"x": s_t, "deg_x": i_t})
+    with_dy = hash_join(
+        with_dx, deg.map_batches(renamed_deg("y", "deg_y"),
+                                 batch_format="pyarrow"),
+        on="y", n_buckets=n_buckets,
+        left_types={"x": s_t, "y": s_t, "common_neighbors": i_t,
+                    "deg_x": i_t},
+        right_types={"y": s_t, "deg_y": i_t})
+
+    def stamp_pair(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        pair = pc.binary_join_element_wise(
+            t.column("x").cast(pa.string()),
+            t.column("y").cast(pa.string()), SEP)
+        return t.append_column("pair", pair)
+
+    def edge_marks(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        pair = pc.binary_join_element_wise(
+            t.column("u").cast(pa.string()),
+            t.column("v").cast(pa.string()), SEP)
+        return pa.table({
+            "pair": pair,
+            "_edge": pa.array(np.ones(t.num_rows), pa.float64())})
+
+    marks = edges.map_batches(edge_marks, batch_format="pyarrow")
+
+    def score_post(df: "pd.DataFrame") -> "pd.DataFrame":
+        c = df["common_neighbors"].to_numpy("int64")
+        dx = df["deg_x"].to_numpy("int64")
+        dy = df["deg_y"].to_numpy("int64")
+        return pd.DataFrame({
+            "x": df["x"].to_numpy(object),
+            "y": df["y"].to_numpy(object),
+            "common_neighbors": c,
+            "deg_x": dx, "deg_y": dy,
+            "jaccard_scaled": (c * scale) // (dx + dy - c),
+            "is_edge": df["_edge"].notna().to_numpy().astype("int64")})
+
+    return hash_join(
+        with_dy.map_batches(stamp_pair, batch_format="pyarrow"), marks,
+        on="pair", how="left", n_buckets=n_buckets,
+        left_types={"x": s_t, "y": s_t, "common_neighbors": i_t,
+                    "deg_x": i_t, "deg_y": i_t, "pair": s_t},
+        right_types={"pair": s_t, "_edge": pa.float64()},
+        bucket_post=score_post)
+
+
 def negative_samples(triples: "ray.data.Dataset", k: int = 2,
                      seed: int = 17, n_buckets: int = 32,
                      max_vocab: int = 50_000_000) -> "ray.data.Dataset":

@@ -1057,3 +1057,71 @@ def test_clustering_coefficient_partitioning_invariant():
     many = clustering_coefficient(_tri_ds(pairs).repartition(6)).to_pandas(
         ).sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(one, many)
+
+
+def _neighbor_jaccard_oracle(pairs, cap=64, min_common=2, scale=1_000_000):
+    # independent re-walk: full degrees, capped-center common counts,
+    # floor-div Jaccard, is_edge flag
+    und = {(min(u, v), max(u, v)) for u, v in pairs if u != v}
+    adj: dict[str, set] = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    import itertools
+
+    counts: dict[tuple, int] = {}
+    for c, ns in adj.items():
+        if len(ns) > cap:
+            continue
+        for x, y in itertools.combinations(sorted(ns), 2):
+            counts[(x, y)] = counts.get((x, y), 0) + 1
+    out = {}
+    for (x, y), c in counts.items():
+        if c < min_common:
+            continue
+        dx, dy = len(adj[x]), len(adj[y])
+        out[(x, y)] = (c, dx, dy, (c * scale) // (dx + dy - c),
+                       int((x, y) in und))
+    return out
+
+
+def test_neighborhood_jaccard_golden_and_invariance():
+    from dygiepp_ray.pipelines.kg import neighborhood_jaccard
+
+    # a-c is an existing edge AND shares 2 neighbors (h, w): it must stay,
+    # flagged is_edge=1 — the semantic difference from link_prediction
+    pairs = [("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"),
+             ("z", "a"), ("z", "b"), ("w", "a"), ("w", "c"),
+             ("a", "c"), ("a", "a"), ("h", "a")]
+    want = _neighbor_jaccard_oracle(pairs)
+    assert any(v[4] == 1 for v in want.values())  # an is_edge pair exists
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(_lp_triples(pairs)).repartition(nparts)
+        got = neighborhood_jaccard(ds, salt_buckets=2,
+                                   n_buckets=4).to_pandas()
+        got_d = {(r.x, r.y): (int(r.common_neighbors), int(r.deg_x),
+                              int(r.deg_y), int(r.jaccard_scaled),
+                              int(r.is_edge))
+                 for r in got.itertuples()}
+        assert got_d == want
+
+
+def test_neighborhood_jaccard_random_graph_matches_bruteforce():
+    import numpy as np
+
+    from dygiepp_ray.pipelines.kg import neighborhood_jaccard
+
+    rng = np.random.RandomState(23)
+    names = [f"n{i:02d}" for i in range(14)]
+    pairs = [(names[rng.randint(14)], names[rng.randint(14)])
+             for _ in range(60)]
+    want = _neighbor_jaccard_oracle(pairs, cap=6, min_common=2)
+    got = neighborhood_jaccard(
+        ray.data.from_pandas(_lp_triples(pairs)).repartition(3),
+        max_center_degree=6, min_common=2, salt_buckets=2,
+        n_buckets=4).to_pandas()
+    got_d = {(r.x, r.y): (int(r.common_neighbors), int(r.deg_x),
+                          int(r.deg_y), int(r.jaccard_scaled),
+                          int(r.is_edge))
+             for r in got.itertuples()}
+    assert got_d == want
