@@ -1107,6 +1107,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["bigram_counts"] = q_bigram_counts
 
+    def q_term_drift(sf_dir: str):
+        # vocabulary drift between corpus slices (even vs odd doc_id):
+        # one scan of (term, slice) indicator partials, vocab-sized
+        # partial+final sum, scalar totals reduce, exact ppm rates
+        from dygiepp_ray.stages.text import term_drift
+
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        return term_drift(ds, min_count=20)
+
+    q["term_drift"] = q_term_drift
+
     def q_heavy_hitters_tokens(sf_dir: str):
         # exact frequent-items (count > N/k): Misra-Gries candidates from
         # per-block summaries, then an exact recount of candidates only.
@@ -4107,6 +4118,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT bigram, count(*) AS n FROM b
             GROUP BY bigram HAVING count(*) >= 20
+        """,
+        "term_drift": r"""
+            WITH toks AS (
+                SELECT doc_id % 2 AS slice,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '')) AS term
+                FROM documents
+            ), tc AS (
+                SELECT term,
+                       CAST(sum(CASE WHEN slice = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_a,
+                       CAST(sum(CASE WHEN slice <> 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_b
+                FROM toks GROUP BY term
+            ), tot AS (
+                SELECT greatest(CAST(sum(n_a) AS BIGINT), 1) AS na,
+                       greatest(CAST(sum(n_b) AS BIGINT), 1) AS nb
+                FROM tc
+            )
+            SELECT term, n_a, n_b,
+                   CAST((n_a * 1000000) // na AS BIGINT) AS rate_a_ppm,
+                   CAST((n_b * 1000000) // nb AS BIGINT) AS rate_b_ppm,
+                   CAST((n_a * 1000000) // na - (n_b * 1000000) // nb
+                        AS BIGINT) AS drift_ppm
+            FROM tc, tot WHERE n_a + n_b >= 20
         """,
         "heavy_hitters_tokens": r"""
             WITH t AS (

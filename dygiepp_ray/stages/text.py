@@ -830,3 +830,70 @@ def gopher_stats(batch: pd.DataFrame) -> pd.DataFrame:
         "stop_hits": stop_hits,
         "keep": keep,
     })
+
+
+def term_drift(ds, min_count: int = 20, scale: int = 1_000_000,
+               slice_mod: int = 2):
+    """(term, n_a, n_b, rate_a_ppm, rate_b_ppm, drift_ppm) — vocabulary
+    drift between two corpus slices (slice A = doc_id % slice_mod == 0,
+    B = the rest): per-term counts in each slice plus integer-scaled
+    relative frequencies floor(n·scale / slice_total) and their difference.
+    The standard corpus-comparison report (distribution shift between
+    crawl snapshots / sources before mixing training data); terms with
+    n_a + n_b < `min_count` are dropped.
+
+    Scale shape: ONE corpus scan emitting per-block (term, slice) partial
+    counts (conditional indicator columns — no per-slice pass), a vocab-
+    sized partial+final sum, and a scalar-sized totals reduce; the final
+    rate map broadcasts the two totals in its closure. All arithmetic is
+    exact int64 (floor division, mirrored by DuckDB `//` on nonnegative
+    values), so any partitioning value-hash-matches the SQL oracle.
+    Overflow bound: n·scale needs n < 2^63/scale ≈ 9.2e12 tokens per term
+    per slice at the default ppm scale."""
+    import numpy as np
+
+    from ..aggregates import partial_final_agg
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[["doc_id"]].assign(
+            term=df["text"].str.lower().str.split()).explode("term")
+        t = t[t["term"].notna()]
+        if not len(t):
+            return pd.DataFrame({"term": pd.Series(dtype="string"),
+                                 "a_p": pd.Series(dtype="int64"),
+                                 "b_p": pd.Series(dtype="int64")})
+        in_a = (t["doc_id"].to_numpy("int64") % slice_mod) == 0
+        g = pd.DataFrame({"term": t["term"].to_numpy(object),
+                          "a_p": in_a.astype("int64"),
+                          "b_p": (~in_a).astype("int64")})
+        gg = g.groupby("term", sort=False, as_index=False)[["a_p", "b_p"]].sum()
+        gg["a_p"] = gg["a_p"].astype("int64")
+        gg["b_p"] = gg["b_p"].astype("int64")
+        return gg
+
+    counts = partial_final_agg(
+        ds.map_batches(partials, batch_format="pandas"),
+        ["term"], [("n_a", "a_p", "sum"), ("n_b", "b_p", "sum")]
+    ).materialize()
+
+    # slice totals: per-block scalar partials -> driver sum (one int pair;
+    # bounded by the block count, never the vocabulary)
+    tot = counts.map_batches(
+        lambda df: pd.DataFrame({"na": [int(df["n_a"].sum())],
+                                 "nb": [int(df["n_b"].sum())]}),
+        batch_format="pandas").to_pandas()
+    na, nb = max(int(tot["na"].sum()), 1), max(int(tot["nb"].sum()), 1)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["n_a"].to_numpy("int64")
+        b = df["n_b"].to_numpy("int64")
+        keep = (a + b) >= min_count
+        a, b = a[keep], b[keep]
+        ra = (a * scale) // na
+        rb = (b * scale) // nb
+        return pd.DataFrame({"term": df["term"].to_numpy(object)[keep],
+                             "n_a": a, "n_b": b,
+                             "rate_a_ppm": ra, "rate_b_ppm": rb,
+                             "drift_ppm": ra - rb})
+
+    return counts.map_batches(finish, batch_format="pandas")

@@ -323,3 +323,43 @@ def test_gopher_stats_golden():
     r3 = got.loc[3]
     assert r3["n_words"] == 0 and r3["n_lines"] == 1
     assert r3["mwl_scaled"] == 0 and r3["keep"] == 0
+
+
+def test_term_drift_vs_pandas_and_invariance():
+    import pandas as pd
+    import ray
+
+    from dygiepp_ray.stages.text import term_drift
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "text": ["aa bb aa", "aa cc", "bb bb aa", "cc cc cc aa",
+                 "aa aa bb", "dd"],
+    })
+
+    # independent re-walk
+    rows = []
+    for _, r in docs.iterrows():
+        for w in r["text"].lower().split():
+            rows.append((w, r["doc_id"] % 2 == 0))
+    t = pd.DataFrame(rows, columns=["term", "in_a"])
+    tc = t.groupby("term").agg(
+        n_a=("in_a", "sum"), n_b=("in_a", lambda s: int((~s).sum())))
+    na, nb = int(tc["n_a"].sum()), int(tc["n_b"].sum())
+    tc = tc[(tc["n_a"] + tc["n_b"]) >= 3]
+    want = {
+        ix: (int(r.n_a), int(r.n_b),
+             int(r.n_a) * 1_000_000 // na, int(r.n_b) * 1_000_000 // nb)
+        for ix, r in tc.iterrows()
+    }
+    assert want and any(v[0] != v[1] for v in want.values())
+
+    for nparts in (1, 4):
+        got = term_drift(
+            ray.data.from_pandas(docs).repartition(nparts),
+            min_count=3).to_pandas()
+        got_d = {r.term: (int(r.n_a), int(r.n_b), int(r.rate_a_ppm),
+                          int(r.rate_b_ppm)) for r in got.itertuples()}
+        assert got_d == want
+        assert all(int(r.drift_ppm) == int(r.rate_a_ppm) - int(r.rate_b_ppm)
+                   for r in got.itertuples())
