@@ -546,6 +546,95 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["top2_orders_per_cust"] = top2_orders_per_cust
 
+    def q_orders_moving_sum(sf_dir: str):
+        # ROWS-frame windowed aggregate: trailing 3-order spend per customer
+        # (SUM ... ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — exact cents,
+        # ONE coarse-bucket shuffle + vectorized shifted-cumsum kernel
+        from dygiepp_ray.windows import moving_sum
+
+        ds = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+        def cents(df: pd.DataFrame) -> pd.DataFrame:
+            c = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100.0
+                         + 0.5).astype("int64")
+            return df.drop(columns=["o_totalprice"]).assign(cents=c)
+
+        out = moving_sum(ds.map_batches(cents, batch_format="pandas"),
+                         "o_custkey", ["o_orderdate", "o_orderkey"],
+                         "cents", k=3, out_col="moving_cents")
+        return out.map_batches(
+            lambda df: df[["o_custkey", "o_orderkey", "moving_cents"]],
+            batch_format="pandas")
+
+    q["orders_moving_sum"] = q_orders_moving_sum
+
+    def q_tpch_q3(sf_dir: str):
+        # TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem — two bucketed hash
+        # joins on DIFFERENT keys (custkey, then re-keyed on orderkey), all
+        # filters pushed to the reads, the revenue aggregate pushed inside
+        # the second join's buckets, and the global top-10 via block-local
+        # prune + a tiny sort (deterministic orderkey tiebreak). Revenue is
+        # exact int64: cents × (100 − discount_pct), unit 1e-4 dollars.
+        from dygiepp_ray.joins import hash_join
+
+        cut = pd.Timestamp("1998-06-01")
+
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]
+                     ).map_batches(
+            lambda df: df.loc[df["c_mktsegment"] == "BUILDING", ["c_custkey"]]
+                         .rename(columns={"c_custkey": "o_custkey"}),
+            batch_format="pandas")
+        orders = _read(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey", "o_orderdate"]
+                       ).map_batches(
+            lambda df: df[df["o_orderdate"] < cut], batch_format="pandas")
+        sub = hash_join(
+            orders, cust, on="o_custkey", n_buckets=16,
+            left_types={"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
+                        "o_orderdate": pa.timestamp("us")},
+            right_types={"o_custkey": pa.int64()},
+            bucket_post=lambda df: df[["o_orderkey", "o_orderdate"]])
+
+        def rev(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["l_shipdate"] > cut]
+            ext = np.floor(df["l_extendedprice"].to_numpy(np.float64) * 100.0
+                           + 0.5).astype("int64")
+            disc = np.floor(df["l_discount"].to_numpy(np.float64) * 100.0
+                            + 0.5).astype("int64")
+            return pd.DataFrame({"o_orderkey": df["l_orderkey"].to_numpy("int64"),
+                                 "rev_s": ext * (100 - disc)})
+
+        li = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+                   ).map_batches(rev, batch_format="pandas")
+
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(["o_orderkey", "o_orderdate"],
+                           as_index=False)["rev_s"].sum()
+            return g.rename(columns={"rev_s": "revenue_s"})
+
+        joined = hash_join(
+            li, sub, on="o_orderkey", n_buckets=16,
+            left_types={"o_orderkey": pa.int64(), "rev_s": pa.int64()},
+            right_types={"o_orderkey": pa.int64(),
+                         "o_orderdate": pa.timestamp("us")},
+            bucket_post=per_bucket)
+        from dygiepp_ray.aggregates import partial_final_agg
+
+        agg = partial_final_agg(joined, ["o_orderkey", "o_orderdate"],
+                                [("revenue_s", "revenue_s", "sum")])
+
+        def prune(df: pd.DataFrame) -> pd.DataFrame:
+            return df.sort_values(["revenue_s", "o_orderkey"],
+                                  ascending=[False, True]).head(10)
+
+        return (agg.map_batches(prune, batch_format="pandas")
+                .sort(["revenue_s", "o_orderkey"], descending=[True, False])
+                .limit(10))
+
+    q["tpch_q3"] = q_tpch_q3
+
     def events_sessions(sf_dir: str):
         # gap-based sessionization (30-min inactivity gap) per user —
         # coarse-bucket shuffle + one boolean session-start mask per bucket
@@ -3686,6 +3775,30 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
                 FROM orders)
             WHERE rn <= 2
+        """,
+        "orders_moving_sum": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS moving_cents
+            FROM orders
+        """,
+        "tpch_q3": """
+            SELECT o_orderkey, o_orderdate,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                          AS BIGINT))) AS BIGINT) AS revenue_s
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue_s DESC, o_orderkey
+            LIMIT 10
         """,
         "events_sessions": """
             WITH g AS (

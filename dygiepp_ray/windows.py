@@ -121,6 +121,37 @@ def running_sum(ds, partition_by, order_by, value_col: str,
     return _bucketed(ds, keys, order, True, kernel, n_buckets)
 
 
+def moving_sum(ds, partition_by, order_by, value_col: str, k: int,
+               out_col: str = "moving", n_buckets: int = 64) -> "ray.data.Dataset":
+    """Trailing k-row INCLUSIVE moving sum per partition — the ROWS-frame
+    window `SUM(v) OVER (PARTITION BY key ORDER BY o ROWS BETWEEN k-1
+    PRECEDING AND CURRENT ROW)` (reference window semantics family:
+    eval_metric.py's running accumulators). One coarse-bucket shuffle, then
+    a vectorized in-bucket cumsum minus its k-shifted self — no per-group
+    Python apply, no rolling object.
+
+    Exactness: int64 value columns stay exact as long as per-partition
+    cumulative sums stay under 2^53 (the k-shift passes through a float64
+    NaN hole); callers with larger magnitudes should pre-scale down."""
+    keys, order = _as_list(partition_by), _as_list(order_by)
+
+    def kernel(df: pd.DataFrame, ks: list[str]) -> pd.DataFrame:
+        df = df.copy()
+        g = df.groupby(ks, sort=False)
+        cs = g[value_col].cumsum()
+        df["_cs"] = cs
+        shifted = df.groupby(ks, sort=False)["_cs"].shift(k)
+        base = np.nan_to_num(shifted.to_numpy(np.float64), nan=0.0)
+        out = cs.to_numpy(np.float64) - base
+        if pd.api.types.is_integer_dtype(df[value_col].dtype):
+            df[out_col] = out.astype("int64")
+        else:
+            df[out_col] = out
+        return df.drop(columns=["_cs"])
+
+    return _bucketed(ds, keys, order, True, kernel, n_buckets)
+
+
 def sessionize(ds, partition_by, ts_col: str, gap: "pd.Timedelta",
                tiebreak_col: str | None = None,
                n_buckets: int = 64) -> "ray.data.Dataset":

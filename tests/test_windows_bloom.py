@@ -202,3 +202,30 @@ def test_ordered_prefix_sum_golden_and_band_invariance():
         ).sort_values(["k", "o"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(one, many)
     assert one["cum"].tolist() == got["cum"].tolist()
+
+
+def test_moving_sum_vs_pandas_rolling_and_partition_invariance():
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.windows import moving_sum
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 5, 40),
+        "o": np.arange(40),
+        "v": rng.randint(-100, 100, 40).astype("int64"),
+    })
+    want = df.sort_values(["k", "o"]).copy()
+    want["m"] = (want.groupby("k")["v"]
+                 .transform(lambda s: s.rolling(3, min_periods=1).sum())
+                 .astype("int64"))
+    exp = {(r.k, r.o): r.m for r in want.itertuples()}
+
+    for nparts in (1, 6):
+        got = moving_sum(ray.data.from_pandas(df).repartition(nparts),
+                         "k", "o", "v", k=3, out_col="m",
+                         n_buckets=4).to_pandas()
+        assert got["m"].dtype == np.dtype("int64")
+        assert {(r.k, r.o): r.m for r in got.itertuples()} == exp
