@@ -2199,6 +2199,116 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_components"] = q_kg_components
 
+    def q_kg_reciprocity(sf_dir: str):
+        # edge-level reciprocity QA: share of directed non-loop edges in the
+        # distinct KG edge set whose reverse edge also exists. Per-block
+        # partials keyed on the UNORDERED pair (both orientations group
+        # together), a pair-sized partial+final sum, then a scalar reduce —
+        # one row out; never an all-pairs or driver-side edge scan.
+        from dygiepp_ray.aggregates import partial_final_agg
+
+        _ensure_triples_oracle(sf_dir)
+        edges = _distinct_edge_ds(sf_dir)
+
+        def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+            s = df["subj_norm"].to_numpy(object)
+            o = df["obj_norm"].to_numpy(object)
+            keep = s != o
+            s, o = s[keep], o[keep]
+            fwd = s < o
+            out = pd.DataFrame({"u": np.where(fwd, s, o),
+                                "v": np.where(fwd, o, s),
+                                "f": fwd.astype("int64"),
+                                "b": (~fwd).astype("int64")})
+            return out.groupby(["u", "v"], as_index=False)[["f", "b"]].sum()
+
+        pairs = partial_final_agg(
+            edges.map_batches(pair_partials, batch_format="pandas"),
+            ["u", "v"], [("f", "f", "sum"), ("b", "b", "sum")])
+
+        def scalar(df: pd.DataFrame) -> pd.DataFrame:
+            f = df["f"].to_numpy("int64")
+            b = df["b"].to_numpy("int64")
+            # edges are distinct -> f,b ∈ {0,1}; a reciprocal pair
+            # contributes BOTH its directed edges to the numerator
+            return pd.DataFrame({"n_p": [int(f.sum() + b.sum())],
+                                 "r_p": [int(2 * np.minimum(f, b).sum())]})
+
+        tot = pairs.map_batches(scalar, batch_format="pandas").to_pandas()
+        n_edges = int(tot["n_p"].sum())
+        n_recip = int(tot["r_p"].sum())
+        return pd.DataFrame({
+            "n_edges": [n_edges], "n_reciprocal": [n_recip],
+            "reciprocity_ppm": [n_recip * 1_000_000 // max(n_edges, 1)]})
+
+    q["kg_reciprocity"] = q_kg_reciprocity
+
+    def q_kg_assortativity(sf_dir: str):
+        # degree assortativity of the undirected distinct KG edge set:
+        # Pearson r over the symmetrized endpoint-degree pairs (the standard
+        # Newman coefficient). Degrees come from a pair-sized grouped count;
+        # the |V|-bounded degree table broadcasts under the same
+        # lexicon-bounded admission contract as the graph fixpoints; moment
+        # partials are exact int64 and the float expression tree over them
+        # is mirrored verbatim in the SQL oracle (events_value_corr twin).
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.functions.strings import round_half_up
+
+        _ensure_triples_oracle(sf_dir)
+        edges = _distinct_edge_ds(sf_dir)
+
+        def upair(df: pd.DataFrame) -> pd.DataFrame:
+            s = df["subj_norm"].to_numpy(object)
+            o = df["obj_norm"].to_numpy(object)
+            keep = s != o
+            s, o = s[keep], o[keep]
+            fwd = s < o
+            return pd.DataFrame({"u": np.where(fwd, s, o),
+                                 "v": np.where(fwd, o, s)}).drop_duplicates()
+
+        pairs = distinct_first(
+            edges.map_batches(upair, batch_format="pandas"), ["u", "v"]
+        ).materialize()
+
+        def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": np.concatenate([df["u"].to_numpy(object),
+                                        df["v"].to_numpy(object)])})
+
+        deg_df = grouped_count(
+            pairs.map_batches(endpoints, batch_format="pandas"),
+            ["node"], out_name="deg").to_pandas()
+        if len(deg_df) > 2_000_000:
+            raise RuntimeError(
+                "kg_assortativity: degree table exceeds the broadcast "
+                "admission cap; route degrees through a bucketed hash_join")
+        deg_ref = ray.put(dict(zip(deg_df["node"], deg_df["deg"].astype(int))))
+
+        def moments(df: pd.DataFrame) -> pd.DataFrame:
+            deg = ray.get(deg_ref)
+            x = df["u"].map(deg).to_numpy("int64")
+            y = df["v"].map(deg).to_numpy("int64")
+            # symmetrized points: (x,y) and (y,x) per undirected edge
+            return pd.DataFrame({
+                "n": [2 * len(df)], "sx": [int(x.sum() + y.sum())],
+                "sy": [int(x.sum() + y.sum())],
+                "sxx": [int((x * x).sum() + (y * y).sum())],
+                "syy": [int((x * x).sum() + (y * y).sum())],
+                "sxy": [int(2 * (x * y).sum())]})
+
+        m = pairs.map_batches(moments, batch_format="pandas").to_pandas()
+        n = float(m["n"].sum())
+        sx, sy = float(m["sx"].sum()), float(m["sy"].sum())
+        sxx, syy = float(m["sxx"].sum()), float(m["syy"].sum())
+        sxy = float(m["sxy"].sum())
+        den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        c = (n * sxy - sx * sy) / np.sqrt(den2) if den2 > 0 else 0.0
+        return pd.DataFrame({
+            "n_points": [int(m["n"].sum())],
+            "assortativity": [float(round_half_up(np.array([c]), 6)[0])]})
+
+    q["kg_assortativity"] = q_kg_assortativity
+
     def q_kg_kcore(sf_dir: str):
         # core number per node (largest surviving k-core) — deterministic
         # peel; broadcast mode (lexicon-bounded vocab), shuffle fallback
@@ -4918,6 +5028,63 @@ def oracle_sql() -> dict[str, str]:
                 WHERE w.dist < 3
             )
             SELECT node, min(dist) AS dist FROM walk GROUP BY node
+        """,
+        "kg_reciprocity": """
+            WITH e AS (
+                SELECT DISTINCT subj_norm AS s, obj_norm AS o
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+                WHERE subj_norm <> obj_norm
+            ), flags AS (
+                SELECT CASE WHEN EXISTS (SELECT 1 FROM e e2
+                                         WHERE e2.s = e.o AND e2.o = e.s)
+                            THEN 1 ELSE 0 END AS rec
+                FROM e
+            )
+            SELECT count(*) AS n_edges,
+                   CAST(sum(rec) AS BIGINT) AS n_reciprocal,
+                   CAST(CAST(sum(rec) AS BIGINT) * 1000000
+                        // greatest(count(*), 1) AS BIGINT) AS reciprocity_ppm
+            FROM flags
+        """,
+        "kg_assortativity": """
+            WITH p AS (
+                SELECT DISTINCT least(subj_norm, obj_norm) AS u,
+                                greatest(subj_norm, obj_norm) AS v
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+                WHERE subj_norm <> obj_norm
+            ), nd AS (
+                SELECT u AS node FROM p UNION ALL SELECT v FROM p
+            ), d AS (
+                SELECT node, count(*) AS deg FROM nd GROUP BY node
+            ), pts AS (
+                SELECT du.deg AS x, dv.deg AS y
+                FROM p JOIN d du ON du.node = p.u
+                       JOIN d dv ON dv.node = p.v
+                UNION ALL
+                SELECT dv.deg, du.deg
+                FROM p JOIN d du ON du.node = p.u
+                       JOIN d dv ON dv.node = p.v
+            ), s AS (
+                SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum(y * y) AS BIGINT) AS syy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy
+                FROM pts
+            )
+            SELECT n AS n_points,
+                   round(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                         THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                              / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                         ELSE 0.0 END, 6) AS assortativity
+            FROM s
         """,
         "kg_triangles": """
             WITH e AS (
