@@ -1207,6 +1207,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["term_drift"] = q_term_drift
 
+    def q_oov_rate(sf_dir: str):
+        # tokenizer-vocab coverage per source: rate of tokens outside the
+        # top-16 corpus vocabulary (two scans; K-bounded vocab broadcast).
+        # K=16 keeps the split non-degenerate on this corpus's 31-term
+        # synthetic vocabulary; real corpora use K≈32000.
+        from dygiepp_ray.stages.text import oov_rate
+
+        ds = _read(sf_dir, "documents", ["source", "text"])
+        return oov_rate(ds, vocab_k=16)
+
+    q["oov_rate"] = q_oov_rate
+
     def q_heavy_hitters_tokens(sf_dir: str):
         # exact frequent-items (count > N/k): Misra-Gries candidates from
         # per-block summaries, then an exact recount of candidates only.
@@ -4367,6 +4379,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST((n_a * 1000000) // na - (n_b * 1000000) // nb
                         AS BIGINT) AS drift_ppm
             FROM tc, tot WHERE n_a + n_b >= 20
+        """,
+        "oov_rate": r"""
+            WITH toks AS (
+                SELECT source,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '')) AS term
+                FROM documents
+            ), vocab AS (
+                SELECT term FROM (
+                    SELECT term, count(*) AS c FROM toks GROUP BY term)
+                ORDER BY c DESC, term LIMIT 16
+            ), s AS (
+                SELECT source, count(*) AS n_tokens,
+                       CAST(sum(CASE WHEN term IN (SELECT term FROM vocab)
+                                     THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+                FROM toks GROUP BY source
+            )
+            SELECT source, n_tokens, n_oov,
+                   CAST(n_oov * 1000000 // greatest(n_tokens, 1) AS BIGINT)
+                       AS oov_ppm
+            FROM s
         """,
         "heavy_hitters_tokens": r"""
             WITH t AS (

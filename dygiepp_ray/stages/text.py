@@ -897,3 +897,78 @@ def term_drift(ds, min_count: int = 20, scale: int = 1_000_000,
                              "drift_ppm": ra - rb})
 
     return counts.map_batches(finish, batch_format="pandas")
+
+
+def oov_rate(ds, vocab_k: int = 16, group_col: str = "source",
+             scale: int = 1_000_000):
+    """(group, n_tokens, n_oov, oov_ppm) — tokenizer-vocabulary coverage per
+    corpus slice: the rate of tokens falling OUTSIDE the top-`vocab_k` corpus
+    vocabulary (count-desc, term-asc deterministic cutoff). The standard
+    "how well does a fixed vocab cover this source" report run before
+    committing to a tokenizer / before mixing a new source into training
+    data.
+
+    Scale shape: pass 1 is a vocab-sized partial+final term count whose
+    top-K (K bounded, default 16) collects to the driver and broadcasts via
+    ray.put — never the full vocabulary; pass 2 re-scans the corpus emitting
+    two int64 partials per (block, group). Rates are exact floor-division
+    ppm, mirrored by DuckDB `//` on nonnegative values."""
+    import numpy as np
+    import ray as _ray
+
+    from ..aggregates import partial_final_agg
+
+    def term_partials(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].str.lower().str.split().explode()
+        t = t[t.notna()]
+        if not len(t):
+            return pd.DataFrame({"term": pd.Series(dtype="string"),
+                                 "c": pd.Series(dtype="int64")})
+        g = pd.DataFrame({"term": t.to_numpy(object)})
+        g = g.groupby("term", sort=False, as_index=False).size()
+        return g.rename(columns={"size": "c"})
+
+    counts = partial_final_agg(
+        ds.map_batches(term_partials, batch_format="pandas"),
+        ["term"], [("c", "c", "sum")])
+
+    # block-local prune to K candidates, then one tiny driver sort — the
+    # deterministic (count desc, term asc) cutoff both sides share
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["c", "term"],
+                              ascending=[False, True]).head(vocab_k)
+
+    cand = counts.map_batches(block_topk, batch_format="pandas").to_pandas()
+    vocab = frozenset(cand.sort_values(["c", "term"], ascending=[False, True])
+                      .head(vocab_k)["term"])
+    vocab_ref = _ray.put(vocab)
+
+    def oov_partials(df: pd.DataFrame) -> pd.DataFrame:
+        vs = _ray.get(vocab_ref)
+        t = df[[group_col]].assign(
+            term=df["text"].str.lower().str.split()).explode("term")
+        t = t[t["term"].notna()]
+        if not len(t):
+            return pd.DataFrame({group_col: pd.Series(dtype="string"),
+                                 "tok_p": pd.Series(dtype="int64"),
+                                 "oov_p": pd.Series(dtype="int64")})
+        oov = ~t["term"].isin(vs)
+        g = pd.DataFrame({group_col: t[group_col].to_numpy(object),
+                          "tok_p": np.ones(len(t), dtype="int64"),
+                          "oov_p": oov.to_numpy().astype("int64")})
+        return g.groupby(group_col, sort=False,
+                         as_index=False)[["tok_p", "oov_p"]].sum()
+
+    per_group = partial_final_agg(
+        ds.map_batches(oov_partials, batch_format="pandas"),
+        [group_col], [("n_tokens", "tok_p", "sum"),
+                      ("n_oov", "oov_p", "sum")])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_tokens"].to_numpy("int64")
+        o = df["n_oov"].to_numpy("int64")
+        return pd.DataFrame({group_col: df[group_col].to_numpy(object),
+                             "n_tokens": n, "n_oov": o,
+                             "oov_ppm": (o * scale) // np.maximum(n, 1)})
+
+    return per_group.map_batches(finish, batch_format="pandas")

@@ -363,3 +363,26 @@ def test_term_drift_vs_pandas_and_invariance():
         assert got_d == want
         assert all(int(r.drift_ppm) == int(r.rate_a_ppm) - int(r.rate_b_ppm)
                    for r in got.itertuples())
+
+
+def test_oov_rate_vs_pandas_and_invariance():
+    import pandas as pd
+    import ray
+
+    from dygiepp_ray.stages.text import oov_rate
+
+    docs = pd.DataFrame({
+        "source": ["a", "a", "b", "b", "b"],
+        "text": ["x x y z", "x q", "y y x", "z z q r", "x"],
+    })
+    # top-3 vocab by (count desc, term asc): x(5) y(3) z(3) -> q,r OOV
+    want = {
+        "a": (6, 1, 1_000_000 // 6),
+        "b": (8, 2, 2 * 1_000_000 // 8),
+    }
+    for nparts in (1, 4):
+        got = oov_rate(ray.data.from_pandas(docs).repartition(nparts),
+                       vocab_k=3).to_pandas()
+        got_d = {r.source: (int(r.n_tokens), int(r.n_oov), int(r.oov_ppm))
+                 for r in got.itertuples()}
+        assert got_d == want
