@@ -649,6 +649,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_sessions"] = events_sessions
 
+    def q_events_transitions(sf_dir: str):
+        # first-order event-flow mining: counts of adjacent
+        # (prev_type -> next_type) transitions per user timeline — one
+        # coarse-bucket shuffle, |states|²-bounded partials per bucket
+        from dygiepp_ray.windows import transition_counts
+
+        ds = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                      "event_type"])
+        return transition_counts(ds, "user_id", ["ts", "event_id"],
+                                 "event_type")
+
+    q["events_transitions"] = q_events_transitions
+
+    def q_order_size_histogram(sf_dir: str):
+        # fanout profile (count-of-counts): distribution of lines-per-order
+        # — two stacked partial+final grouped counts; the second level's key
+        # domain is the tiny set of observed fanouts
+        c1 = grouped_count(_read(sf_dir, "lineitem", ["l_orderkey"]),
+                           ["l_orderkey"], out_name="n_lines")
+        return grouped_count(c1.select_columns(["n_lines"]),
+                             ["n_lines"], out_name="n_orders")
+
+    q["order_size_histogram"] = q_order_size_histogram
+
     def orders_monthly(sf_dir: str):
         ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
 
@@ -3921,6 +3945,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_orderdate
             ORDER BY revenue_s DESC, o_orderkey
             LIMIT 10
+        """,
+        "events_transitions": """
+            WITH s AS (
+                SELECT event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                           AS prev_type
+                FROM events
+            )
+            SELECT prev_type AS prev_state, event_type AS next_state,
+                   count(*) AS n
+            FROM s WHERE prev_type IS NOT NULL
+            GROUP BY prev_state, next_state
+        """,
+        "order_size_histogram": """
+            WITH c AS (
+                SELECT l_orderkey, count(*) AS n_lines
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT n_lines, count(*) AS n_orders FROM c GROUP BY n_lines
         """,
         "events_sessions": """
             WITH g AS (

@@ -228,6 +228,33 @@ def funnel_counts(ds, stages: list[str], user_col: str = "user_id",
                              [("n_users", "n_part", "sum")])
 
 
+def transition_counts(ds, partition_by, order_by, state_col: str,
+                      n_buckets: int = 64) -> "ray.data.Dataset":
+    """Markov transition counts: per partition, ordered by `order_by`,
+    count adjacent (prev_state, next_state) pairs — the first-order
+    sequence-mining primitive (event-flow graphs, session path analysis).
+    One coarse-bucket shuffle; per-bucket vectorized shift + grouped
+    partials, so only |states|² rows per bucket travel to the tiny final
+    combine."""
+    from .aggregates import partial_final_agg
+
+    keys, order = _as_list(partition_by), _as_list(order_by)
+
+    def kernel(df: pd.DataFrame, ks: list[str]) -> pd.DataFrame:
+        prev = df.groupby(ks, sort=False)[state_col].shift(1)
+        m = prev.notna().to_numpy()
+        out = pd.DataFrame({
+            "prev_state": prev.to_numpy(object)[m],
+            "next_state": df[state_col].to_numpy(object)[m]})
+        g = out.groupby(["prev_state", "next_state"], sort=False,
+                        as_index=False).size()
+        return g.rename(columns={"size": "n_p"})
+
+    partials = _bucketed(ds, keys, order, True, kernel, n_buckets)
+    return partial_final_agg(partials, ["prev_state", "next_state"],
+                             [("n", "n_p", "sum")])
+
+
 def ordered_prefix_sum(ds: "ray.data.Dataset", partition_by, order_col: str,
                        value_col: str, out_col: str = "cum",
                        n_bands: int = 64) -> "ray.data.Dataset":

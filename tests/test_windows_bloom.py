@@ -229,3 +229,24 @@ def test_moving_sum_vs_pandas_rolling_and_partition_invariance():
                          n_buckets=4).to_pandas()
         assert got["m"].dtype == np.dtype("int64")
         assert {(r.k, r.o): r.m for r in got.itertuples()} == exp
+
+
+def test_transition_counts_golden_and_partition_invariance():
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.windows import transition_counts
+
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 2, 2, 3],
+        "o": [1, 2, 3, 1, 2, 1],
+        "s": ["a", "b", "a", "a", "a", "b"],
+    })
+    # u1: a->b, b->a ; u2: a->a ; u3: none
+    want = {("a", "b"): 1, ("b", "a"): 1, ("a", "a"): 1}
+    for nparts in (1, 5):
+        got = transition_counts(
+            ray.data.from_pandas(df).repartition(nparts), "u", "o", "s",
+            n_buckets=4).to_pandas()
+        assert {(r.prev_state, r.next_state): int(r.n)
+                for r in got.itertuples()} == want
