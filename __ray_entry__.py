@@ -673,6 +673,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["order_size_histogram"] = q_order_size_histogram
 
+    def q_profile_orders(sf_dir: str):
+        # Deequ-style ingest profile of the orders table: per column n_rows,
+        # n_null, exact n_distinct, native-ordered min/max — one wide-partial
+        # stats scan + a per-block-compacted distinct stream
+        from dygiepp_ray.stages.misc import profile_columns
+
+        cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+        return profile_columns(_read(sf_dir, "orders", cols), cols)
+
+    q["profile_orders"] = q_profile_orders
+
     def orders_monthly(sf_dir: str):
         ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
 
@@ -3965,6 +3976,39 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem GROUP BY l_orderkey
             )
             SELECT n_lines, count(*) AS n_orders FROM c GROUP BY n_lines
+        """,
+        "profile_orders": """
+            SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null,
+                   count(DISTINCT o_orderkey) AS n_distinct,
+                   CAST(min(o_orderkey) AS VARCHAR) AS min_v,
+                   CAST(max(o_orderkey) AS VARCHAR) AS max_v
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(*),
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   count(DISTINCT o_custkey),
+                   CAST(min(o_custkey) AS VARCHAR),
+                   CAST(max(o_custkey) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*),
+                   CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   count(DISTINCT o_orderstatus),
+                   CAST(min(o_orderstatus) AS VARCHAR),
+                   CAST(max(o_orderstatus) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*),
+                   CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0
+                            END) AS BIGINT),
+                   count(DISTINCT o_orderpriority),
+                   CAST(min(o_orderpriority) AS VARCHAR),
+                   CAST(max(o_orderpriority) AS VARCHAR)
+            FROM orders
         """,
         "events_sessions": """
             WITH g AS (

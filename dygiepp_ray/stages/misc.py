@@ -189,3 +189,64 @@ def json_extract_int(ds: "ray.data.Dataset", col: str, field: str,
         return df
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def profile_columns(ds, columns: list[str]) -> pd.DataFrame:
+    """Data-quality profile of selected columns (reference data validators
+    family, generalized — the Deequ-style stats collection every ingest at
+    scale runs first): one row per column with n_rows, n_null, n_distinct,
+    and VARCHAR-normalized min/max.
+
+    Scale shape: ONE stats scan emits a single wide partial row per block
+    (min/max computed in the column's NATIVE dtype so numeric ordering
+    matches SQL's cast-after-aggregate, null/row counts as int64); the
+    driver combines |blocks| rows. n_distinct streams separately as
+    per-block-compacted (column, value-string) rows through distinct_first
+    — the shuffle moves at most one row per distinct value per block, never
+    the raw column. Supports int and string columns (floats/timestamps are
+    excluded by contract: their VARCHAR forms are renderer-specific)."""
+    import numpy as np
+
+    from ..aggregates import distinct_first, grouped_count
+
+    def block_stats(df: pd.DataFrame) -> pd.DataFrame:
+        row = {"_n": [len(df)]}
+        for c in columns:
+            s = df[c]
+            sv = s.dropna()
+            row[f"{c}__null"] = [int(s.isna().sum())]
+            row[f"{c}__min"] = [sv.min() if len(sv) else None]
+            row[f"{c}__max"] = [sv.max() if len(sv) else None]
+        return pd.DataFrame(row)
+
+    st = ds.map_batches(block_stats, batch_format="pandas").to_pandas()
+
+    def long_vals(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for c in columns:
+            sv = df[c].dropna().astype(str).drop_duplicates()
+            parts.append(pd.DataFrame({
+                "column_name": np.repeat(c, len(sv)),
+                "val": sv.to_numpy(object)}))
+        return pd.concat(parts, ignore_index=True)
+
+    dn = grouped_count(
+        distinct_first(ds.map_batches(long_vals, batch_format="pandas"),
+                       ["column_name", "val"]).select_columns(["column_name"]),
+        ["column_name"], out_name="n_distinct").to_pandas()
+    n_distinct = dict(zip(dn["column_name"], dn["n_distinct"].astype(int)))
+
+    n_rows = int(st["_n"].sum())
+    out = []
+    for c in columns:
+        mn = st[f"{c}__min"].dropna()
+        mx = st[f"{c}__max"].dropna()
+        out.append({
+            "column_name": c,
+            "n_rows": n_rows,
+            "n_null": int(st[f"{c}__null"].sum()),
+            "n_distinct": int(n_distinct.get(c, 0)),
+            "min_v": str(mn.min()) if len(mn) else None,
+            "max_v": str(mx.max()) if len(mx) else None,
+        })
+    return pd.DataFrame(out)

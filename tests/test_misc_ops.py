@@ -170,3 +170,26 @@ def test_inverted_index_build_and_lookup(tmp_path):
     # all-empty dataset, so only the row count is asserted)
     got2 = term_lookup(idx, ["qqq"], n_buckets=4).to_pandas()
     assert len(got2) == 0
+
+
+def test_profile_columns_nulls_and_invariance():
+    import pandas as pd
+    import ray
+
+    from dygiepp_ray.stages.misc import profile_columns
+
+    df = pd.DataFrame({
+        "k": [3, 1, 2, None, 2],
+        "s": ["b", None, "a", "a", "c"],
+    })
+    df["k"] = df["k"].astype("Int64")
+    for nparts in (1, 4):
+        got = profile_columns(
+            ray.data.from_pandas(df).repartition(nparts), ["k", "s"]
+        ).set_index("column_name")
+        kk = got.loc["k"]
+        assert (int(kk.n_rows), int(kk.n_null), int(kk.n_distinct)) == (5, 1, 3)
+        assert (kk.min_v, kk.max_v) == ("1", "3")
+        ss = got.loc["s"]
+        assert (int(ss.n_rows), int(ss.n_null), int(ss.n_distinct)) == (5, 1, 3)
+        assert (ss.min_v, ss.max_v) == ("a", "c")
