@@ -1254,6 +1254,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["oov_rate"] = q_oov_rate
 
+    def q_lang_source_association(sf_dir: str):
+        # lang × source contingency chi-square (is language mix independent
+        # of source? — the corpus-balance QA before mixing training data).
+        # The distributed work is ONE salted grouped count per (lang,
+        # source); the statistic runs on the |langs|×|sources|-bounded cell
+        # table with exact Python big-int arithmetic, scale-1e6 floor
+        # division mirrored by DuckDB HUGEINT `//`.
+        cells = grouped_count(_read(sf_dir, "documents", ["lang", "source"]),
+                              ["lang", "source"], out_name="o").to_pandas()
+        T = int(cells["o"].sum())
+        rl = cells.groupby("lang")["o"].sum().to_dict()
+        cs = cells.groupby("source")["o"].sum().to_dict()
+        chi = 0
+        for rw in cells.itertuples():
+            o, r, c = int(rw.o), int(rl[rw.lang]), int(cs[rw.source])
+            d = o * T - r * c
+            chi += (d * d * 1_000_000) // (r * c * T)
+        dof = (cells["lang"].nunique() - 1) * (cells["source"].nunique() - 1)
+        return pd.DataFrame({"n_cells": [len(cells)], "dof": [int(dof)],
+                             "chi2_scaled": [int(chi)]})
+
+    q["lang_source_association"] = q_lang_source_association
+
     def q_heavy_hitters_tokens(sf_dir: str):
         # exact frequent-items (count > N/k): Misra-Gries candidates from
         # per-block summaries, then an exact recount of candidates only.
@@ -2289,6 +2312,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "reciprocity_ppm": [n_recip * 1_000_000 // max(n_edges, 1)]})
 
     q["kg_reciprocity"] = q_kg_reciprocity
+
+    def q_kg_conf_quantiles(sf_dir: str):
+        # per-predicate extraction-confidence quantiles (calibration QA on
+        # the triple table): exact histogram-refinement quantiles, grouped —
+        # 3 streaming passes, no sort (aggregates.distributed_quantiles)
+        from dygiepp_ray.aggregates import distributed_quantiles
+
+        _ensure_triples_oracle(sf_dir)
+        tri = _synth_triples(sf_dir).select_columns(["pred", "conf"])
+        return distributed_quantiles(tri, "conf", [0.25, 0.5, 0.9],
+                                     by="pred")
+
+    q["kg_conf_quantiles"] = q_kg_conf_quantiles
 
     def q_kg_assortativity(sf_dir: str):
         # degree assortativity of the undirected distinct KG edge set:
@@ -4468,6 +4504,32 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS drift_ppm
             FROM tc, tot WHERE n_a + n_b >= 20
         """,
+        "lang_source_association": """
+            WITH cell AS (
+                SELECT lang, source, count(*) AS o
+                FROM documents GROUP BY lang, source
+            ), r AS (
+                SELECT lang, sum(o) AS rl FROM cell GROUP BY lang
+            ), c AS (
+                SELECT source, sum(o) AS cs FROM cell GROUP BY source
+            ), t AS (
+                SELECT sum(o) AS tt FROM cell
+            ), x AS (
+                SELECT CAST(cell.o AS HUGEINT) AS o,
+                       CAST(r.rl AS HUGEINT) AS rl,
+                       CAST(c.cs AS HUGEINT) AS cs,
+                       CAST(t.tt AS HUGEINT) AS tt
+                FROM cell JOIN r USING (lang) JOIN c USING (source)
+                     CROSS JOIN t
+            )
+            SELECT (SELECT count(*) FROM cell) AS n_cells,
+                   CAST(((SELECT count(*) FROM r) - 1)
+                        * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof,
+                   CAST(sum((o * tt - rl * cs) * (o * tt - rl * cs)
+                            * 1000000 // (rl * cs * tt)) AS BIGINT)
+                       AS chi2_scaled
+            FROM x
+        """,
         "oov_rate": r"""
             WITH toks AS (
                 SELECT source,
@@ -5150,6 +5212,13 @@ def oracle_sql() -> dict[str, str]:
                 WHERE w.dist < 3
             )
             SELECT node, min(dist) AS dist FROM walk GROUP BY node
+        """,
+        "kg_conf_quantiles": """
+            SELECT pred,
+                   unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.9::DOUBLE]) AS q,
+                   unnest(quantile_disc(conf, [0.25, 0.5, 0.9])) AS v
+            FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            GROUP BY pred
         """,
         "kg_reciprocity": """
             WITH e AS (
