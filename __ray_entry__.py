@@ -569,6 +569,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["orders_moving_sum"] = q_orders_moving_sum
 
+    def q_orders_trailing7(sf_dir: str):
+        # RANGE-frame trailing window: 7-day trailing spend per customer
+        # over the per-day sums table (peers pre-aggregated per the
+        # trailing_range_sum contract) — day ints via timedelta .dt.days
+        # (unit-agnostic; see ROUND4_NOTES events gotcha)
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.windows import trailing_range_sum
+
+        ds = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            day = (df["o_orderdate"]
+                   - pd.Timestamp("1970-01-01")).dt.days.astype("int64")
+            cents = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100.0
+                             + 0.5).astype("int64")
+            return pd.DataFrame({"o_custkey": df["o_custkey"],
+                                 "day": day, "cents": cents})
+
+        daily = partial_final_agg(
+            ds.map_batches(prep, batch_format="pandas"),
+            ["o_custkey", "day"], [("day_cents", "cents", "sum")])
+        return trailing_range_sum(daily, "o_custkey", "day", "day_cents",
+                                  width=7, out_col="trailing7_cents")
+
+    q["orders_trailing7"] = q_orders_trailing7
+
     def q_tpch_q3(sf_dir: str):
         # TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem — two bucketed hash
         # joins on DIFFERENT keys (custkey, then re-keyed on orderkey), all
@@ -3977,6 +4004,22 @@ def oracle_sql() -> dict[str, str]:
                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS moving_cents
             FROM orders
+        """,
+        "orders_trailing7": """
+            WITH d AS (
+                SELECT o_custkey,
+                       CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                            AS BIGINT) AS day,
+                       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS day_cents
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT o_custkey, day, day_cents,
+                   CAST(sum(day_cents) OVER (
+                       PARTITION BY o_custkey ORDER BY day
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS trailing7_cents
+            FROM d
         """,
         "tpch_q3": """
             SELECT o_orderkey, o_orderdate,

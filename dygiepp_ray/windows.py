@@ -228,6 +228,45 @@ def funnel_counts(ds, stages: list[str], user_col: str = "user_id",
                              [("n_users", "n_part", "sum")])
 
 
+def trailing_range_sum(ds, partition_by, order_col: str, value_col: str,
+                       width: int, out_col: str = "trailing",
+                       n_buckets: int = 64) -> "ray.data.Dataset":
+    """RANGE-frame trailing window: `SUM(v) OVER (PARTITION BY key ORDER BY
+    o RANGE BETWEEN width-1 PRECEDING AND CURRENT ROW)` for an INTEGER
+    order column (e.g. epoch days) — the value-based complement to
+    `moving_sum`'s row-count frame.
+
+    Contract: (key, order) pairs are UNIQUE (callers pre-aggregate peers —
+    a per-day sums table — exactly the peer semantics SQL's RANGE frame
+    gives for free). One coarse-bucket shuffle; in-bucket cumsum + ONE
+    vectorized backward merge_asof against (order − width) finds each
+    row's window base — no per-group Python loop. Exact for int64 values
+    with per-partition cumsums under 2^53 (the asof miss passes through a
+    float64 NaN hole)."""
+    keys = _as_list(partition_by)
+
+    def kernel(df: pd.DataFrame, ks: list[str]) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        cs = df.groupby(ks, sort=False)[value_col].cumsum()
+        df["_cs"] = cs
+        left = df.assign(_tgt=df[order_col] - width).sort_values(
+            "_tgt", kind="mergesort")
+        right = df[ks + [order_col, "_cs"]].sort_values(
+            order_col, kind="mergesort").rename(
+            columns={order_col: "_ro", "_cs": "_base"})
+        m = pd.merge_asof(left, right, left_on="_tgt", right_on="_ro",
+                          by=ks, direction="backward")
+        base = np.nan_to_num(m["_base"].to_numpy(np.float64), nan=0.0)
+        win = m["_cs"].to_numpy(np.float64) - base
+        if pd.api.types.is_integer_dtype(df[value_col].dtype):
+            m[out_col] = win.astype("int64")
+        else:
+            m[out_col] = win
+        return m.drop(columns=["_cs", "_tgt", "_ro", "_base"])
+
+    return _bucketed(ds, keys, [order_col], True, kernel, n_buckets)
+
+
 def transition_counts(ds, partition_by, order_by, state_col: str,
                       n_buckets: int = 64) -> "ray.data.Dataset":
     """Markov transition counts: per partition, ordered by `order_by`,

@@ -250,3 +250,33 @@ def test_transition_counts_golden_and_partition_invariance():
             n_buckets=4).to_pandas()
         assert {(r.prev_state, r.next_state): int(r.n)
                 for r in got.itertuples()} == want
+
+
+def test_trailing_range_sum_vs_bruteforce_and_invariance():
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.windows import trailing_range_sum
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for k in range(4):
+        days = np.sort(rng.choice(np.arange(0, 30), size=12, replace=False))
+        for d in days:
+            rows.append((k, int(d), int(rng.randint(-50, 50))))
+    df = pd.DataFrame(rows, columns=["k", "day", "v"])
+
+    W = 7
+    want = {}
+    for r in df.itertuples():
+        sub = df[(df["k"] == r.k) & (df["day"] <= r.day)
+                 & (df["day"] > r.day - W)]
+        want[(r.k, r.day)] = int(sub["v"].sum())
+
+    for nparts in (1, 5):
+        got = trailing_range_sum(
+            ray.data.from_pandas(df).repartition(nparts), "k", "day", "v",
+            width=W, out_col="t", n_buckets=4).to_pandas()
+        assert got["t"].dtype == np.dtype("int64")
+        assert {(r.k, r.day): int(r.t) for r in got.itertuples()} == want
