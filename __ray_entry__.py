@@ -967,6 +967,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["rollup_status_priority"] = rollup_status_priority
 
+    def q_cube_status_priority(sf_dir: str):
+        # GROUP BY CUBE twin: rollup's prefixes PLUS the cross marginals —
+        # all 2^k grouping sets re-aggregated from one finest-level scan
+        from dygiepp_ray.aggregates import cube_count
+
+        ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+        return cube_count(ds, ["o_orderstatus", "o_orderpriority"],
+                          out_name="n")
+
+    q["cube_status_priority"] = q_cube_status_priority
+
     def semi_join_orders(sf_dir: str):
         # broadcast semi-join (WHERE EXISTS): orders of customers with
         # acctbal > 5000; the small side is a broadcast key set, the big
@@ -4238,6 +4249,11 @@ def oracle_sql() -> dict[str, str]:
                        AS n_4_not_specified,
                    count(*) FILTER (o_orderpriority = '5-LOW') AS n_5_low
             FROM orders GROUP BY o_orderstatus
+        """,
+        "cube_status_priority": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "rollup_status_priority": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n

@@ -86,9 +86,36 @@ def rollup_count(ds: "ray.data.Dataset", keys: list[str], out_name: str = "n",
     so it is materialized and the rollup levels are tiny follow-on
     groupbys, not extra passes over the input."""
     finest = grouped_count(ds, keys, out_name=out_name).materialize()
+    subsets = [keys[:i] for i in range(len(keys), -1, -1)]
+    return _grouping_set_union(finest, keys, subsets, out_name, key_types)
+
+
+def cube_count(ds: "ray.data.Dataset", keys: list[str], out_name: str = "n",
+               key_types: dict | None = None) -> "ray.data.Dataset":
+    """`GROUP BY CUBE(keys...)` counts: EVERY subset of the key list
+    (rollup's prefixes plus the cross marginals), collapsed columns emitted
+    as typed nulls. Same scan discipline as `rollup_count`: the raw rows
+    are scanned once at the finest level; all 2^k−1 coarser grouping sets
+    re-aggregate the small finest result."""
+    import itertools
+
+    finest = grouped_count(ds, keys, out_name=out_name).materialize()
+    subsets = []
+    for r in range(len(keys), -1, -1):
+        for combo in itertools.combinations(keys, r):
+            subsets.append(list(combo))
+    return _grouping_set_union(finest, keys, subsets, out_name, key_types)
+
+
+def _grouping_set_union(finest: "ray.data.Dataset", keys: list[str],
+                        subsets: list[list[str]], out_name: str,
+                        key_types: dict | None) -> "ray.data.Dataset":
+    """Union of grouping-set re-aggregations over a materialized finest
+    count table (one row per distinct key combination). `subsets[0]` must
+    be the full key list (reused as-is, no re-aggregation)."""
     # collapsed-column types default to the INPUT key types (finest is
     # materialized, so schema() is free) — casting every key to string
-    # would silently diverge from SQL ROLLUP on int/date keys
+    # would silently diverge from SQL ROLLUP/CUBE on int/date keys
     sch = finest.schema()
     in_types = {}
     for name, typ in zip(sch.names, sch.types):
@@ -111,14 +138,19 @@ def rollup_count(ds: "ray.data.Dataset", keys: list[str], out_name: str = "n",
             return pa.table(cols)
         return fn
 
-    levels = [finest.map_batches(pad(keys), batch_format="pyarrow")]
-    for i in range(len(keys) - 1, 0, -1):
-        lvl = finest.groupby(keys[:i]).aggregate(Sum(out_name, alias_name=out_name))
-        levels.append(lvl.map_batches(pad(keys[:i]), batch_format="pyarrow"))
-    total = finest.aggregate(Sum(out_name, alias_name=out_name))[out_name]
-    total_tbl = pa.table({**{k: pa.nulls(1, types[k]) for k in keys},
-                          out_name: pa.array([total], pa.int64())})
-    levels.append(ray.data.from_arrow(total_tbl))
+    levels = [finest.map_batches(pad(subsets[0]), batch_format="pyarrow")]
+    for grp in subsets[1:]:
+        if grp:
+            lvl = finest.groupby(grp).aggregate(
+                Sum(out_name, alias_name=out_name))
+            levels.append(lvl.map_batches(pad(grp), batch_format="pyarrow"))
+        else:
+            total = finest.aggregate(Sum(out_name, alias_name=out_name)
+                                     )[out_name]
+            total_tbl = pa.table({
+                **{k: pa.nulls(1, types[k]) for k in keys},
+                out_name: pa.array([total], pa.int64())})
+            levels.append(ray.data.from_arrow(total_tbl))
     return levels[0].union(*levels[1:])
 
 
