@@ -1315,6 +1315,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["lang_source_association"] = q_lang_source_association
 
+    def q_span_corruption(sf_dir: str):
+        # T5-style span-corruption denoising pairs (deterministic
+        # block-aligned mask rule; no RNG state) — oracle = independent
+        # scalar per-doc re-walk of the documented rule
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.text import span_corruption
+
+        _write_oracle(sf_dir, "span_corruption",
+                      lambda: _o.expected_span_corruption(sf_dir))
+        return span_corruption(_read(sf_dir, "documents",
+                                     ["doc_id", "text"]))
+
+    q["span_corruption"] = q_span_corruption
+
     def q_heavy_hitters_tokens(sf_dir: str):
         # exact frequent-items (count > N/k): Misra-Gries candidates from
         # per-block summaries, then an exact recount of candidates only.
@@ -4562,6 +4576,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST((n_a * 1000000) // na - (n_b * 1000000) // nb
                         AS BIGINT) AS drift_ppm
             FROM tc, tot WHERE n_a + n_b >= 20
+        """,
+        "span_corruption": """
+            SELECT * FROM
+            read_parquet('/tmp/dygiepp_ray_oracle/span_corruption.parquet')
         """,
         "lang_source_association": """
             WITH cell AS (

@@ -2701,3 +2701,49 @@ def expected_hits(triples: pa.Table, n_iter: int = 8) -> pa.Table:
         "auth_units": pa.array([auth[v] for v in nodes], pa.int64()),
         "hub_units": pa.array([hub[v] for v in nodes], pa.int64()),
     })
+
+
+def expected_span_corruption(sf_dir: str, block: int = 8, mask_off: int = 4,
+                             max_span: int = 3, seed: int = 17) -> pa.Table:
+    """Independent scalar re-walk of `stages/text.py:span_corruption`: a
+    per-document Python loop applying the documented mask rule
+    (L = splitmix64(doc XOR ((blk + seed)·GOLD)) mod (max_span+1), offsets
+    [mask_off, mask_off+L) of each fixed token block) with the scalar
+    `_mix64` twin of the vectorized hash."""
+    from .stages.dedup import _mix64
+
+    M64 = (1 << 64) - 1
+    GOLD = 0x9E3779B97F4A7C15
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    rows = []
+    for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+        toks = text.split()
+        inp, tgt, n_masked, k = [], [], 0, -1
+        i = 0
+        while i < len(toks):
+            blk = i // block
+            L = _mix64((doc_id ^ (((blk + seed) * GOLD) & M64)) & M64) \
+                % (max_span + 1)
+            lo, hi = mask_off, mask_off + L
+            off = i % block
+            if lo <= off < hi:
+                if off == lo:
+                    k += 1
+                    inp.append(f"<extra_id_{k}>")
+                    tgt.append(f"<extra_id_{k}>")
+                tgt.append(toks[i])
+                n_masked += 1
+            else:
+                inp.append(toks[i])
+            i += 1
+        rows.append({"doc_id": doc_id, "input_text": " ".join(inp),
+                     "target_text": " ".join(tgt), "n_masked": n_masked})
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["doc_id", "input_text", "target_text",
+                                    "n_masked"]),
+        preserve_index=False)

@@ -972,3 +972,79 @@ def oov_rate(ds, vocab_k: int = 16, group_col: str = "source",
                              "oov_ppm": (o * scale) // np.maximum(n, 1)})
 
     return per_group.map_batches(finish, batch_format="pandas")
+
+
+def span_corruption(ds, block: int = 8, mask_off: int = 4,
+                    max_span: int = 3, seed: int = 17):
+    """(doc_id, input_text, target_text, n_masked) — T5-style span-corruption
+    pairs for denoising pretraining: deterministic mask spans are replaced by
+    `<extra_id_k>` sentinels in the input and emitted after their sentinel in
+    the target (Raffel et al. 2020 objective shape).
+
+    Mask rule (the operator contract, mirrored by the oracle re-walk):
+    tokens partition into fixed blocks of `block`; block b of doc d masks its
+    tokens at offsets [mask_off, mask_off+L) where
+    L = splitmix64(d XOR ((b + seed) · GOLD)) mod (max_span+1). The rule
+    depends only on (doc_id, token index) — partitioning-invariant, no RNG
+    state — and block-aligned spans never overlap, so selection needs no
+    sequential scan. Expected mask rate ≈ (max_span/2)/block.
+
+    Scale shape: one pure vectorized map_batches — explode to tokens,
+    uint64 hash per (doc, block), boolean mask algebra, two grouped string
+    joins per block. No shuffle, no driver state."""
+    import numpy as np
+
+    from .dedup import _splitmix64
+
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[["doc_id"]].assign(tok=df["text"].str.split()).explode("tok")
+        t = t[t["tok"].notna()]
+        out_index = df["doc_id"].to_numpy("int64")
+        if not len(t):
+            return pd.DataFrame({"doc_id": out_index,
+                                 "input_text": [""] * len(df),
+                                 "target_text": [""] * len(df),
+                                 "n_masked": np.zeros(len(df), "int64")})
+        doc = t["doc_id"].to_numpy("int64")
+        idx = t.groupby("doc_id", sort=False).cumcount().to_numpy("int64")
+        blk = (idx // block).astype("uint64")
+        off = idx % block
+        L = (_splitmix64(doc.astype(np.uint64)
+                         ^ ((blk + np.uint64(seed)) * GOLD))
+             % np.uint64(max_span + 1)).astype("int64")
+        masked = (off >= mask_off) & (off < mask_off + L)
+        start = masked & (off == mask_off)
+        k = pd.Series(start.astype("int64")).groupby(
+            pd.Series(doc), sort=False).cumsum().to_numpy("int64") - 1
+        sent = np.char.add(np.char.add(
+            "<extra_id_", k.astype("U20")), ">")
+        toks = t["tok"].to_numpy(object)
+
+        # input: span start -> sentinel, other masked tokens drop
+        in_keep = ~masked | start
+        in_tok = np.where(masked, sent, toks)
+        inp = (pd.DataFrame({"doc_id": doc[in_keep],
+                             "tok": in_tok[in_keep]})
+               .groupby("doc_id", sort=False)["tok"]
+               .agg(" ".join))
+        # target: per masked token, span starts prepend their sentinel
+        tgt_tok = np.where(start,
+                           np.char.add(np.char.add(sent, " "),
+                                       toks.astype("U")), toks)
+        tgt = (pd.DataFrame({"doc_id": doc[masked],
+                             "tok": tgt_tok[masked]})
+               .groupby("doc_id", sort=False)["tok"]
+               .agg(" ".join))
+        nm = pd.Series(masked.astype("int64")).groupby(
+            pd.Series(doc), sort=False).sum()
+
+        return pd.DataFrame({
+            "doc_id": out_index,
+            "input_text": pd.Series(out_index).map(inp).fillna("").to_numpy(object),
+            "target_text": pd.Series(out_index).map(tgt).fillna("").to_numpy(object),
+            "n_masked": pd.Series(out_index).map(nm).fillna(0).to_numpy("int64"),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -386,3 +386,45 @@ def test_oov_rate_vs_pandas_and_invariance():
         got_d = {r.source: (int(r.n_tokens), int(r.n_oov), int(r.oov_ppm))
                  for r in got.itertuples()}
         assert got_d == want
+
+
+def test_span_corruption_conservation_and_invariance():
+    import re
+
+    import pandas as pd
+    import ray
+
+    from dygiepp_ray.stages.text import span_corruption
+
+    docs = pd.DataFrame({
+        "doc_id": [7, 12, 99],
+        "text": [" ".join(f"t{i}" for i in range(30)),
+                 " ".join(f"w{i}" for i in range(11)),
+                 "short"],
+    })
+    outs = []
+    for nparts in (1, 3):
+        got = span_corruption(
+            ray.data.from_pandas(docs).repartition(nparts)
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        outs.append(got)
+        for r in got.itertuples():
+            orig = docs.loc[docs["doc_id"] == r.doc_id, "text"].iloc[0].split()
+            sent = re.compile(r"<extra_id_\d+>")
+            in_toks = r.input_text.split()
+            tgt_toks = r.target_text.split()
+            # sentinel sets agree and are consecutively numbered from 0
+            s_in = [t for t in in_toks if sent.fullmatch(t)]
+            s_tgt = [t for t in tgt_toks if sent.fullmatch(t)]
+            assert s_in == s_tgt
+            assert s_in == [f"<extra_id_{i}>" for i in range(len(s_in))]
+            # token conservation: non-sentinel input + non-sentinel target
+            # re-interleave to the original document
+            kept = [t for t in in_toks if not sent.fullmatch(t)]
+            masked = [t for t in tgt_toks if not sent.fullmatch(t)]
+            assert int(r.n_masked) == len(masked)
+            assert sorted(kept + masked) == sorted(orig)
+    # deterministic across partitionings
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # the long doc actually got masked
+    assert int(outs[0].set_index("doc_id").loc[7, "n_masked"]) > 0
