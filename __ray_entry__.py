@@ -1329,6 +1329,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["span_corruption"] = q_span_corruption
 
+    def q_embedding_drift(sf_dir: str):
+        # embedding-space distribution shift between corpus slices (vec_id
+        # parity): cosine between the two slice mean vectors. Per-block
+        # partials are dim-sized EXACT int64 sum rows (quantized at 1e6);
+        # the driver reduces 2×dim ints and computes one float64 cosine —
+        # the embedding twin of term_drift. Oracle = scalar re-walk.
+        from dygiepp_ray import oracle as _o
+
+        _write_oracle(sf_dir, "embedding_drift",
+                      lambda: _o.expected_embedding_drift(sf_dir))
+        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        SCALE = 1_000_000
+
+        def partials(df: pd.DataFrame) -> pd.DataFrame:
+            v = np.stack(df["embedding"].to_numpy())
+            qv = np.floor(v.astype(np.float64) * SCALE + 0.5).astype("int64")
+            a = (df["vec_id"].to_numpy("int64") % 2) == 0
+            d = qv.shape[1]
+            return pd.DataFrame({
+                "dim": np.arange(d, dtype="int64"),
+                "s_a": qv[a].sum(axis=0, dtype="int64"),
+                "s_b": qv[~a].sum(axis=0, dtype="int64"),
+                "n_a": np.full(d, int(a.sum()), dtype="int64"),
+                "n_b": np.full(d, int((~a).sum()), dtype="int64")})
+
+        agg = ds.map_batches(partials, batch_format="pandas").to_pandas()
+        g = agg.groupby("dim", sort=True)[["s_a", "s_b"]].sum()
+        n_a = int(agg[agg["dim"] == 0]["n_a"].sum())
+        n_b = int(agg[agg["dim"] == 0]["n_b"].sum())
+        sa = g["s_a"].to_numpy("int64").astype("float64")
+        sb = g["s_b"].to_numpy("int64").astype("float64")
+        den = np.sqrt(float((sa * sa).sum())) * np.sqrt(float((sb * sb).sum()))
+        cos = float((sa * sb).sum() / den) if den > 0 else 0.0
+        from dygiepp_ray.functions.strings import round_half_up
+
+        return pd.DataFrame({
+            "n_a": [n_a], "n_b": [n_b],
+            "mean_cosine": [float(round_half_up(np.array([cos]), 6)[0])]})
+
+    q["embedding_drift"] = q_embedding_drift
+
     def q_heavy_hitters_tokens(sf_dir: str):
         # exact frequent-items (count > N/k): Misra-Gries candidates from
         # per-block summaries, then an exact recount of candidates only.
@@ -4576,6 +4617,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST((n_a * 1000000) // na - (n_b * 1000000) // nb
                         AS BIGINT) AS drift_ppm
             FROM tc, tot WHERE n_a + n_b >= 20
+        """,
+        "embedding_drift": """
+            SELECT * FROM
+            read_parquet('/tmp/dygiepp_ray_oracle/embedding_drift.parquet')
         """,
         "span_corruption": """
             SELECT * FROM

@@ -2747,3 +2747,29 @@ def expected_span_corruption(sf_dir: str, block: int = 8, mask_off: int = 4,
         pd.DataFrame(rows, columns=["doc_id", "input_text", "target_text",
                                     "n_masked"]),
         preserve_index=False)
+
+
+def expected_embedding_drift(sf_dir: str, scale: int = 1_000_000) -> pa.Table:
+    """Independent re-walk of q_embedding_drift: quantize every embedding at
+    `scale` (floor(x·scale + 0.5) in float64), exact int64 per-slice sums
+    (vec_id parity), one float64 cosine over the two sum vectors, rounded
+    half-up to 6dp — the same expression tree as the distributed path, over
+    totals that are exact integers either way."""
+    from .functions.strings import round_half_up
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    v = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    q = np.floor(v * scale + 0.5).astype(np.int64)
+    a = (ids % 2) == 0
+    sa = q[a].sum(axis=0, dtype=np.int64).astype(np.float64)
+    sb = q[~a].sum(axis=0, dtype=np.int64).astype(np.float64)
+    den = np.sqrt(float((sa * sa).sum())) * np.sqrt(float((sb * sb).sum()))
+    cos = float((sa * sb).sum() / den) if den > 0 else 0.0
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame({
+        "n_a": [int(a.sum())], "n_b": [int((~a).sum())],
+        "mean_cosine": [float(round_half_up(np.array([cos]), 6)[0])]}),
+        preserve_index=False)
