@@ -689,6 +689,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_transitions"] = q_events_transitions
 
+    def q_events_cobaskets(sf_dir: str):
+        # association mining: support of unordered event-type pairs
+        # co-occurring in the same (user, day) basket — distinct baskets,
+        # ONE coarse-bucket shuffle on the basket key, in-task self-merge
+        # (pair fanout bounded by the tiny per-basket type count), pair
+        # partials, tiny final combine
+        from dygiepp_ray.aggregates import distinct_first, partial_final_agg
+
+        ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            day = (df["ts"] - pd.Timestamp("1970-01-01")).dt.days.astype(
+                "int64")
+            return pd.DataFrame({"user_id": df["user_id"], "day": day,
+                                 "t": df["event_type"]}).drop_duplicates()
+
+        baskets = distinct_first(
+            ds.map_batches(prep, batch_format="pandas"),
+            ["user_id", "day", "t"])
+
+        def stamp(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            h = pd.util.hash_pandas_object(df[["user_id", "day"]],
+                                           index=False).to_numpy()
+            df["_bk"] = (h % np.uint64(64)).astype("int64")
+            return df
+
+        def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.drop(columns=["_bk"])
+            m = df.merge(df, on=["user_id", "day"])
+            m = m[m["t_x"] < m["t_y"]]
+            g = m.groupby(["t_x", "t_y"], sort=False, as_index=False).size()
+            return g.rename(columns={"t_x": "type_a", "t_y": "type_b",
+                                     "size": "s_p"})
+
+        partials = (baskets.map_batches(stamp, batch_format="pandas")
+                    .groupby("_bk")
+                    .map_groups(pair_partials, batch_format="pandas"))
+        return partial_final_agg(partials, ["type_a", "type_b"],
+                                 [("support", "s_p", "sum")])
+
+    q["events_cobaskets"] = q_events_cobaskets
+
+    def q_events_ohlc(sf_dir: str):
+        # daily OHLC candles per event type: order-based first/last
+        # selections need the sorted in-bucket kernel (windows.ohlc), not a
+        # plain partial+final agg; values are raw-double SELECTIONS (no
+        # arithmetic) so they hash-match SQL bit for bit
+        from dygiepp_ray.windows import ohlc
+
+        ds = _read(sf_dir, "events", ["event_type", "ts", "event_id",
+                                      "value"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            day = (df["ts"] - pd.Timestamp("1970-01-01")).dt.days.astype(
+                "int64")
+            return pd.DataFrame({"event_type": df["event_type"], "day": day,
+                                 "ts": df["ts"], "event_id": df["event_id"],
+                                 "value": df["value"]})
+
+        return ohlc(ds.map_batches(prep, batch_format="pandas"),
+                    ["event_type", "day"], ["ts", "event_id"], "value")
+
+    q["events_ohlc"] = q_events_ohlc
+
     def q_order_size_histogram(sf_dir: str):
         # fanout profile (count-of-counts): distribution of lines-per-order
         # — two stacked partial+final grouped counts; the second level's key
@@ -4101,6 +4166,44 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_orderdate
             ORDER BY revenue_s DESC, o_orderkey
             LIMIT 10
+        """,
+        "events_ohlc": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                           AS day,
+                       ts, event_id, value
+                FROM events
+            ), r AS (
+                SELECT event_type, day, value,
+                       row_number() OVER (PARTITION BY event_type, day
+                                          ORDER BY ts, event_id) AS rn_a,
+                       row_number() OVER (PARTITION BY event_type, day
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn_d
+                FROM e
+            )
+            SELECT event_type, day,
+                   max(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+                   max(value) AS high_v, min(value) AS low_v,
+                   max(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+                   count(*) AS n
+            FROM r GROUP BY event_type, day
+        """,
+        "events_cobaskets": """
+            WITH b AS (
+                SELECT DISTINCT user_id,
+                       CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                           AS day,
+                       event_type
+                FROM events
+            )
+            SELECT x.event_type AS type_a, y.event_type AS type_b,
+                   count(*) AS support
+            FROM b x JOIN b y
+                 ON x.user_id = y.user_id AND x.day = y.day
+                AND x.event_type < y.event_type
+            GROUP BY type_a, type_b
         """,
         "events_transitions": """
             WITH s AS (

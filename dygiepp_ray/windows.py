@@ -228,6 +228,26 @@ def funnel_counts(ds, stages: list[str], user_col: str = "user_id",
                              [("n_users", "n_part", "sum")])
 
 
+def ohlc(ds, partition_by, order_by, value_col: str,
+         n_buckets: int = 64) -> "ray.data.Dataset":
+    """Open/high/low/close + count per partition — the time-bucketed
+    candle aggregate (first/last are ORDER-based selections, not sums, so
+    this is not expressible as a plain partial+final agg without argmin
+    machinery). One coarse-bucket shuffle; the in-bucket kernel is a single
+    vectorized stable-sorted groupby with first/last/max/min/size — values
+    are pure selections, bit-identical to SQL's window row_number pick."""
+    keys, order = _as_list(partition_by), _as_list(order_by)
+
+    def kernel(df: pd.DataFrame, ks: list[str]) -> pd.DataFrame:
+        g = df.groupby(ks, sort=False)[value_col]
+        out = g.agg(open_v="first", high_v="max", low_v="min",
+                    close_v="last", n="size").reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return _bucketed(ds, keys, order, True, kernel, n_buckets)
+
+
 def trailing_range_sum(ds, partition_by, order_col: str, value_col: str,
                        width: int, out_col: str = "trailing",
                        n_buckets: int = 64) -> "ray.data.Dataset":

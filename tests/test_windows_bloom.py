@@ -280,3 +280,23 @@ def test_trailing_range_sum_vs_bruteforce_and_invariance():
             width=W, out_col="t", n_buckets=4).to_pandas()
         assert got["t"].dtype == np.dtype("int64")
         assert {(r.k, r.day): int(r.t) for r in got.itertuples()} == want
+
+
+def test_ohlc_golden_and_partition_invariance():
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.windows import ohlc
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b"],
+        "o": [3, 1, 2, 1, 1],
+        "tb": [0, 0, 0, 0, 1],   # tiebreak for b's duplicate order key
+        "v": [30.0, 10.0, 20.0, 5.0, 7.0],
+    })
+    want = {"a": (10.0, 30.0, 10.0, 30.0, 3), "b": (5.0, 7.0, 5.0, 7.0, 2)}
+    for nparts in (1, 4):
+        got = ohlc(ray.data.from_pandas(df).repartition(nparts),
+                   "k", ["o", "tb"], "v", n_buckets=4).to_pandas()
+        assert {r.k: (r.open_v, r.high_v, r.low_v, r.close_v, int(r.n))
+                for r in got.itertuples()} == want
