@@ -1043,6 +1043,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["cube_status_priority"] = q_cube_status_priority
 
+    def q_orders_priority_share(sf_dir: str):
+        # ratio-to-report: each priority's exact share of total spend in
+        # ppm — one partial+final grouped sum; the grand total is a tiny
+        # reduce over the per-group rows (never a second input scan)
+        from dygiepp_ray.aggregates import partial_final_agg
+
+        ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+        def cents(df: pd.DataFrame) -> pd.DataFrame:
+            c = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100.0
+                         + 0.5).astype("int64")
+            return pd.DataFrame({"o_orderpriority": df["o_orderpriority"],
+                                 "cents": c})
+
+        g = partial_final_agg(
+            ds.map_batches(cents, batch_format="pandas"),
+            ["o_orderpriority"], [("sum_cents", "cents", "sum")]
+        ).to_pandas()
+        total = max(int(g["sum_cents"].sum()), 1)
+        sc = g["sum_cents"].to_numpy("int64")
+        return pd.DataFrame({
+            "o_orderpriority": g["o_orderpriority"],
+            "sum_cents": sc,
+            "share_ppm": (sc * 1_000_000) // total})
+
+    q["orders_priority_share"] = q_orders_priority_share
+
     def semi_join_orders(sf_dir: str):
         # broadcast semi-join (WHERE EXISTS): orders of customers with
         # acctbal > 5000; the small side is a broadcast key set, the big
@@ -2483,6 +2510,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      by="pred")
 
     q["kg_conf_quantiles"] = q_kg_conf_quantiles
+
+    def q_kg_pred_cooccurrence(sf_dir: str):
+        # predicate co-occurrence mining: support of unordered predicate
+        # pairs extracted from the same document (schema-discovery signal:
+        # which relation types travel together) — distinct (doc, pred),
+        # one doc-key shuffle, in-task self-merge with fanout bounded by
+        # the tiny per-doc predicate count
+        from dygiepp_ray.aggregates import distinct_first, partial_final_agg
+
+        _ensure_triples_oracle(sf_dir)
+        dp = distinct_first(
+            _synth_triples(sf_dir).select_columns(["doc_id", "pred"]),
+            ["doc_id", "pred"])
+
+        def stamp(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            h = pd.util.hash_pandas_object(df["doc_id"],
+                                           index=False).to_numpy()
+            df["_bk"] = (h % np.uint64(64)).astype("int64")
+            return df
+
+        def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.drop(columns=["_bk"])
+            m = df.merge(df, on="doc_id")
+            m = m[m["pred_x"] < m["pred_y"]]
+            g = m.groupby(["pred_x", "pred_y"], sort=False,
+                          as_index=False).size()
+            return g.rename(columns={"pred_x": "pred_a", "pred_y": "pred_b",
+                                     "size": "s_p"})
+
+        partials = (dp.map_batches(stamp, batch_format="pandas")
+                    .groupby("_bk")
+                    .map_groups(pair_partials, batch_format="pandas"))
+        return partial_final_agg(partials, ["pred_a", "pred_b"],
+                                 [("support", "s_p", "sum")])
+
+    q["kg_pred_cooccurrence"] = q_kg_pred_cooccurrence
 
     def q_kg_assortativity(sf_dir: str):
         # degree assortativity of the undirected distinct KG edge set:
@@ -5437,6 +5501,30 @@ def oracle_sql() -> dict[str, str]:
                 WHERE w.dist < 3
             )
             SELECT node, min(dist) AS dist FROM walk GROUP BY node
+        """,
+        "orders_priority_share": """
+            WITH g AS (
+                SELECT o_orderpriority,
+                       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS sum_cents
+                FROM orders GROUP BY o_orderpriority
+            ), t AS (
+                SELECT greatest(CAST(sum(sum_cents) AS BIGINT), 1) AS total
+                FROM g
+            )
+            SELECT o_orderpriority, sum_cents,
+                   CAST(sum_cents * 1000000 // total AS BIGINT) AS share_ppm
+            FROM g, t
+        """,
+        "kg_pred_cooccurrence": """
+            WITH dp AS (
+                SELECT DISTINCT doc_id, pred
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            )
+            SELECT x.pred AS pred_a, y.pred AS pred_b, count(*) AS support
+            FROM dp x JOIN dp y
+                 ON x.doc_id = y.doc_id AND x.pred < y.pred
+            GROUP BY pred_a, pred_b
         """,
         "kg_conf_quantiles": """
             SELECT pred,
