@@ -754,6 +754,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_ohlc"] = q_events_ohlc
 
+    def q_user_day_outer(sf_dir: str):
+        # FULL OUTER join (hash_join how="outer"): per-(user, day) purchase
+        # vs click activity — co-bucketed keys make the per-bucket pandas
+        # outer merge compose to the global full outer join. Composite key
+        # user*1e6+day keeps the single-column join contract; unmatched
+        # sides fill 0 (COALESCE twin in the SQL oracle).
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.joins import hash_join
+
+        ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+        def prep(kind: str):
+            def fn(df: pd.DataFrame) -> pd.DataFrame:
+                df = df[df["event_type"] == kind]
+                day = (df["ts"]
+                       - pd.Timestamp("1970-01-01")).dt.days.astype("int64")
+                key = df["user_id"].to_numpy("int64") * 1_000_000 + day
+                return pd.DataFrame({
+                    "ud": key, "one": np.ones(len(df), "int64")})
+            return fn
+
+        p = partial_final_agg(
+            ds.map_batches(prep("purchase"), batch_format="pandas"),
+            ["ud"], [("n_purchase", "one", "sum")])
+        c = partial_final_agg(
+            ds.map_batches(prep("click"), batch_format="pandas"),
+            ["ud"], [("n_click", "one", "sum")])
+        j = hash_join(p, c, on="ud", how="outer", n_buckets=16,
+                      left_types={"ud": pa.int64(),
+                                  "n_purchase": pa.int64()},
+                      right_types={"ud": pa.int64(), "n_click": pa.int64()})
+
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            ud = df["ud"].to_numpy("int64")
+            return pd.DataFrame({
+                "user_id": ud // 1_000_000,
+                "day": ud % 1_000_000,
+                "n_purchase": df["n_purchase"].fillna(0).to_numpy(
+                    "float64").astype("int64"),
+                "n_click": df["n_click"].fillna(0).to_numpy(
+                    "float64").astype("int64")})
+
+        return j.map_batches(finish, batch_format="pandas")
+
+    q["user_day_outer"] = q_user_day_outer
+
     def q_order_size_histogram(sf_dir: str):
         # fanout profile (count-of-counts): distribution of lines-per-order
         # — two stacked partial+final grouped counts; the second level's key
@@ -4230,6 +4276,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_orderdate
             ORDER BY revenue_s DESC, o_orderkey
             LIMIT 10
+        """,
+        "user_day_outer": """
+            WITH p AS (
+                SELECT user_id * 1000000
+                       + CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                           AS ud,
+                       count(*) AS n_purchase
+                FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ), c AS (
+                SELECT user_id * 1000000
+                       + CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                           AS ud,
+                       count(*) AS n_click
+                FROM events WHERE event_type = 'click' GROUP BY 1
+            )
+            SELECT COALESCE(p.ud, c.ud) // 1000000 AS user_id,
+                   COALESCE(p.ud, c.ud) % 1000000 AS day,
+                   COALESCE(n_purchase, 0) AS n_purchase,
+                   COALESCE(n_click, 0) AS n_click
+            FROM p FULL OUTER JOIN c ON p.ud = c.ud
         """,
         "events_ohlc": """
             WITH e AS (

@@ -126,7 +126,7 @@ def _align_to(all_cols: list[str], keep: list[str], types: dict,
 
 def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               on: str, n_buckets: int = 32,
-              how: Literal["inner", "left"] = "inner",
+              how: Literal["inner", "left", "outer"] = "inner",
               left_cols: list[str] | None = None,
               right_cols: list[str] | None = None,
               left_types: dict | None = None,
@@ -138,6 +138,11 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     `Dataset.schema()` probes — on a lazy non-read input, schema inference
     executes the whole upstream plan once just to learn the column types, so
     callers chaining joins off expensive pipelines should pass them.
+
+    `how="outer"` is a FULL OUTER join: because both sides co-bucket on the
+    key, every key's rows land in exactly one bucket, so the per-bucket
+    pandas outer merge composes to the global full outer join with no
+    cross-bucket bookkeeping.
 
     `bucket_post(df) -> df` is the aggregate-pushdown hook: it runs on each
     bucket's merged rows INSIDE the join task. A downstream reduction (e.g.

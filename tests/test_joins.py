@@ -43,6 +43,24 @@ def test_hash_join_left(tables):
     assert got["rv"].notna().sum() == want["rv"].notna().sum()
 
 
+def test_hash_join_full_outer(tables):
+    left, right = tables
+    # left keys 0..49 (some), right keys 0..59 — right-only keys exercise
+    # the unmatched-right path; drop left keys < 5 for unmatched-left too
+    left2 = left[left["k"] >= 5]
+    got = hash_join(ray.data.from_pandas(left2), ray.data.from_pandas(right),
+                    on="k", n_buckets=8, how="outer").to_pandas()
+    want = left2.merge(right, on="k", how="outer")
+    assert len(got) == len(want)
+    assert int(got["lv"].isna().sum()) == int(want["lv"].isna().sum())
+    assert int(got["rv"].isna().sum()) == int(want["rv"].isna().sum())
+    got_s = got.sort_values(["k", "lv"], na_position="last").reset_index(drop=True)
+    want_s = want.sort_values(["k", "lv"], na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s[["k", "lv", "rv"]],
+                                  want_s[["k", "lv", "rv"]],
+                                  check_dtype=False)
+
+
 def test_hash_join_string_key():
     l = pd.DataFrame({"k": ["a", "b", "c", "a"], "x": [1, 2, 3, 4]})
     r = pd.DataFrame({"k": ["a", "c"], "y": [10, 30]})
