@@ -596,6 +596,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["orders_trailing7"] = q_orders_trailing7
 
+    def q_orders_rank_in_priority(sf_dir: str):
+        # SQL rank() with gaps: order rank by spend (cents, DESC) within
+        # priority — peers share ranks, next rank skips (windows.rank_with_ties)
+        from dygiepp_ray.windows import rank_with_ties
+
+        ds = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+        def cents(df: pd.DataFrame) -> pd.DataFrame:
+            c = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100.0
+                         + 0.5).astype("int64")
+            return pd.DataFrame({"o_orderkey": df["o_orderkey"],
+                                 "o_orderpriority": df["o_orderpriority"],
+                                 "cents": c})
+
+        out = rank_with_ties(ds.map_batches(cents, batch_format="pandas"),
+                             "o_orderpriority", ["cents"], ascending=False,
+                             out_col="rnk")
+        return out.map_batches(
+            lambda df: df[["o_orderkey", "o_orderpriority", "rnk"]],
+            batch_format="pandas")
+
+    q["orders_rank_in_priority"] = q_orders_rank_in_priority
+
+    def q_orders_ntile(sf_dir: str):
+        # SQL NTILE(4) by spend within priority (exact remainder rule:
+        # first n mod k tiles get the extra row); orderkey tiebreak makes
+        # the order total so both engines see identical row order
+        from dygiepp_ray.windows import ntile
+
+        ds = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+        def cents(df: pd.DataFrame) -> pd.DataFrame:
+            c = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100.0
+                         + 0.5).astype("int64")
+            return pd.DataFrame({"o_orderkey": df["o_orderkey"],
+                                 "o_orderpriority": df["o_orderpriority"],
+                                 "cents": c})
+
+        out = ntile(ds.map_batches(cents, batch_format="pandas"),
+                    "o_orderpriority", ["cents", "o_orderkey"], k=4,
+                    out_col="tile")
+        return out.map_batches(
+            lambda df: df[["o_orderkey", "o_orderpriority", "tile"]],
+            batch_format="pandas")
+
+    q["orders_ntile"] = q_orders_ntile
+
     def q_tpch_q3(sf_dir: str):
         # TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem — two bucketed hash
         # joins on DIFFERENT keys (custkey, then re-keyed on orderkey), all
@@ -4244,6 +4293,21 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY o_orderdate, o_orderkey
                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS moving_cents
+            FROM orders
+        """,
+        "orders_rank_in_priority": """
+            SELECT o_orderkey, o_orderpriority,
+                   rank() OVER (PARTITION BY o_orderpriority
+                                ORDER BY CAST(floor(o_totalprice * 100 + 0.5)
+                                              AS BIGINT) DESC) AS rnk
+            FROM orders
+        """,
+        "orders_ntile": """
+            SELECT o_orderkey, o_orderpriority,
+                   ntile(4) OVER (PARTITION BY o_orderpriority
+                                  ORDER BY CAST(floor(o_totalprice * 100
+                                                      + 0.5) AS BIGINT),
+                                           o_orderkey) AS tile
             FROM orders
         """,
         "orders_trailing7": """

@@ -86,6 +86,58 @@ def row_number(ds, partition_by, order_by, ascending=True,
     return _bucketed(ds, keys, order, ascending, kernel, n_buckets)
 
 
+def rank_with_ties(ds, partition_by, order_by, ascending=True,
+                   out_col: str = "rnk",
+                   n_buckets: int = 64) -> "ray.data.Dataset":
+    """SQL `rank()` (gaps on ties: rank = #strictly-preceding rows + 1).
+    Peers are rows equal on ALL `order_by` columns. Vectorized: per-bucket
+    stable sort, cumcount, tie-start mask from column-wise shifts, then a
+    grouped forward-fill of the rank at each tie start."""
+    keys, order = _as_list(partition_by), _as_list(order_by)
+
+    def kernel(df: pd.DataFrame, ks: list[str]) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        rn = df.groupby(ks, sort=False).cumcount().to_numpy("int64")
+        new_key = rn == 0
+        tie_break = np.zeros(len(df), dtype=bool)
+        for c in order:
+            col = df[c].to_numpy()
+            tie_break[1:] |= col[1:] != col[:-1]
+        start = new_key | tie_break
+        # rank at each peer-group start, forward-filled within the key
+        r = pd.Series(np.where(start, rn + 1, np.nan))
+        df[out_col] = r.groupby(pd.Series(
+            df.groupby(ks, sort=False).ngroup().to_numpy()),
+            sort=False).ffill().to_numpy("float64").astype("int64")
+        return df
+
+    return _bucketed(ds, keys, order, ascending, kernel, n_buckets)
+
+
+def ntile(ds, partition_by, order_by, k: int, ascending=True,
+          out_col: str = "tile", n_buckets: int = 64) -> "ray.data.Dataset":
+    """SQL `NTILE(k)`: rows of each partition split into k groups whose
+    sizes differ by at most one, earlier groups larger (the exact SQL
+    remainder rule: the first n mod k tiles get ceil(n/k) rows). Callers
+    should make `order_by` a total order (include a tiebreak column) —
+    NTILE is order-dependent on peers."""
+    keys, order = _as_list(partition_by), _as_list(order_by)
+
+    def kernel(df: pd.DataFrame, ks: list[str]) -> pd.DataFrame:
+        df = df.copy()
+        g = df.groupby(ks, sort=False)
+        rn = g.cumcount().to_numpy("int64")
+        n = g[order[0]].transform("size").to_numpy("int64")
+        q, r = n // k, n % k
+        big = (q + 1) * r  # rows covered by the ceil-sized tiles
+        df[out_col] = np.where(
+            rn < big, rn // np.maximum(q + 1, 1),
+            r + (rn - big) // np.maximum(q, 1)) + 1
+        return df
+
+    return _bucketed(ds, keys, order, ascending, kernel, n_buckets)
+
+
 def top_n_per_key(ds, partition_by, order_by, n: int,
                   ascending=False, n_buckets: int = 64) -> "ray.data.Dataset":
     keys, order = _as_list(partition_by), _as_list(order_by)

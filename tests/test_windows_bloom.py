@@ -300,3 +300,35 @@ def test_ohlc_golden_and_partition_invariance():
                    "k", ["o", "tb"], "v", n_buckets=4).to_pandas()
         assert {r.k: (r.open_v, r.high_v, r.low_v, r.close_v, int(r.n))
                 for r in got.itertuples()} == want
+
+
+def test_rank_with_ties_and_ntile_goldens():
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.windows import ntile, rank_with_ties
+
+    df = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"] * 7,
+        "v": [10, 10, 5, 5, 1, 9, 8, 8, 8, 2, 2, 1],
+        "id": list(range(12)),
+    })
+    got = rank_with_ties(ray.data.from_pandas(df).repartition(3),
+                         "k", ["v"], ascending=False, n_buckets=4
+                         ).to_pandas()
+    want_rnk = {}
+    for kk, grp in df.groupby("k"):
+        for r in grp.itertuples():
+            want_rnk[r.id] = 1 + int((grp["v"] > r.v).sum())
+    assert {r.id: int(r.rnk) for r in got.itertuples()} == want_rnk
+
+    got_t = ntile(ray.data.from_pandas(df).repartition(3),
+                  "k", ["v", "id"], k=3, n_buckets=4).to_pandas()
+    # a: n=5, k=3 -> sizes 2,2,1 ; b: n=7 -> sizes 3,2,2 (SQL remainder rule)
+    sizes = got_t.groupby(["k", "tile"]).size().to_dict()
+    assert sizes == {("a", 1): 2, ("a", 2): 2, ("a", 3): 1,
+                     ("b", 1): 3, ("b", 2): 2, ("b", 3): 2}
+    # tiles respect the order: max v of tile i <= min v of tile i+1
+    for kk, grp in got_t.groupby("k"):
+        srt = grp.sort_values(["v", "id"])
+        assert srt["tile"].is_monotonic_increasing
