@@ -849,6 +849,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["user_day_outer"] = q_user_day_outer
 
+    def q_events_daily_dense(sf_dir: str):
+        # dense daily series with gap filling: the distributed work is one
+        # partial+final (type, day) count; the scaffold (full day range ×
+        # observed types) is generated from that AGGREGATED table — bounded
+        # by |types| × day-span, never the event rows — and left-joined
+        # through the bucketed hash join with zero fill
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.joins import hash_join
+
+        ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            day = (df["ts"]
+                   - pd.Timestamp("1970-01-01")).dt.days.astype("int64")
+            return pd.DataFrame({"event_type": df["event_type"], "day": day,
+                                 "one": np.ones(len(df), "int64")})
+
+        counts = partial_final_agg(
+            ds.map_batches(prep, batch_format="pandas"),
+            ["event_type", "day"], [("n_obs", "one", "sum")]).materialize()
+        cp = counts.to_pandas()  # |types| × observed days — aggregate-sized
+        lo, hi = int(cp["day"].min()), int(cp["day"].max())
+        types = sorted(cp["event_type"].unique())
+        scaffold = pd.DataFrame(
+            [(t, d) for t in types for d in range(lo, hi + 1)],
+            columns=["event_type", "day"])
+        scaffold["td"] = (scaffold["event_type"] + "|"
+                          + scaffold["day"].astype(str))
+        obs = counts.map_batches(
+            lambda df: pd.DataFrame({
+                "td": df["event_type"] + "|" + df["day"].astype(str),
+                "n_obs": df["n_obs"]}),
+            batch_format="pandas")
+        j = hash_join(ray.data.from_pandas(scaffold[["td", "event_type",
+                                                     "day"]]),
+                      obs, on="td", how="left", n_buckets=8,
+                      left_types={"td": pa.string(),
+                                  "event_type": pa.string(),
+                                  "day": pa.int64()},
+                      right_types={"td": pa.string(), "n_obs": pa.int64()})
+        return j.map_batches(
+            lambda df: pd.DataFrame({
+                "event_type": df["event_type"], "day": df["day"],
+                "n": df["n_obs"].fillna(0).to_numpy("float64"
+                                                    ).astype("int64")}),
+            batch_format="pandas")
+
+    q["events_daily_dense"] = q_events_daily_dense
+
     def q_order_size_histogram(sf_dir: str):
         # fanout profile (count-of-counts): distribution of lines-per-order
         # — two stacked partial+final grouped counts; the second level's key
@@ -4340,6 +4389,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_orderdate
             ORDER BY revenue_s DESC, o_orderkey
             LIMIT 10
+        """,
+        "events_daily_dense": """
+            WITH obs AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                           AS day,
+                       count(*) AS n_obs
+                FROM events GROUP BY 1, 2
+            ), env AS (
+                SELECT min(day) AS lo, max(day) AS hi FROM obs
+            ), days AS (
+                SELECT unnest(generate_series(lo, hi)) AS day FROM env
+            ), types AS (
+                SELECT DISTINCT event_type FROM events
+            )
+            SELECT t.event_type, d.day,
+                   CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n
+            FROM types t CROSS JOIN days d
+            LEFT JOIN obs o
+                 ON o.event_type = t.event_type AND o.day = d.day
         """,
         "user_day_outer": """
             WITH p AS (
