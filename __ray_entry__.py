@@ -898,6 +898,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_daily_dense"] = q_events_daily_dense
 
+    def q_late_events(sf_dir: str):
+        # streaming watermark semantics: an event is LATE if its timestamp
+        # trails the watermark (max ts among events that ARRIVED earlier)
+        # by more than 1 hour. The synthetic stream's event_id order IS its
+        # ts order (zero inversions — no lateness), so the operator
+        # contract defines arrival as the bijective multiplicative-hash
+        # permutation (event_id · 2654435761) mod 2^32 — simulated
+        # out-of-order ingestion, mirrored verbatim in the SQL oracle.
+        # Global exclusive running max via the banded ordered_prefix_max
+        # scan; per-type late counts. Sentinel rows (no predecessor)
+        # compare false exactly like SQL's NULL window frame.
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.windows import ordered_prefix_max
+
+        LATE_US = 3_600_000_000
+
+        ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            us = ((df["ts"] - pd.Timestamp("1970-01-01"))
+                  // pd.Timedelta(microseconds=1)).astype("int64")
+            arr = (df["event_id"].to_numpy("int64")
+                   * 2654435761) % 4294967296
+            return pd.DataFrame({"arrival": arr,
+                                 "event_type": df["event_type"],
+                                 "ts_us": us})
+
+        wm = ordered_prefix_max(
+            ds.map_batches(prep, batch_format="pandas"),
+            "arrival", "ts_us", out_col="wm")
+
+        def flag(df: pd.DataFrame) -> pd.DataFrame:
+            late = (df["wm"].to_numpy("int64")
+                    > df["ts_us"].to_numpy("int64") + LATE_US)
+            return pd.DataFrame({"event_type": df["event_type"],
+                                 "one": np.ones(len(df), "int64"),
+                                 "late": late.astype("int64")})
+
+        return partial_final_agg(
+            wm.map_batches(flag, batch_format="pandas"), ["event_type"],
+            [("n_events", "one", "sum"), ("n_late", "late", "sum")])
+
+    q["late_events"] = q_late_events
+
     def q_order_size_histogram(sf_dir: str):
         # fanout profile (count-of-counts): distribution of lines-per-order
         # — two stacked partial+final grouped counts; the second level's key
@@ -4389,6 +4433,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_orderdate
             ORDER BY revenue_s DESC, o_orderkey
             LIMIT 10
+        """,
+        "late_events": """
+            WITH w AS (
+                SELECT event_type, epoch_us(ts) AS ts_us,
+                       max(epoch_us(ts)) OVER (
+                           ORDER BY (event_id * 2654435761) % 4294967296
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS wm
+                FROM events
+            )
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(CASE WHEN wm > ts_us + 3600000000
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+            FROM w GROUP BY event_type
         """,
         "events_daily_dense": """
             WITH obs AS (

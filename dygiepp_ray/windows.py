@@ -440,3 +440,77 @@ def ordered_prefix_sum(ds: "ray.data.Dataset", partition_by, order_col: str,
 
     return stamped.groupby(keys + ["_band"]).map_groups(
         per_band, batch_format="pandas")
+
+
+def ordered_prefix_max(ds: "ray.data.Dataset", order_col: str,
+                       value_col: str, out_col: str = "wm",
+                       n_bands: int = 64) -> "ray.data.Dataset":
+    """Global EXCLUSIVE running max of `value_col` in `order_col` order —
+    the streaming WATERMARK primitive (`MAX(v) OVER (ORDER BY o ROWS
+    BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)`): each row sees the max
+    value of all rows that ARRIVED before it.
+
+    Same two-phase banded scan as `ordered_prefix_sum` (bands only route;
+    results are exact): per-band int64 max partials collect to the driver,
+    which broadcasts exclusive prefix maxima per band; each band then
+    sorts locally and combines its shifted cummax with the band offset.
+    Rows with no predecessor anywhere emit INT64_MIN (the SQL NULL twin —
+    compare with `wm > x + L`, never `wm - x`, so the sentinel stays on
+    the false side without overflow). Contract: `order_col` values are
+    unique ints; `value_col` is int64."""
+    import ray as _ray
+
+    SENT = np.iinfo(np.int64).min
+
+    def block_env(t) -> "pd.DataFrame":
+        import pyarrow.compute as _pc
+
+        col = t[order_col]
+        return pd.DataFrame({"lo": [_pc.min(col).as_py()],
+                             "hi": [_pc.max(col).as_py()]})
+
+    env = ds.select_columns([order_col]).map_batches(
+        block_env, batch_format="pyarrow").to_pandas()
+    lo = float(env["lo"].min())
+    hi = float(env["hi"].max())
+    span = (hi - lo) or 1.0
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        o = df[order_col].to_numpy(np.float64)
+        b = np.floor((o - lo) * float(n_bands) / span)
+        df["_band"] = np.clip(b, 0, n_bands - 1).astype(np.int64)
+        return df
+
+    stamped = ds.map_batches(stamp, batch_format="pandas").materialize()
+
+    def band_partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("_band", sort=False)[value_col].max()
+        return pd.DataFrame({"_band": g.index.to_numpy("int64"),
+                             "_bmax": g.to_numpy("int64")})
+
+    bs = (stamped.map_batches(band_partials, batch_format="pandas")
+          .to_pandas()
+          .groupby("_band", sort=False)["_bmax"].max()
+          .sort_index())
+    bands = bs.index.to_numpy("int64")
+    maxes = bs.to_numpy("int64")
+    # exclusive prefix max over band order
+    off = {}
+    run = SENT
+    for b, m in zip(bands, maxes):
+        off[int(b)] = run
+        run = max(run, int(m))
+    off_ref = _ray.put(off)
+
+    def per_band(df: pd.DataFrame) -> pd.DataFrame:
+        offs = _ray.get(off_ref)
+        df = df.sort_values(order_col, kind="mergesort").copy()
+        v = df[value_col].to_numpy("int64")
+        cm = np.maximum.accumulate(v)
+        excl = np.concatenate(([SENT], cm[:-1]))
+        df[out_col] = np.maximum(excl, offs[int(df.iloc[0]["_band"])])
+        return df.drop(columns=["_band"])
+
+    return stamped.groupby("_band").map_groups(per_band,
+                                               batch_format="pandas")

@@ -332,3 +332,30 @@ def test_rank_with_ties_and_ntile_goldens():
     for kk, grp in got_t.groupby("k"):
         srt = grp.sort_values(["v", "id"])
         assert srt["tile"].is_monotonic_increasing
+
+
+def test_ordered_prefix_max_golden_and_band_invariance():
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.windows import ordered_prefix_max
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "o": rng.permutation(40),
+        "v": rng.randint(-1000, 1000, 40).astype("int64"),
+    })
+    srt = df.sort_values("o").reset_index(drop=True)
+    SENT = np.iinfo(np.int64).min
+    want = {}
+    run = SENT
+    for r in srt.itertuples():
+        want[int(r.o)] = run
+        run = max(run, int(r.v))
+
+    for nparts, nbands in ((1, 1), (4, 8)):
+        got = ordered_prefix_max(
+            ray.data.from_pandas(df).repartition(nparts), "o", "v",
+            out_col="wm", n_bands=nbands).to_pandas()
+        assert {int(r.o): int(r.wm) for r in got.itertuples()} == want
