@@ -2736,6 +2736,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_pred_cooccurrence"] = q_kg_pred_cooccurrence
 
+    def q_kg_predicate_align(sf_dir: str):
+        # ontology alignment between two independently-extracted KG slices
+        # (doc parity): predicate pairs ranked by EXTENSION overlap —
+        # Jaccard of their distinct (subj, obj) pair sets. Scale shape:
+        # per-slice distinct (pred, pair), bucketed hash join on the pair
+        # key with in-task (pred_a, pred_b) partials, per-pred totals
+        # broadcast (predicate vocab is schema-bounded by nature).
+        from dygiepp_ray.aggregates import (distinct_first, grouped_count,
+                                            partial_final_agg)
+        from dygiepp_ray.joins import hash_join
+
+        _ensure_triples_oracle(sf_dir)
+        tri = _synth_triples(sf_dir).select_columns(
+            ["doc_id", "pred", "subj_norm", "obj_norm"])
+
+        def slice_fn(par: int):
+            # doc keys are strings — slice on length parity (vectorized,
+            # mirrored by SQL length(); split measured non-degenerate)
+            def fn(df: pd.DataFrame) -> pd.DataFrame:
+                df = df[df["doc_id"].str.len() % 2 == par]
+                return pd.DataFrame({
+                    "pred": df["pred"],
+                    "k": df["subj_norm"] + "|" + df["obj_norm"]})
+            return fn
+
+        a = distinct_first(tri.map_batches(slice_fn(0),
+                                           batch_format="pandas"),
+                           ["pred", "k"]).materialize()
+        b = distinct_first(tri.map_batches(slice_fn(1),
+                                           batch_format="pandas"),
+                           ["pred", "k"]).materialize()
+        na = grouped_count(a.select_columns(["pred"]), ["pred"],
+                           out_name="n_a").to_pandas()
+        nb = grouped_count(b.select_columns(["pred"]), ["pred"],
+                           out_name="n_b").to_pandas()
+        a2 = a.map_batches(lambda df: df.rename(columns={"pred": "pred_a"}),
+                           batch_format="pandas")
+        b2 = b.map_batches(lambda df: df.rename(columns={"pred": "pred_b"}),
+                           batch_format="pandas")
+        co = hash_join(
+            a2, b2, on="k", n_buckets=16,
+            left_types={"pred_a": pa.string(), "k": pa.string()},
+            right_types={"pred_b": pa.string(), "k": pa.string()},
+            bucket_post=lambda df: df.groupby(
+                ["pred_a", "pred_b"], as_index=False).size().rename(
+                columns={"size": "c_p"}))
+        cc = partial_final_agg(co, ["pred_a", "pred_b"],
+                               [("n_common", "c_p", "sum")])
+        ra = ray.put(dict(zip(na["pred"], na["n_a"].astype(int))))
+        rb = ray.put(dict(zip(nb["pred"], nb["n_b"].astype(int))))
+
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            A, B = ray.get(ra), ray.get(rb)
+            n_a = df["pred_a"].map(A).to_numpy("int64")
+            n_b = df["pred_b"].map(B).to_numpy("int64")
+            c = df["n_common"].to_numpy("int64")
+            return pd.DataFrame({
+                "pred_a": df["pred_a"], "pred_b": df["pred_b"],
+                "n_common": c, "n_a": n_a, "n_b": n_b,
+                "jaccard_ppm": (c * 1_000_000) // (n_a + n_b - c)})
+
+        return cc.map_batches(finish, batch_format="pandas")
+
+    q["kg_predicate_align"] = q_kg_predicate_align
+
     def q_kg_assortativity(sf_dir: str):
         # degree assortativity of the undirected distinct KG edge set:
         # Pearson r over the symmetrized endpoint-degree pairs (the standard
@@ -5772,6 +5837,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, sum_cents,
                    CAST(sum_cents * 1000000 // total AS BIGINT) AS share_ppm
             FROM g, t
+        """,
+        "kg_predicate_align": """
+            WITH t AS (
+                SELECT doc_id, pred, subj_norm || '|' || obj_norm AS k
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            ), a AS (
+                SELECT DISTINCT pred, k FROM t WHERE length(doc_id) % 2 = 0
+            ), b AS (
+                SELECT DISTINCT pred, k FROM t
+                WHERE length(doc_id) % 2 <> 0
+            ), na AS (
+                SELECT pred, count(*) AS n_a FROM a GROUP BY pred
+            ), nb AS (
+                SELECT pred, count(*) AS n_b FROM b GROUP BY pred
+            ), c AS (
+                SELECT a.pred AS pred_a, b.pred AS pred_b,
+                       count(*) AS n_common
+                FROM a JOIN b USING (k) GROUP BY 1, 2
+            )
+            SELECT pred_a, pred_b, n_common, n_a, n_b,
+                   CAST(n_common * 1000000 // (n_a + n_b - n_common)
+                        AS BIGINT) AS jaccard_ppm
+            FROM c JOIN na ON na.pred = pred_a
+                   JOIN nb ON nb.pred = pred_b
         """,
         "kg_pred_cooccurrence": """
             WITH dp AS (
