@@ -1258,6 +1258,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["orders_priority_share"] = q_orders_priority_share
 
+    def q_orders_monthly_growth(sf_dir: str):
+        # window-over-aggregate composition: monthly revenue with
+        # month-over-month delta — partial+final month sums (the
+        # distributed pass), then one lag over the months-sized result
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.windows import lag_diff
+
+        ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            c = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100.0
+                         + 0.5).astype("int64")
+            return pd.DataFrame({
+                "month": df["o_orderdate"].dt.strftime("%Y-%m"),
+                "cents": c})
+
+        monthly = partial_final_agg(
+            ds.map_batches(prep, batch_format="pandas"), ["month"],
+            [("sum_cents", "cents", "sum")])
+        monthly = monthly.map_batches(
+            lambda df: df.assign(_g=np.zeros(len(df), "int64")),
+            batch_format="pandas")
+        out = lag_diff(monthly, "_g", ["month"], "sum_cents",
+                       out_col="delta_cents", n_buckets=1)
+
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.dropna(subset=["delta_cents"])  # first month has no lag
+            return pd.DataFrame({
+                "month": df["month"], "sum_cents": df["sum_cents"],
+                "delta_cents": df["delta_cents"].astype("int64")})
+
+        return out.map_batches(finish, batch_format="pandas")
+
+    q["orders_monthly_growth"] = q_orders_monthly_growth
+
+    def q_events_distinct_users(sf_dir: str):
+        # EXACT distinct users per event type — the validation twin of the
+        # HLL sketch query (approx_distinct_users): distinct (type, user)
+        # via per-block dedup + one shuffle, then a tiny grouped count
+        from dygiepp_ray.aggregates import distinct_first
+
+        dp = distinct_first(
+            _read(sf_dir, "events", ["event_type", "user_id"]),
+            ["event_type", "user_id"])
+        return grouped_count(dp.select_columns(["event_type"]),
+                             ["event_type"], out_name="n_users")
+
+    q["events_distinct_users"] = q_events_distinct_users
+
     def semi_join_orders(sf_dir: str):
         # broadcast semi-join (WHERE EXISTS): orders of customers with
         # acctbal > 5000; the small side is a broadcast key set, the big
@@ -5823,6 +5872,26 @@ def oracle_sql() -> dict[str, str]:
                 WHERE w.dist < 3
             )
             SELECT node, min(dist) AS dist FROM walk GROUP BY node
+        """,
+        "orders_monthly_growth": """
+            WITH m AS (
+                SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS sum_cents
+                FROM orders GROUP BY month
+            ), g AS (
+                SELECT month, sum_cents,
+                       sum_cents - lag(sum_cents) OVER (ORDER BY month)
+                           AS delta_cents
+                FROM m
+            )
+            SELECT month, sum_cents, CAST(delta_cents AS BIGINT)
+                       AS delta_cents
+            FROM g WHERE delta_cents IS NOT NULL
+        """,
+        "events_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         "orders_priority_share": """
             WITH g AS (
