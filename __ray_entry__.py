@@ -711,6 +711,106 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["tpch_q3"] = q_tpch_q3
 
+    def q_tpch_q5(sf_dir: str):
+        # TPC-H Q5 shape: region/nation dims BROADCAST (tiny by nature),
+        # the three fact-scale tables (lineitem, orders×customer, supplier)
+        # joined through bucketed hash joins on three DIFFERENT keys
+        # (suppkey, custkey, then orderkey), the c_nation = s_nation local
+        # filter and per-nation revenue partials pushed inside the final
+        # join's buckets. Exact revenue ints as in tpch_q3.
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.joins import hash_join
+
+        lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+
+        nat = _read(sf_dir, "nation",
+                    ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+        reg = _read(sf_dir, "region",
+                    ["r_regionkey", "r_name"]).to_pandas()
+        asia = reg.loc[reg["r_name"] == "ASIA", "r_regionkey"].iloc[0]
+        nat = nat[nat["n_regionkey"] == asia]
+        nat_names = dict(zip(nat["n_nationkey"].astype(int),
+                             nat["n_name"]))
+        nat_ref = ray.put(nat_names)
+
+        def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+            ext = np.floor(df["l_extendedprice"].to_numpy(np.float64)
+                           * 100.0 + 0.5).astype("int64")
+            disc = np.floor(df["l_discount"].to_numpy(np.float64) * 100.0
+                            + 0.5).astype("int64")
+            return pd.DataFrame({
+                "l_suppkey": df["l_suppkey"],
+                "o_orderkey": df["l_orderkey"].to_numpy("int64"),
+                "rev_s": ext * (100 - disc)})
+
+        li = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_suppkey", "l_extendedprice",
+                    "l_discount"]).map_batches(li_prep,
+                                               batch_format="pandas")
+
+        def supp_prep(df: pd.DataFrame) -> pd.DataFrame:
+            nats = ray.get(nat_ref)
+            df = df[df["s_nationkey"].isin(nats)]
+            return pd.DataFrame({"l_suppkey": df["s_suppkey"],
+                                 "s_nat": df["s_nationkey"].astype("int64")})
+
+        supp = _read(sf_dir, "supplier",
+                     ["s_suppkey", "s_nationkey"]).map_batches(
+            supp_prep, batch_format="pandas")
+        li_n = hash_join(
+            li, supp, on="l_suppkey", n_buckets=16,
+            left_types={"l_suppkey": pa.int64(), "o_orderkey": pa.int64(),
+                        "rev_s": pa.int64()},
+            right_types={"l_suppkey": pa.int64(), "s_nat": pa.int64()},
+            bucket_post=lambda df: df[["o_orderkey", "rev_s", "s_nat"]])
+
+        orders = _read(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey", "o_orderdate"]
+                       ).map_batches(
+            lambda df: df.loc[(df["o_orderdate"] >= lo)
+                              & (df["o_orderdate"] < hi),
+                              ["o_orderkey", "o_custkey"]],
+            batch_format="pandas")
+
+        def cust_prep(df: pd.DataFrame) -> pd.DataFrame:
+            nats = ray.get(nat_ref)
+            df = df[df["c_nationkey"].isin(nats)]
+            return pd.DataFrame({"o_custkey": df["c_custkey"],
+                                 "c_nat": df["c_nationkey"].astype("int64")})
+
+        cust = _read(sf_dir, "customer",
+                     ["c_custkey", "c_nationkey"]).map_batches(
+            cust_prep, batch_format="pandas")
+        ord_n = hash_join(
+            orders, cust, on="o_custkey", n_buckets=16,
+            left_types={"o_orderkey": pa.int64(), "o_custkey": pa.int64()},
+            right_types={"o_custkey": pa.int64(), "c_nat": pa.int64()},
+            bucket_post=lambda df: df[["o_orderkey", "c_nat"]])
+
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["s_nat"] == df["c_nat"]]
+            g = df.groupby("s_nat", as_index=False)["rev_s"].sum()
+            return g.rename(columns={"s_nat": "nat", "rev_s": "revenue_s"})
+
+        j = hash_join(
+            li_n, ord_n, on="o_orderkey", n_buckets=16,
+            left_types={"o_orderkey": pa.int64(), "rev_s": pa.int64(),
+                        "s_nat": pa.int64()},
+            right_types={"o_orderkey": pa.int64(), "c_nat": pa.int64()},
+            bucket_post=per_bucket)
+        agg = partial_final_agg(j, ["nat"],
+                                [("revenue_s", "revenue_s", "sum")])
+
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            nats = ray.get(nat_ref)
+            return pd.DataFrame({
+                "n_name": df["nat"].map(nats),
+                "revenue_s": df["revenue_s"].astype("int64")})
+
+        return finish(agg.to_pandas())
+
+    q["tpch_q5"] = q_tpch_q5
+
     def events_sessions(sf_dir: str):
         # gap-based sessionization (30-min inactivity gap) per user —
         # coarse-bucket shuffle + one boolean session-start mask per bucket
@@ -4516,6 +4616,25 @@ def oracle_sql() -> dict[str, str]:
                                                       + 0.5) AS BIGINT),
                                            o_orderkey) AS tile
             FROM orders
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)
+                            * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_s
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND c_nationkey = s_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
         """,
         "orders_trailing7": """
             WITH d AS (
