@@ -811,6 +811,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["tpch_q5"] = q_tpch_q5
 
+    def q_order_latency_stats(sf_dir: str):
+        # accumulating-snapshot latency: days from order placement to FIRST
+        # shipment, aggregated per priority — per-order min shipdate via
+        # partial+final min (never the line rows through the join), one
+        # bucketed join to orders, per-priority moment partials in-bucket
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.joins import hash_join
+
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+        def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+            d = (df["l_shipdate"]
+                 - pd.Timestamp("1970-01-01")).dt.days.astype("int64")
+            return pd.DataFrame({"o_orderkey": df["l_orderkey"],
+                                 "ship_day": d})
+
+        first_ship = partial_final_agg(
+            li.map_batches(li_prep, batch_format="pandas"),
+            ["o_orderkey"], [("first_ship", "ship_day", "min")])
+
+        orders = _read(sf_dir, "orders",
+                       ["o_orderkey", "o_orderdate", "o_orderpriority"]
+                       ).map_batches(
+            lambda df: pd.DataFrame({
+                "o_orderkey": df["o_orderkey"],
+                "o_orderpriority": df["o_orderpriority"],
+                "order_day": (df["o_orderdate"] - pd.Timestamp("1970-01-01")
+                              ).dt.days.astype("int64")}),
+            batch_format="pandas")
+
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            lat = (df["first_ship"] - df["order_day"]).astype("int64")
+            t = pd.DataFrame({"o_orderpriority": df["o_orderpriority"],
+                              "lat": lat})
+            g = t.groupby("o_orderpriority")["lat"].agg(
+                ["count", "sum", "min", "max"]).reset_index()
+            return pd.DataFrame({"o_orderpriority": g["o_orderpriority"],
+                                 "n_p": g["count"].astype("int64"),
+                                 "s_p": g["sum"].astype("int64"),
+                                 "mn_p": g["min"].astype("int64"),
+                                 "mx_p": g["max"].astype("int64")})
+
+        j = hash_join(
+            first_ship, orders, on="o_orderkey", n_buckets=16,
+            left_types={"o_orderkey": pa.int64(), "first_ship": pa.int64()},
+            right_types={"o_orderkey": pa.int64(),
+                         "o_orderpriority": pa.string(),
+                         "order_day": pa.int64()},
+            bucket_post=per_bucket)
+        agg = partial_final_agg(
+            j, ["o_orderpriority"],
+            [("n_orders", "n_p", "sum"), ("sum_days", "s_p", "sum"),
+             ("min_days", "mn_p", "min"), ("max_days", "mx_p", "max")])
+
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            n = df["n_orders"].to_numpy("int64")
+            s = df["sum_days"].to_numpy("int64")
+            df = df.copy()
+            # sums are NEGATIVE on this data (synthetic shipdates can
+            # precede orderdates) — DuckDB // truncates toward zero while
+            # numpy floors, so mirror with sign·(|s| // n)
+            df["mean_days"] = np.sign(s) * (np.abs(s) // np.maximum(n, 1))
+            return df
+
+        return agg.map_batches(finish, batch_format="pandas")
+
+    q["order_latency_stats"] = q_order_latency_stats
+
     def events_sessions(sf_dir: str):
         # gap-based sessionization (30-min inactivity gap) per user —
         # coarse-bucket shuffle + one boolean session-start mask per bucket
@@ -4616,6 +4684,27 @@ def oracle_sql() -> dict[str, str]:
                                                       + 0.5) AS BIGINT),
                                            o_orderkey) AS tile
             FROM orders
+        """,
+        "order_latency_stats": """
+            WITH fs AS (
+                SELECT l_orderkey AS o_orderkey,
+                       min(CAST(CAST(l_shipdate AS DATE)
+                                - DATE '1970-01-01' AS BIGINT))
+                           AS first_ship
+                FROM lineitem GROUP BY 1
+            ), j AS (
+                SELECT o_orderpriority,
+                       first_ship
+                       - CAST(CAST(o_orderdate AS DATE)
+                              - DATE '1970-01-01' AS BIGINT) AS lat
+                FROM fs JOIN orders USING (o_orderkey)
+            )
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   CAST(sum(lat) AS BIGINT) AS sum_days,
+                   min(lat) AS min_days, max(lat) AS max_days,
+                   CAST(sum(lat) AS BIGINT) // greatest(count(*), 1)
+                       AS mean_days
+            FROM j GROUP BY o_orderpriority
         """,
         "tpch_q5": """
             SELECT n_name,
