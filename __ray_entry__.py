@@ -1475,6 +1475,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_distinct_users"] = q_events_distinct_users
 
+    def q_doc_length_quantiles(sf_dir: str):
+        # per-source document-length quantiles (corpus-shape QA before
+        # mixing): grouped exact histogram-refinement quantiles reuse
+        from dygiepp_ray.aggregates import distributed_quantiles
+
+        ds = _read(sf_dir, "documents", ["source", "n_chars"])
+        return distributed_quantiles(ds, "n_chars", [0.1, 0.5, 0.9],
+                                     by="source")
+
+    q["doc_length_quantiles"] = q_doc_length_quantiles
+
     def semi_join_orders(sf_dir: str):
         # broadcast semi-join (WHERE EXISTS): orders of customers with
         # acctbal > 5000; the small side is a broadcast key set, the big
@@ -6100,6 +6111,13 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "doc_length_quantiles": """
+            SELECT source,
+                   unnest([0.1::DOUBLE, 0.5::DOUBLE, 0.9::DOUBLE]) AS q,
+                   CAST(unnest(quantile_disc(n_chars, [0.1, 0.5, 0.9]))
+                        AS DOUBLE) AS v
+            FROM documents GROUP BY source
         """,
         "orders_priority_share": """
             WITH g AS (
