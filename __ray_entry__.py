@@ -3029,6 +3029,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_predicate_align"] = q_kg_predicate_align
 
+    def q_kg_neighbor_sample(sf_dir: str):
+        # GraphSAGE-style bounded neighbor sampling for GNN training data:
+        # a per-node fanout-capped adjacency sample (k=3), expanded two
+        # hops, min-hop deduped. The cap is the scale lever — hop-2 fanout
+        # is k², never deg². Contract: the sample is the deterministic
+        # first-k by neighbor order (SQL row_number mirror); a production
+        # variant swaps in hash order via stages.dedup._splitmix64 — the
+        # structure (cap → bucketed hop join → min-hop reduce) is identical.
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.joins import hash_join
+        from dygiepp_ray.windows import top_n_per_key
+
+        _ensure_triples_oracle(sf_dir)
+        edges = _distinct_edge_ds(sf_dir).map_batches(
+            lambda df: df[df["subj_norm"] != df["obj_norm"]],
+            batch_format="pandas")
+        adj = top_n_per_key(edges, "subj_norm", ["obj_norm"], n=3,
+                            ascending=True).materialize()
+        h1 = adj.map_batches(
+            lambda df: pd.DataFrame({"seed": df["subj_norm"],
+                                     "node": df["obj_norm"]}),
+            batch_format="pandas")
+        adj2 = adj.map_batches(
+            lambda df: pd.DataFrame({"node": df["subj_norm"],
+                                     "node2": df["obj_norm"]}),
+            batch_format="pandas")
+        h2 = hash_join(
+            h1, adj2, on="node", n_buckets=16,
+            left_types={"seed": pa.string(), "node": pa.string()},
+            right_types={"node": pa.string(), "node2": pa.string()},
+            bucket_post=lambda df: pd.DataFrame(
+                {"seed": df["seed"], "node": df["node2"],
+                 "hop": np.full(len(df), 2, "int64")}).drop_duplicates())
+        h1h = h1.map_batches(
+            lambda df: df.assign(hop=np.ones(len(df), "int64")),
+            batch_format="pandas")
+        u = h1h.union(h2).map_batches(
+            lambda df: df[df["node"] != df["seed"]],
+            batch_format="pandas")
+        return partial_final_agg(u, ["seed", "node"],
+                                 [("hop", "hop", "min")])
+
+    q["kg_neighbor_sample"] = q_kg_neighbor_sample
+
     def q_kg_assortativity(sf_dir: str):
         # degree assortativity of the undirected distinct KG edge set:
         # Pearson r over the symmetrized endpoint-degree pairs (the standard
@@ -6132,6 +6176,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, sum_cents,
                    CAST(sum_cents * 1000000 // total AS BIGINT) AS share_ppm
             FROM g, t
+        """,
+        "kg_neighbor_sample": """
+            WITH e AS (
+                SELECT DISTINCT subj_norm AS s, obj_norm AS o
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+                WHERE subj_norm <> obj_norm
+            ), a AS (
+                SELECT s, o FROM (
+                    SELECT s, o,
+                           row_number() OVER (PARTITION BY s ORDER BY o)
+                               AS rn
+                    FROM e)
+                WHERE rn <= 3
+            ), h1 AS (
+                SELECT s AS seed, o AS node, 1 AS hop FROM a
+            ), h2 AS (
+                SELECT h1.seed, a2.o AS node, 2 AS hop
+                FROM h1 JOIN a a2 ON a2.s = h1.node
+            ), u AS (
+                SELECT * FROM h1 UNION ALL SELECT * FROM h2
+            )
+            SELECT seed, node, CAST(min(hop) AS BIGINT) AS hop
+            FROM u WHERE node <> seed GROUP BY seed, node
         """,
         "kg_predicate_align": """
             WITH t AS (
