@@ -3073,6 +3073,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_neighbor_sample"] = q_kg_neighbor_sample
 
+    def q_kg_random_walks(sf_dir: str):
+        # DeepWalk-style walk corpus (training data for node embeddings):
+        # length-3 walks from every node, each step one bucketed hash join
+        # frontier ⋈ ranked adjacency. Determinism contract: step t takes
+        # the neighbor at rotation index (t−1) mod deg(cur) of the
+        # obj-ordered adjacency (SQL row_number mirror; a production
+        # sampler swaps in splitmix hash order — identical join structure).
+        # Walks die at out-degree-0 nodes (inner join drops them).
+        from dygiepp_ray.joins import hash_join
+        from dygiepp_ray.windows import _bucketed
+
+        _ensure_triples_oracle(sf_dir)
+        edges = _distinct_edge_ds(sf_dir).map_batches(
+            lambda df: df[df["subj_norm"] != df["obj_norm"]],
+            batch_format="pandas")
+
+        def rank_kernel(df: pd.DataFrame, ks: list[str]) -> pd.DataFrame:
+            g = df.groupby(ks, sort=False)
+            df = df.copy()
+            df["rn"] = g.cumcount().astype("int64")
+            df["deg"] = g["obj_norm"].transform("size").astype("int64")
+            return df
+
+        adj = _bucketed(edges, ["subj_norm"], ["obj_norm"], True,
+                        rank_kernel, 16).map_batches(
+            lambda df: pd.DataFrame({"cur": df["subj_norm"],
+                                     "nxt": df["obj_norm"],
+                                     "rn": df["rn"], "deg": df["deg"]}),
+            batch_format="pandas").materialize()
+
+        frontier = adj.map_batches(
+            lambda df: pd.DataFrame({"seed": df["cur"], "cur": df["cur"]})
+                         .drop_duplicates(),
+            batch_format="pandas")
+        str_t, int_t = pa.string(), pa.int64()
+        steps = []
+        for t in (1, 2, 3):
+            def pick(df, _t=t):
+                df = df[df["rn"] == (_t - 1) % df["deg"]]
+                return pd.DataFrame({"seed": df["seed"], "cur": df["nxt"]})
+
+            frontier = hash_join(
+                frontier, adj, on="cur", n_buckets=16,
+                left_types={"seed": str_t, "cur": str_t},
+                right_types={"cur": str_t, "nxt": str_t,
+                             "rn": int_t, "deg": int_t},
+                bucket_post=pick).materialize()
+            steps.append(frontier.map_batches(
+                lambda df, _t=t: pd.DataFrame({
+                    "seed": df["seed"],
+                    "step": np.full(len(df), _t, "int64"),
+                    "node": df["cur"]}),
+                batch_format="pandas"))
+        return steps[0].union(*steps[1:])
+
+    q["kg_random_walks"] = q_kg_random_walks
+
     def q_kg_assortativity(sf_dir: str):
         # degree assortativity of the undirected distinct KG edge set:
         # Pearson r over the symmetrized endpoint-degree pairs (the standard
@@ -6176,6 +6233,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, sum_cents,
                    CAST(sum_cents * 1000000 // total AS BIGINT) AS share_ppm
             FROM g, t
+        """,
+        "kg_random_walks": """
+            WITH e AS (
+                SELECT DISTINCT subj_norm AS s, obj_norm AS o
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+                WHERE subj_norm <> obj_norm
+            ), a AS (
+                SELECT s, o,
+                       row_number() OVER (PARTITION BY s ORDER BY o) - 1
+                           AS rn,
+                       count(*) OVER (PARTITION BY s) AS deg
+                FROM e
+            ), w0 AS (
+                SELECT DISTINCT s AS seed, s AS cur FROM e
+            ), w1 AS (
+                SELECT seed, a.o AS cur FROM w0
+                JOIN a ON a.s = w0.cur AND a.rn = 0 % a.deg
+            ), w2 AS (
+                SELECT seed, a.o AS cur FROM w1
+                JOIN a ON a.s = w1.cur AND a.rn = 1 % a.deg
+            ), w3 AS (
+                SELECT seed, a.o AS cur FROM w2
+                JOIN a ON a.s = w2.cur AND a.rn = 2 % a.deg
+            )
+            SELECT seed, 1 AS step, cur AS node FROM w1
+            UNION ALL SELECT seed, 2, cur FROM w2
+            UNION ALL SELECT seed, 3, cur FROM w3
         """,
         "kg_neighbor_sample": """
             WITH e AS (
