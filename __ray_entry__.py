@@ -1486,6 +1486,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["doc_length_quantiles"] = q_doc_length_quantiles
 
+    def q_rfm_segments(sf_dir: str):
+        # RFM customer segmentation: per-customer recency/frequency/
+        # monetary reduce (one partial+final agg over orders), EXACT
+        # distributed quartile cutoffs per dimension (quantile_disc
+        # semantics), broadcast cutoffs score each customer 1-4, segment =
+        # r·100+f·10+m, tiny per-segment count out. Boundary rule shared
+        # with SQL: score = 1 + Σ (v > cutoff).
+        from dygiepp_ray.aggregates import (distributed_quantiles,
+                                            partial_final_agg)
+
+        ds = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            day = (df["o_orderdate"]
+                   - pd.Timestamp("1970-01-01")).dt.days.astype("int64")
+            c = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100.0
+                         + 0.5).astype("int64")
+            return pd.DataFrame({"o_custkey": df["o_custkey"],
+                                 "r_day": day, "one": np.ones(len(df),
+                                                              "int64"),
+                                 "mon": c})
+
+        pc = partial_final_agg(
+            ds.map_batches(prep, batch_format="pandas"), ["o_custkey"],
+            [("r_day", "r_day", "max"), ("freq", "one", "sum"),
+             ("mon", "mon", "sum")]).materialize()
+
+        QS = [0.25, 0.5, 0.75]
+        cuts = {}
+        for col in ("r_day", "freq", "mon"):
+            qv = distributed_quantiles(pc, col, QS)
+            cuts[col] = [float(v) for v in qv.sort_values("q")["v"]]
+        cuts_ref = ray.put(cuts)
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            cc = ray.get(cuts_ref)
+
+            def s(col):
+                v = df[col].to_numpy("int64")
+                out = np.ones(len(df), "int64")
+                for c in cc[col]:
+                    out += (v > c).astype("int64")
+                return out
+
+            seg = s("r_day") * 100 + s("freq") * 10 + s("mon")
+            return pd.DataFrame({"segment": seg,
+                                 "one": np.ones(len(df), "int64")})
+
+        return partial_final_agg(
+            pc.map_batches(score, batch_format="pandas"), ["segment"],
+            [("n_customers", "one", "sum")])
+
+    q["rfm_segments"] = q_rfm_segments
+
     def semi_join_orders(sf_dir: str):
         # broadcast semi-join (WHERE EXISTS): orders of customers with
         # acctbal > 5000; the small side is a broadcast key set, the big
@@ -6212,6 +6267,33 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "rfm_segments": """
+            WITH pc AS (
+                SELECT o_custkey,
+                       max(CAST(CAST(o_orderdate AS DATE)
+                                - DATE '1970-01-01' AS BIGINT)) AS r_day,
+                       count(*) AS freq,
+                       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS mon
+                FROM orders GROUP BY 1
+            ), c AS (
+                SELECT quantile_disc(r_day, [0.25, 0.5, 0.75]) AS rc,
+                       quantile_disc(freq, [0.25, 0.5, 0.75]) AS fc,
+                       quantile_disc(mon, [0.25, 0.5, 0.75]) AS mc
+                FROM pc
+            )
+            SELECT (1 + CAST(r_day > rc[1] AS INT)
+                      + CAST(r_day > rc[2] AS INT)
+                      + CAST(r_day > rc[3] AS INT)) * 100
+                   + (1 + CAST(freq > fc[1] AS INT)
+                        + CAST(freq > fc[2] AS INT)
+                        + CAST(freq > fc[3] AS INT)) * 10
+                   + (1 + CAST(mon > mc[1] AS INT)
+                        + CAST(mon > mc[2] AS INT)
+                        + CAST(mon > mc[3] AS INT)) AS segment,
+                   count(*) AS n_customers
+            FROM pc, c GROUP BY segment
         """,
         "doc_length_quantiles": """
             SELECT source,
