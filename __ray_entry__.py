@@ -1541,6 +1541,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["rfm_segments"] = q_rfm_segments
 
+    def q_orders_with_returns(sf_dir: str):
+        # TPC-H Q4 shape (order-priority checking): orders in a 3-month
+        # window having >= 1 returned lineitem (EXISTS semi-join), counted
+        # per priority. Unlike semi_join_orders' broadcast-set path, the
+        # EXISTS side here is UNBOUNDED (one key per order) — distinct
+        # orderkeys reduce per block first, then ONE bucketed semi-join
+        # whose buckets emit per-priority partial counts, so join output
+        # never exceeds |priorities| x buckets rows.
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.joins import hash_join
+
+        lo = pd.Timestamp("1997-07-01")
+        hi = pd.Timestamp("1997-10-01")
+
+        returned = grouped_count(
+            _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]
+                  ).map_batches(
+                lambda df: df.loc[df["l_returnflag"] == "R",
+                                  ["l_orderkey"]].rename(
+                    columns={"l_orderkey": "o_orderkey"}),
+                batch_format="pandas"),
+            ["o_orderkey"], out_name="_c").select_columns(["o_orderkey"])
+
+        orders = _read(sf_dir, "orders",
+                       ["o_orderkey", "o_orderdate", "o_orderpriority"]
+                       ).map_batches(
+            lambda df: df.loc[(df["o_orderdate"] >= lo)
+                              & (df["o_orderdate"] < hi),
+                              ["o_orderkey", "o_orderpriority"]],
+            batch_format="pandas")
+
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("o_orderpriority", as_index=False).size()
+            return g.rename(columns={"size": "n_orders"})
+
+        joined = hash_join(
+            orders, returned, on="o_orderkey", n_buckets=16,
+            left_types={"o_orderkey": pa.int64(),
+                        "o_orderpriority": pa.string()},
+            right_types={"o_orderkey": pa.int64()},
+            bucket_post=per_bucket)
+        return partial_final_agg(joined, ["o_orderpriority"],
+                                 [("n_orders", "n_orders", "sum")])
+
+    q["orders_with_returns"] = q_orders_with_returns
+
     def semi_join_orders(sf_dir: str):
         # broadcast semi-join (WHERE EXISTS): orders of customers with
         # acctbal > 5000; the small side is a broadcast key set, the big
@@ -2968,6 +3014,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "reciprocity_ppm": [n_recip * 1_000_000 // max(n_edges, 1)]})
 
     q["kg_reciprocity"] = q_kg_reciprocity
+
+    def q_kg_symmetry(sf_dir: str):
+        # per-predicate symmetry share (ontology QA: which predicates
+        # behave symmetrically — sameAs-like vs strictly directed): share
+        # of distinct (s, p, o) edges whose reverse (o, p, s) also exists
+        # under the SAME predicate. kg_reciprocity's unordered-pair partial
+        # shape, keyed (pred, u, v) so both orientations co-group, then a
+        # per-pred partial+final sum — never an all-pairs or driver scan.
+        # Complements kg_inverse_detect (cross-predicate inverses).
+        from dygiepp_ray.aggregates import partial_final_agg
+
+        _ensure_triples_oracle(sf_dir)
+        edges = grouped_count(
+            _synth_triples(sf_dir).select_columns(
+                ["pred", "subj_norm", "obj_norm"]),
+            ["pred", "subj_norm", "obj_norm"], out_name="_w"
+        ).select_columns(["pred", "subj_norm", "obj_norm"])
+
+        def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+            s = df["subj_norm"].to_numpy(object)
+            o = df["obj_norm"].to_numpy(object)
+            keep = s != o
+            s, o = s[keep], o[keep]
+            p = df["pred"].to_numpy(object)[keep]
+            fwd = s < o
+            out = pd.DataFrame({"pred": p,
+                                "u": np.where(fwd, s, o),
+                                "v": np.where(fwd, o, s),
+                                "f": fwd.astype("int64"),
+                                "b": (~fwd).astype("int64")})
+            return out.groupby(["pred", "u", "v"],
+                               as_index=False)[["f", "b"]].sum()
+
+        pairs = partial_final_agg(
+            edges.map_batches(pair_partials, batch_format="pandas"),
+            ["pred", "u", "v"], [("f", "f", "sum"), ("b", "b", "sum")])
+
+        def pred_partials(df: pd.DataFrame) -> pd.DataFrame:
+            f = df["f"].to_numpy("int64")
+            b = df["b"].to_numpy("int64")
+            out = pd.DataFrame({"pred": df["pred"],
+                                "n_e": f + b,
+                                "n_s": 2 * np.minimum(f, b)})
+            return out.groupby("pred", as_index=False)[["n_e", "n_s"]].sum()
+
+        tot = partial_final_agg(
+            pairs.map_batches(pred_partials, batch_format="pandas"),
+            ["pred"], [("n_e", "n_e", "sum"), ("n_s", "n_s", "sum")])
+
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            ne = df["n_e"].to_numpy("int64")
+            ns = df["n_s"].to_numpy("int64")
+            return pd.DataFrame({
+                "pred": df["pred"], "n_edges": ne, "n_symmetric": ns,
+                "symmetry_ppm": ns * 1_000_000 // np.maximum(ne, 1)})
+
+        return tot.map_batches(finish, batch_format="pandas")
+
+    q["kg_symmetry"] = q_kg_symmetry
 
     def q_kg_conf_quantiles(sf_dir: str):
         # per-predicate extraction-confidence quantiles (calibration QA on
@@ -6423,6 +6528,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(sum(rec) AS BIGINT) * 1000000
                         // greatest(count(*), 1) AS BIGINT) AS reciprocity_ppm
             FROM flags
+        """,
+        "kg_symmetry": """
+            WITH e AS (
+                SELECT DISTINCT pred, subj_norm AS s, obj_norm AS o
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+                WHERE subj_norm <> obj_norm
+            ), flags AS (
+                SELECT pred,
+                       CASE WHEN EXISTS (SELECT 1 FROM e e2
+                                         WHERE e2.pred = e.pred
+                                           AND e2.s = e.o AND e2.o = e.s)
+                            THEN 1 ELSE 0 END AS rec
+                FROM e
+            )
+            SELECT pred, count(*) AS n_edges,
+                   CAST(sum(rec) AS BIGINT) AS n_symmetric,
+                   CAST(CAST(sum(rec) AS BIGINT) * 1000000
+                        // greatest(count(*), 1) AS BIGINT) AS symmetry_ppm
+            FROM flags GROUP BY pred
+        """,
+        "orders_with_returns": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+              AND o_orderdate < TIMESTAMP '1997-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
         """,
         "kg_assortativity": """
             WITH p AS (
