@@ -3596,6 +3596,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_negative_samples"] = q_kg_negative_samples
 
+    def q_kg_transe_eval(sf_dir: str):
+        # TransE-style link-ranking eval (raw MRR / hits@k) under
+        # deterministic hash embeddings: broadcast vocab, one streaming
+        # rank pass with per-(block, pred) partials — no joins
+        from dygiepp_ray import oracle as _o
+
+        _write_oracle(sf_dir, "kg_transe_eval",
+                      lambda: _o.expected_transe_eval(
+                          _oracle_triples_table(sf_dir), dim=16, k_neg=32))
+        return kgp.transe_eval(_synth_triples(sf_dir), dim=16, k_neg=32)
+
+    q["kg_transe_eval"] = q_kg_transe_eval
+
     def q_kg_inverse_detect(sf_dir: str):
         # inverse/symmetric predicate detection (reverse-relation leakage
         # QA, Toutanova & Chen 2015): one bucketed self-join of the
@@ -6712,6 +6725,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_negative_samples": """
             SELECT * FROM read_parquet(
                 '/tmp/dygiepp_ray_oracle/kg_negative_samples.parquet')
+        """,
+        "kg_transe_eval": """
+            SELECT * FROM read_parquet(
+                '/tmp/dygiepp_ray_oracle/kg_transe_eval.parquet')
         """,
         "kg_kcore": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_kcore.parquet')

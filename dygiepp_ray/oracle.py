@@ -1405,6 +1405,73 @@ def expected_negative_samples(triples: pa.Table, k: int = 2,
     })
 
 
+def expected_transe_eval(triples: pa.Table, dim: int = 16, k_neg: int = 32,
+                         seed: int = 23) -> pa.Table:
+    """Scalar re-walk of pipelines/kg.py:transe_eval — same distinct edge
+    set, sorted vocabulary and splitmix64 corruption draws (the hash family
+    IS the spec, like expected_negative_samples), but embeddings, scores
+    and ranks recomputed per edge in plain python dict/loop arithmetic."""
+    import numpy as np
+
+    from .stages.dedup import _splitmix64
+    from .stages.sketch import hash64_values
+
+    SEP = "\x1f"
+    edges = sorted({(s, p, o) for s, p, o in zip(
+        triples.column("subj_norm").to_pylist(),
+        triples.column("pred").to_pylist(),
+        triples.column("obj_norm").to_pylist())})
+    vocab = sorted({e for s, _p, o in edges for e in (s, o)})
+    V = np.array(vocab, dtype=object)
+    nv = np.uint64(len(V))
+
+    emb_cache: dict = {}
+
+    def emb(name: str, salt: int) -> list:
+        kk = (name, salt)
+        if kk not in emb_cache:
+            h = int(hash64_values(np.array([name], dtype=object))[0])
+            vec = []
+            for d in range(dim):
+                salt_d = _splitmix64(
+                    np.uint64((seed * 1_000_003 + salt) * dim + d))
+                hd = int(_splitmix64(np.uint64(h) ^ salt_d))
+                vec.append((hd % 2048) - 1024)
+            emb_cache[kk] = vec
+        return emb_cache[kk]
+
+    stats: dict = {}
+    for s, p, o in edges:
+        es, ep, eo = emb(s, 0), emb(p, 1), emb(o, 0)
+        true_sc = -sum(abs(es[d] + ep[d] - eo[d]) for d in range(dim))
+        h = np.uint64(int(hash64_values(
+            np.array([s + SEP + p + SEP + o], dtype=object))[0]))
+        rank = 1
+        for j in range(1, k_neg + 1):
+            hj = int(_splitmix64(h ^ np.uint64(seed + j)))
+            c = V[hj % int(nv)]
+            if c == o:
+                continue
+            ec = emb(c, 0)
+            neg_sc = -sum(abs(es[d] + ep[d] - ec[d]) for d in range(dim))
+            if neg_sc > true_sc:
+                rank += 1
+        st = stats.setdefault(p, [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += 1 if rank == 1 else 0
+        st[2] += 1 if rank <= 10 else 0
+        st[3] += 1_000_000 // rank
+    preds = sorted(stats)
+    return pa.table({
+        "pred": pa.array(preds, pa.string()),
+        "n_edges": pa.array([stats[p][0] for p in preds], pa.int64()),
+        "hits1": pa.array([stats[p][1] for p in preds], pa.int64()),
+        "hits10": pa.array([stats[p][2] for p in preds], pa.int64()),
+        "mrr_ppm": pa.array([stats[p][3] // stats[p][0] for p in preds],
+                            pa.int64()),
+    })
+
+
 def expected_scc(triples: pa.Table, pred: str | None = None) -> pa.Table:
     """(node, scc_id) via single-threaded iterative Tarjan over the distinct
     directed edge set (optionally restricted to one predicate); scc_id =

@@ -2056,3 +2056,124 @@ def functional_repair(triples: "ray.data.Dataset",
 
     return (support.map_batches(stamp, batch_format="pandas")
             .groupby("_fb").map_groups(per_bucket, batch_format="pandas"))
+
+
+def _hash_embeddings(names, dim: int, seed: int, salt: int):
+    """(n, dim) int64 embedding matrix in [-1024, 1024) derived purely from
+    splitmix64 draws on the name hash — the deterministic stand-in for a
+    trained KG-embedding table (no model files in this environment; the
+    hash family IS the spec, mirrored by the oracle re-walk)."""
+    import numpy as np
+
+    from ..stages.dedup import _splitmix64
+    from ..stages.sketch import hash64_values
+
+    h = hash64_values(np.asarray(names, dtype=object))
+    out = np.empty((len(h), dim), dtype=np.int64)
+    for d in range(dim):
+        salt_d = _splitmix64(np.uint64((seed * 1_000_003 + salt) * dim + d))
+        hd = _splitmix64(h ^ salt_d)
+        out[:, d] = (hd % np.uint64(2048)).astype(np.int64) - 1024
+    return out
+
+
+def transe_eval(triples: "ray.data.Dataset", dim: int = 16, k_neg: int = 32,
+                seed: int = 23, max_vocab: int = 50_000_000) -> "ray.data.Dataset":
+    """(pred, n_edges, hits1, hits10, mrr_ppm) — TransE-style link-ranking
+    evaluation of the KG under deterministic hash embeddings: every
+    distinct edge's true tail is ranked against `k_neg` corrupted tails
+    drawn with the SAME splitmix64 corruption protocol as
+    `negative_samples` (raw setting: corrupted tails that happen to be
+    true edges elsewhere still count — the standard unfiltered MRR; draws
+    hitting the edge's own tail are skipped). Score = -L1(h + r - t) in
+    exact int64 (per-dim values in [-1024, 1024), so |sum| <= 3072*dim —
+    no overflow); rank = 1 + #negatives scoring STRICTLY higher (ties
+    favor the true tail, documented). mrr_ppm = (sum of floor(1e6/rank))
+    // n_edges, hits@k exact counts.
+
+    Scale shape: the entity vocabulary is broadcast once via `ray.put`
+    (lexicon-bounded, `max_vocab` admission guard — same contract as
+    `negative_samples`); the edge set streams through ONE map_batches that
+    emits per-(block, pred) partials, then a predicate-sized partial+final
+    sum. No joins, no all-pairs."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    from ..aggregates import partial_final_agg, strip_schema_metadata
+    from ..stages.dedup import _splitmix64
+    from ..stages.sketch import hash64_values
+
+    SEP = "\x1f"
+
+    edges = grouped_count(
+        triples.select_columns(["subj_norm", "pred", "obj_norm"]),
+        ["subj_norm", "pred", "obj_norm"], out_name="_c"
+    ).select_columns(["subj_norm", "pred", "obj_norm"]).materialize()
+
+    def ents(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        u, v = t.column("subj_norm"), t.column("obj_norm")
+        arr = pa.chunked_array(list(u.chunks) + list(v.chunks), u.type)
+        return pa.table({"entity": arr})
+
+    vocab_rows = grouped_count(
+        edges.map_batches(ents, batch_format="pyarrow"), ["entity"],
+        out_name="_n").select_columns(["entity"]).take_all()
+    if len(vocab_rows) > max_vocab:
+        raise ValueError(
+            f"transe_eval: |V|={len(vocab_rows)} exceeds the broadcast "
+            f"admission ({max_vocab})")
+    vocab = np.array(sorted(r["entity"] for r in vocab_rows), dtype=object)
+    vocab_ref = ray.put(vocab)
+    nv = np.uint64(len(vocab))
+
+    def rank_partials(df: "pd.DataFrame") -> "pd.DataFrame":
+        V = ray.get(vocab_ref)
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"pred": pd.Series(dtype=object),
+                                 "n_e": pd.Series(dtype="int64"),
+                                 "h1": pd.Series(dtype="int64"),
+                                 "h10": pd.Series(dtype="int64"),
+                                 "rr": pd.Series(dtype="int64")})
+        s = df["subj_norm"].to_numpy(object)
+        p = df["pred"].to_numpy(object)
+        o = df["obj_norm"].to_numpy(object)
+        hr = (_hash_embeddings(s, dim, seed, salt=0)
+              + _hash_embeddings(p, dim, seed, salt=1))
+        true_sc = -np.abs(hr - _hash_embeddings(o, dim, seed, salt=0)
+                          ).sum(axis=1)
+        key = np.array([a + SEP + b + SEP + c
+                        for a, b, c in zip(s, p, o)], dtype=object)
+        h = hash64_values(key)
+        rank = np.ones(n, dtype=np.int64)
+        for j in range(1, k_neg + 1):
+            hj = _splitmix64(h ^ np.uint64(seed + j))
+            cand = V[(hj % nv).astype(np.int64)]
+            neg_sc = -np.abs(hr - _hash_embeddings(cand, dim, seed, salt=0)
+                             ).sum(axis=1)
+            rank += ((cand != o) & (neg_sc > true_sc)).astype(np.int64)
+        out = pd.DataFrame({"pred": p,
+                            "n_e": np.ones(n, dtype="int64"),
+                            "h1": (rank == 1).astype("int64"),
+                            "h10": (rank <= 10).astype("int64"),
+                            "rr": 1_000_000 // rank})
+        return out.groupby("pred", as_index=False)[
+            ["n_e", "h1", "h10", "rr"]].sum()
+
+    agg = partial_final_agg(
+        edges.map_batches(rank_partials, batch_format="pandas"),
+        ["pred"], [("n_e", "n_e", "sum"), ("h1", "h1", "sum"),
+                   ("h10", "h10", "sum"), ("rr", "rr", "sum")])
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        ne = df["n_e"].to_numpy("int64")
+        return pd.DataFrame({
+            "pred": df["pred"], "n_edges": ne,
+            "hits1": df["h1"].to_numpy("int64"),
+            "hits10": df["h10"].to_numpy("int64"),
+            "mrr_ppm": df["rr"].to_numpy("int64") // np.maximum(ne, 1)})
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -245,3 +245,31 @@ def test_negative_samples_contract_and_invariance():
     assert set(got["neg_ix"]).issubset({1, 2, 3})
     per_pos = got.groupby(["subj_norm", "pred"]).size()
     assert len(got) > 0 and per_pos.max() <= 3 * 2  # ≤ k per distinct edge
+
+
+def test_transe_eval_matches_oracle_and_invariance():
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from dygiepp_ray.oracle import expected_transe_eval
+    from dygiepp_ray.pipelines.kg import transe_eval
+
+    tri = pd.DataFrame({
+        "subj_norm": ["a", "a", "b", "c", "d", "a", "e", "b"],
+        "pred":      ["P", "P", "P", "Q", "Q", "Q", "P", "Q"],
+        "obj_norm":  ["b", "b", "c", "a", "b", "d", "a", "e"],
+    })
+    want = expected_transe_eval(
+        pa.Table.from_pandas(tri), dim=8, k_neg=16).to_pandas()
+    want = want.sort_values("pred").reset_index(drop=True)
+    for nparts in (1, 3):
+        got = (transe_eval(ray.data.from_pandas(tri).repartition(nparts),
+                           dim=8, k_neg=16).to_pandas()
+               .sort_values("pred").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    # sanity: hits are nested and bounded, mrr within (0, 1e6]
+    assert (got["hits1"] <= got["hits10"]).all()
+    assert (got["hits10"] <= got["n_edges"]).all()
+    assert (got["mrr_ppm"] > 0).all() and (got["mrr_ppm"] <= 1_000_000).all()
