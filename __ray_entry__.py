@@ -1889,6 +1889,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["term_drift"] = q_term_drift
 
+    def q_vocab_growth(sf_dir: str):
+        # Heaps-law vocabulary-growth curve over deterministic doc_id
+        # slices: one tokenize scan, vocab-sized (term, slice) sum, two
+        # slice-sized reduces, driver cumsum over n_slices rows
+        from dygiepp_ray.stages.text import vocab_growth
+
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        return vocab_growth(ds, n_slices=10)
+
+    q["vocab_growth"] = q_vocab_growth
+
     def q_oov_rate(sf_dir: str):
         # tokenizer-vocab coverage per source: rate of tokens outside the
         # top-16 corpus vocabulary (two scans; K-bounded vocab broadcast).
@@ -5648,6 +5659,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST((n_a * 1000000) // na - (n_b * 1000000) // nb
                         AS BIGINT) AS drift_ppm
             FROM tc, tot WHERE n_a + n_b >= 20
+        """,
+        "vocab_growth": r"""
+            WITH toks AS (
+                SELECT doc_id % 10 AS slice,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '')) AS term
+                FROM documents
+            ), fa AS (
+                SELECT term, min(slice) AS s0 FROM toks GROUP BY term
+            ), nt AS (
+                SELECT slice, count(*) AS n_tokens FROM toks GROUP BY slice
+            ), nv AS (
+                SELECT s0 AS slice, count(*) AS new_terms FROM fa GROUP BY s0
+            )
+            SELECT nt.slice, nt.n_tokens,
+                   CAST(sum(nt.n_tokens) OVER (ORDER BY nt.slice)
+                        AS BIGINT) AS cum_tokens,
+                   CAST(coalesce(nv.new_terms, 0) AS BIGINT) AS new_terms,
+                   CAST(sum(coalesce(nv.new_terms, 0))
+                        OVER (ORDER BY nt.slice) AS BIGINT) AS cum_vocab
+            FROM nt LEFT JOIN nv ON nv.slice = nt.slice
+            ORDER BY nt.slice
         """,
         "embedding_drift": """
             SELECT * FROM

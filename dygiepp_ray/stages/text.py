@@ -1048,3 +1048,70 @@ def span_corruption(ds, block: int = 8, mask_off: int = 4,
         })
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def vocab_growth(ds, n_slices: int = 10):
+    """(slice, n_tokens, cum_tokens, new_terms, cum_vocab) — Heaps-law
+    vocabulary-growth curve: the corpus is cut into `n_slices` deterministic
+    slices (doc_id % n_slices, ordered 0..n-1 as the "ingest order"), and
+    each row reports the slice's token count plus the number of terms whose
+    FIRST appearance (minimum slice) is that slice, with running totals.
+    The standard sub-linear V(N) ~ k·N^beta diagnostic run before sizing a
+    tokenizer vocabulary against a growing crawl.
+
+    Scale shape: ONE tokenize scan emitting per-block (term, slice) count
+    partials; a vocab-sized partial+final sum; then two SLICE-sized reduces
+    off it (per-term min-slice -> first-appearance counts, and per-slice
+    token totals) whose outputs are n_slices rows — the driver cumsum runs
+    over those, never over terms. All counts exact int64."""
+    import numpy as np
+
+    from ..aggregates import partial_final_agg
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[["doc_id"]].assign(
+            term=df["text"].str.lower().str.split()).explode("term")
+        t = t[t["term"].notna()]
+        if not len(t):
+            return pd.DataFrame({"term": pd.Series(dtype="string"),
+                                 "slice": pd.Series(dtype="int64"),
+                                 "n_p": pd.Series(dtype="int64")})
+        g = pd.DataFrame({
+            "term": t["term"].to_numpy(object),
+            "slice": t["doc_id"].to_numpy("int64") % n_slices})
+        gg = g.groupby(["term", "slice"], sort=False,
+                       as_index=False).size()
+        return gg.rename(columns={"size": "n_p"})
+
+    counts = partial_final_agg(
+        ds.map_batches(partials, batch_format="pandas"),
+        ["term", "slice"], [("n", "n_p", "sum")]).materialize()
+
+    # per-term first slice -> first-appearance counts (n_slices rows)
+    first = partial_final_agg(
+        counts.map_batches(
+            lambda df: df.groupby("term", as_index=False)["slice"].min(),
+            batch_format="pandas"),
+        ["term"], [("s0", "slice", "min")])
+    new_terms = first.map_batches(
+        lambda df: df.groupby("s0", as_index=False).size().rename(
+            columns={"s0": "slice", "size": "nt_p"}),
+        batch_format="pandas")
+    new_terms = partial_final_agg(new_terms, ["slice"],
+                                  [("new_terms", "nt_p", "sum")]).to_pandas()
+
+    # per-slice token totals (n_slices rows)
+    toks = partial_final_agg(
+        counts.map_batches(
+            lambda df: df.groupby("slice", as_index=False)["n"].sum(),
+            batch_format="pandas"),
+        ["slice"], [("n_tokens", "n", "sum")]).to_pandas()
+
+    out = toks.merge(new_terms, on="slice", how="left").fillna(0)
+    out = out.sort_values("slice").reset_index(drop=True)
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["new_terms"] = out["new_terms"].astype("int64")
+    out["cum_tokens"] = out["n_tokens"].cumsum().astype("int64")
+    out["cum_vocab"] = out["new_terms"].cumsum().astype("int64")
+    return out[["slice", "n_tokens", "cum_tokens", "new_terms",
+                "cum_vocab"]]
