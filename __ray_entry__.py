@@ -3934,6 +3934,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_link_predict"] = q_kg_link_predict
 
+    def q_kg_resource_allocation(sf_dir: str):
+        # Resource-Allocation link prediction (Zhou, Lu & Zhang 2009):
+        # the common-neighbor wedge machinery, each wedge additionally
+        # weighted floor(1e12 / deg(center)) — the log-free cousin of
+        # Adamic-Adar whose scoring is exactly mirrorable in integer SQL
+        _ensure_triples_oracle(sf_dir)
+        return kgp.link_prediction(_synth_triples(sf_dir),
+                                   max_center_degree=64, min_common=2,
+                                   salt_buckets=4,
+                                   ra_scale=1_000_000_000_000)
+
+    q["kg_resource_allocation"] = q_kg_resource_allocation
+
     def q_kg_neighbor_jaccard(sf_dir: str):
         # neighborhood-Jaccard entity-resolution candidates: pairs sharing
         # >= 2 neighbors scored by integer-scaled Jaccard of their FULL
@@ -6343,6 +6356,30 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2 HAVING count(*) >= 2
             )
             SELECT p.x, p.y, p.common_neighbors FROM p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM e WHERE e.u = p.x AND e.v = p.y)
+        """,
+        "kg_resource_allocation": """
+            WITH e AS (
+                SELECT DISTINCT least(subj_norm, obj_norm) AS u,
+                                greatest(subj_norm, obj_norm) AS v
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+                WHERE subj_norm <> obj_norm
+            ), adj AS (
+                SELECT u AS c, v AS n FROM e UNION ALL SELECT v, u FROM e
+            ), deg AS (
+                SELECT c, count(*) AS d FROM adj GROUP BY c
+            ), ok AS (
+                SELECT adj.c, adj.n, d FROM adj JOIN deg USING (c)
+                WHERE d <= 64
+            ), p AS (
+                SELECT a.n AS x, b.n AS y,
+                       count(*) AS common_neighbors,
+                       CAST(sum(1000000000000 // a.d) AS BIGINT) AS ra_score
+                FROM ok a JOIN ok b ON a.c = b.c AND a.n < b.n
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT p.x, p.y, p.common_neighbors, p.ra_score FROM p
             WHERE NOT EXISTS (
                 SELECT 1 FROM e WHERE e.u = p.x AND e.v = p.y)
         """,

@@ -1086,9 +1086,11 @@ def pred_path_counts(triples: "ray.data.Dataset", salt_buckets: int = 1,
 
 def link_prediction(triples: "ray.data.Dataset", max_center_degree: int = 64,
                     min_common: int = 2, salt_buckets: int = 1,
-                    n_buckets: int = 32) -> "ray.data.Dataset":
-    """(x, y, common_neighbors) — common-neighbor link prediction over the
-    DISTINCT undirected KG edge set: candidate NON-edges (x < y) scored by
+                    n_buckets: int = 32,
+                    ra_scale: int | None = None) -> "ray.data.Dataset":
+    """(x, y, common_neighbors[, ra_score]) — common-neighbor link
+    prediction over the DISTINCT undirected KG edge set: candidate
+    NON-edges (x < y) scored by
     how many shared neighbors generate them, keeping scores ≥ `min_common`.
     Standard KG-completion baseline (common-neighbors; Liben-Nowell &
     Kleinberg 2003) over the graph the reference materializes at
@@ -1104,7 +1106,15 @@ def link_prediction(triples: "ray.data.Dataset", max_center_degree: int = 64,
     drift). Centers are hash-bucketed so each center's full neighborhood
     lands in one task; per-bucket pair counts collapse before the
     partial+final sum, and existing edges are removed with a bucketed LEFT
-    join marker pass (no driver-side edge set)."""
+    join marker pass (no driver-side edge set).
+
+    With `ra_scale` set, each candidate additionally carries the
+    Resource-Allocation index (Zhou, Lu & Zhang 2009) in exact scaled
+    ints: ra_score = sum over shared centers z of floor(ra_scale /
+    deg(z)) — the log-free cousin of Adamic-Adar, exactly mirrorable in
+    integer SQL (no libm in the hash path). Degrees are the UNCAPPED
+    distinct-graph degrees; only centers passing `max_center_degree`
+    generate wedges (identical contract to common_neighbors)."""
     import numpy as np
     import pandas as pd
 
@@ -1141,9 +1151,11 @@ def link_prediction(triples: "ray.data.Dataset", max_center_degree: int = 64,
     adj = edges.map_batches(sym, batch_format="pyarrow")
     deg = grouped_count(adj.select_columns(["c"]), ["c"], out_name="deg")
 
+    keep_cols = ["c", "n", "deg"] if ra_scale else ["c", "n"]
+
     def keep_small(m: "pd.DataFrame") -> "pd.DataFrame":
         return m.loc[m["deg"].to_numpy("int64") <= max_center_degree,
-                     ["c", "n"]]
+                     keep_cols]
 
     ok = hash_join(adj, deg, on="c", n_buckets=n_buckets,
                    left_types={"c": s_t, "n": s_t},
@@ -1160,29 +1172,45 @@ def link_prediction(triples: "ray.data.Dataset", max_center_degree: int = 64,
 
     def pair_partials(df: "pd.DataFrame") -> "pd.DataFrame":
         parts = []
-        for _, g in df.groupby("c", sort=False):
+        for c, g in df.groupby("c", sort=False):
             ns = sorted(set(g["n"]))
             k = len(ns)
             if k < 2:
                 continue
             ii, jj = np.triu_indices(k, 1)
             a = np.array(ns, dtype=object)
-            parts.append(pd.DataFrame({"x": a[ii], "y": a[jj]}))
+            part = pd.DataFrame({"x": a[ii], "y": a[jj]})
+            if ra_scale:
+                part["w"] = ra_scale // int(g["deg"].iloc[0])
+            parts.append(part)
         if not parts:
-            return pd.DataFrame({"x": pd.Series(dtype="string"),
-                                 "y": pd.Series(dtype="string"),
-                                 "n_part": pd.Series(dtype="int64")})
+            cols = {"x": pd.Series(dtype="string"),
+                    "y": pd.Series(dtype="string"),
+                    "n_part": pd.Series(dtype="int64")}
+            if ra_scale:
+                cols["w_part"] = pd.Series(dtype="int64")
+            return pd.DataFrame(cols)
         w = pd.concat(parts, ignore_index=True)
+        if ra_scale:
+            gg = w.groupby(["x", "y"], sort=False)["w"].agg(["size", "sum"])
+            idx = gg.index.to_frame(index=False)
+            return pd.DataFrame({"x": idx["x"].to_numpy(object),
+                                 "y": idx["y"].to_numpy(object),
+                                 "n_part": gg["size"].to_numpy("int64"),
+                                 "w_part": gg["sum"].to_numpy("int64")})
         vc = w.groupby(["x", "y"], sort=False).size()
         idx = vc.index.to_frame(index=False)
         return pd.DataFrame({"x": idx["x"].to_numpy(object),
                              "y": idx["y"].to_numpy(object),
                              "n_part": vc.to_numpy("int64")})
 
+    aggs = [("common_neighbors", "n_part", "sum")]
+    if ra_scale:
+        aggs.append(("ra_score", "w_part", "sum"))
     cand = partial_final_agg(
         ok.map_batches(stamp_center_bucket, batch_format="pyarrow").groupby(
             "_bucket").map_groups(pair_partials, batch_format="pandas"),
-        ["x", "y"], [("common_neighbors", "n_part", "sum")])
+        ["x", "y"], aggs)
 
     def keep_min(t: pa.Table) -> pa.Table:
         t = strip_schema_metadata(t)
@@ -1206,15 +1234,22 @@ def link_prediction(triples: "ray.data.Dataset", max_center_degree: int = 64,
 
     marks = edges.map_batches(edge_marks, batch_format="pyarrow")
 
+    out_cols = ["x", "y", "common_neighbors"] + (
+        ["ra_score"] if ra_scale else [])
+
     def anti_post(df: "pd.DataFrame") -> "pd.DataFrame":
-        out = df.loc[df["_edge"].isna(), ["x", "y", "common_neighbors"]]
+        out = df.loc[df["_edge"].isna(), out_cols].copy()
         out["common_neighbors"] = out["common_neighbors"].astype("int64")
+        if ra_scale:
+            out["ra_score"] = out["ra_score"].astype("int64")
         return out
 
+    left_types = {"x": s_t, "y": s_t, "common_neighbors": i_t, "pair": s_t}
+    if ra_scale:
+        left_types["ra_score"] = i_t
     return hash_join(cand, marks, on="pair", how="left",
                      n_buckets=n_buckets,
-                     left_types={"x": s_t, "y": s_t,
-                                 "common_neighbors": i_t, "pair": s_t},
+                     left_types=left_types,
                      right_types={"pair": s_t, "_edge": pa.float64()},
                      bucket_post=anti_post)
 

@@ -1125,3 +1125,23 @@ def test_neighborhood_jaccard_random_graph_matches_bruteforce():
                           int(r.is_edge))
              for r in got.itertuples()}
     assert got_d == want
+
+
+def test_link_prediction_resource_allocation_weights():
+    from dygiepp_ray.pipelines.kg import link_prediction
+
+    # a-b share centers h (deg 4) and z (deg 2): ra = S//4 + S//2;
+    # c-d share only h: below min_common=2 -> dropped
+    pairs = [("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"),
+             ("z", "a"), ("z", "b")]
+    S = 1_000_000_000_000
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(_lp_triples(pairs)).repartition(nparts)
+        got = link_prediction(ds, min_common=2, n_buckets=4,
+                              salt_buckets=2, ra_scale=S).to_pandas()
+        got_d = {(x, y): (int(n), int(r)) for x, y, n, r in
+                 zip(got["x"], got["y"], got["common_neighbors"],
+                     got["ra_score"])}
+        # brute force: every non-edge pair with >=2 shared centers
+        assert got_d == {("a", "b"): (2, S // 4 + S // 2),
+                         ("h", "z"): (2, S // 2 + S // 2)}
