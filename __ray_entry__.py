@@ -2566,6 +2566,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["embedding_clusters"] = q_embedding_clusters
 
+    def q_embedding_outliers(sf_dir: str):
+        # embedding-space curation inspect list: the 10 farthest rows per
+        # k-means cluster (exact scaled-int ordering, vec_id tiebreak) with
+        # the cluster's exact mean distance attached; one stats scan
+        # (k-row reduce, broadcast back) + one block-local-top-k scan
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.cluster import embedding_outliers
+
+        _write_oracle(sf_dir, "embedding_outliers",
+                      lambda: _o.expected_embedding_outliers(
+                          sf_dir, k=8, n_iter=4, k_out=10))
+        cents = _fit_centroids(sf_dir, k=8, n_iter=4)
+        return embedding_outliers(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            cents, k_out=10)
+
+    q["embedding_outliers"] = q_embedding_outliers
+
     def q_knn_ivf(sf_dir: str):
         import pyarrow.parquet as pq
 
@@ -5585,6 +5603,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_clusters": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/embedding_clusters.parquet')
+        """,
+        "embedding_outliers": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/embedding_outliers.parquet')
         """,
         "knn_ivf": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/knn_ivf.parquet')

@@ -1261,6 +1261,42 @@ def expected_embedding_clusters(sf_dir: str, k: int = 8,
     })
 
 
+def expected_embedding_outliers(sf_dir: str, k: int = 8, n_iter: int = 4,
+                                k_out: int = 10) -> pa.Table:
+    """Scalar re-walk of cluster.py:embedding_outliers — same single-thread
+    k-means fit as expected_embedding_clusters, distances lifted to exact
+    scaled ints, per-cluster top-k_out by (dist desc, vec_id asc)."""
+    from .functions.strings import round_half_up
+
+    ids, mat = _read_embeddings(sf_dir)
+    centroids = _kmeans_single(mat, ids, k, n_iter)
+    d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=-1)
+    labels = d.argmin(axis=1)
+    dist = np.sqrt(d[np.arange(len(ids)), labels])
+    dist_s = np.rint(round_half_up(dist, 6) * 1e6).astype(np.int64)
+    n_by = np.zeros(k, dtype=np.int64)
+    s_by = np.zeros(k, dtype=np.int64)
+    for lab, dsv in zip(labels, dist_s):
+        n_by[lab] += 1
+        s_by[lab] += dsv
+    out_id, out_lab, out_d, out_m = [], [], [], []
+    for j in range(k):
+        members = [(int(dist_s[i]), int(ids[i])) for i in range(len(ids))
+                   if labels[i] == j]
+        members.sort(key=lambda t: (-t[0], t[1]))
+        for dsv, vid in members[:k_out]:
+            out_id.append(vid)
+            out_lab.append(j)
+            out_d.append(dsv)
+            out_m.append(int(s_by[j]) // max(int(n_by[j]), 1))
+    return pa.table({
+        "vec_id": pa.array(out_id, pa.int64()),
+        "cluster": pa.array(np.array(out_lab, dtype=np.int32), pa.int32()),
+        "dist_scaled": pa.array(out_d, pa.int64()),
+        "cluster_mean_scaled": pa.array(out_m, pa.int64()),
+    })
+
+
 def expected_knn_ivf(sf_dir: str, k: int = 10, nprobe: int = 2,
                      n_clusters: int = 8, n_iter: int = 3) -> pa.Table:
     from .functions.strings import round_half_up

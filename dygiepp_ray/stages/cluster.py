@@ -493,3 +493,71 @@ def embedding_link(embeddings: "ray.data.Dataset", scale: int = 1_000_000,
 
     return embeddings.select_columns([id_col, label_col, vec_col]).map_batches(
         assign, batch_format="pandas")
+
+
+def embedding_outliers(embeddings: "ray.data.Dataset", centroids: np.ndarray,
+                       k_out: int = 10,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> "ray.data.Dataset":
+    """(vec_id, cluster, dist_scaled, cluster_mean_scaled) — embedding-space
+    outlier report for data curation: the `k_out` FARTHEST rows from each
+    k-means centroid (ties broken by vec_id asc), each carrying its
+    cluster's exact mean distance for context. The inspect-list a
+    SemDeDup-style curation pass reviews for mislabeled / off-distribution
+    vectors; a top-k rule (not a mean-multiple gate) so the report is
+    non-degenerate on tightly concentrated distributions.
+
+    Scale shape: ONE assignment scan emits per-(block, cluster) count/sum
+    partials (k-row reduce, broadcast back via `ray.put`) and a SECOND
+    scan emits only its block-local per-cluster top-`k_out` candidates —
+    the final exact top-k sees ≤ blocks·k·k_out rows, never the corpus
+    (same block-local-prune discipline as `knn_brute_force`). Distances
+    are `kmeans_assign`'s 6-dp-rounded values lifted to exact int64, so
+    ordering and the mean are integer-exact under any partitioning."""
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def dist_scaled_of(batch: pd.DataFrame) -> tuple:
+        c = ray.get(cref)
+        m = _matrix(batch, vec_col)
+        labels, d2 = _assign(m, c)
+        ds6 = round_half_up(np.sqrt(d2), 6)
+        return labels, np.rint(ds6 * 1e6).astype(np.int64)
+
+    def stat_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        labels, dist_s = dist_scaled_of(batch)
+        g = pd.DataFrame({"cluster": labels.astype(np.int32),
+                          "n_p": np.ones(len(labels), dtype=np.int64),
+                          "s_p": dist_s})
+        return g.groupby("cluster", as_index=False)[["n_p", "s_p"]].sum()
+
+    from ..aggregates import partial_final_agg
+
+    stats = partial_final_agg(
+        embeddings.select_columns([id_col, vec_col]).map_batches(
+            stat_partials, batch_format="pandas"),
+        ["cluster"], [("n", "n_p", "sum"), ("s", "s_p", "sum")]).to_pandas()
+    n_by = np.zeros(len(centroids), dtype=np.int64)
+    s_by = np.zeros(len(centroids), dtype=np.int64)
+    n_by[stats["cluster"].to_numpy("int64")] = stats["n"].to_numpy("int64")
+    s_by[stats["cluster"].to_numpy("int64")] = stats["s"].to_numpy("int64")
+    stats_ref = ray.put((n_by, s_by))
+
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        n_c, s_c = ray.get(stats_ref)
+        labels, dist_s = dist_scaled_of(batch)
+        g = pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "cluster": labels.astype(np.int32),
+            "dist_scaled": dist_s,
+            "cluster_mean_scaled": s_c[labels] // np.maximum(n_c[labels], 1),
+        }).sort_values(["cluster", "dist_scaled", id_col],
+                       ascending=[True, False, True], kind="mergesort")
+        return g.groupby("cluster", sort=False).head(k_out)
+
+    cand = embeddings.select_columns([id_col, vec_col]).map_batches(
+        block_topk, batch_format="pandas").to_pandas()
+    # final exact top-k over <= blocks*k*k_out candidate rows (tiny)
+    cand = cand.sort_values(["cluster", "dist_scaled", id_col],
+                            ascending=[True, False, True], kind="mergesort")
+    return cand.groupby("cluster", sort=False).head(k_out).reset_index(
+        drop=True)

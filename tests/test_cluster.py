@@ -249,3 +249,41 @@ def test_embedding_link_partitioning_invariant():
     many = embedding_link(ray.data.from_pandas(df).repartition(5)).to_pandas(
         ).sort_values("vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(one, many)
+
+
+def test_embedding_outliers_bruteforce_and_invariance():
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+    from dygiepp_ray.functions.strings import round_half_up
+    from dygiepp_ray.stages.cluster import embedding_outliers
+
+    rng = [(i * 31 % 17) / 7.0 for i in range(40)]
+    df = pd.DataFrame({
+        "vec_id": list(range(20)),
+        "embedding": [[rng[2 * i], rng[2 * i + 1]] for i in range(20)],
+    })
+    cents = np.array([[0.0, 0.0], [2.0, 2.0]])
+    # brute force: per-cluster top-3 by scaled dist desc, vec_id asc
+    m = np.array(df["embedding"].tolist())
+    d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    lab = d2.argmin(1)
+    ds = np.rint(round_half_up(np.sqrt(d2[np.arange(20), lab]), 6)
+                 * 1e6).astype("int64")
+    want = {}
+    for j in (0, 1):
+        mem = sorted([(-ds[i], i) for i in range(20) if lab[i] == j])[:3]
+        want[j] = [(i, -negd) for negd, i in mem]
+    for nparts in (1, 4):
+        got = embedding_outliers(
+            ray.data.from_pandas(df).repartition(nparts), cents, k_out=3)
+        got_by = {j: [(int(r.vec_id), int(r.dist_scaled))
+                      for r in got[got["cluster"] == j].itertuples()]
+                  for j in (0, 1)}
+        assert got_by == want
+        # mean context column is the exact per-cluster integer mean
+        for j in (0, 1):
+            mean_j = int(ds[lab == j].sum()) // max(int((lab == j).sum()), 1)
+            assert all(int(r.cluster_mean_scaled) == mean_j
+                       for r in got[got["cluster"] == j].itertuples())
