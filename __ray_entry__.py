@@ -949,6 +949,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_cobaskets"] = q_events_cobaskets
 
+    def q_events_lift(sf_dir: str):
+        # association LIFT per co-basket type pair: support(ab)·N /
+        # (supp(a)·supp(b)) in exact ppm — pair support via the cobaskets
+        # coarse-bucket shuffle, per-type basket counts via a type-bounded
+        # grouped count, N via one distinct reduce; the final arithmetic
+        # runs on the driver over the types²-bounded pair table with
+        # python bigints (HUGEINT twin in SQL — BIGINT products overflow)
+        from dygiepp_ray.aggregates import distinct_first, partial_final_agg
+
+        ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            day = (df["ts"] - pd.Timestamp("1970-01-01")).dt.days.astype(
+                "int64")
+            return pd.DataFrame({"user_id": df["user_id"], "day": day,
+                                 "t": df["event_type"]}).drop_duplicates()
+
+        baskets = distinct_first(
+            ds.map_batches(prep, batch_format="pandas"),
+            ["user_id", "day", "t"]).materialize()
+
+        def stamp(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            h = pd.util.hash_pandas_object(df[["user_id", "day"]],
+                                           index=False).to_numpy()
+            df["_bk"] = (h % np.uint64(64)).astype("int64")
+            return df
+
+        def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.drop(columns=["_bk"])
+            m = df.merge(df, on=["user_id", "day"])
+            m = m[m["t_x"] < m["t_y"]]
+            g = m.groupby(["t_x", "t_y"], sort=False, as_index=False).size()
+            return g.rename(columns={"t_x": "type_a", "t_y": "type_b",
+                                     "size": "s_p"})
+
+        pairs = partial_final_agg(
+            baskets.map_batches(stamp, batch_format="pandas")
+            .groupby("_bk").map_groups(pair_partials, batch_format="pandas"),
+            ["type_a", "type_b"], [("support", "s_p", "sum")]).to_pandas()
+
+        tc = grouped_count(baskets.select_columns(["t"]), ["t"],
+                           out_name="n_t").to_pandas()
+        n_baskets = int(distinct_first(
+            baskets.select_columns(["user_id", "day"]),
+            ["user_id", "day"]).count())
+
+        n_of = dict(zip(tc["t"], tc["n_t"].astype(int)))
+        lift = [int(s) * n_baskets * 1_000_000
+                // (n_of[a] * n_of[b])
+                for a, b, s in zip(pairs["type_a"], pairs["type_b"],
+                                   pairs["support"])]
+        out = pd.DataFrame({
+            "type_a": pairs["type_a"], "type_b": pairs["type_b"],
+            "support": pairs["support"].astype("int64"),
+            "n_a": pairs["type_a"].map(n_of).astype("int64"),
+            "n_b": pairs["type_b"].map(n_of).astype("int64"),
+            "n_baskets": np.int64(n_baskets),
+            "lift_ppm": np.array(lift, dtype="int64")})
+        return out
+
+    q["events_lift"] = q_events_lift
+
     def q_events_ohlc(sf_dir: str):
         # daily OHLC candles per event type: order-based first/last
         # selections need the sorted in-bucket kernel (windows.ohlc), not a
@@ -1587,6 +1650,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["orders_with_returns"] = q_orders_with_returns
 
+    def q_tpch_q10(sf_dir: str):
+        # TPC-H Q10 shape (returned-item reporting): revenue lost to
+        # returns per customer in a quarter, top 20 with name/nation
+        # attached. lineitem(R) ⋈ orders(window) on orderkey with
+        # per-custkey revenue partials pushed into the buckets, a
+        # customer-sized partial+final sum, block-prune + tiny-sort top-20,
+        # then the 20 winners' attributes come from a broadcast-filtered
+        # customer/nation read (never a customer-wide join for 20 rows)
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.joins import hash_join
+
+        lo = pd.Timestamp("1997-07-01")
+        hi = pd.Timestamp("1997-10-01")
+
+        def rev(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["l_returnflag"] == "R"]
+            ext = np.floor(df["l_extendedprice"].to_numpy(np.float64) * 100.0
+                           + 0.5).astype("int64")
+            disc = np.floor(df["l_discount"].to_numpy(np.float64) * 100.0
+                            + 0.5).astype("int64")
+            return pd.DataFrame(
+                {"o_orderkey": df["l_orderkey"].to_numpy("int64"),
+                 "rev_s": ext * (100 - disc)})
+
+        li = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_extendedprice", "l_discount",
+                    "l_returnflag"]).map_batches(rev, batch_format="pandas")
+        orders = _read(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey", "o_orderdate"]
+                       ).map_batches(
+            lambda df: df.loc[(df["o_orderdate"] >= lo)
+                              & (df["o_orderdate"] < hi),
+                              ["o_orderkey", "o_custkey"]],
+            batch_format="pandas")
+
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("o_custkey", as_index=False)["rev_s"].sum()
+
+        joined = hash_join(
+            li, orders, on="o_orderkey", n_buckets=16,
+            left_types={"o_orderkey": pa.int64(), "rev_s": pa.int64()},
+            right_types={"o_orderkey": pa.int64(), "o_custkey": pa.int64()},
+            bucket_post=per_bucket)
+        agg = partial_final_agg(joined, ["o_custkey"],
+                                [("revenue_s", "rev_s", "sum")])
+
+        def prune(df: pd.DataFrame) -> pd.DataFrame:
+            return df.sort_values(["revenue_s", "o_custkey"],
+                                  ascending=[False, True]).head(20)
+
+        top = (agg.map_batches(prune, batch_format="pandas")
+               .sort(["revenue_s", "o_custkey"], descending=[True, False])
+               .limit(20).to_pandas())
+
+        keys = set(top["o_custkey"].tolist())
+        cust = _read(sf_dir, "customer",
+                     ["c_custkey", "c_name", "c_nationkey", "c_acctbal"]
+                     ).map_batches(
+            lambda df: df[df["c_custkey"].isin(keys)],
+            batch_format="pandas").to_pandas()
+        nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+        out = (top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+               .merge(nat, left_on="c_nationkey", right_on="n_nationkey"))
+        out = out.sort_values(["revenue_s", "o_custkey"],
+                              ascending=[False, True]).reset_index(drop=True)
+        out["acctbal_cents"] = np.floor(
+            out["c_acctbal"].to_numpy(np.float64) * 100.0 + 0.5
+        ).astype("int64")
+        return out[["o_custkey", "c_name", "n_name", "acctbal_cents",
+                    "revenue_s"]]
+
+    q["tpch_q10"] = q_tpch_q10
+
     def semi_join_orders(sf_dir: str):
         # broadcast semi-join (WHERE EXISTS): orders of customers with
         # acctbal > 5000; the small side is a broadcast key set, the big
@@ -1900,6 +2036,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["vocab_growth"] = q_vocab_growth
 
+    def q_k_anonymity(sf_dir: str):
+        # privacy QA companion to pii_redact: quasi-identifier groups
+        # (lang, source) whose document count falls below k=5 — the
+        # k-anonymity release check. One salted grouped count (group
+        # cardinality = |lang|x|source|, schema-bounded) + a filter;
+        # n_docs carried so the report shows how far below k each is
+        cnt = grouped_count(
+            _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+            .select_columns(["lang", "source"]),
+            ["lang", "source"], out_name="n_docs", salt_buckets=4)
+        return cnt.map_batches(
+            lambda df: df[df["n_docs"] < 5], batch_format="pandas")
+
+    q["k_anonymity"] = q_k_anonymity
+
     def q_oov_rate(sf_dir: str):
         # tokenizer-vocab coverage per source: rate of tokens outside the
         # top-16 corpus vocabulary (two scans; K-bounded vocab broadcast).
@@ -2059,6 +2210,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    threshold=0.5)
 
     q["ngram_jaccard_dups"] = q_ngram
+
+    def q_minhash_accuracy(sf_dir: str):
+        # sketch calibration audit: signature-estimated vs exact Jaccard
+        # on every LSH candidate pair, exact scaled ints both sides
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.dedup import minhash_accuracy
+
+        _write_oracle(sf_dir, "minhash_accuracy",
+                      lambda: _o.expected_minhash_accuracy(sf_dir))
+        return minhash_accuracy(_read(sf_dir, "documents",
+                                      ["doc_id", "text"]))
+
+    q["minhash_accuracy"] = q_minhash_accuracy
 
     def q_substring_dups(sf_dir: str):
         # substring-level dedup: winnowed char-k-gram fingerprints (shared
@@ -3044,6 +3208,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_reciprocity"] = q_kg_reciprocity
 
+    def q_kg_pagerank_weighted(sf_dir: str):
+        # PageRank under assertion-multiplicity edge weights (the
+        # reference MultiDiGraph's edge counts): exact divmod-split
+        # integer shares, |V|-admission broadcast fixpoint
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.graph import pagerank_weighted
+
+        _write_oracle(sf_dir, "kg_pagerank_weighted",
+                      lambda: _o.expected_pagerank_weighted(
+                          _oracle_triples_table(sf_dir)))
+        tri = _synth_triples(sf_dir)
+        edges = grouped_count(
+            tri.select_columns(["subj_norm", "obj_norm"]),
+            ["subj_norm", "obj_norm"], out_name="w")
+        return pagerank_weighted(edges, src="subj_norm", dst="obj_norm",
+                                 weight="w")
+
+    q["kg_pagerank_weighted"] = q_kg_pagerank_weighted
+
     def q_kg_symmetry(sf_dir: str):
         # per-predicate symmetry share (ontology QA: which predicates
         # behave symmetrically — sameAs-like vs strictly directed): share
@@ -3698,6 +3881,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              node_type=pa.string())
 
     q["kg_bfs_distances"] = q_kg_bfs_distances
+
+    def q_kg_closeness(sf_dir: str):
+        # sampled-source closeness/harmonic centrality: per-seed BFS
+        # distances from the 3 highest-degree hubs (same deterministic
+        # seed rule as kg_bfs_distances), per-node exact-int reduce:
+        # n_sources reaching, dist_sum, harmonic_ppm = sum 1e6//d. Each
+        # seed's BFS is the bounded-rounds frontier pipeline; the union is
+        # 3x node-sized, one partial+final shuffle. All integer — no
+        # float centrality normalization to drift.
+        from dygiepp_ray.aggregates import (partial_final_agg,
+                                            strip_schema_metadata)
+        from dygiepp_ray.stages.graph import bfs_distances
+
+        _ensure_triples_oracle(sf_dir)
+        edges = _distinct_edge_ds(sf_dir).materialize()
+
+        def sym(t):
+            t = strip_schema_metadata(t)
+            u = t.column("subj_norm")
+            v = t.column("obj_norm")
+            c = pa.chunked_array(list(u.chunks) + list(v.chunks), u.type)
+            n = pa.chunked_array(list(v.chunks) + list(u.chunks), u.type)
+            return pa.table({"node": c, "nb": n})
+
+        adj = grouped_count(
+            edges.map_batches(sym, batch_format="pyarrow"),
+            ["node", "nb"], out_name="_c").select_columns(["node", "nb"])
+        deg = grouped_count(adj.select_columns(["node"]), ["node"],
+                            out_name="deg")
+        seed_rows = (deg.sort(["deg", "node"], descending=[True, False])
+                     .limit(3).select_columns(["node"]).take_all())
+
+        parts = []
+        for r in seed_rows:
+            seed_ds = ray.data.from_pandas(
+                pd.DataFrame({"node": [r["node"]]}))
+            parts.append(bfs_distances(
+                edges, seed_ds, src="subj_norm", dst="obj_norm",
+                max_rounds=3, undirected=True, node_type=pa.string()))
+        dists = parts[0].union(*parts[1:])
+
+        def partials(df: pd.DataFrame) -> pd.DataFrame:
+            d = df["dist"].to_numpy("int64")
+            return pd.DataFrame({
+                "node": df["node"],
+                "n_p": np.ones(len(df), "int64"),
+                "d_p": d,
+                "h_p": np.where(d > 0, 1_000_000 // np.maximum(d, 1), 0)})
+
+        return partial_final_agg(
+            dists.map_batches(partials, batch_format="pandas"),
+            ["node"], [("n_sources", "n_p", "sum"),
+                       ("dist_sum", "d_p", "sum"),
+                       ("harmonic_ppm", "h_p", "sum")])
+
+    q["kg_closeness"] = q_kg_closeness
 
     def q_kg_pred_paths(sf_dir: str):
         # 2-hop predicate path statistics (schema induction): one bucketed
@@ -5175,6 +5414,37 @@ def oracle_sql() -> dict[str, str]:
                 AND x.event_type < y.event_type
             GROUP BY type_a, type_b
         """,
+        "events_lift": """
+            WITH b AS (
+                SELECT DISTINCT user_id,
+                       CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                           AS day,
+                       event_type
+                FROM events
+            ), nb AS (
+                SELECT count(*) AS n FROM (
+                    SELECT DISTINCT user_id, day FROM b)
+            ), tc AS (
+                SELECT event_type, count(*) AS n_t FROM b
+                GROUP BY event_type
+            ), p AS (
+                SELECT x.event_type AS type_a, y.event_type AS type_b,
+                       count(*) AS support
+                FROM b x JOIN b y
+                     ON x.user_id = y.user_id AND x.day = y.day
+                    AND x.event_type < y.event_type
+                GROUP BY type_a, type_b
+            )
+            SELECT type_a, type_b, support,
+                   ta.n_t AS n_a, tb.n_t AS n_b, nb.n AS n_baskets,
+                   CAST(CAST(support AS HUGEINT) * nb.n * 1000000
+                        // (CAST(ta.n_t AS HUGEINT) * tb.n_t)
+                        AS BIGINT) AS lift_ppm
+            FROM p
+            CROSS JOIN nb
+            JOIN tc ta ON ta.event_type = p.type_a
+            JOIN tc tb ON tb.event_type = p.type_b
+        """,
         "events_transitions": """
             WITH s AS (
                 SELECT event_type,
@@ -5592,6 +5862,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dups": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/ngram_dups.parquet')
         """,
+        "minhash_accuracy": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/minhash_accuracy.parquet')
+        """,
         "dedup_spans": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/dedup_spans.parquet')
         """,
@@ -5693,6 +5966,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST((n_a * 1000000) // na - (n_b * 1000000) // nb
                         AS BIGINT) AS drift_ppm
             FROM tc, tot WHERE n_a + n_b >= 20
+        """,
+        "k_anonymity": """
+            SELECT lang, source, count(*) AS n_docs
+            FROM documents GROUP BY lang, source
+            HAVING count(*) < 5
         """,
         "vocab_growth": r"""
             WITH toks AS (
@@ -6458,6 +6736,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, min(dist) AS dist FROM walk GROUP BY node
         """,
+        "kg_closeness": """
+            WITH RECURSIVE d AS (
+                SELECT DISTINCT subj_norm AS s, obj_norm AS o
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            ), e AS (
+                SELECT DISTINCT * FROM (
+                    SELECT s AS src, o AS dst FROM d
+                    UNION ALL SELECT o, s FROM d)
+            ), deg AS (
+                SELECT src AS node, count(*) AS dg FROM e GROUP BY src
+            ), seeds AS (
+                SELECT node FROM deg ORDER BY dg DESC, node LIMIT 3
+            ), walk(seed, node, dist) AS (
+                SELECT node, node, 0 FROM seeds
+                UNION
+                SELECT w.seed, e.dst, w.dist + 1
+                FROM walk w JOIN e ON e.src = w.node
+                WHERE w.dist < 3
+            ), md AS (
+                SELECT seed, node, min(dist) AS dist FROM walk
+                GROUP BY seed, node
+            )
+            SELECT node, count(*) AS n_sources,
+                   CAST(sum(dist) AS BIGINT) AS dist_sum,
+                   CAST(sum(CASE WHEN dist > 0 THEN 1000000 // dist
+                                 ELSE 0 END) AS BIGINT) AS harmonic_ppm
+            FROM md GROUP BY node
+        """,
         "orders_monthly_growth": """
             WITH m AS (
                 SELECT strftime(o_orderdate, '%Y-%m') AS month,
@@ -6634,6 +6940,10 @@ def oracle_sql() -> dict[str, str]:
                         // greatest(count(*), 1) AS BIGINT) AS reciprocity_ppm
             FROM flags
         """,
+        "kg_pagerank_weighted": """
+            SELECT * FROM read_parquet(
+                '/tmp/dygiepp_ray_oracle/kg_pagerank_weighted.parquet')
+        """,
         "kg_symmetry": """
             WITH e AS (
                 SELECT DISTINCT pred, subj_norm AS s, obj_norm AS o
@@ -6652,6 +6962,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(sum(rec) AS BIGINT) * 1000000
                         // greatest(count(*), 1) AS BIGINT) AS symmetry_ppm
             FROM flags GROUP BY pred
+        """,
+        "tpch_q10": """
+            WITH rev AS (
+                SELECT o_custkey,
+                       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                     AS BIGINT)
+                                * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                              AS BIGINT))) AS BIGINT)
+                           AS revenue_s
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1997-07-01'
+                  AND o_orderdate < TIMESTAMP '1997-10-01'
+                GROUP BY o_custkey
+                ORDER BY revenue_s DESC, o_custkey
+                LIMIT 20
+            )
+            SELECT o_custkey, c_name, n_name,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                       AS acctbal_cents,
+                   revenue_s
+            FROM rev
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            ORDER BY revenue_s DESC, o_custkey
         """,
         "orders_with_returns": """
             SELECT o_orderpriority, count(*) AS n_orders

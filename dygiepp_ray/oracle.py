@@ -992,6 +992,39 @@ def expected_ngram_pairs(sf_dir: str, shingle_k: int = 3,
                      "jaccard": pa.array([x[2] for x in out], pa.float64())})
 
 
+def expected_minhash_accuracy(sf_dir: str, shingle_k: int = 3,
+                              est_threshold: float = 0.3) -> pa.Table:
+    """Scalar twin of dedup.py:minhash_accuracy — candidate pairs from the
+    all-pairs banding walk, estimate lifted to exact scaled ints in pure
+    integer arithmetic, exact shingle Jaccard per pair."""
+    from .stages.dedup import _shingles
+
+    cand = expected_minhash_pairs(sf_dir, n_perm=64, n_bands=32,
+                                  shingle_k=shingle_k,
+                                  threshold=est_threshold)
+    _ids, texts = _read_docs(sf_dir)
+    text_of = dict(zip(_ids, texts))
+    out_a, out_b, est_s, true_s = [], [], [], []
+    for a, b, est in zip(cand.column("id_a").to_pylist(),
+                         cand.column("id_b").to_pylist(),
+                         cand.column("est_jaccard").to_pylist()):
+        sa = _shingles(text_of[a], shingle_k)
+        sb = _shingles(text_of[b], shingle_k)
+        out_a.append(a)
+        out_b.append(b)
+        # est = matches/64 is dyadic: est*64 recovers the integer matches
+        est_s.append(int(round(est * 64)) * 1_000_000 // 64)
+        true_s.append(len(sa & sb) * 1_000_000 // max(1, len(sa | sb)))
+    return pa.table({
+        "id_a": pa.array(out_a, pa.int64()),
+        "id_b": pa.array(out_b, pa.int64()),
+        "est_scaled": pa.array(est_s, pa.int64()),
+        "true_scaled": pa.array(true_s, pa.int64()),
+        "err_scaled": pa.array([e - t for e, t in zip(est_s, true_s)],
+                               pa.int64()),
+    })
+
+
 def expected_embedding_neardups(sf_dir: str, threshold: float = 0.9,
                                 n_bits: int = 10, n_tables: int = 8,
                                 seed: int = 11) -> pa.Table:
@@ -1722,6 +1755,39 @@ def expected_pagerank(triples: pa.Table, n_iter: int = 10) -> pa.Table:
         "rank_units": pa.array([units[v] for v in nodes], pa.int64()),
         "rank": pa.array([float(round_half_up(units[v] / (n * GRAPH_UNITS), 9))
                           for v in nodes], pa.float64()),
+    })
+
+
+def expected_pagerank_weighted(triples: pa.Table,
+                               n_iter: int = 10) -> pa.Table:
+    """Weighted-PageRank dict re-walk (stages/graph.py:pagerank_weighted
+    spec): edge weight = multiplicity of the (subj, obj) pair in the raw
+    triple table, delivered share floor(units·85·w / (100·W_out)) in exact
+    python bigints (the distributed divmod split equals this exactly)."""
+    from .functions.strings import round_half_up
+
+    w_of: dict = {}
+    for s, o in zip(triples.column("subj_norm").to_pylist(),
+                    triples.column("obj_norm").to_pylist()):
+        w_of[(s, o)] = w_of.get((s, o), 0) + 1
+    nodes = sorted({n for e in w_of for n in e})
+    n = len(nodes)
+    wout: dict = {}
+    for (u, _), w in w_of.items():
+        wout[u] = wout.get(u, 0) + w
+    base = (n * GRAPH_UNITS) * 15 // (100 * n)
+    units = {v: GRAPH_UNITS for v in nodes}
+    for _ in range(n_iter):
+        nxt = {v: base for v in nodes}
+        for (u, v), w in w_of.items():
+            nxt[v] += units[u] * 85 * w // (100 * wout[u])
+        units = nxt
+    return pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "rank_units": pa.array([units[v] for v in nodes], pa.int64()),
+        "rank": pa.array([float(round_half_up(units[v] / (n * GRAPH_UNITS),
+                                              9)) for v in nodes],
+                         pa.float64()),
     })
 
 

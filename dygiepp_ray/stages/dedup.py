@@ -949,3 +949,68 @@ def doc_novelty(docs: "ray.data.Dataset", k: int = 10, scale: int = 10_000,
                      left_types={id_col: i64, "n_windows": i64},
                      right_types={id_col: i64, "n_novel": i64},
                      bucket_post=attach)
+
+
+def minhash_accuracy(docs: "ray.data.Dataset", shingle_k: int = 3,
+                     est_threshold: float = 0.3, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     n_buckets: int = 32) -> "ray.data.Dataset":
+    """(id_a, id_b, est_scaled, true_scaled, err_scaled) — sketch-accuracy
+    audit of the MinHash estimator: for every LSH candidate pair, the
+    signature-estimated Jaccard vs the EXACT shingle-set Jaccard, both in
+    exact scaled ints (est = matches·1e6/n_perm is a dyadic rational, so
+    the float round-trip is lossless; true = |∩|·1e6 // |∪| computed in
+    integer arithmetic). The calibration report run before trusting a
+    banding configuration at corpus scale — systematic err_scaled bias
+    means the shingle distribution violates the uniform-permutation
+    assumption (boilerplate-heavy corpora do this).
+
+    Scale shape: identical to `ngram_jaccard_pairs` — LSH candidates
+    (never all-pairs), texts attached by two bucketed hash_joins, exact
+    verify per batch."""
+    from ..joins import hash_join
+
+    candidates = minhash_lsh_pairs(
+        docs, n_perm=64, n_bands=32, shingle_k=shingle_k,
+        jaccard_threshold=est_threshold, id_col=id_col, text_col=text_col,
+    )
+
+    def rename(cols: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(cols)
+
+        return fn
+
+    side = docs.select_columns([id_col, text_col])
+    a_docs = side.map_batches(rename(["id_a", "_text_a"]),
+                              batch_format="pyarrow")
+    b_docs = side.map_batches(rename(["id_b", "_text_b"]),
+                              batch_format="pyarrow")
+    sch = docs.schema()
+    id_t = dict(zip(sch.names, sch.types))[id_col]
+    if not isinstance(id_t, pa.DataType):
+        id_t = pa.from_numpy_dtype(id_t)
+    cand_t = {"id_a": id_t, "id_b": id_t, "est_jaccard": pa.float64()}
+    side_a_t = {"id_a": id_t, "_text_a": pa.string()}
+    side_b_t = {"id_b": id_t, "_text_b": pa.string()}
+    with_a = hash_join(candidates, a_docs, on="id_a", n_buckets=n_buckets,
+                       left_types=cand_t, right_types=side_a_t)
+    with_ab = hash_join(with_a, b_docs, on="id_b", n_buckets=n_buckets,
+                        left_types={**cand_t, **side_a_t},
+                        right_types=side_b_t)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        est_s = np.rint(df["est_jaccard"].to_numpy(np.float64)
+                        * 1e6).astype("int64")
+        true_s = np.empty(len(df), dtype=np.int64)
+        for i, (ta, tb) in enumerate(zip(df["_text_a"], df["_text_b"])):
+            sa = _shingles(ta, shingle_k)
+            sb = _shingles(tb, shingle_k)
+            true_s[i] = len(sa & sb) * 1_000_000 // max(1, len(sa | sb))
+        return pd.DataFrame({"id_a": df["id_a"].to_numpy(),
+                             "id_b": df["id_b"].to_numpy(),
+                             "est_scaled": est_s,
+                             "true_scaled": true_s,
+                             "err_scaled": est_s - true_s})
+
+    return with_ab.map_batches(verify, batch_format="pandas")

@@ -1305,3 +1305,119 @@ def hits_scores(edges: "ray.data.Dataset", src: str = "src",
         "node": pa.array(list(names), pa.string()),
         "auth_units": pa.array(auth, pa.int64()),
         "hub_units": pa.array(hub, pa.int64())}))
+
+
+def pagerank_weighted(edges: "ray.data.Dataset", src: str = "src",
+                      dst: str = "dst", weight: str = "w", n_iter: int = 10,
+                      broadcast_max_nodes: int = 5_000_000
+                      ) -> "ray.data.Dataset":
+    """(node, rank_units, rank) — PageRank over a WEIGHTED directed edge
+    table (edge weight = assertion multiplicity, the edge-count weighting
+    of the reference's networkx MultiDiGraph at make_kb.py:97-103).
+
+    Spec (exact integer arithmetic, extending the module spec):
+      W_out(u)       = Σ_v w(u,v)
+      delivered(u,v) = floor(units(u)·85·w(u,v) / (100·W_out(u)))
+      unitsᵗ⁺¹(v)    = base + Σ_{(u,v)∈E} delivered(u,v)
+    computed per edge with an exact divmod split (q·w + (r·w)//b, b =
+    100·W_out(u)) so no intermediate exceeds int64 while matching the
+    128-bit product exactly; with w ≡ 1 this degenerates bit-for-bit to
+    `pagerank_fixedpoint` (pinned by test). Overflow admission (asserted):
+    100·max(W_out)·max(w) < 2^63. Floor/dangling mass is dropped, same
+    documented discipline as the unweighted spec.
+
+    Scale shape: broadcast-mode fixpoint (|V| ≤ `broadcast_max_nodes`
+    admission — explicit error beyond, the kg_scc discipline: a shuffle
+    fixpoint would pay per-iteration join latency) with the same two
+    sub-paths as `_pagerank_broadcast`: edges ≤ LOCAL_MAX_EDGES run the
+    loop as local numpy; larger edge sets stream every pass with the
+    (q, r, b) share arrays broadcast via `ray.put` (bit-identical,
+    pinned by a LOCAL_MAX_EDGES=0 test)."""
+    from ..functions.strings import round_half_up
+
+    edges = edges.materialize()
+    name_rows = _nodes_of(edges, src, dst).take_all()
+    if len(name_rows) > broadcast_max_nodes:
+        raise ValueError(
+            f"pagerank_weighted: |V|={len(name_rows)} exceeds the "
+            f"broadcast admission ({broadcast_max_nodes})")
+    names = np.array(sorted(r["node"] for r in name_rows), dtype=object)
+    n_nodes = len(names)
+    idx_ref = ray.put({n: i for i, n in enumerate(names)})
+
+    def to_idx(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(idx_ref)
+        return pd.DataFrame({
+            "s": df[src].map(m).to_numpy(dtype=np.int32),
+            "d": df[dst].map(m).to_numpy(dtype=np.int32),
+            "w": df[weight].to_numpy(dtype=np.int64),
+        })
+
+    indexed = edges.select_columns([src, dst, weight]).map_batches(
+        to_idx, batch_format="pandas").materialize()
+    base = (n_nodes * UNITS) * (DAMP_DEN - DAMP_NUM) // (DAMP_DEN * n_nodes)
+
+    # weighted out-mass per source (|V|-bounded driver array)
+    wout = np.zeros(n_nodes, dtype=np.int64)
+    wmax = 0
+    for b in indexed.iter_batches(batch_format="numpy"):
+        np.add.at(wout, b["s"], b["w"])
+        if len(b["w"]):
+            wmax = max(wmax, int(b["w"].max()))
+    assert DAMP_DEN * int(wout.max(initial=0)) * max(wmax, 1) < 2 ** 63, \
+        "pagerank_weighted: 100·max(W_out)·max(w) must fit int64"
+
+    def share_arrays(units: np.ndarray):
+        a = units * DAMP_NUM
+        b = DAMP_DEN * wout
+        nz = wout > 0
+        q = np.zeros(n_nodes, dtype=np.int64)
+        r = np.zeros(n_nodes, dtype=np.int64)
+        q[nz], r[nz] = np.divmod(a[nz], b[nz])
+        return q, r, b
+
+    units = np.full(n_nodes, UNITS, dtype=np.int64)
+    if indexed.count() <= LOCAL_MAX_EDGES:
+        ss, dd, ww = [], [], []
+        for b in indexed.iter_batches(batch_format="numpy"):
+            ss.append(b["s"])
+            dd.append(b["d"])
+            ww.append(b["w"])
+        s = np.concatenate(ss) if ss else np.zeros(0, np.int32)
+        d = np.concatenate(dd) if dd else np.zeros(0, np.int32)
+        w = np.concatenate(ww) if ww else np.zeros(0, np.int64)
+        for _ in range(n_iter):
+            q, r, b = share_arrays(units)
+            delivered = q[s] * w + (r[s] * w) // np.maximum(b[s], 1)
+            incoming = np.zeros(n_nodes, dtype=np.int64)
+            np.add.at(incoming, d, delivered)
+            units = base + incoming
+    else:
+        for _ in range(n_iter):
+            q, r, b = share_arrays(units)
+            sh_ref = ray.put((q, r, b))
+
+            def deliver(df: pd.DataFrame) -> pd.DataFrame:
+                qq, rr, bb = ray.get(sh_ref)
+                sv = df["s"].to_numpy()
+                wv = df["w"].to_numpy()
+                delivered = (qq[sv] * wv
+                             + (rr[sv] * wv) // np.maximum(bb[sv], 1))
+                acc = np.zeros(len(qq), dtype=np.int64)
+                np.add.at(acc, df["d"].to_numpy(), delivered)
+                touched = np.nonzero(acc)[0]
+                return pd.DataFrame({"n": touched.astype(np.int64),
+                                     "v": acc[touched]})
+
+            incoming = np.zeros(n_nodes, dtype=np.int64)
+            for batch in indexed.map_batches(
+                    deliver, batch_format="pandas").iter_batches(
+                    batch_format="numpy"):
+                np.add.at(incoming, batch["n"], batch["v"])
+            units = base + incoming
+
+    rank = round_half_up(units.astype(np.float64) / (n_nodes * UNITS), 9)
+    out = pa.table({"node": pa.array(list(names), pa.string()),
+                    "rank_units": pa.array(units, pa.int64()),
+                    "rank": pa.array(rank, pa.float64())})
+    return ray.data.from_arrow(out)

@@ -1145,3 +1145,54 @@ def test_link_prediction_resource_allocation_weights():
         # brute force: every non-edge pair with >=2 shared centers
         assert got_d == {("a", "b"): (2, S // 4 + S // 2),
                          ("h", "z"): (2, S // 2 + S // 2)}
+
+
+def test_pagerank_weighted_unit_weights_match_unweighted(monkeypatch):
+    import numpy as np
+
+    import dygiepp_ray.stages.graph as G
+
+    rng = np.random.RandomState(11)
+    names = [f"n{i:02d}" for i in range(10)]
+    pairs = sorted({(names[rng.randint(10)], names[rng.randint(10)])
+                    for _ in range(30)})
+    edges = pd.DataFrame({"src": [p[0] for p in pairs],
+                          "dst": [p[1] for p in pairs]})
+    edges["w"] = 1
+    want = G.pagerank_fixedpoint(ray.data.from_pandas(edges[["src", "dst"]]),
+                                 mode="broadcast").to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    got = G.pagerank_weighted(ray.data.from_pandas(edges)).to_pandas(
+        ).sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # streamed edge path (LOCAL_MAX_EDGES=0) is bit-identical
+    monkeypatch.setattr(G, "LOCAL_MAX_EDGES", 0)
+    got2 = G.pagerank_weighted(ray.data.from_pandas(edges)).to_pandas(
+        ).sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, want)
+
+
+def test_pagerank_weighted_matches_bigint_oracle(monkeypatch):
+    import numpy as np
+    import pyarrow as pa
+
+    import dygiepp_ray.stages.graph as G
+    from dygiepp_ray.oracle import expected_pagerank_weighted
+
+    rng = np.random.RandomState(13)
+    names = [f"e{i}" for i in range(8)]
+    subs = [names[rng.randint(8)] for _ in range(60)]
+    objs = [names[rng.randint(8)] for _ in range(60)]
+    tri = pa.table({"subj_norm": pa.array(subs, pa.string()),
+                    "obj_norm": pa.array(objs, pa.string())})
+    want = expected_pagerank_weighted(tri).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    w_of = pd.DataFrame({"subj_norm": subs, "obj_norm": objs}).groupby(
+        ["subj_norm", "obj_norm"], as_index=False).size().rename(
+        columns={"size": "w"})
+    for nparts in (1, 3):
+        got = G.pagerank_weighted(
+            ray.data.from_pandas(w_of).repartition(nparts),
+            src="subj_norm", dst="obj_norm", weight="w").to_pandas(
+            ).sort_values("node").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
