@@ -1723,6 +1723,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["tpch_q10"] = q_tpch_q10
 
+    def q_part_abc_classes(sf_dir: str):
+        # Pareto / ABC inventory classification: parts by cumulative
+        # revenue share (A <= 80%, B <= 95%, C rest), peers-inclusive
+        # RANGE semantics so revenue ties share a class. Per-part revenue
+        # reduce -> tie-aggregate to DISTINCT revenue values (unique, so
+        # the banded ordered_prefix_sum contract holds) -> exact asc
+        # prefix -> desc-inclusive cum = total - C(v) + g(v) -> class map
+        # joined back per part by ONE bucketed hash_join on the revenue
+        # value. Compare cum*100 <= pct*total in int64 (bound: total <
+        # 9.2e16 — beyond that lift to the HUGEINT twin the SQL uses).
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.joins import hash_join
+        from dygiepp_ray.windows import ordered_prefix_sum
+
+        def rev(df: pd.DataFrame) -> pd.DataFrame:
+            ext = np.floor(df["l_extendedprice"].to_numpy(np.float64) * 100.0
+                           + 0.5).astype("int64")
+            disc = np.floor(df["l_discount"].to_numpy(np.float64) * 100.0
+                            + 0.5).astype("int64")
+            return pd.DataFrame(
+                {"p_partkey": df["l_partkey"].to_numpy("int64"),
+                 "rev_s": ext * (100 - disc)})
+
+        per_part = partial_final_agg(
+            _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_extendedprice", "l_discount"]
+                  ).map_batches(rev, batch_format="pandas"),
+            ["p_partkey"], [("revenue_s", "rev_s", "sum")]).materialize()
+
+        ties = partial_final_agg(
+            per_part.map_batches(
+                lambda df: pd.DataFrame({
+                    "revenue_s": df["revenue_s"],
+                    "n_p": np.ones(len(df), "int64"),
+                    "g_p": df["revenue_s"].to_numpy("int64")}),
+                batch_format="pandas"),
+            ["revenue_s"], [("n_parts", "n_p", "sum"),
+                            ("g", "g_p", "sum")])
+        ties = ties.map_batches(
+            lambda df: df.assign(_g=np.int64(0)), batch_format="pandas")
+        pref = ordered_prefix_sum(ties, "_g", "revenue_s", "g",
+                                  out_col="c_asc").materialize()
+
+        tot = pref.map_batches(
+            lambda df: pd.DataFrame({"t": [int(df["g"].sum())]}),
+            batch_format="pandas").to_pandas()
+        total = int(tot["t"].sum())
+
+        def classify(df: pd.DataFrame) -> pd.DataFrame:
+            cum = (total - df["c_asc"].to_numpy("int64")
+                   + df["g"].to_numpy("int64"))
+            cls = np.where(cum * 100 <= 80 * total, "A",
+                           np.where(cum * 100 <= 95 * total, "B", "C"))
+            return pd.DataFrame({"revenue_s": df["revenue_s"],
+                                 "abc_class": cls})
+
+        classes = pref.map_batches(classify, batch_format="pandas")
+        return hash_join(
+            per_part, classes, on="revenue_s", n_buckets=16,
+            left_types={"p_partkey": pa.int64(), "revenue_s": pa.int64()},
+            right_types={"revenue_s": pa.int64(),
+                         "abc_class": pa.string()})
+
+    q["part_abc_classes"] = q_part_abc_classes
+
     def semi_join_orders(sf_dir: str):
         # broadcast semi-join (WHERE EXISTS): orders of customers with
         # acctbal > 5000; the small side is a broadcast key set, the big
@@ -6962,6 +7027,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(sum(rec) AS BIGINT) * 1000000
                         // greatest(count(*), 1) AS BIGINT) AS symmetry_ppm
             FROM flags GROUP BY pred
+        """,
+        "part_abc_classes": """
+            WITH pr AS (
+                SELECT l_partkey AS p_partkey,
+                       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                     AS BIGINT)
+                                * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                              AS BIGINT))) AS BIGINT)
+                           AS revenue_s
+                FROM lineitem GROUP BY l_partkey
+            ), w AS (
+                SELECT p_partkey, revenue_s,
+                       CAST(sum(revenue_s) OVER (
+                           ORDER BY revenue_s DESC
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS HUGEINT) AS cum,
+                       CAST(sum(revenue_s) OVER () AS HUGEINT) AS total
+                FROM pr
+            )
+            SELECT p_partkey, revenue_s,
+                   CASE WHEN cum * 100 <= 80 * total THEN 'A'
+                        WHEN cum * 100 <= 95 * total THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM w
         """,
         "tpch_q10": """
             WITH rev AS (
