@@ -4874,6 +4874,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["media_resize"] = q_media_resize
 
+    def q_media_dedup(sf_dir: str):
+        # exact binary-payload dedup over the media corpus with 16 planted
+        # copies: per-block (sha, min_id, count) partials, one sha reduce
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.multimodal import (payload_dedup,
+                                                   synth_media_table)
+
+        _write_oracle(sf_dir, "media_dedup",
+                      lambda: _o.expected_media_dedup(32, n_dups=16))
+        t = synth_media_table(32, seed=5)
+        mids = t["media_id"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        kinds = t["kind"].to_pylist()
+        for i in range(16):
+            mids.append(f"d{32 + i:04d}")
+            payloads.append(payloads[i])
+            kinds.append(kinds[i])
+        media = ray.data.from_arrow(pa.table({
+            "media_id": pa.array(mids, pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        })).repartition(4)
+        return payload_dedup(media)
+
+    q["media_dedup"] = q_media_dedup
+
     def q_pca_project(sf_dir: str):
         # distributed PCA projection: exact int64 Gram/sum partials (order-
         # independent) -> driver power-iteration basis -> broadcast project
@@ -6231,6 +6257,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_resize": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/media_resize.parquet')
+        """,
+        "media_dedup": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/media_dedup.parquet')
         """,
         "term_contexts": r"""
             WITH t AS (

@@ -2274,6 +2274,35 @@ def expected_media_frames(n: int = 32, n_frames: int = 4) -> pa.Table:
                      "frame_offset_ms": pa.array(offs, pa.int64())})
 
 
+def expected_media_dedup(n: int = 32, n_dups: int = 16) -> pa.Table:
+    """Scalar recompute of payload_dedup over the synthetic media corpus
+    with `n_dups` planted copies (row i >= n duplicates row i - n's payload
+    under media_id d{i:04d})."""
+    import hashlib
+
+    from .stages.multimodal import synth_media_table
+
+    t = synth_media_table(n)
+    mids = t["media_id"].to_pylist()
+    payloads = t["payload"].to_pylist()
+    for i in range(n_dups):
+        mids.append(f"d{n + i:04d}")
+        payloads.append(payloads[i])
+    groups: dict = {}
+    for mid, p in zip(mids, payloads):
+        sha = hashlib.sha256(p).hexdigest()[:16]
+        cnt, keeper = groups.get(sha, (0, None))
+        groups[sha] = (cnt + 1, mid if keeper is None or mid < keeper
+                       else keeper)
+    shas = sorted(groups)
+    return pa.table({
+        "sha16": pa.array(shas, pa.string()),
+        "n_copies": pa.array([groups[s][0] for s in shas], pa.int64()),
+        "keeper_media_id": pa.array([groups[s][1] for s in shas],
+                                    pa.string()),
+    })
+
+
 def expected_media_resize(n: int = 32, max_side: int = 512) -> pa.Table:
     """Scalar recompute of the integer resize plan (images only)."""
     from .stages.multimodal import synth_media_table

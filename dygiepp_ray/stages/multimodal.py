@@ -137,3 +137,36 @@ class Resizer:
             "new_h": new_h.astype("int64"),
             "resized": scale_needed,
         })
+
+
+def payload_dedup(media: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(sha16, n_copies, keeper_media_id) — exact binary-payload dedup over
+    an opaque media column: content-hash groups with copy counts and the
+    deterministic keeper (smallest media_id). The multimodal twin of the
+    documents exact-dedup (binary payloads never decode — dedup works on
+    bytes, so the stubbed codecs don't matter here).
+
+    Scale shape: one scan stamps sha256 per payload (a digest is
+    inherently per-row; payloads stay inside the task), per-block
+    (sha, min_id, count) partials, then ONE sha-keyed partial+final
+    reduce — the same partial-min/count discipline as exact_duplicates."""
+    import hashlib
+
+    from ..aggregates import partial_final_agg
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        sha = [hashlib.sha256(p).hexdigest()[:16] for p in df["payload"]]
+        g = pd.DataFrame({"sha16": sha,
+                          "mid": df["media_id"].to_numpy(object),
+                          "n_p": np.ones(len(df), "int64")})
+        return g.groupby("sha16", as_index=False).agg(
+            keeper_p=("mid", "min"), n_p=("n_p", "sum"))
+
+    out = partial_final_agg(
+        media.select_columns(["media_id", "payload"]).map_batches(
+            stamp, batch_format="pandas"),
+        ["sha16"], [("n_copies", "n_p", "sum"),
+                    ("keeper_media_id", "keeper_p", "min")])
+    return out.map_batches(
+        lambda df: df[["sha16", "n_copies", "keeper_media_id"]],
+        batch_format="pandas")
