@@ -1788,6 +1788,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["part_abc_classes"] = q_part_abc_classes
 
+    def q_orders_cohort_ltv(sf_dir: str):
+        # cohort LTV matrix: customers grouped by first-order month,
+        # revenue tracked by month offset since that first order. Per-
+        # customer min-month reduce, ONE bucketed join back to orders on
+        # custkey with (cohort, offset) partials emitted in-bucket, then a
+        # cohort-sized partial+final sum. Month arithmetic in integer
+        # month indices (y*12+m), mirrored exactly in SQL.
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.joins import hash_join
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            mi = (df["o_orderdate"].dt.year.to_numpy("int64") * 12
+                  + df["o_orderdate"].dt.month.to_numpy("int64") - 1)
+            cents = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100.0
+                             + 0.5).astype("int64")
+            return pd.DataFrame({"o_custkey": df["o_custkey"],
+                                 "month_ix": mi, "cents": cents})
+
+        orders = _read(sf_dir, "orders",
+                       ["o_custkey", "o_orderdate", "o_totalprice"]
+                       ).map_batches(prep, batch_format="pandas"
+                                     ).materialize()
+        first = partial_final_agg(
+            orders.select_columns(["o_custkey", "month_ix"]),
+            ["o_custkey"], [("cohort_ix", "month_ix", "min")])
+
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            g = pd.DataFrame({
+                "cohort_ix": df["cohort_ix"].to_numpy("int64"),
+                "month_offset": df["month_ix"].to_numpy("int64")
+                - df["cohort_ix"].to_numpy("int64"),
+                "cents": df["cents"].to_numpy("int64"),
+                "one": np.ones(len(df), "int64")})
+            return g.groupby(["cohort_ix", "month_offset"],
+                             as_index=False)[["cents", "one"]].sum()
+
+        joined = hash_join(
+            orders, first, on="o_custkey", n_buckets=16,
+            left_types={"o_custkey": pa.int64(), "month_ix": pa.int64(),
+                        "cents": pa.int64()},
+            right_types={"o_custkey": pa.int64(), "cohort_ix": pa.int64()},
+            bucket_post=per_bucket)
+        return partial_final_agg(
+            joined, ["cohort_ix", "month_offset"],
+            [("revenue_cents", "cents", "sum"), ("n_orders", "one", "sum")])
+
+    q["orders_cohort_ltv"] = q_orders_cohort_ltv
+
     def semi_join_orders(sf_dir: str):
         # broadcast semi-join (WHERE EXISTS): orders of customers with
         # acctbal > 5000; the small side is a broadcast key set, the big
@@ -7056,6 +7104,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(sum(rec) AS BIGINT) * 1000000
                         // greatest(count(*), 1) AS BIGINT) AS symmetry_ppm
             FROM flags GROUP BY pred
+        """,
+        "orders_cohort_ltv": """
+            WITH o AS (
+                SELECT o_custkey,
+                       CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                            AS BIGINT) AS month_ix,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM orders
+            ), f AS (
+                SELECT o_custkey, min(month_ix) AS cohort_ix FROM o
+                GROUP BY o_custkey
+            )
+            SELECT cohort_ix, month_ix - cohort_ix AS month_offset,
+                   CAST(sum(cents) AS BIGINT) AS revenue_cents,
+                   count(*) AS n_orders
+            FROM o JOIN f USING (o_custkey)
+            GROUP BY cohort_ix, month_offset
         """,
         "part_abc_classes": """
             WITH pr AS (
