@@ -2337,6 +2337,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["minhash_accuracy"] = q_minhash_accuracy
 
+    def q_contrastive_pairs(sf_dir: str):
+        # contrastive embedding-training pairs: LSH near-dup positives +
+        # one deterministic hash-drawn negative each (vocabulary = ids in
+        # positive pairs, dup-family-bounded broadcast)
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.dedup import contrastive_pairs
+
+        _write_oracle(sf_dir, "contrastive_pairs",
+                      lambda: _o.expected_contrastive_pairs(sf_dir))
+        return contrastive_pairs(_read(sf_dir, "documents",
+                                       ["doc_id", "text"]))
+
+    q["contrastive_pairs"] = q_contrastive_pairs
+
     def q_substring_dups(sf_dir: str):
         # substring-level dedup: winnowed char-k-gram fingerprints (shared
         # passages, not whole-doc similarity)
@@ -6003,6 +6017,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_accuracy": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/minhash_accuracy.parquet')
+        """,
+        "contrastive_pairs": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/contrastive_pairs.parquet')
         """,
         "dedup_spans": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/dedup_spans.parquet')

@@ -1025,6 +1025,44 @@ def expected_minhash_accuracy(sf_dir: str, shingle_k: int = 3,
     })
 
 
+def expected_contrastive_pairs(sf_dir: str, est_threshold: float = 0.5,
+                               seed: int = 29) -> pa.Table:
+    """Scalar twin of dedup.py:contrastive_pairs — positives from the
+    all-pairs banding walk, the same splitmix64 negative draws into the
+    sorted positive-id vocabulary."""
+    from .stages.dedup import _splitmix64
+    from .stages.sketch import hash64_values
+
+    SEP = "\x1f"
+    cand = expected_minhash_pairs(sf_dir, n_perm=64, n_bands=32,
+                                  shingle_k=3, threshold=est_threshold)
+    pos = list(zip(cand.column("id_a").to_pylist(),
+                   cand.column("id_b").to_pylist()))
+    vocab = sorted({i for p in pos for i in p})
+    V = np.array(vocab)
+    nv = np.uint64(max(len(V), 1))
+    out_a, out_b, lab = [], [], []
+    for a, b in pos:
+        out_a.append(a)
+        out_b.append(b)
+        lab.append(1)
+    for a, b in pos:
+        h = _splitmix64(hash64_values(
+            np.array([str(a) + SEP + str(b)], dtype=object))
+            ^ np.uint64(seed))
+        c = V[int(h[0] % nv)] if len(V) else a
+        if c == a or c == b:
+            continue
+        out_a.append(a)
+        out_b.append(int(c))
+        lab.append(0)
+    return pa.table({
+        "id_a": pa.array(out_a, pa.int64()),
+        "id_b": pa.array(out_b, pa.int64()),
+        "label": pa.array(lab, pa.int64()),
+    })
+
+
 def expected_embedding_neardups(sf_dir: str, threshold: float = 0.9,
                                 n_bits: int = 10, n_tables: int = 8,
                                 seed: int = 11) -> pa.Table:

@@ -1014,3 +1014,64 @@ def minhash_accuracy(docs: "ray.data.Dataset", shingle_k: int = 3,
                              "err_scaled": est_s - true_s})
 
     return with_ab.map_batches(verify, batch_format="pandas")
+
+
+def contrastive_pairs(docs: "ray.data.Dataset", est_threshold: float = 0.5,
+                      seed: int = 29, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      max_vocab: int = 50_000_000) -> "ray.data.Dataset":
+    """(id_a, id_b, label) — contrastive training pairs for embedding
+    models: label 1 = MinHash-LSH near-duplicate pairs (est Jaccard >=
+    `est_threshold`), label 0 = one deterministic hash-drawn negative per
+    positive (partner drawn from the sorted distinct ids APPEARING IN
+    POSITIVE PAIRS — scale-safe: that vocabulary is dup-family-bounded,
+    never the corpus; `max_vocab` admission guard, same contract as
+    `negative_samples`). Draws hitting either member of the source pair
+    are dropped inline (documented loss, the negative_samples discipline).
+
+    Scale shape: the LSH candidate pipeline (never all-pairs) plus ONE
+    streaming map with the id vocabulary broadcast via ray.put."""
+    import ray
+
+    from .sketch import hash64_values
+
+    SEP = "\x1f"
+    pos = minhash_lsh_pairs(
+        docs, n_perm=64, n_bands=32, shingle_k=3,
+        jaccard_threshold=est_threshold, id_col=id_col,
+        text_col=text_col).materialize()
+
+    def ids_of(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"id": np.concatenate([df["id_a"].to_numpy(),
+                                   df["id_b"].to_numpy()])})
+
+    from ..aggregates import grouped_count
+
+    vocab_rows = grouped_count(
+        pos.map_batches(ids_of, batch_format="pandas"), ["id"],
+        out_name="_n").select_columns(["id"]).take_all()
+    if len(vocab_rows) > max_vocab:
+        raise ValueError(
+            f"contrastive_pairs: |ids|={len(vocab_rows)} exceeds the "
+            f"broadcast admission ({max_vocab})")
+    vocab = np.array(sorted(r["id"] for r in vocab_rows))
+    vocab_ref = ray.put(vocab)
+    nv = np.uint64(max(len(vocab), 1))
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        V = ray.get(vocab_ref)
+        a = df["id_a"].to_numpy()
+        b = df["id_b"].to_numpy()
+        key = np.array([str(x) + SEP + str(y) for x, y in zip(a, b)],
+                       dtype=object)
+        h = _splitmix64(hash64_values(key) ^ np.uint64(seed))
+        cand = V[(h % nv).astype(np.int64)] if len(V) else a
+        keep = (cand != a) & (cand != b)
+        return pd.DataFrame({
+            "id_a": np.concatenate([a, a[keep]]),
+            "id_b": np.concatenate([b, cand[keep]]),
+            "label": np.concatenate([np.ones(len(a), "int64"),
+                                     np.zeros(int(keep.sum()), "int64")])})
+
+    return pos.map_batches(emit, batch_format="pandas")
