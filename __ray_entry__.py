@@ -2351,6 +2351,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["contrastive_pairs"] = q_contrastive_pairs
 
+    def q_source_dup_rates(sf_dir: str):
+        # per-source exact-duplication report (where is the boilerplate
+        # coming from): docs whose content sha appears >1 time corpus-wide,
+        # counted per source. One sha stamp scan, (sha, source) partial+
+        # final, coarse sha-bucket per-group reduce (per-source partials
+        # emitted only for groups with total > 1), source-sized final sum.
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.stages.dedup import _text_sha
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+        stamped = docs.map_batches(_text_sha, batch_format="pyarrow")
+        counts = partial_final_agg(
+            stamped.map_batches(
+                lambda df: df.groupby(["text_sha", "source"],
+                                      as_index=False).size().rename(
+                    columns={"size": "n_p"}),
+                batch_format="pandas"),
+            ["text_sha", "source"], [("n_ss", "n_p", "sum")])
+
+        def stamp_bk(df: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_pandas_object(df["text_sha"],
+                                           index=False).to_numpy()
+            return df.assign(_bk=(h % np.uint64(32)).astype("int64"))
+
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            tot = df.groupby("text_sha")["n_ss"].transform("sum")
+            out = pd.DataFrame({
+                "source": df["source"],
+                "n_p": df["n_ss"].to_numpy("int64"),
+                "d_p": np.where(tot.to_numpy("int64") > 1,
+                                df["n_ss"].to_numpy("int64"), 0)})
+            return out.groupby("source", as_index=False)[
+                ["n_p", "d_p"]].sum()
+
+        agg = partial_final_agg(
+            counts.map_batches(stamp_bk, batch_format="pandas")
+            .groupby("_bk").map_groups(per_bucket, batch_format="pandas"),
+            ["source"], [("n_docs", "n_p", "sum"),
+                         ("n_dup_docs", "d_p", "sum")])
+
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            n = df["n_docs"].to_numpy("int64")
+            d = df["n_dup_docs"].to_numpy("int64")
+            return df.assign(dup_ppm=d * 1_000_000 // np.maximum(n, 1))
+
+        return agg.map_batches(finish, batch_format="pandas")
+
+    q["source_dup_rates"] = q_source_dup_rates
+
     def q_substring_dups(sf_dir: str):
         # substring-level dedup: winnowed char-k-gram fingerprints (shared
         # passages, not whole-doc similarity)
@@ -6020,6 +6069,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "contrastive_pairs": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/contrastive_pairs.parquet')
+        """,
+        "source_dup_rates": """
+            WITH c AS (
+                SELECT text, count(*) AS n FROM documents GROUP BY text
+            ), d AS (
+                SELECT source, count(*) AS n_docs,
+                       CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_dup_docs
+                FROM documents JOIN c USING (text)
+                GROUP BY source
+            )
+            SELECT source, n_docs, n_dup_docs,
+                   CAST(n_dup_docs * 1000000
+                        // greatest(n_docs, 1) AS BIGINT) AS dup_ppm
+            FROM d
         """,
         "dedup_spans": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/dedup_spans.parquet')
