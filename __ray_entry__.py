@@ -1340,6 +1340,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["approx_quantiles_price"] = approx_quantiles_price
 
+    def q_quantile_sketch_error(sf_dir: str):
+        # sketch-accuracy audit for the histogram-quantile sketch (the
+        # quantile twin of minhash_accuracy): one-pass approximate vs
+        # exact 3-pass quantiles on the same column, per-prob error.
+        # Both pipelines stream; the join is 5 rows on the driver. The
+        # error must stay within one bin width (110000/2^16 ≈ 1.68) —
+        # the sketch's documented bound, now continuously asserted by
+        # this query's oracle.
+        from dygiepp_ray.aggregates import distributed_quantiles
+        from dygiepp_ray.functions.strings import round_half_up
+        from dygiepp_ray.stages.sketch import histogram_quantiles
+
+        def _pdf(x):
+            return x.to_pandas() if hasattr(x, "to_pandas") else x
+
+        probs = [0.25, 0.5, 0.75, 0.9, 0.99]
+        ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+        ap = _pdf(histogram_quantiles(ds, "l_extendedprice", probs=probs,
+                                      lo=0.0, hi=110000.0, bits=16))
+        ex = _pdf(distributed_quantiles(
+            _read(sf_dir, "lineitem", ["l_extendedprice"]),
+            "l_extendedprice", probs))
+        m = ap.merge(ex, left_on="prob", right_on="q")
+        err = round_half_up(
+            m["value"].to_numpy(np.float64) - m["v"].to_numpy(np.float64),
+            6)
+        return pd.DataFrame({
+            "prob": m["prob"].astype(np.float64),
+            "approx_value": m["value"].astype(np.float64),
+            "exact_value": m["v"].astype(np.float64),
+            "err_value": err}).sort_values("prob").reset_index(drop=True)
+
+    q["quantile_sketch_error"] = q_quantile_sketch_error
+
     def upsert_orders(sf_dir: str):
         # CDC-style upsert merge (last-writer-wins): base = orders; the
         # change stream is a deterministic transform of orders (every 7th
@@ -5823,6 +5857,46 @@ def oracle_sql() -> dict[str, str]:
                        AS value,
                    t.tot AS n
             FROM pick p, t
+        """,
+        "quantile_sketch_error": """
+            WITH b AS (
+                SELECT least(greatest(CAST(floor(
+                           (l_extendedprice - 0.0) * (65536.0 / 110000.0))
+                           AS BIGINT), 0), 65535) AS bin
+                FROM lineitem
+            ), c AS (
+                SELECT bin, count(*) AS n FROM b GROUP BY bin
+            ), w AS (
+                SELECT bin, sum(n) OVER (ORDER BY bin) AS cum FROM c
+            ), t AS (
+                SELECT count(*) AS tot FROM lineitem
+            ), params(i, prob) AS (
+                VALUES (1, 0.25), (2, 0.5), (3, 0.75), (4, 0.9), (5, 0.99)
+            ), r AS (
+                SELECT i, prob,
+                       (CAST(prob * 1000000 AS BIGINT) * tot + 999999)
+                           // 1000000 AS rk
+                FROM params, t
+            ), pick AS (
+                SELECT r.i, r.prob, min(w.bin) AS bin
+                FROM r JOIN w ON w.cum >= r.rk GROUP BY r.i, r.prob
+            ), ql AS (
+                SELECT quantile_disc(l_extendedprice,
+                                     [0.25, 0.5, 0.75, 0.9, 0.99]) AS qs
+                FROM lineitem
+            ), ex AS (
+                SELECT unnest(qs) AS exact_value,
+                       generate_subscripts(qs, 1) AS i
+                FROM ql
+            )
+            SELECT CAST(p.prob AS DOUBLE) AS prob,
+                   round(0.0 + (p.bin + 1) / (65536.0 / 110000.0), 6)
+                       AS approx_value,
+                   CAST(ex.exact_value AS DOUBLE) AS exact_value,
+                   round(round(0.0 + (p.bin + 1) / (65536.0 / 110000.0), 6)
+                         - ex.exact_value, 6) AS err_value
+            FROM pick p JOIN ex USING (i)
+            ORDER BY prob
         """,
         "quantiles_price": """
             SELECT l_returnflag,
