@@ -1374,6 +1374,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["quantile_sketch_error"] = q_quantile_sketch_error
 
+    def q_orders_winsorized(sf_dir: str):
+        # robust-aggregate curation: winsorize o_totalprice at the exact
+        # p01/p99 cents cutoffs (distributed_quantiles, broadcast as two
+        # scalars), then per-priority sums of raw vs clipped cents plus
+        # clip counts — the outlier-robust revenue report. All int64.
+        from dygiepp_ray.aggregates import (distributed_quantiles,
+                                            partial_final_agg)
+
+        def cents_prep(df: pd.DataFrame) -> pd.DataFrame:
+            c = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100.0
+                         + 0.5).astype("int64")
+            return pd.DataFrame({"o_orderpriority": df["o_orderpriority"],
+                                 "cents": c})
+
+        ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]
+                   ).map_batches(cents_prep, batch_format="pandas"
+                                 ).materialize()
+        qv = distributed_quantiles(ds, "cents", [0.01, 0.99])
+        qv = qv.to_pandas() if hasattr(qv, "to_pandas") else qv
+        cuts = {float(r["q"]): int(r["v"]) for _, r in qv.iterrows()}
+        lo, hi = cuts[0.01], cuts[0.99]
+
+        def partials(df: pd.DataFrame) -> pd.DataFrame:
+            c = df["cents"].to_numpy("int64")
+            w = np.clip(c, lo, hi)
+            g = pd.DataFrame({
+                "o_orderpriority": df["o_orderpriority"],
+                "raw_p": c, "win_p": w,
+                "lo_p": (c < lo).astype("int64"),
+                "hi_p": (c > hi).astype("int64")})
+            return g.groupby("o_orderpriority", as_index=False).sum()
+
+        return partial_final_agg(
+            ds.map_batches(partials, batch_format="pandas"),
+            ["o_orderpriority"],
+            [("raw_cents", "raw_p", "sum"), ("win_cents", "win_p", "sum"),
+             ("n_clipped_lo", "lo_p", "sum"),
+             ("n_clipped_hi", "hi_p", "sum")])
+
+    q["orders_winsorized"] = q_orders_winsorized
+
     def upsert_orders(sf_dir: str):
         # CDC-style upsert merge (last-writer-wins): base = orders; the
         # change stream is a deterministic transform of orders (every 7th
@@ -5857,6 +5898,27 @@ def oracle_sql() -> dict[str, str]:
                        AS value,
                    t.tot AS n
             FROM pick p, t
+        """,
+        "orders_winsorized": """
+            WITH c AS (
+                SELECT o_orderpriority,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM orders
+            ), q AS (
+                SELECT quantile_disc(cents, 0.01) AS lo,
+                       quantile_disc(cents, 0.99) AS hi
+                FROM c
+            )
+            SELECT o_orderpriority,
+                   CAST(sum(cents) AS BIGINT) AS raw_cents,
+                   CAST(sum(least(greatest(cents, q.lo), q.hi)) AS BIGINT)
+                       AS win_cents,
+                   CAST(sum(CASE WHEN cents < q.lo THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clipped_lo,
+                   CAST(sum(CASE WHEN cents > q.hi THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clipped_hi
+            FROM c, q GROUP BY o_orderpriority
         """,
         "quantile_sketch_error": """
             WITH b AS (
