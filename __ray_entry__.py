@@ -4136,14 +4136,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_kg_closeness(sf_dir: str):
         # sampled-source closeness/harmonic centrality: per-seed BFS
         # distances from the 3 highest-degree hubs (same deterministic
-        # seed rule as kg_bfs_distances), per-node exact-int reduce:
-        # n_sources reaching, dist_sum, harmonic_ppm = sum 1e6//d. Each
-        # seed's BFS is the bounded-rounds frontier pipeline; the union is
-        # 3x node-sized, one partial+final shuffle. All integer — no
-        # float centrality normalization to drift.
+        # seed rule as kg_bfs_distances) in ONE fused per-seed frontier
+        # pipeline (bfs_distances_per_seed: k seeds cost the same dataset
+        # executions as one), then a per-node exact-int reduce:
+        # n_sources reaching, dist_sum, harmonic_ppm = sum 1e6//d. All
+        # integer — no float centrality normalization to drift.
         from dygiepp_ray.aggregates import (partial_final_agg,
                                             strip_schema_metadata)
-        from dygiepp_ray.stages.graph import bfs_distances
+        from dygiepp_ray.stages.graph import bfs_distances_per_seed
 
         _ensure_triples_oracle(sf_dir)
         edges = _distinct_edge_ds(sf_dir).materialize()
@@ -4161,17 +4161,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["node", "nb"], out_name="_c").select_columns(["node", "nb"])
         deg = grouped_count(adj.select_columns(["node"]), ["node"],
                             out_name="deg")
-        seed_rows = (deg.sort(["deg", "node"], descending=[True, False])
-                     .limit(3).select_columns(["node"]).take_all())
-
-        parts = []
-        for r in seed_rows:
-            seed_ds = ray.data.from_pandas(
-                pd.DataFrame({"node": [r["node"]]}))
-            parts.append(bfs_distances(
-                edges, seed_ds, src="subj_norm", dst="obj_norm",
-                max_rounds=3, undirected=True, node_type=pa.string()))
-        dists = parts[0].union(*parts[1:])
+        seeds = (deg.sort(["deg", "node"], descending=[True, False])
+                 .limit(3).select_columns(["node"]).materialize())
+        dists = bfs_distances_per_seed(
+            edges, seeds, src="subj_norm", dst="obj_norm",
+            max_rounds=3, undirected=True, node_type=pa.string())
 
         def partials(df: pd.DataFrame) -> pd.DataFrame:
             d = df["dist"].to_numpy("int64")

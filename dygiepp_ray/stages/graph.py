@@ -804,6 +804,91 @@ def bfs_distances(edges: "ray.data.Dataset", seeds: "ray.data.Dataset",
     return partial_final_agg(union, ["node"], [("dist", "dist", "min")])
 
 
+def bfs_distances_per_seed(edges: "ray.data.Dataset",
+                           seeds: "ray.data.Dataset", src: str = "src",
+                           dst: str = "dst", max_rounds: int = 3,
+                           n_buckets: int = 32, undirected: bool = True,
+                           node_type: "pa.DataType | None" = None
+                           ) -> "ray.data.Dataset":
+    """(seed, node, dist) — per-seed bounded BFS distances in ONE fused
+    pipeline: the frontier rows carry their originating seed, so k seeds
+    cost the SAME number of dataset executions as one (`bfs_distances`
+    folds seeds into a min — this variant keeps them separate for
+    centrality/eccentricity reductions). Per-round state is (node, seed)
+    pairs — k× the single-source frontier, still a Dataset end-to-end.
+
+    `seeds` must have exactly one column named `node`."""
+    if node_type is None:
+        from ..joins import _arrow_types
+
+        node_type = _arrow_types(edges)[src]
+    nt = node_type
+
+    from ..aggregates import grouped_count
+
+    adj = edges
+    if undirected:
+        def sym(t: pa.Table) -> pa.Table:
+            t = strip_schema_metadata(t)
+            u = t.column(src)
+            v = t.column(dst)
+            c = pa.chunked_array(list(u.chunks) + list(v.chunks), u.type)
+            n = pa.chunked_array(list(v.chunks) + list(u.chunks), u.type)
+            return pa.table({src: c, dst: n})
+
+        adj = grouped_count(
+            edges.map_batches(sym, batch_format="pyarrow"), [src, dst],
+            out_name="_c").select_columns([src, dst])
+    adj = adj.materialize()
+
+    def stamp_dist(h: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = strip_schema_metadata(t)
+            return t.append_column(
+                "dist", pa.array(np.full(t.num_rows, h), pa.int64()))
+
+        return fn
+
+    def seed_self(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        return pa.table({"node": t.column("node"),
+                         "seed": t.column("node")})
+
+    rounds: list["ray.data.Dataset"] = [
+        seeds.map_batches(seed_self, batch_format="pyarrow").map_batches(
+            stamp_dist(0), batch_format="pyarrow").materialize()]
+    frontier = rounds[0].map_batches(
+        lambda t: strip_schema_metadata(t).select(
+            ["node", "seed"]).rename_columns([src, "seed"]),
+        batch_format="pyarrow")
+    for h in range(1, max_rounds + 1):
+        reached = hash_join(
+            adj, frontier, on=src, n_buckets=n_buckets,
+            left_cols=[src, dst], right_cols=[src, "seed"],
+            left_types={src: nt, dst: nt},
+            right_types={src: nt, "seed": nt})
+        nodes = grouped_count(
+            reached.select_columns([dst, "seed"]), [dst, "seed"],
+            out_name="_c"
+        ).map_batches(
+            lambda t: strip_schema_metadata(t).select(
+                [dst, "seed"]).rename_columns(["node", "seed"]),
+            batch_format="pyarrow").map_batches(
+            stamp_dist(h), batch_format="pyarrow").materialize()
+        rounds.append(nodes)
+        if h < max_rounds:
+            frontier = nodes.map_batches(
+                lambda t: strip_schema_metadata(t).select(
+                    ["node", "seed"]).rename_columns([src, "seed"]),
+                batch_format="pyarrow")
+
+    union = rounds[0]
+    for r in rounds[1:]:
+        union = union.union(r)
+    return partial_final_agg(union, ["seed", "node"],
+                             [("dist", "dist", "min")])
+
+
 def personalized_pagerank(edges: "ray.data.Dataset",
                           seeds: "ray.data.Dataset", src: str = "src",
                           dst: str = "dst", n_iter: int = 10,

@@ -1196,3 +1196,31 @@ def test_pagerank_weighted_matches_bigint_oracle(monkeypatch):
             src="subj_norm", dst="obj_norm", weight="w").to_pandas(
             ).sort_values("node").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_bfs_per_seed_folds_to_multisource():
+    import numpy as np
+
+    from dygiepp_ray.stages.graph import bfs_distances, bfs_distances_per_seed
+
+    rng = np.random.RandomState(7)
+    names = [f"n{i:02d}" for i in range(12)]
+    pairs = sorted({(names[rng.randint(12)], names[rng.randint(12)])
+                    for _ in range(28)})
+    edges = pd.DataFrame({"src": [p[0] for p in pairs],
+                          "dst": [p[1] for p in pairs]})
+    seeds = pd.DataFrame({"node": [names[0], names[5]]})
+    want = bfs_distances(ray.data.from_pandas(edges),
+                         ray.data.from_pandas(seeds), max_rounds=3,
+                         n_buckets=4).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    per = bfs_distances_per_seed(ray.data.from_pandas(edges),
+                                 ray.data.from_pandas(seeds), max_rounds=3,
+                                 n_buckets=4).to_pandas()
+    folded = per.groupby("node", as_index=False)["dist"].min().sort_values(
+        "node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(folded, want)
+    # each seed reaches itself at distance 0
+    self_rows = per[per["seed"] == per["node"]]
+    assert set(self_rows["node"]) == {"n00", "n05"}
+    assert (self_rows["dist"] == 0).all()
