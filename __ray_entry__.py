@@ -4183,6 +4183,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_closeness"] = q_kg_closeness
 
+    def q_kg_eccentricity(sf_dir: str):
+        # per-hub bounded eccentricity: same fused per-seed BFS as
+        # kg_closeness, reduced per SEED instead of per node — reach
+        # count, max distance (within the 3-round horizon), exact mean
+        # distance in scaled ppm (floor)
+        from dygiepp_ray.aggregates import (partial_final_agg,
+                                            strip_schema_metadata)
+        from dygiepp_ray.stages.graph import bfs_distances_per_seed
+
+        _ensure_triples_oracle(sf_dir)
+        edges = _distinct_edge_ds(sf_dir).materialize()
+
+        def sym(t):
+            t = strip_schema_metadata(t)
+            u = t.column("subj_norm")
+            v = t.column("obj_norm")
+            c = pa.chunked_array(list(u.chunks) + list(v.chunks), u.type)
+            n = pa.chunked_array(list(v.chunks) + list(u.chunks), u.type)
+            return pa.table({"node": c, "nb": n})
+
+        adj = grouped_count(
+            edges.map_batches(sym, batch_format="pyarrow"),
+            ["node", "nb"], out_name="_c").select_columns(["node", "nb"])
+        deg = grouped_count(adj.select_columns(["node"]), ["node"],
+                            out_name="deg")
+        seeds = (deg.sort(["deg", "node"], descending=[True, False])
+                 .limit(3).select_columns(["node"]).materialize())
+        dists = bfs_distances_per_seed(
+            edges, seeds, src="subj_norm", dst="obj_norm",
+            max_rounds=3, undirected=True, node_type=pa.string())
+
+        def partials(df: pd.DataFrame) -> pd.DataFrame:
+            d = df["dist"].to_numpy("int64")
+            g = pd.DataFrame({"seed": df["seed"],
+                              "n_p": np.ones(len(df), "int64"),
+                              "d_p": d, "m_p": d})
+            return g.groupby("seed", as_index=False).agg(
+                n_p=("n_p", "sum"), d_p=("d_p", "sum"), m_p=("m_p", "max"))
+
+        agg = partial_final_agg(
+            dists.map_batches(partials, batch_format="pandas"),
+            ["seed"], [("n_reached", "n_p", "sum"),
+                       ("dist_sum", "d_p", "sum"),
+                       ("eccentricity", "m_p", "max")])
+
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            n = df["n_reached"].to_numpy("int64")
+            s = df["dist_sum"].to_numpy("int64")
+            return df.assign(
+                mean_dist_ppm=s * 1_000_000 // np.maximum(n, 1))
+
+        return agg.map_batches(finish, batch_format="pandas")
+
+    q["kg_eccentricity"] = q_kg_eccentricity
+
     def q_kg_pred_paths(sf_dir: str):
         # 2-hop predicate path statistics (schema induction): one bucketed
         # self-join on the shared mid entity, per-bucket (pred_a, pred_b)
@@ -7116,6 +7171,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN dist > 0 THEN 1000000 // dist
                                  ELSE 0 END) AS BIGINT) AS harmonic_ppm
             FROM md GROUP BY node
+        """,
+        "kg_eccentricity": """
+            WITH RECURSIVE d AS (
+                SELECT DISTINCT subj_norm AS s, obj_norm AS o
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            ), e AS (
+                SELECT DISTINCT * FROM (
+                    SELECT s AS src, o AS dst FROM d
+                    UNION ALL SELECT o, s FROM d)
+            ), deg AS (
+                SELECT src AS node, count(*) AS dg FROM e GROUP BY src
+            ), seeds AS (
+                SELECT node FROM deg ORDER BY dg DESC, node LIMIT 3
+            ), walk(seed, node, dist) AS (
+                SELECT node, node, 0 FROM seeds
+                UNION
+                SELECT w.seed, e.dst, w.dist + 1
+                FROM walk w JOIN e ON e.src = w.node
+                WHERE w.dist < 3
+            ), md AS (
+                SELECT seed, node, min(dist) AS dist FROM walk
+                GROUP BY seed, node
+            )
+            SELECT seed, count(*) AS n_reached,
+                   CAST(sum(dist) AS BIGINT) AS dist_sum,
+                   CAST(max(dist) AS BIGINT) AS eccentricity,
+                   CAST(CAST(sum(dist) AS BIGINT) * 1000000
+                        // greatest(count(*), 1) AS BIGINT)
+                       AS mean_dist_ppm
+            FROM md GROUP BY seed
         """,
         "orders_monthly_growth": """
             WITH m AS (
