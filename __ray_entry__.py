@@ -2475,6 +2475,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["source_dup_rates"] = q_source_dup_rates
 
+    def q_collocations(sf_dir: str):
+        # word2vec-style phrase detection: integer-scaled lift over
+        # adjacent token pairs (kg_pair_pmi discipline, no float log);
+        # marginals off the count table, attached by two bucketed joins
+        from dygiepp_ray.stages.text import collocation_lift
+
+        return collocation_lift(_read(sf_dir, "documents",
+                                      ["doc_id", "text"]),
+                                min_count=20)
+
+    q["collocations"] = q_collocations
+
     def q_substring_dups(sf_dir: str):
         # substring-level dedup: winnowed char-k-gram fingerprints (shared
         # passages, not whole-doc similarity)
@@ -6345,6 +6357,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT bigram, count(*) AS n FROM b
             GROUP BY bigram HAVING count(*) >= 20
+        """,
+        "collocations": r"""
+            WITH t AS (
+                SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), b AS (
+                SELECT unnest(list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i+1]))
+                           AS bigram
+                FROM t WHERE len(toks) >= 2
+            ), p AS (
+                SELECT split_part(bigram, ' ', 1) AS w1,
+                       split_part(bigram, ' ', 2) AS w2,
+                       count(*) AS n_pair
+                FROM b GROUP BY 1, 2
+            ), l AS (
+                SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_1 FROM p
+                GROUP BY w1
+            ), r AS (
+                SELECT w2, CAST(sum(n_pair) AS BIGINT) AS n_2 FROM p
+                GROUP BY w2
+            ), tt AS (
+                SELECT CAST(sum(n_pair) AS BIGINT) AS total FROM p
+            )
+            SELECT p.w1, p.w2, p.n_pair, l.n_1, r.n_2,
+                   CAST((p.n_pair * tt.total * 1000) // (l.n_1 * r.n_2)
+                        AS BIGINT) AS lift_scaled
+            FROM p JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tt
+            WHERE p.n_pair >= 20
         """,
         "term_drift": r"""
             WITH toks AS (

@@ -1115,3 +1115,68 @@ def vocab_growth(ds, n_slices: int = 10):
     out["cum_vocab"] = out["new_terms"].cumsum().astype("int64")
     return out[["slice", "n_tokens", "cum_tokens", "new_terms",
                 "cum_vocab"]]
+
+
+def collocation_lift(ds, min_count: int = 20, scale: int = 1000,
+                     salt_buckets: int = 8, n_buckets: int = 32):
+    """(w1, w2, n_pair, n_1, n_2, lift_scaled) — collocation mining over
+    adjacent token pairs: integer-scaled lift n_pair·total·scale //
+    (n_1·n_2) where the marginals are the bigram table's own left/right
+    sums (the kg_pair_pmi discipline — exact int64, no float log; bound:
+    n_pair·total·scale < 2^63, same documented contract as pair_pmi).
+    The phrase-detection pass (word2vec-style) run before tokenizer/vocab
+    decisions on a new corpus.
+
+    Scale shape: one bigram flat-map scan + salted pair count; marginals
+    are two vocab-bounded partial+final sums OFF THE COUNT TABLE (never a
+    second corpus scan); marginals attach by two bucketed hash_joins —
+    no broadcast of the vocabulary."""
+    import pyarrow as pa
+
+    from ..aggregates import partial_final_agg
+    from ..joins import hash_join
+
+    counts = bigram_counts(ds, min_count=1, salt_buckets=salt_buckets)
+
+    def split_pair(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["bigram"].str.split(" ", n=1, expand=True)
+        return pd.DataFrame({"w1": parts[0], "w2": parts[1],
+                             "n_pair": df["n"].to_numpy("int64")})
+
+    pairs = counts.map_batches(split_pair,
+                               batch_format="pandas").materialize()
+
+    left = partial_final_agg(
+        pairs.map_batches(lambda df: df[["w1", "n_pair"]],
+                          batch_format="pandas"),
+        ["w1"], [("n_1", "n_pair", "sum")])
+    right = partial_final_agg(
+        pairs.map_batches(lambda df: df[["w2", "n_pair"]],
+                          batch_format="pandas"),
+        ["w2"], [("n_2", "n_pair", "sum")])
+    tot = pairs.map_batches(
+        lambda df: pd.DataFrame({"t": [int(df["n_pair"].sum())]}),
+        batch_format="pandas").to_pandas()
+    total = int(tot["t"].sum())
+
+    s_t, i_t = pa.string(), pa.int64()
+    keep = pairs.map_batches(
+        lambda df: df[df["n_pair"] >= min_count], batch_format="pandas")
+    with_l = hash_join(keep, left, on="w1", n_buckets=n_buckets,
+                       left_types={"w1": s_t, "w2": s_t, "n_pair": i_t},
+                       right_types={"w1": s_t, "n_1": i_t})
+    with_lr = hash_join(with_l, right, on="w2", n_buckets=n_buckets,
+                        left_types={"w1": s_t, "w2": s_t, "n_pair": i_t,
+                                    "n_1": i_t},
+                        right_types={"w2": s_t, "n_2": i_t})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        np_ = df["n_pair"].to_numpy("int64")
+        n1 = df["n_1"].to_numpy("int64")
+        n2 = df["n_2"].to_numpy("int64")
+        return pd.DataFrame({
+            "w1": df["w1"], "w2": df["w2"], "n_pair": np_,
+            "n_1": n1, "n_2": n2,
+            "lift_scaled": np_ * total * scale // (n1 * n2)})
+
+    return with_lr.map_batches(finish, batch_format="pandas")
