@@ -4250,6 +4250,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_eccentricity"] = q_kg_eccentricity
 
+    def q_kg_extraction_density(sf_dir: str):
+        # extraction-quality QA per document: triple count, distinct
+        # active sentences, triples-per-active-sentence in exact ppm —
+        # the "is the extractor dead/hyperactive on this slice" report.
+        # Distinct (doc, sentence) via per-block dedup + one grouped
+        # count; combined with the per-doc triple count by a bucketed
+        # join (doc cardinality is corpus-scale — never a broadcast).
+        from dygiepp_ray.aggregates import (distinct_first,
+                                            partial_final_agg)
+        from dygiepp_ray.joins import hash_join
+
+        _ensure_triples_oracle(sf_dir)
+        tri = _synth_triples(sf_dir).materialize()
+        per_doc = partial_final_agg(
+            tri.map_batches(
+                lambda df: pd.DataFrame(
+                    {"doc_id": df["doc_id"],
+                     "one": np.ones(len(df), "int64")}),
+                batch_format="pandas"),
+            ["doc_id"], [("n_triples", "one", "sum")])
+        sents = distinct_first(
+            tri.select_columns(["doc_id", "sentence"]),
+            ["doc_id", "sentence"])
+        per_sent = partial_final_agg(
+            sents.map_batches(
+                lambda df: pd.DataFrame(
+                    {"doc_id": df["doc_id"],
+                     "one": np.ones(len(df), "int64")}),
+                batch_format="pandas"),
+            ["doc_id"], [("n_active_sents", "one", "sum")])
+
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            t = df["n_triples"].to_numpy("int64")
+            s = df["n_active_sents"].to_numpy("int64")
+            return df.assign(
+                density_ppm=t * 1_000_000 // np.maximum(s, 1))
+
+        joined = hash_join(
+            per_doc, per_sent, on="doc_id", n_buckets=16,
+            left_types={"doc_id": pa.string(), "n_triples": pa.int64()},
+            right_types={"doc_id": pa.string(),
+                         "n_active_sents": pa.int64()})
+        return joined.map_batches(finish, batch_format="pandas")
+
+    q["kg_extraction_density"] = q_kg_extraction_density
+
     def q_kg_pred_paths(sf_dir: str):
         # 2-hop predicate path statistics (schema induction): one bucketed
         # self-join on the shared mid entity, per-bucket (pred_a, pred_b)
@@ -7213,6 +7259,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN dist > 0 THEN 1000000 // dist
                                  ELSE 0 END) AS BIGINT) AS harmonic_ppm
             FROM md GROUP BY node
+        """,
+        "kg_extraction_density": """
+            SELECT doc_id, count(*) AS n_triples,
+                   count(DISTINCT sentence) AS n_active_sents,
+                   CAST(count(*) * 1000000
+                        // greatest(count(DISTINCT sentence), 1)
+                        AS BIGINT) AS density_ppm
+            FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            GROUP BY doc_id
         """,
         "kg_eccentricity": """
             WITH RECURSIVE d AS (
