@@ -4296,6 +4296,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_extraction_density"] = q_kg_extraction_density
 
+    def q_kg_blocking_recall(sf_dir: str):
+        # ER blocking-quality audit: production 16-band alias blocking vs
+        # the exhaustive-recall width-1 banding (coarse ⊆ fine by band
+        # nesting), one-row recall report; both sides stay banded — the
+        # all-pairs truth lives only in the oracle at tiny scale
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.linking import alias_blocking_recall
+
+        _write_oracle(sf_dir, "kg_blocking_recall",
+                      lambda: _o.expected_alias_blocking_recall(
+                          _oracle_triples_table(sf_dir)))
+        return alias_blocking_recall(_synth_triples(sf_dir))
+
+    q["kg_blocking_recall"] = q_kg_blocking_recall
+
     def q_kg_pred_paths(sf_dir: str):
         # 2-hop predicate path statistics (schema induction): one bucketed
         # self-join on the shared mid entity, per-bucket (pred_a, pred_b)
@@ -7259,6 +7274,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN dist > 0 THEN 1000000 // dist
                                  ELSE 0 END) AS BIGINT) AS harmonic_ppm
             FROM md GROUP BY node
+        """,
+        "kg_blocking_recall": """
+            SELECT * FROM read_parquet(
+                '/tmp/dygiepp_ray_oracle/kg_blocking_recall.parquet')
         """,
         "kg_extraction_density": """
             SELECT doc_id, count(*) AS n_triples,

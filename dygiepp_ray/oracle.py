@@ -1720,6 +1720,44 @@ def _alias_canon_map(names: list, threshold: float, k: int, n_perm: int,
     return {n: comp_min[find(n)] for n in names}
 
 
+def expected_alias_blocking_recall(triples: pa.Table,
+                                   threshold: float = 0.5, k: int = 3,
+                                   n_perm: int = 64, coarse_bands: int = 16,
+                                   fine_bands: int = 64) -> pa.Table:
+    """All-pairs twin of linking.py:alias_blocking_recall — exact jaccard
+    per pair plus band-collision tests for BOTH banding configs."""
+    from .stages.linking import CharNameMinHasher, exact_name_jaccard
+
+    names = sorted({v for col in ("subj", "obj", "subj_norm", "obj_norm")
+                    for v in triples.column(col).to_pylist()})
+    mh = CharNameMinHasher(n_perm=n_perm, k=k)
+    sigs = {n: mh.signature(n) for n in names}
+    rc = n_perm // coarse_bands
+    rf = n_perm // fine_bands
+    n_coarse = n_fine = 0
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = names[i], names[j]
+            eq = sigs[a] == sigs[b]
+            fine_hit = any(eq[bd * rf:(bd + 1) * rf].all()
+                           for bd in range(fine_bands))
+            if not fine_hit:
+                continue
+            if exact_name_jaccard(a, b, k) < threshold:
+                continue
+            n_fine += 1
+            if any(eq[bd * rc:(bd + 1) * rc].all()
+                   for bd in range(coarse_bands)):
+                n_coarse += 1
+    return pa.table({
+        "n_names": pa.array([len(names)], pa.int64()),
+        "n_fine_pairs": pa.array([n_fine], pa.int64()),
+        "n_coarse_pairs": pa.array([n_coarse], pa.int64()),
+        "recall_ppm": pa.array([n_coarse * 1_000_000 // max(n_fine, 1)],
+                               pa.int64()),
+    })
+
+
 def expected_alias_mapping(triples: pa.Table, threshold: float = 0.5,
                            k: int = 3, n_perm: int = 64,
                            n_bands: int = 16) -> pa.Table:

@@ -480,3 +480,51 @@ def alias_type_conflicts(triples: "ray.data.Dataset",
 
     return (mem.map_batches(stamp_comp_bucket, batch_format="pyarrow")
             .groupby("_cb").map_groups(comp_reduce, batch_format="pandas"))
+
+
+def alias_blocking_recall(triples: "ray.data.Dataset",
+                          threshold: float = 0.5, k: int = 3,
+                          coarse_bands: int = 16,
+                          fine_bands: int = 64) -> "pd.DataFrame":
+    """One-row (n_names, n_fine_pairs, n_coarse_pairs, recall_ppm) —
+    blocking-quality audit for the alias-merge LSH: the production banding
+    (`coarse_bands`, band width n_perm/coarse) vs the exhaustive-recall
+    banding (`fine_bands` = n_perm, band width 1, whose collision
+    probability at threshold 0.5 is 1-(1-j)^64 ≈ 1). A width-4 band match
+    implies its four width-1 bands match, so coarse pairs ⊆ fine pairs and
+    recall_ppm = coarse·1e6 // fine is a true recall. The audit every ER
+    pipeline runs before trusting a banding config at corpus scale — and
+    it never goes all-pairs: both sides are the banded `alias_pairs`
+    pipeline itself (the exact truth lives only in the test oracle's
+    all-pairs walk at tiny scale)."""
+    import pyarrow as pa
+
+    from ..aggregates import grouped_count, strip_schema_metadata
+
+    tri = triples.select_columns(
+        ["subj", "obj", "subj_norm", "obj_norm"]).materialize()
+
+    def explode_names(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        cols = [t.column(c).combine_chunks().cast(pa.string())
+                for c in ("subj", "obj", "subj_norm", "obj_norm")]
+        chunks = []
+        for c in cols:
+            chunks.extend(c.chunks if isinstance(c, pa.ChunkedArray)
+                          else [c])
+        return pa.table({"name": pa.concat_arrays(chunks)})
+
+    names = grouped_count(
+        tri.map_batches(explode_names, batch_format="pyarrow"),
+        ["name"], out_name="_n").select_columns(["name"]).materialize()
+
+    n_names = names.count()
+    n_coarse = alias_pairs(names, threshold=threshold, k=k,
+                           n_bands=coarse_bands).count()
+    n_fine = alias_pairs(names, threshold=threshold, k=k,
+                         n_bands=fine_bands).count()
+    return pd.DataFrame({
+        "n_names": [int(n_names)],
+        "n_fine_pairs": [int(n_fine)],
+        "n_coarse_pairs": [int(n_coarse)],
+        "recall_ppm": [int(n_coarse) * 1_000_000 // max(int(n_fine), 1)]})
