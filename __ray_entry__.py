@@ -1911,6 +1911,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["orders_cohort_ltv"] = q_orders_cohort_ltv
 
+    def q_tpch_q13(sf_dir: str):
+        # TPC-H Q13 shape: distribution of orders per customer INCLUDING
+        # zero-order customers — per-custkey count reduce, one bucketed
+        # LEFT join from the customer table (null -> 0), then the
+        # count-of-counts aggregate
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.joins import hash_join
+
+        per_cust = partial_final_agg(
+            _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]
+                  ).map_batches(
+                lambda df: pd.DataFrame(
+                    {"c_custkey": df["o_custkey"],
+                     "one": np.ones(len(df), "int64")}),
+                batch_format="pandas"),
+            ["c_custkey"], [("n_orders", "one", "sum")])
+        cust = _read(sf_dir, "customer", ["c_custkey"])
+
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            n = df["n_orders"].fillna(0).astype("int64")
+            g = pd.DataFrame({"n_orders": n,
+                              "one": np.ones(len(df), "int64")})
+            return g.groupby("n_orders", as_index=False)["one"].sum()
+
+        joined = hash_join(
+            cust, per_cust, on="c_custkey", how="left", n_buckets=16,
+            left_types={"c_custkey": pa.int64()},
+            right_types={"c_custkey": pa.int64(), "n_orders": pa.int64()},
+            bucket_post=per_bucket)
+        return partial_final_agg(joined, ["n_orders"],
+                                 [("n_customers", "one", "sum")])
+
+    q["tpch_q13"] = q_tpch_q13
+
     def semi_join_orders(sf_dir: str):
         # broadcast semi-join (WHERE EXISTS): orders of customers with
         # acctbal > 5000; the small side is a broadcast key set, the big
@@ -7516,6 +7550,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(sum(rec) AS BIGINT) * 1000000
                         // greatest(count(*), 1) AS BIGINT) AS symmetry_ppm
             FROM flags GROUP BY pred
+        """,
+        "tpch_q13": """
+            WITH pc AS (
+                SELECT c_custkey, count(o_orderkey) AS n_orders
+                FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+                GROUP BY c_custkey
+            )
+            SELECT n_orders, count(*) AS n_customers
+            FROM pc GROUP BY n_orders
         """,
         "orders_cohort_ltv": """
             WITH o AS (
