@@ -1012,6 +1012,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_lift"] = q_events_lift
 
+    def q_events_user_growth(sf_dir: str):
+        # cumulative unique-user growth curve at HOUR granularity (the
+        # event stream spans ~a day at test SFs): per-user first-seen hour
+        # (user-sized min reduce), new-user counts per hour (span-sized),
+        # driver cumsum — the vocab_growth min-slice trick on the user
+        # dimension. Hour index = epoch_us // 3.6e9, exact integer both
+        # sides (no float time arithmetic).
+        from dygiepp_ray.aggregates import partial_final_agg
+
+        ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            hour = ((df["ts"] - pd.Timestamp("1970-01-01"))
+                    // pd.Timedelta(hours=1)).astype("int64")
+            return pd.DataFrame({"user_id": df["user_id"], "hour": hour})
+
+        first = partial_final_agg(
+            ds.map_batches(prep, batch_format="pandas"),
+            ["user_id"], [("h0", "hour", "min")])
+        per_hour = partial_final_agg(
+            first.map_batches(
+                lambda df: pd.DataFrame(
+                    {"hour": df["h0"],
+                     "one": np.ones(len(df), "int64")}),
+                batch_format="pandas"),
+            ["hour"], [("new_users", "one", "sum")]).to_pandas()
+        out = per_hour.sort_values("hour").reset_index(drop=True)
+        out["new_users"] = out["new_users"].astype("int64")
+        out["cum_users"] = out["new_users"].cumsum().astype("int64")
+        return out[["hour", "new_users", "cum_users"]]
+
+    q["events_user_growth"] = q_events_user_growth
+
     def q_events_ohlc(sf_dir: str):
         # daily OHLC candles per event type: order-based first/last
         # selections need the sorted in-bucket kernel (windows.ohlc), not a
@@ -5846,6 +5879,19 @@ def oracle_sql() -> dict[str, str]:
                  ON x.user_id = y.user_id AND x.day = y.day
                 AND x.event_type < y.event_type
             GROUP BY type_a, type_b
+        """,
+        "events_user_growth": """
+            WITH f AS (
+                SELECT user_id,
+                       min(epoch_us(ts) // 3600000000) AS hour
+                FROM events GROUP BY user_id
+            ), d AS (
+                SELECT hour, count(*) AS new_users FROM f GROUP BY hour
+            )
+            SELECT hour, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY hour) AS BIGINT)
+                       AS cum_users
+            FROM d ORDER BY hour
         """,
         "events_lift": """
             WITH b AS (
