@@ -4378,6 +4378,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_blocking_recall"] = q_kg_blocking_recall
 
+    def q_kg_type_propagation(sf_dir: str):
+        # KG completion by seeded label spreading: kg_type_infer's modal
+        # types are the seeds; untyped entities adopt the modal type of
+        # typed neighbors over 2 synchronous rounds (monotone, min-type
+        # ties) — broadcast contract with local + streamed vote paths
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.aggregates import argmax_per_key
+        from dygiepp_ray.stages.graph import seeded_type_propagation
+
+        _ensure_triples_oracle(sf_dir)
+        _write_oracle(sf_dir, "kg_mention_counts",
+                      lambda: _o.expected_mention_counts(
+                          _oracle_docs_table(sf_dir),
+                          {**ENTITY_LEXICON, **DOC_LEXICON}))
+
+        def _types_table():
+            mc = _o.expected_mention_counts(
+                _oracle_docs_table(sf_dir),
+                {**ENTITY_LEXICON, **DOC_LEXICON})
+            df = mc.to_pandas().sort_values(
+                ["mention_norm", "n", "label"],
+                ascending=[True, False, True]).groupby(
+                "mention_norm", sort=False).head(1)
+            return pa.table({
+                "entity": pa.array(df["mention_norm"].tolist(),
+                                   pa.string()),
+                "etype": pa.array(df["label"].tolist(), pa.string())})
+
+        _write_oracle(sf_dir, "kg_type_propagation",
+                      lambda: _o.expected_type_propagation(
+                          _oracle_triples_table(sf_dir), _types_table()))
+
+        mentions = _docs_predicted(sf_dir).map_batches(
+            flatten_ner_mentions, batch_format="pyarrow")
+        counts = grouped_count(
+            mentions.select_columns(["mention_norm", "label"]),
+            ["mention_norm", "label"], out_name="n", salt_buckets=8)
+        seeds = argmax_per_key(
+            counts, key="mention_norm", order_cols=["n", "label"],
+            ascending=[False, True],
+            keep_cols=["mention_norm", "label", "n"]).map_batches(
+            lambda df: pd.DataFrame({"entity": df["mention_norm"],
+                                     "etype": df["label"]}),
+            batch_format="pandas")
+        return seeded_type_propagation(
+            _distinct_edge_ds(sf_dir), seeds,
+            src="subj_norm", dst="obj_norm", n_iter=2)
+
+    q["kg_type_propagation"] = q_kg_type_propagation
+
     def q_kg_pred_paths(sf_dir: str):
         # 2-hop predicate path statistics (schema induction): one bucketed
         # self-join on the shared mid entity, per-bucket (pred_a, pred_b)
@@ -7358,6 +7408,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_blocking_recall": """
             SELECT * FROM read_parquet(
                 '/tmp/dygiepp_ray_oracle/kg_blocking_recall.parquet')
+        """,
+        "kg_type_propagation": """
+            SELECT * FROM read_parquet(
+                '/tmp/dygiepp_ray_oracle/kg_type_propagation.parquet')
         """,
         "kg_extraction_density": """
             SELECT doc_id, count(*) AS n_triples,

@@ -1867,6 +1867,46 @@ def expected_pagerank_weighted(triples: pa.Table,
     })
 
 
+def expected_type_propagation(triples: pa.Table, types: pa.Table,
+                              n_iter: int = 2) -> pa.Table:
+    """Dict re-walk of graph.py:seeded_type_propagation — same distinct
+    directed edge set (each edge votes both directions), same monotone
+    modal-type adoption with (count desc, type asc) winners."""
+    edges = _distinct_edges(triples)
+    nodes = sorted({x for e in edges for x in e})
+    node_set = set(nodes)
+    lab: dict = {}
+    rnd: dict = {}
+    seed_pairs = sorted(zip(types.column("entity").to_pylist(),
+                            types.column("etype").to_pylist()))
+    for ent, ty in seed_pairs:
+        if ent in node_set and (ent not in lab or ty < lab[ent]):
+            lab[ent] = ty
+    for ent in lab:
+        rnd[ent] = 0
+    for h in range(1, n_iter + 1):
+        votes: dict = {}
+        for s, o in edges:
+            if s in lab and o not in lab:
+                votes.setdefault(o, {}).setdefault(lab[s], 0)
+                votes[o][lab[s]] += 1
+            if o in lab and s not in lab:
+                votes.setdefault(s, {}).setdefault(lab[o], 0)
+                votes[s][lab[o]] += 1
+        if not votes:
+            break
+        for v, tv in votes.items():
+            best = sorted(tv.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            lab[v] = best
+            rnd[v] = h
+    typed = sorted(lab)
+    return pa.table({
+        "node": pa.array(typed, pa.string()),
+        "etype": pa.array([lab[v] for v in typed], pa.string()),
+        "round_assigned": pa.array([rnd[v] for v in typed], pa.int64()),
+    })
+
+
 def expected_hll_ndv(sf_dir: str, p: int = 12) -> pa.Table:
     """Single-threaded HLL recompute over the events table: same hash /
     register / estimator spec as stages/sketch.py but evaluated in ONE pass

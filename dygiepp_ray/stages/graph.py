@@ -1506,3 +1506,116 @@ def pagerank_weighted(edges: "ray.data.Dataset", src: str = "src",
                     "rank_units": pa.array(units, pa.int64()),
                     "rank": pa.array(rank, pa.float64())})
     return ray.data.from_arrow(out)
+
+
+def seeded_type_propagation(edges: "ray.data.Dataset",
+                            seeds: "ray.data.Dataset", src: str = "src",
+                            dst: str = "dst", n_iter: int = 2,
+                            broadcast_max_nodes: int = 5_000_000
+                            ) -> "ray.data.Dataset":
+    """(node, etype, round_assigned) — KG-completion typing by seeded label
+    spreading: seed nodes carry fixed types (round 0); each synchronous
+    round, every still-UNTYPED node adopts the modal type among its TYPED
+    neighbors' previous-round labels (each distinct edge votes once in
+    both directions; ties -> lexicographically smallest type).
+    Assignments are monotone (never overwritten), so the result is a
+    deterministic spec matched bit-for-bit by a dict re-walk
+    (oracle.py:expected_type_propagation).
+
+    Execution contract mirrors `label_propagation`: driver label array
+    over the sorted |V|-bounded vocabulary (admission error above the
+    cap); edge list local below LOCAL_MAX_EDGES else each round streams
+    compacted per-block (node, type, count) vote partials. `seeds` must
+    have columns (entity, etype); seed entities absent from the graph are
+    ignored."""
+    names, indexed = _index_edges(edges, src, dst)
+    n = len(names)
+    if n > broadcast_max_nodes:
+        raise ValueError(
+            f"seeded_type_propagation: |V|={n} exceeds the broadcast "
+            f"admission ({broadcast_max_nodes})")
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "etype": pa.array([], pa.string()),
+            "round_assigned": pa.array([], pa.int64())}))
+
+    seed_rows = seeds.take_all()
+    type_vocab = sorted({r["etype"] for r in seed_rows})
+    t_code = {t: i for i, t in enumerate(type_vocab)}
+    ix_of = {nm: i for i, nm in enumerate(names)}
+    lab = np.full(n, -1, dtype=np.int64)
+    rnd = np.full(n, -1, dtype=np.int64)
+    for r in seed_rows:
+        i = ix_of.get(r["entity"])
+        if i is not None:
+            c = t_code[r["etype"]]
+            # deterministic when duplicate seeds disagree: smallest type
+            if lab[i] == -1 or c < lab[i]:
+                lab[i] = c
+            rnd[i] = 0
+    nt = np.int64(max(len(type_vocab), 1))
+
+    local = indexed.count() <= LOCAL_MAX_EDGES
+    if local:
+        s_all, d_all = _collect_indexed(indexed)
+        s_all = s_all.astype(np.int64)
+        d_all = d_all.astype(np.int64)
+
+    def vote_partial(s: np.ndarray, d: np.ndarray, cur: np.ndarray):
+        ms = cur[s] >= 0  # typed source votes for its dst
+        md = cur[d] >= 0  # typed dst votes for its src
+        vn = np.concatenate([d[ms], s[md]])
+        vl = np.concatenate([cur[s][ms], cur[d][md]])
+        key = vn * nt + vl
+        uk, cnt = np.unique(key, return_counts=True)
+        return uk, cnt.astype(np.int64)
+
+    for h in range(1, n_iter + 1):
+        if local:
+            keys, cnts = vote_partial(s_all, d_all, lab)
+        else:
+            lab_ref = ray.put(lab)
+
+            def part(b: dict) -> dict:
+                cur = ray.get(lab_ref)
+                uk, c = vote_partial(b["s"].astype(np.int64),
+                                     b["d"].astype(np.int64), cur)
+                return {"k": uk, "c": c}
+
+            acc_k = np.zeros(0, dtype=np.int64)
+            acc_c = np.zeros(0, dtype=np.int64)
+            for b in indexed.map_batches(
+                    part, batch_format="numpy").iter_batches(
+                    batch_format="numpy"):
+                acc_k = np.concatenate([acc_k, b["k"]])
+                acc_c = np.concatenate([acc_c, b["c"]])
+                if len(acc_k) > 4_000_000:
+                    uk, inv = np.unique(acc_k, return_inverse=True)
+                    m = np.zeros(len(uk), dtype=np.int64)
+                    np.add.at(m, inv, acc_c)
+                    acc_k, acc_c = uk, m
+            keys, inv = np.unique(acc_k, return_inverse=True)
+            cnts = np.zeros(len(keys), dtype=np.int64)
+            np.add.at(cnts, inv, acc_c)
+
+        vn = keys // nt
+        vl = keys % nt
+        open_mask = lab[vn] == -1
+        vn, vl, cnts = vn[open_mask], vl[open_mask], cnts[open_mask]
+        if len(vn) == 0:
+            break
+        order = np.lexsort((vl, -cnts, vn))
+        vn_s, vl_s = vn[order], vl[order]
+        head = np.ones(len(vn_s), dtype=bool)
+        head[1:] = vn_s[1:] != vn_s[:-1]
+        lab[vn_s[head]] = vl_s[head]
+        rnd[vn_s[head]] = h
+
+    typed = np.nonzero(lab >= 0)[0]
+    name_list = list(names)
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array([name_list[i] for i in typed], pa.string()),
+        "etype": pa.array([type_vocab[lab[i]] for i in typed], pa.string()),
+        "round_assigned": pa.array([int(rnd[i]) for i in typed],
+                                   pa.int64())}))

@@ -1224,3 +1224,43 @@ def test_bfs_per_seed_folds_to_multisource():
     self_rows = per[per["seed"] == per["node"]]
     assert set(self_rows["node"]) == {"n00", "n05"}
     assert (self_rows["dist"] == 0).all()
+
+
+def test_seeded_type_propagation_golden_and_streamed(monkeypatch):
+    import pyarrow as pa
+
+    import dygiepp_ray.stages.graph as G
+
+    # chain a-b-c-d with seed types at the ends: b adopts A (from a),
+    # c adopts D (from d) in round 1; tie node x (neighbors typed A and D
+    # equally) takes the lexicographically smaller type A
+    edges = pd.DataFrame({"src": ["a", "b", "c", "a", "d"],
+                          "dst": ["b", "c", "d", "x", "x"]})
+    seeds = pd.DataFrame({"entity": ["a", "d", "zz_not_in_graph"],
+                          "etype": ["A", "D", "Z"]})
+    want = {("a", "A", 0), ("d", "D", 0), ("b", "A", 1), ("c", "D", 1),
+            ("x", "A", 1)}
+    got = G.seeded_type_propagation(
+        ray.data.from_pandas(edges), ray.data.from_pandas(seeds),
+        n_iter=2).to_pandas()
+    assert {(r.node, r.etype, int(r.round_assigned))
+            for r in got.itertuples()} == want
+    # streamed vote path is bit-identical
+    monkeypatch.setattr(G, "LOCAL_MAX_EDGES", 0)
+    got2 = G.seeded_type_propagation(
+        ray.data.from_pandas(edges), ray.data.from_pandas(seeds),
+        n_iter=2).to_pandas()
+    assert {(r.node, r.etype, int(r.round_assigned))
+            for r in got2.itertuples()} == want
+    # oracle twin agrees
+    from dygiepp_ray.oracle import expected_type_propagation
+
+    tri = pa.table({"subj_norm": pa.array(edges["src"], pa.string()),
+                    "obj_norm": pa.array(edges["dst"], pa.string()),
+                    "pred": pa.array(["P"] * len(edges), pa.string())})
+    ty = pa.table({"entity": pa.array(seeds["entity"], pa.string()),
+                   "etype": pa.array(seeds["etype"], pa.string())})
+    exp = expected_type_propagation(tri, ty)
+    assert {(n, t, int(r)) for n, t, r in zip(
+        exp["node"].to_pylist(), exp["etype"].to_pylist(),
+        exp["round_assigned"].to_pylist())} == want
