@@ -1045,6 +1045,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_user_growth"] = q_events_user_growth
 
+    def q_conversion_latency(sf_dir: str):
+        # first-view -> first-purchase conversion latency: per-user
+        # conditional min timestamps (sentinel int64 max for absent),
+        # ONE user-sized reduce, then a scalar partial+final over exact
+        # microsecond latencies (converted = first purchase strictly
+        # after first view; SQL twin via epoch_us)
+        from dygiepp_ray.aggregates import partial_final_agg
+
+        SENT = np.int64(2 ** 62)
+        ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            us = ((df["ts"] - pd.Timestamp("1970-01-01"))
+                  // pd.Timedelta(microseconds=1)).astype("int64")
+            is_v = (df["event_type"] == "view").to_numpy()
+            is_p = (df["event_type"] == "purchase").to_numpy()
+            out = pd.DataFrame({
+                "user_id": df["user_id"],
+                "v_us": np.where(is_v, us, SENT),
+                "p_us": np.where(is_p, us, SENT)})
+            return out.groupby("user_id", as_index=False).min()
+
+        per_user = partial_final_agg(
+            ds.map_batches(prep, batch_format="pandas"),
+            ["user_id"], [("v_us", "v_us", "min"),
+                          ("p_us", "p_us", "min")])
+
+        def scalar(df: pd.DataFrame) -> pd.DataFrame:
+            v = df["v_us"].to_numpy("int64")
+            p = df["p_us"].to_numpy("int64")
+            has_v = v < SENT
+            conv = has_v & (p < SENT) & (p > v)
+            lat = (p - v)[conv]
+            return pd.DataFrame({
+                "nv_p": [int(has_v.sum())], "nc_p": [int(conv.sum())],
+                "s_p": [int(lat.sum())],
+                "mx_p": [int(lat.max()) if len(lat) else 0]})
+
+        tot = per_user.map_batches(scalar,
+                                   batch_format="pandas").to_pandas()
+        nv = int(tot["nv_p"].sum())
+        nc = int(tot["nc_p"].sum())
+        s = int(tot["s_p"].sum())
+        return pd.DataFrame({
+            "n_viewers": [nv], "n_converted": [nc],
+            "mean_latency_us": [s // max(nc, 1)],
+            "max_latency_us": [int(tot["mx_p"].max()) if nc else 0],
+            "conversion_ppm": [nc * 1_000_000 // max(nv, 1)]})
+
+    q["conversion_latency"] = q_conversion_latency
+
     def q_events_ohlc(sf_dir: str):
         # daily OHLC candles per event type: order-based first/last
         # selections need the sorted in-bucket kernel (windows.ohlc), not a
@@ -5929,6 +5980,33 @@ def oracle_sql() -> dict[str, str]:
                  ON x.user_id = y.user_id AND x.day = y.day
                 AND x.event_type < y.event_type
             GROUP BY type_a, type_b
+        """,
+        "conversion_latency": """
+            WITH u AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'view'
+                                THEN epoch_us(ts) END) AS v_us,
+                       min(CASE WHEN event_type = 'purchase'
+                                THEN epoch_us(ts) END) AS p_us
+                FROM events GROUP BY user_id
+            ), c AS (
+                SELECT count(v_us) AS nv,
+                       CAST(sum(CASE WHEN p_us > v_us THEN 1 ELSE 0 END)
+                            AS BIGINT) AS nc,
+                       CAST(sum(CASE WHEN p_us > v_us THEN p_us - v_us
+                                     ELSE 0 END) AS BIGINT) AS s,
+                       CAST(coalesce(max(CASE WHEN p_us > v_us
+                                              THEN p_us - v_us END), 0)
+                            AS BIGINT) AS mx
+                FROM u
+            )
+            SELECT nv AS n_viewers, nc AS n_converted,
+                   CAST(s // greatest(nc, 1) AS BIGINT)
+                       AS mean_latency_us,
+                   mx AS max_latency_us,
+                   CAST(nc * 1000000 // greatest(nv, 1) AS BIGINT)
+                       AS conversion_ppm
+            FROM c
         """,
         "events_user_growth": """
             WITH f AS (
