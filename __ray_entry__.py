@@ -1096,6 +1096,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["conversion_latency"] = q_conversion_latency
 
+    def q_hll_accuracy(sf_dir: str):
+        # sketch-accuracy audit for HyperLogLog (the count-distinct twin
+        # of minhash_accuracy / quantile_sketch_error): per-group HLL
+        # estimate vs exact distinct users, signed error in ppm of the
+        # exact value. The HLL side re-walks in the oracle parquet; the
+        # exact side is live SQL — the driver compares both joined.
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.aggregates import distinct_first
+        from dygiepp_ray.stages.sketch import hll_ndv
+
+        _write_oracle(sf_dir, "approx_distinct_users",
+                      lambda: _o.expected_hll_ndv(sf_dir))
+        ev = _read(sf_dir, "events", ["event_type", "user_id"])
+        est = hll_ndv(ev, "user_id", by="event_type").to_pandas()
+        dp = distinct_first(
+            _read(sf_dir, "events", ["event_type", "user_id"]),
+            ["event_type", "user_id"])
+        exact = grouped_count(dp.select_columns(["event_type"]),
+                              ["event_type"],
+                              out_name="n_exact").to_pandas()
+        m = est.merge(exact, on="event_type")
+        nd = m["ndv"].to_numpy("int64")
+        ne = m["n_exact"].to_numpy("int64")
+        d = nd - ne
+        # DuckDB // TRUNCATES toward zero on negatives; mirror via
+        # sign * (|d| // n) — the label_centroids discipline
+        err = np.sign(d) * (np.abs(d) * 1_000_000 // np.maximum(ne, 1))
+        return pd.DataFrame({
+            "event_type": m["event_type"],
+            "ndv_est": nd, "n_exact": ne,
+            "err_ppm": err.astype("int64")
+        }).sort_values("event_type").reset_index(drop=True)
+
+    q["hll_accuracy"] = q_hll_accuracy
+
     def q_events_ohlc(sf_dir: str):
         # daily OHLC candles per event type: order-based first/last
         # selections need the sorted in-bucket kernel (windows.ohlc), not a
@@ -4414,6 +4449,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_extraction_density"] = q_kg_extraction_density
 
+    def q_kg_edge_confidence(sf_dir: str):
+        # per-edge assertion-confidence profile: n_assertions plus exact
+        # scaled (1e4) min/max/sum of the 4-dp kernel confidences — the
+        # fusion input a posterior-weighting pass consumes. One salted
+        # partial+final aggregate over the raw (non-distinct) triples.
+        from dygiepp_ray.aggregates import partial_final_agg
+
+        _ensure_triples_oracle(sf_dir)
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            c4 = np.floor(df["conf"].to_numpy(np.float64) * 1e4
+                          + 0.5).astype("int64")
+            return pd.DataFrame({
+                "subj_norm": df["subj_norm"], "pred": df["pred"],
+                "obj_norm": df["obj_norm"], "c4": c4,
+                "one": np.ones(len(df), "int64")})
+
+        tri = _synth_triples(sf_dir).select_columns(
+            ["subj_norm", "pred", "obj_norm", "conf"]).map_batches(
+            prep, batch_format="pandas")
+        return partial_final_agg(
+            tri, ["subj_norm", "pred", "obj_norm"],
+            [("n_assertions", "one", "sum"),
+             ("conf_min_scaled", "c4", "min"),
+             ("conf_max_scaled", "c4", "max"),
+             ("conf_sum_scaled", "c4", "sum")])
+
+    q["kg_edge_confidence"] = q_kg_edge_confidence
+
     def q_kg_blocking_recall(sf_dir: str):
         # ER blocking-quality audit: production 16-band alias blocking vs
         # the exhaustive-recall width-1 banding (coarse ⊆ fine by band
@@ -5981,6 +6045,24 @@ def oracle_sql() -> dict[str, str]:
                 AND x.event_type < y.event_type
             GROUP BY type_a, type_b
         """,
+        "hll_accuracy": """
+            WITH ex AS (
+                SELECT event_type,
+                       count(DISTINCT user_id) AS n_exact
+                FROM events GROUP BY event_type
+            ), est AS (
+                SELECT event_type, ndv AS ndv_est FROM read_parquet(
+                    '/tmp/dygiepp_ray_oracle/approx_distinct_users.parquet')
+            )
+            SELECT est.event_type, est.ndv_est, ex.n_exact,
+                   CAST(CASE WHEN est.ndv_est >= ex.n_exact THEN 1
+                             ELSE -1 END
+                        * (abs(est.ndv_est - ex.n_exact) * 1000000
+                           // greatest(ex.n_exact, 1)) AS BIGINT)
+                       AS err_ppm
+            FROM est JOIN ex USING (event_type)
+            ORDER BY est.event_type
+        """,
         "conversion_latency": """
             WITH u AS (
                 SELECT user_id,
@@ -7490,6 +7572,18 @@ def oracle_sql() -> dict[str, str]:
         "kg_type_propagation": """
             SELECT * FROM read_parquet(
                 '/tmp/dygiepp_ray_oracle/kg_type_propagation.parquet')
+        """,
+        "kg_edge_confidence": """
+            SELECT subj_norm, pred, obj_norm,
+                   count(*) AS n_assertions,
+                   CAST(min(CAST(floor(conf * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS conf_min_scaled,
+                   CAST(max(CAST(floor(conf * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS conf_max_scaled,
+                   CAST(sum(CAST(floor(conf * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS conf_sum_scaled
+            FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            GROUP BY subj_norm, pred, obj_norm
         """,
         "kg_extraction_density": """
             SELECT doc_id, count(*) AS n_triples,
