@@ -1131,6 +1131,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["hll_accuracy"] = q_hll_accuracy
 
+    def q_cms_accuracy(sf_dir: str):
+        # count-min overestimate audit completing the sketch-audit family
+        # (minhash / quantile / HLL / CMS): sketch point estimates vs the
+        # exact token counts for the same probes; CMS guarantees est >=
+        # exact, continuously asserted by overrun_ppm >= 0
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.stages.sketch import cms_point_counts
+
+        _write_oracle(sf_dir, "cms_token_counts",
+                      lambda: _o.expected_cms_token_counts(sf_dir))
+        probes = ["scan", "merge", "window", "zzz-missing"]
+
+        def toks(df: pd.DataFrame) -> pd.DataFrame:
+            e = df["text"].str.lower().str.split().explode()
+            return pd.DataFrame({"token": e[e.notna()]})
+
+        stream = _read(sf_dir, "documents", ["text"]).map_batches(
+            toks, batch_format="pandas")
+        est = cms_point_counts(stream, "token", probes).to_pandas()
+
+        stream2 = _read(sf_dir, "documents", ["text"]).map_batches(
+            toks, batch_format="pandas").map_batches(
+            lambda df: df[df["token"].isin(probes)].groupby(
+                "token", as_index=False).size().rename(
+                columns={"size": "n_p"}),
+            batch_format="pandas")
+        exact = partial_final_agg(stream2, ["token"],
+                                  [("n_exact", "n_p", "sum")]).to_pandas()
+        m = est.merge(exact, on="token", how="left").fillna(0)
+        ev = m["est"].to_numpy("int64")
+        ne = m["n_exact"].astype("int64").to_numpy()
+        return pd.DataFrame({
+            "token": m["token"], "est": ev, "n_exact": ne,
+            "overrun_ppm": (ev - ne) * 1_000_000 // np.maximum(ne, 1)
+        }).sort_values("token").reset_index(drop=True)
+
+    q["cms_accuracy"] = q_cms_accuracy
+
+    def q_events_heatmap(sf_dir: str):
+        # weekday x hour activity heatmap: one salted grouped count on
+        # integer (dow, hour) keys (epoch-exact; Thursday = day 0 of the
+        # 1970 epoch, documented — no locale weekday function drift)
+        ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            td = df["ts"] - pd.Timestamp("1970-01-01")
+            day = (td // pd.Timedelta(days=1)).astype("int64")
+            hour = ((td // pd.Timedelta(hours=1)).astype("int64")) % 24
+            return pd.DataFrame({"dow": day % 7, "hour": hour})
+
+        return grouped_count(
+            ds.map_batches(prep, batch_format="pandas"),
+            ["dow", "hour"], out_name="n_events", salt_buckets=4)
+
+    q["events_heatmap"] = q_events_heatmap
+
     def q_events_ohlc(sf_dir: str):
         # daily OHLC candles per event type: order-based first/last
         # selections need the sorted in-bucket kernel (windows.ohlc), not a
@@ -6044,6 +6101,34 @@ def oracle_sql() -> dict[str, str]:
                  ON x.user_id = y.user_id AND x.day = y.day
                 AND x.event_type < y.event_type
             GROUP BY type_a, type_b
+        """,
+        "cms_accuracy": r"""
+            WITH est AS (
+                SELECT token, est FROM read_parquet(
+                    '/tmp/dygiepp_ray_oracle/cms_token_counts.parquet')
+            ), toks AS (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(text), '\s+'),
+                    x -> x <> '')) AS token
+                FROM documents
+            ), ex AS (
+                SELECT token, count(*) AS n_exact FROM toks
+                WHERE token IN ('scan', 'merge', 'window', 'zzz-missing')
+                GROUP BY token
+            )
+            SELECT est.token, est.est,
+                   CAST(coalesce(ex.n_exact, 0) AS BIGINT) AS n_exact,
+                   CAST((est.est - coalesce(ex.n_exact, 0)) * 1000000
+                        // greatest(coalesce(ex.n_exact, 0), 1)
+                        AS BIGINT) AS overrun_ppm
+            FROM est LEFT JOIN ex USING (token)
+            ORDER BY est.token
+        """,
+        "events_heatmap": """
+            SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
+                   (epoch_us(ts) // 3600000000) % 24 AS hour,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
         """,
         "hll_accuracy": """
             WITH ex AS (
