@@ -2121,6 +2121,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["tpch_q13"] = q_tpch_q13
 
+    def q_brand_return_rates(sf_dir: str):
+        # brand-level return rates: per-partkey (lines, returned) reduce
+        # off the fact table, ONE bucketed join against the part dimension
+        # with per-brand partials emitted in-bucket, tiny brand reduce —
+        # the conformed-dimension rollup at part cardinality (never a
+        # broadcast of the part table)
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.joins import hash_join
+
+        li = _read(sf_dir, "lineitem", ["l_partkey", "l_returnflag"]
+                   ).map_batches(
+            lambda df: pd.DataFrame({
+                "p_partkey": df["l_partkey"].to_numpy("int64"),
+                "one": np.ones(len(df), "int64"),
+                "ret": (df["l_returnflag"] == "R").to_numpy("int64")}),
+            batch_format="pandas")
+        per_part = partial_final_agg(
+            li, ["p_partkey"], [("n_lines", "one", "sum"),
+                                ("n_returned", "ret", "sum")])
+        part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("p_brand", as_index=False)[
+                ["n_lines", "n_returned"]].sum()
+
+        joined = hash_join(
+            per_part, part, on="p_partkey", n_buckets=16,
+            left_types={"p_partkey": pa.int64(), "n_lines": pa.int64(),
+                        "n_returned": pa.int64()},
+            right_types={"p_partkey": pa.int64(), "p_brand": pa.string()},
+            bucket_post=per_bucket)
+        agg = partial_final_agg(
+            joined, ["p_brand"], [("n_lines", "n_lines", "sum"),
+                                  ("n_returned", "n_returned", "sum")])
+        return agg.map_batches(
+            lambda df: df.assign(
+                return_ppm=df["n_returned"].to_numpy("int64") * 1_000_000
+                // np.maximum(df["n_lines"].to_numpy("int64"), 1)),
+            batch_format="pandas")
+
+    q["brand_return_rates"] = q_brand_return_rates
+
     def semi_join_orders(sf_dir: str):
         # broadcast semi-join (WHERE EXISTS): orders of customers with
         # acctbal > 5000; the small side is a broadcast key set, the big
@@ -7907,6 +7949,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(sum(rec) AS BIGINT) * 1000000
                         // greatest(count(*), 1) AS BIGINT) AS symmetry_ppm
             FROM flags GROUP BY pred
+        """,
+        "brand_return_rates": """
+            SELECT p_brand,
+                   count(*) AS n_lines,
+                   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_returned,
+                   CAST(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1
+                                      ELSE 0 END) AS BIGINT) * 1000000
+                        // greatest(count(*), 1) AS BIGINT) AS return_ppm
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            GROUP BY p_brand
         """,
         "tpch_q13": """
             WITH pc AS (
