@@ -2417,6 +2417,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["lang_id"] = q_langid
 
+    def q_langid_confusion(sf_dir: str):
+        # language-ID quality audit: confusion matrix of the declared
+        # `lang` column vs the n-gram-marker LangId prediction — one
+        # bucketed join of the prediction stream against (doc_id, lang)
+        # with in-bucket (lang, pred) partials (doc cardinality is
+        # corpus-scale; never a broadcast)
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.joins import hash_join
+
+        pred = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            LangId, batch_format="pandas", concurrency=(1, 4)).map_batches(
+            lambda df: df[["doc_id", "lang_pred"]], batch_format="pandas")
+        truth = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(["lang", "lang_pred"], as_index=False).size()
+            return g.rename(columns={"size": "n_p"})
+
+        joined = hash_join(
+            truth, pred, on="doc_id", n_buckets=16,
+            left_types={"doc_id": pa.int64(), "lang": pa.string()},
+            right_types={"doc_id": pa.int64(), "lang_pred": pa.string()},
+            bucket_post=per_bucket)
+        return partial_final_agg(joined, ["lang", "lang_pred"],
+                                 [("n_docs", "n_p", "sum")])
+
+    q["langid_confusion"] = q_langid_confusion
+
     def q_fingerprint(sf_dir: str):
         from dygiepp_ray import oracle as _o
 
@@ -5636,6 +5664,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # --------------------------------------------------------------- oracles
 
 
+_LANGID_SQL = f"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks,
+                       length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
+                FROM documents
+            ), s AS (
+                SELECT doc_id, text, cjk,
+                       greatest(length(toks), 1)::DOUBLE AS n,
+                       length(list_filter(toks, x -> x IN
+                           ('the','and','of','to','is','are','was','with','for','that')
+                       ))::DOUBLE AS c_en,
+                       length(list_filter(toks, x -> x IN
+                           ('le','la','les','des','et','est','une','pour','dans','que')
+                       ))::DOUBLE AS c_fr,
+                       length(list_filter(toks, x -> x IN
+                           ('el','los','las','es','una','por','para','con','del','como')
+                       ))::DOUBLE AS c_es,
+                       length(list_filter(toks, x -> x IN
+                           ('der','die','das','und','ist','mit','für','ein','nicht','von')
+                       ))::DOUBLE AS c_de
+                FROM t
+            ), sc AS (
+                SELECT doc_id, text, cjk,
+                       c_en/n AS s_en, c_fr/n AS s_fr, c_es/n AS s_es, c_de/n AS s_de
+                FROM s
+            )
+            SELECT doc_id,
+                   CASE WHEN cjk > 0.2 * length(text) THEN 'zh'
+                        WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'unknown'
+                        WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                        WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                        WHEN s_es >= s_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   round(CASE WHEN cjk > 0.2 * length(text)
+                              THEN cjk::DOUBLE / greatest(length(text), 1)
+                              ELSE greatest(s_en, s_fr, s_es, s_de) END, 6) AS lang_conf
+            FROM sc
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     lemma_case = (
         "CASE "
@@ -6635,45 +6705,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT text_sha, doc_id AS keep_id, score, n_copies
             FROM r WHERE rk = 1
         """,
-        "lang_id": f"""
-            WITH t AS (
-                SELECT doc_id, text,
-                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                                   x -> x <> '') AS toks,
-                       length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
-                FROM documents
-            ), s AS (
-                SELECT doc_id, text, cjk,
-                       greatest(length(toks), 1)::DOUBLE AS n,
-                       length(list_filter(toks, x -> x IN
-                           ('the','and','of','to','is','are','was','with','for','that')
-                       ))::DOUBLE AS c_en,
-                       length(list_filter(toks, x -> x IN
-                           ('le','la','les','des','et','est','une','pour','dans','que')
-                       ))::DOUBLE AS c_fr,
-                       length(list_filter(toks, x -> x IN
-                           ('el','los','las','es','una','por','para','con','del','como')
-                       ))::DOUBLE AS c_es,
-                       length(list_filter(toks, x -> x IN
-                           ('der','die','das','und','ist','mit','für','ein','nicht','von')
-                       ))::DOUBLE AS c_de
-                FROM t
-            ), sc AS (
-                SELECT doc_id, text, cjk,
-                       c_en/n AS s_en, c_fr/n AS s_fr, c_es/n AS s_es, c_de/n AS s_de
-                FROM s
-            )
-            SELECT doc_id,
-                   CASE WHEN cjk > 0.2 * length(text) THEN 'zh'
-                        WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'unknown'
-                        WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-                        WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-                        WHEN s_es >= s_fr THEN 'es'
-                        ELSE 'fr' END AS lang_pred,
-                   round(CASE WHEN cjk > 0.2 * length(text)
-                              THEN cjk::DOUBLE / greatest(length(text), 1)
-                              ELSE greatest(s_en, s_fr, s_es, s_de) END, 6) AS lang_conf
-            FROM sc
+        "lang_id": _LANGID_SQL,
+        "langid_confusion": f"""
+            WITH pred AS ({_LANGID_SQL})
+            SELECT d.lang, p.lang_pred, count(*) AS n_docs
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY 1, 2
         """,
         "knn_cosine": """
             SELECT vec_id,
