@@ -2445,6 +2445,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["langid_confusion"] = q_langid_confusion
 
+    def q_quality_length_corr(sf_dir: str):
+        # curation diagnostic: per-source Pearson corr(doc length in
+        # chars, 1e6-scaled quality score) from exact int64 moment
+        # partials — the events_value_corr float tree verbatim. Overflow
+        # headroom: y <= 1e6, x <= doc chars, sum(x*y) bounded ~5e15 at
+        # sf0.1 (documented, ~1800x under int64).
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.functions.strings import round_half_up
+        from dygiepp_ray.stages.text import quality_score
+
+        ds = _read(sf_dir, "documents",
+                   ["doc_id", "text", "source", "n_chars"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            qdf = quality_score(df[["doc_id", "text"]])
+            x = df["n_chars"].to_numpy("int64")
+            y = np.floor(qdf["quality"].to_numpy(np.float64) * 1e6
+                         + 0.5).astype("int64")
+            return pd.DataFrame({"source": df["source"].to_numpy(object),
+                                 "x": x, "y": y, "xx": x * x,
+                                 "yy": y * y, "xy": x * y})
+
+        agg = partial_final_agg(
+            ds.map_batches(prep, batch_format="pandas"), ["source"],
+            [("n", None, "count"), ("sx", "x", "sum"), ("sy", "y", "sum"),
+             ("sxx", "xx", "sum"), ("syy", "yy", "sum"),
+             ("sxy", "xy", "sum")])
+
+        def corr(df: pd.DataFrame) -> pd.DataFrame:
+            n = df["n"].to_numpy("int64").astype("float64")
+            sx = df["sx"].to_numpy("int64").astype("float64")
+            sy = df["sy"].to_numpy("int64").astype("float64")
+            sxx = df["sxx"].to_numpy("int64").astype("float64")
+            syy = df["syy"].to_numpy("int64").astype("float64")
+            sxy = df["sxy"].to_numpy("int64").astype("float64")
+            den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                c = np.where(den2 > 0,
+                             (n * sxy - sx * sy) / np.sqrt(den2), 0.0)
+            return pd.DataFrame({
+                "source": df["source"],
+                "n": df["n"].to_numpy("int64"),
+                "corr_lq": round_half_up(c, 6)})
+
+        return agg.map_batches(corr, batch_format="pandas")
+
+    q["quality_length_corr"] = q_quality_length_corr
+
     def q_fingerprint(sf_dir: str):
         from dygiepp_ray import oracle as _o
 
@@ -5664,6 +5712,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # --------------------------------------------------------------- oracles
 
 
+_QUALITY_SQL = f"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       length(toks)::BIGINT AS n_tokens,
+                       length(list_filter(toks, x -> x IN ({_STOP_SQL})))::BIGINT AS n_stop,
+                       length(list_distinct(toks))::BIGINT AS n_uniq
+                FROM t
+            ), r AS (
+                SELECT doc_id, n_tokens,
+                       round(n_stop::DOUBLE / greatest(n_tokens, 1), 6) AS stop_ratio,
+                       round(n_uniq::DOUBLE / greatest(n_tokens, 1), 6) AS uniq_ratio
+                FROM s
+            )
+            SELECT doc_id, n_tokens, stop_ratio, uniq_ratio,
+                   round(least(1.0,
+                         (least(n_tokens, 100) / 100.0) * 0.4
+                         + least(stop_ratio, 0.4) * 0.5
+                         + uniq_ratio * 0.4), 6) AS quality
+            FROM r
+        """
+
+
 _LANGID_SQL = f"""
             WITH t AS (
                 SELECT doc_id, text,
@@ -5878,30 +5953,34 @@ def oracle_sql() -> dict[str, str]:
                          6) AS avg_token_len
             FROM t
         """,
-        "quality_score": f"""
-            WITH t AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                                   x -> x <> '') AS toks
-                FROM documents
+        "quality_score": _QUALITY_SQL,
+        "quality_length_corr": f"""
+            WITH q AS ({_QUALITY_SQL}),
+            m AS (
+                SELECT d.source,
+                       CAST(d.n_chars AS BIGINT) AS x,
+                       CAST(floor(q.quality * 1000000 + 0.5) AS BIGINT)
+                           AS y
+                FROM documents d JOIN q USING (doc_id)
             ), s AS (
-                SELECT doc_id,
-                       length(toks)::BIGINT AS n_tokens,
-                       length(list_filter(toks, x -> x IN ({_STOP_SQL})))::BIGINT AS n_stop,
-                       length(list_distinct(toks))::BIGINT AS n_uniq
-                FROM t
-            ), r AS (
-                SELECT doc_id, n_tokens,
-                       round(n_stop::DOUBLE / greatest(n_tokens, 1), 6) AS stop_ratio,
-                       round(n_uniq::DOUBLE / greatest(n_tokens, 1), 6) AS uniq_ratio
-                FROM s
+                SELECT source, count(*) AS n,
+                       sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+                       sum(y*y) AS syy, sum(x*y) AS sxy
+                FROM m GROUP BY source
             )
-            SELECT doc_id, n_tokens, stop_ratio, uniq_ratio,
-                   round(least(1.0,
-                         (least(n_tokens, 100) / 100.0) * 0.4
-                         + least(stop_ratio, 0.4) * 0.5
-                         + uniq_ratio * 0.4), 6) AS quality
-            FROM r
+            SELECT source, n,
+                   round(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                         THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                              / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                         ELSE 0.0 END, 6) AS corr_lq
+            FROM s
         """,
         "gopher_filter": """
             WITH t AS (
