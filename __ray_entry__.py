@@ -2121,6 +2121,254 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["tpch_q13"] = q_tpch_q13
 
+    def q_tpch_q7(sf_dir: str):
+        # TPC-H Q7 shape: supplier-nation × customer-nation shipping
+        # volume by ship year. Supplier is the SMALL dimension → its
+        # suppkey→nationkey map broadcasts once (ray.put); customer scales
+        # with SF → orders⋈customer is a bucketed hash join on custkey;
+        # lineitem re-keys on orderkey for the second bucketed join with
+        # the (supp-nation, year, revenue) partials pushed in-bucket.
+        # Revenue exact int64: cents × (100 − disc_pct), as in tpch_q3.
+        # Unlike canonical Q7 the nation pair is NOT restricted (the
+        # synthetic supplier table is too thin at sf0.001 for any single
+        # pair to survive) — output is all s_nat ≠ c_nat pairs × year,
+        # bounded by |nation|² × years.
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.joins import hash_join
+
+        lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+
+        supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+        snat_ref = ray.put(dict(zip(supp["s_suppkey"].astype(int),
+                                    supp["s_nationkey"].astype(int))))
+
+        def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+            ext = np.floor(df["l_extendedprice"].to_numpy(np.float64)
+                           * 100.0 + 0.5).astype("int64")
+            disc = np.floor(df["l_discount"].to_numpy(np.float64) * 100.0
+                            + 0.5).astype("int64")
+            return pd.DataFrame({
+                "o_orderkey": df["l_orderkey"].to_numpy("int64"),
+                "s_nat": df["l_suppkey"].map(ray.get(snat_ref)).to_numpy("int64"),
+                "l_year": df["l_shipdate"].dt.year.to_numpy("int64"),
+                "rev_s": ext * (100 - disc)})
+
+        li = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_suppkey", "l_extendedprice",
+                    "l_discount", "l_shipdate"]).map_batches(
+            li_prep, batch_format="pandas")
+
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]
+                     ).map_batches(
+            lambda df: pd.DataFrame({"o_custkey": df["c_custkey"],
+                                     "c_nat": df["c_nationkey"].astype("int64")}),
+            batch_format="pandas")
+        ord_n = hash_join(
+            orders, cust, on="o_custkey", n_buckets=16,
+            left_types={"o_orderkey": pa.int64(), "o_custkey": pa.int64()},
+            right_types={"o_custkey": pa.int64(), "c_nat": pa.int64()},
+            bucket_post=lambda df: df[["o_orderkey", "c_nat"]])
+
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["s_nat"] != df["c_nat"]]
+            return df.groupby(["s_nat", "c_nat", "l_year"],
+                              as_index=False)["rev_s"].sum()
+
+        joined = hash_join(
+            li, ord_n, on="o_orderkey", n_buckets=16,
+            left_types={"o_orderkey": pa.int64(), "s_nat": pa.int64(),
+                        "l_year": pa.int64(), "rev_s": pa.int64()},
+            right_types={"o_orderkey": pa.int64(), "c_nat": pa.int64()},
+            bucket_post=per_bucket)
+        agg = partial_final_agg(joined, ["s_nat", "c_nat", "l_year"],
+                                [("revenue_s", "rev_s", "sum"),
+                                 ])
+        return agg.map_batches(
+            lambda df: df.assign(
+                supp_nation="NATION_" + df["s_nat"].astype(str),
+                cust_nation="NATION_" + df["c_nat"].astype(str))[
+                ["supp_nation", "cust_nation", "l_year", "revenue_s"]],
+            batch_format="pandas")
+
+    q["tpch_q7"] = q_tpch_q7
+
+    def q_tpch_q14(sf_dir: str):
+        # TPC-H Q14 shape: promo revenue share per ship month. Per-
+        # (partkey, month) revenue partials reduce OFF the fact table
+        # first (partkey-bounded), then ONE bucketed dimension join with
+        # part where the in-bucket hook collapses to per-month
+        # (promo_s, total_s) partials — part is never broadcast. The
+        # final ratio is computed on the month-sized frame with PYTHON
+        # ints (promo_s × 1e6 overflows int64 at large SF; arbitrary-
+        # precision floor-div mirrored by DuckDB's HUGEINT sum → //).
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.joins import hash_join
+
+        def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+            ext = np.floor(df["l_extendedprice"].to_numpy(np.float64)
+                           * 100.0 + 0.5).astype("int64")
+            disc = np.floor(df["l_discount"].to_numpy(np.float64) * 100.0
+                            + 0.5).astype("int64")
+            month = (df["l_shipdate"].dt.year * 100
+                     + df["l_shipdate"].dt.month).to_numpy("int64")
+            return pd.DataFrame({"p_partkey": df["l_partkey"].to_numpy("int64"),
+                                 "month": month, "rev_s": ext * (100 - disc)})
+
+        li = partial_final_agg(
+            _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+                  ).map_batches(li_prep, batch_format="pandas"),
+            ["p_partkey", "month"], [("rev_s", "rev_s", "sum")])
+
+        part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            promo = np.where(df["p_type"].to_numpy(object) == "PROMO",
+                             df["rev_s"].to_numpy("int64"), 0)
+            g = pd.DataFrame({"month": df["month"].to_numpy("int64"),
+                              "promo_s": promo,
+                              "total_s": df["rev_s"].to_numpy("int64")})
+            return g.groupby("month", as_index=False).sum()
+
+        joined = hash_join(
+            li, part, on="p_partkey", n_buckets=16,
+            left_types={"p_partkey": pa.int64(), "month": pa.int64(),
+                        "rev_s": pa.int64()},
+            right_types={"p_partkey": pa.int64(), "p_type": pa.string()},
+            bucket_post=per_bucket)
+        agg = partial_final_agg(joined, ["month"],
+                                [("promo_s", "promo_s", "sum"),
+                                 ("total_s", "total_s", "sum")])
+
+        def ratio(df: pd.DataFrame) -> pd.DataFrame:
+            ppm = [int(p) * 1_000_000 // int(t) if t else 0
+                   for p, t in zip(df["promo_s"], df["total_s"])]
+            return df.assign(promo_ppm=np.asarray(ppm, "int64"))
+
+        return agg.map_batches(ratio, batch_format="pandas")
+
+    q["tpch_q14"] = q_tpch_q14
+
+    def q_tpch_q18(sf_dir: str):
+        # TPC-H Q18 shape: large-volume orders (Σ l_quantity > 175). The
+        # per-orderkey quantity reduce happens OFF the fact table
+        # (partial+final, orderkey-bounded); the tiny winner set then
+        # flows through two bucketed joins (orders on orderkey, customer
+        # on custkey) — never a broadcast, so the shape survives a
+        # threshold that admits millions of winners at 100 TB. Quantities
+        # are integral by data contract → exact int64 sums.
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.joins import hash_join
+
+        qty = partial_final_agg(
+            _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]
+                  ).map_batches(
+                lambda df: pd.DataFrame({
+                    "o_orderkey": df["l_orderkey"].to_numpy("int64"),
+                    "qty": np.floor(df["l_quantity"].to_numpy(np.float64)
+                                    + 0.5).astype("int64")}),
+                batch_format="pandas"),
+            ["o_orderkey"], [("sum_qty", "qty", "sum")])
+        winners = qty.map_batches(
+            lambda df: df[df["sum_qty"] > 175], batch_format="pandas")
+
+        orders = _read(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey", "o_orderdate",
+                        "o_totalprice"])
+        w_ord = hash_join(
+            winners, orders, on="o_orderkey", n_buckets=16,
+            left_types={"o_orderkey": pa.int64(), "sum_qty": pa.int64()},
+            right_types={"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
+                         "o_orderdate": pa.timestamp("us"),
+                         "o_totalprice": pa.float64()},
+            bucket_post=lambda df: df.rename(columns={"o_custkey": "c_custkey"}))
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        out = hash_join(
+            w_ord, cust, on="c_custkey", n_buckets=16,
+            left_types={"o_orderkey": pa.int64(), "sum_qty": pa.int64(),
+                        "c_custkey": pa.int64(),
+                        "o_orderdate": pa.timestamp("us"),
+                        "o_totalprice": pa.float64()},
+            right_types={"c_custkey": pa.int64(), "c_name": pa.string()})
+        return _round_cols(
+            out.map_batches(
+                lambda df: df[["c_name", "c_custkey", "o_orderkey",
+                               "o_orderdate", "o_totalprice", "sum_qty"]],
+                batch_format="pandas"),
+            {"o_totalprice": 2})
+
+    q["tpch_q18"] = q_tpch_q18
+
+    def q_tpch_q22(sf_dir: str):
+        # TPC-H Q22 shape: per-nation count/balance of above-average-
+        # balance customers with NO urgent orders. The global positive-
+        # balance mean broadcasts as the exact integer pair (Σcents, n) —
+        # the comparison is cents·n > Σcents, NO float division anywhere.
+        # The "no urgent orders" membership is a bucketed LEFT-join
+        # marker anti-join against the per-custkey urgent-order reduce
+        # (custkey-bounded), with the per-nation partials pushed into the
+        # join bucket.
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.joins import hash_join
+
+        def cents(col: pd.Series) -> np.ndarray:
+            return np.floor(col.to_numpy(np.float64) * 100.0
+                            + 0.5).astype("int64")
+
+        pos = partial_final_agg(
+            _read(sf_dir, "customer", ["c_acctbal"]).map_batches(
+                lambda df: pd.DataFrame(
+                    {"k": np.zeros(len(df), "int64"),
+                     "bal_s": cents(df["c_acctbal"])}
+                ).loc[lambda g: g["bal_s"] > 0],
+                batch_format="pandas"),
+            ["k"], [("sum_s", "bal_s", "sum"), ("n_pos", None, "count")]
+        ).to_pandas()
+        sum_s, n_pos = int(pos["sum_s"].iloc[0]), int(pos["n_pos"].iloc[0])
+
+        urgent = partial_final_agg(
+            _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]
+                  ).map_batches(
+                lambda df: pd.DataFrame(
+                    {"c_custkey": df.loc[df["o_orderpriority"] == "1-URGENT",
+                                         "o_custkey"].to_numpy("int64"),
+                     "one": 1}),
+                batch_format="pandas"),
+            ["c_custkey"], [("n_urgent", "one", "sum")])
+
+        def rich(df: pd.DataFrame) -> pd.DataFrame:
+            bal = cents(df["c_acctbal"])
+            keep = bal * n_pos > sum_s
+            return pd.DataFrame({
+                "c_custkey": df["c_custkey"].to_numpy("int64")[keep],
+                "nation": df["c_nationkey"].to_numpy("int64")[keep],
+                "bal_s": bal[keep]})
+
+        cust = _read(sf_dir, "customer",
+                     ["c_custkey", "c_nationkey", "c_acctbal"]).map_batches(
+            rich, batch_format="pandas")
+
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["n_urgent"].isna()]
+            g = pd.DataFrame({"nation": df["nation"].to_numpy("int64"),
+                              "bal_s": df["bal_s"].to_numpy("int64"),
+                              "one": np.ones(len(df), "int64")})
+            return g.groupby("nation", as_index=False).sum()
+
+        joined = hash_join(
+            cust, urgent, on="c_custkey", how="left", n_buckets=16,
+            left_types={"c_custkey": pa.int64(), "nation": pa.int64(),
+                        "bal_s": pa.int64()},
+            right_types={"c_custkey": pa.int64(), "n_urgent": pa.int64()},
+            bucket_post=per_bucket)
+        return partial_final_agg(joined, ["nation"],
+                                 [("n_cust", "one", "sum"),
+                                  ("totacctbal_s", "bal_s", "sum")])
+
+    q["tpch_q22"] = q_tpch_q22
+
     def q_brand_return_rates(sf_dir: str):
         # brand-level return rates: per-partkey (lines, returned) reduce
         # off the fact table, ONE bucketed join against the part dimension
@@ -2492,6 +2740,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return agg.map_batches(corr, batch_format="pandas")
 
     q["quality_length_corr"] = q_quality_length_corr
+
+    def q_doc_readability(sf_dir: str):
+        # Flesch-style readability as exact scaled ints (curation quality
+        # signal; the [.!?]+ / [aeiouy]+ run-count contract is mirrored
+        # verbatim in the SQL oracle). Stateless vectorized map — no
+        # shuffle at any scale.
+        from dygiepp_ray.stages.text import readability
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            readability, batch_format="pandas")
+
+    q["doc_readability"] = q_doc_readability
+
+    def q_doc_ttr(sf_dir: str):
+        # per-doc type-token ratio (lexical diversity; low TTR flags
+        # boilerplate). Lowercased whitespace tokens, exact ppm ints.
+        from dygiepp_ray.stages.text import type_token_ratio
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            type_token_ratio, batch_format="pandas")
+
+    q["doc_ttr"] = q_doc_ttr
+
+    def q_events_attribution(sf_dir: str):
+        # marketing-style LAST-TOUCH attribution: each purchase binds to
+        # the user's most recent preceding non-purchase event within 7
+        # days (strict (ts, event_id) order), else 'none'. One coarse
+        # user-bucket shuffle, cython grouped scans in-bucket, per-type
+        # partials out, tiny final sum.
+        from dygiepp_ray.windows import last_touch_attribution
+
+        ds = _read(sf_dir, "events",
+                   ["event_id", "user_id", "event_type", "ts", "value"])
+        return last_touch_attribution(ds, convert_type="purchase",
+                                      window_us=7 * 86400 * 1_000_000)
+
+    q["events_attribution"] = q_events_attribution
 
     def q_fingerprint(sf_dir: str):
         from dygiepp_ray import oracle as _o
@@ -3460,6 +3745,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return kgp.triangle_counts(_synth_triples(sf_dir), salt_buckets=4)
 
     q["kg_triangles"] = q_kg_triangles
+
+    def q_kg_edge_support(sf_dir: str):
+        # per-edge triangle support + local-bridge flag (weak-tie QA over
+        # the extracted graph; the k-truss peel's input table). Exhaustive
+        # closed-wedge enumeration (exact at hubs, O(sqrt m) wedges each)
+        # + one bucketed LEFT join back onto the edge set
+        _ensure_triples_oracle(sf_dir)
+        return kgp.edge_support(_synth_triples(sf_dir), salt_buckets=4)
+
+    q["kg_edge_support"] = q_kg_edge_support
 
     def q_kg_predicate_stats(sf_dir: str):
         # per-predicate schema stats (edge count, subj/obj cardinality,
@@ -5954,6 +6249,67 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "quality_score": _QUALITY_SQL,
+        "doc_readability": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(length(list_filter(
+                           regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                           AS BIGINT) AS n_words,
+                       greatest(CAST(length(regexp_extract_all(text, '[.!?]+'))
+                                     AS BIGINT), 1) AS n_sents,
+                       CAST(length(regexp_extract_all(lower(text), '[aeiouy]+'))
+                           AS BIGINT) AS n_syll
+                FROM documents
+            )
+            SELECT doc_id, n_words, n_sents, n_syll,
+                   CAST(206835 - (1015 * n_words) // n_sents
+                        - (84600 * n_syll) // greatest(n_words, 1)
+                        AS BIGINT) AS flesch_milli
+            FROM t
+        """,
+        "doc_ttr": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(length(toks) AS BIGINT) AS n_tokens,
+                   CAST(length(list_distinct(toks)) AS BIGINT) AS n_types,
+                   CAST((length(list_distinct(toks)) * 1000000)
+                        // greatest(length(toks), 1) AS BIGINT) AS ttr_ppm
+            FROM t
+        """,
+        "events_attribution": """
+            WITH e AS (
+                SELECT user_id, event_type, value,
+                       epoch_us(ts) AS ts_us,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ), w AS (
+                SELECT *,
+                       max(CASE WHEN event_type <> 'purchase' THEN rn END)
+                           OVER (PARTITION BY user_id ORDER BY rn
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS src_rn
+                FROM e
+            ), p AS (
+                SELECT w.user_id, w.value, w.ts_us, w.src_rn,
+                       s.event_type AS src_type, s.ts_us AS src_ts
+                FROM w LEFT JOIN e s
+                     ON s.user_id = w.user_id AND s.rn = w.src_rn
+                WHERE w.event_type = 'purchase'
+            )
+            SELECT CASE WHEN src_rn IS NOT NULL
+                             AND ts_us - src_ts <= 604800000000
+                        THEN src_type ELSE 'none' END AS attributed_type,
+                   count(*) AS n_conversions,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_s
+            FROM p GROUP BY 1
+        """,
         "quality_length_corr": f"""
             WITH q AS ({_QUALITY_SQL}),
             m AS (
@@ -8086,6 +8442,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_orders, count(*) AS n_customers
             FROM pc GROUP BY n_orders
         """,
+        "tpch_q7": """
+            SELECT 'NATION_' || CAST(s_nationkey AS VARCHAR) AS supp_nation,
+                   'NATION_' || CAST(c_nationkey AS VARCHAR) AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                          AS BIGINT))) AS BIGINT) AS revenue_s
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            WHERE s_nationkey <> c_nationkey
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q14": """
+            WITH m AS (
+                SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate)
+                            AS BIGINT) AS month,
+                       sum(CASE WHEN p_type = 'PROMO'
+                                THEN CAST(floor(l_extendedprice * 100 + 0.5)
+                                          AS BIGINT)
+                                     * (100 - CAST(floor(l_discount * 100
+                                                         + 0.5) AS BIGINT))
+                                ELSE 0 END) AS promo_s,
+                       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                         AS BIGINT))) AS total_s
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                GROUP BY 1
+            )
+            SELECT month, CAST(promo_s AS BIGINT) AS promo_s,
+                   CAST(total_s AS BIGINT) AS total_s,
+                   CAST(CASE WHEN total_s > 0
+                             THEN promo_s * 1000000 // total_s
+                             ELSE 0 END AS BIGINT) AS promo_ppm
+            FROM m
+        """,
+        "tpch_q18": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_qty
+            FROM customer
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+            HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > 175
+        """,
+        "tpch_q22": """
+            WITH pos AS (
+                SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) AS sum_s,
+                       count(*) AS n_pos
+                FROM customer
+                WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) > 0
+            ), urgent AS (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+            )
+            SELECT c_nationkey AS nation, count(*) AS n_cust,
+                   CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS totacctbal_s
+            FROM customer, pos
+            WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * n_pos > sum_s
+              AND c_custkey NOT IN (SELECT o_custkey FROM urgent)
+            GROUP BY c_nationkey
+        """,
         "orders_cohort_ltv": """
             WITH o AS (
                 SELECT o_custkey,
@@ -8220,6 +8645,30 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT c FROM t
             )
             SELECT node, count(*) AS n_triangles FROM n GROUP BY node
+        """,
+        "kg_edge_support": """
+            WITH e AS (
+                SELECT DISTINCT least(subj_norm, obj_norm) AS u,
+                                greatest(subj_norm, obj_norm) AS v
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+                WHERE subj_norm <> obj_norm
+            ), t AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM e e1
+                JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            ), s AS (
+                SELECT a AS u, b AS v FROM t
+                UNION ALL SELECT a, c FROM t
+                UNION ALL SELECT b, c FROM t
+            ), sc AS (
+                SELECT u, v, count(*) AS cnt FROM s GROUP BY u, v
+            )
+            SELECT e.u, e.v,
+                   CAST(COALESCE(sc.cnt, 0) AS BIGINT) AS support,
+                   CAST(CASE WHEN COALESCE(sc.cnt, 0) = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_bridge
+            FROM e LEFT JOIN sc ON sc.u = e.u AND sc.v = e.v
         """,
         "kg_graph_edges": """
             SELECT subj_norm, pred, obj_norm,

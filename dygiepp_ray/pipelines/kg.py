@@ -609,31 +609,15 @@ def functional_conflicts(triples: "ray.data.Dataset",
     return agg.map_batches(keep_conflicts, batch_format="pyarrow")
 
 
-def triangle_counts(triples: "ray.data.Dataset", salt_buckets: int = 1,
-                    n_buckets: int = 32) -> "ray.data.Dataset":
-    """(node, n_triangles) — per-node triangle participation over the
-    DISTINCT undirected KG edge set (graph-quality analytics: clustering
-    structure of the extracted graph).
+_TRI_SEP = "\x1f"
 
-    Degree-ordered wedge generation: every edge is oriented from its
-    lower-(degree, name) endpoint to the higher one, wedges are unordered
-    out-neighbor pairs of each source, and a wedge closes iff the
-    undirected edge between its endpoints exists. Each triangle is
-    generated exactly once, at its minimum-(degree, name) vertex, and a
-    degree-d hub emits O(sqrt(m)) wedges instead of O(d^2) — the standard
-    MapReduce triangle-counting bound. Joins are the bucketed `hash_join`
-    (degree attach ×2, wedge-closing semi join with aggregate pushdown);
-    the per-node count is a partial+final sum. The result is
-    orientation-invariant, so the SQL oracle may use plain lexicographic
-    orientation."""
-    import numpy as np
-    import pandas as pd
 
-    from ..aggregates import partial_final_agg, strip_schema_metadata
-    from ..joins import hash_join
-
-    s_t, i_t = pa.string(), pa.int64()
-    SEP = "\x1f"
+def _undirected_edges(triples: "ray.data.Dataset",
+                      salt_buckets: int) -> "ray.data.Dataset":
+    """DISTINCT undirected non-loop edge set (u, v) with u < v, from the
+    triples table. Materialized — triangle machinery consumes it twice
+    (degree attach + closing-edge side)."""
+    from ..aggregates import strip_schema_metadata
 
     def canon(t: pa.Table) -> pa.Table:
         t = strip_schema_metadata(t)
@@ -644,11 +628,33 @@ def triangle_counts(triples: "ray.data.Dataset", salt_buckets: int = 1,
         keep = pc.invert(pc.equal(s, o))
         return pa.table({"u": u, "v": v}).filter(keep)
 
-    edges = grouped_count(
+    return grouped_count(
         triples.select_columns(["subj_norm", "obj_norm"]).map_batches(
             canon, batch_format="pyarrow"),
         ["u", "v"], out_name="_c", salt_buckets=salt_buckets
     ).select_columns(["u", "v"]).materialize()
+
+
+def _closed_wedges(edges: "ray.data.Dataset", n_buckets: int,
+                   bucket_post) -> "ray.data.Dataset":
+    """Degree-ordered wedge generation + closing-edge semi join over a
+    distinct undirected edge set: every edge orients from its lower-
+    (degree, name) endpoint to the higher one, wedges are unordered
+    out-neighbor pairs of each source, and a wedge closes iff the
+    undirected edge between its endpoints exists. Each triangle surfaces
+    exactly once — as the merged row (src, x, y) with x < y — at its
+    minimum-(degree, name) vertex, and a degree-d hub emits O(sqrt(m))
+    wedges instead of O(d²) (the standard MapReduce triangle bound).
+    `bucket_post` receives the closed-wedge rows INSIDE the final join
+    task (aggregate pushdown — full triangle rows never leave it)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..aggregates import strip_schema_metadata
+    from ..joins import hash_join
+
+    s_t, i_t = pa.string(), pa.int64()
+    SEP = _TRI_SEP
 
     def explode_nodes(t: pa.Table) -> pa.Table:
         t = strip_schema_metadata(t)
@@ -727,6 +733,27 @@ def triangle_counts(triples: "ray.data.Dataset", salt_buckets: int = 1,
 
     closing = edges.map_batches(edge_pairs, batch_format="pyarrow")
 
+    return hash_join(
+        wedges, closing, on="pair", n_buckets=n_buckets,
+        left_types={"src": s_t, "x": s_t, "y": s_t, "pair": s_t},
+        right_types={"pair": s_t},
+        bucket_post=bucket_post)
+
+
+def triangle_counts(triples: "ray.data.Dataset", salt_buckets: int = 1,
+                    n_buckets: int = 32) -> "ray.data.Dataset":
+    """(node, n_triangles) — per-node triangle participation over the
+    DISTINCT undirected KG edge set (graph-quality analytics: clustering
+    structure of the extracted graph). The wedge-closure machinery is
+    `_closed_wedges` (degree-ordered generation, bucketed joins, O(sqrt(m))
+    hub bound); the per-node count is a partial+final sum over in-join
+    per-node partials. The result is orientation-invariant, so the SQL
+    oracle may use plain lexicographic self-joins."""
+    import numpy as np
+    import pandas as pd
+
+    from ..aggregates import partial_final_agg
+
     def node_partials(m: "pd.DataFrame") -> "pd.DataFrame":
         # merged rows = closed wedges = triangles; emit per-node partial
         # counts so full triangle rows never leave the join task
@@ -735,13 +762,69 @@ def triangle_counts(triples: "ray.data.Dataset", salt_buckets: int = 1,
         return pd.DataFrame({"node": vc.index.astype(object),
                              "n_part": vc.to_numpy(np.int64)})
 
-    tri_nodes = hash_join(
-        wedges, closing, on="pair", n_buckets=n_buckets,
-        left_types={"src": s_t, "x": s_t, "y": s_t, "pair": s_t},
-        right_types={"pair": s_t},
-        bucket_post=node_partials)
+    edges = _undirected_edges(triples, salt_buckets)
+    tri_nodes = _closed_wedges(edges, n_buckets, node_partials)
     return partial_final_agg(tri_nodes, ["node"],
                              [("n_triangles", "n_part", "sum")])
+
+
+def edge_support(triples: "ray.data.Dataset", salt_buckets: int = 1,
+                 n_buckets: int = 32) -> "ray.data.Dataset":
+    """(u, v, support, is_bridge) — per-undirected-edge triangle support
+    (the count of triangles containing the edge) plus the LOCAL-BRIDGE
+    flag (support == 0: removing the edge disconnects its endpoints'
+    direct neighborhoods — the classic weak-tie signal, and the k-truss
+    peel's input). Exact at hubs: the closed-wedge enumeration is
+    EXHAUSTIVE (each triangle once, O(sqrt(m)) wedges per hub), and each
+    closed wedge (src, x, y) credits its three canonical edges. One
+    partial+final sum at edge cardinality, then one bucketed LEFT join
+    back onto the edge set to fill support-0 rows."""
+    import numpy as np
+    import pandas as pd
+
+    from ..aggregates import partial_final_agg, strip_schema_metadata
+    from ..joins import hash_join
+
+    s_t, i_t = pa.string(), pa.int64()
+    SEP = _TRI_SEP
+
+    def edge_partials(m: "pd.DataFrame") -> "pd.DataFrame":
+        src = m["src"].to_numpy(object)
+        x = m["x"].to_numpy(object)
+        y = m["y"].to_numpy(object)
+        # (x, y) is canonical already (x < y by wedge construction); the
+        # src legs canonicalize with elementwise min/max
+        u = np.concatenate([np.minimum(src, x), np.minimum(src, y), x])
+        v = np.concatenate([np.maximum(src, x), np.maximum(src, y), y])
+        g = pd.DataFrame({"u": u, "v": v, "one": np.ones(len(u), np.int64)})
+        return g.groupby(["u", "v"], as_index=False)["one"].sum().rename(
+            columns={"one": "n_part"})
+
+    edges = _undirected_edges(triples, salt_buckets)
+    sup = partial_final_agg(_closed_wedges(edges, n_buckets, edge_partials),
+                            ["u", "v"], [("support", "n_part", "sum")])
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        return t.append_column("pair", pc.binary_join_element_wise(
+            t.column("u").cast(pa.string()),
+            t.column("v").cast(pa.string()), SEP))
+
+    def fill(m: "pd.DataFrame") -> "pd.DataFrame":
+        s = m["support"].fillna(0).astype("int64")
+        return pd.DataFrame({"u": m["u"], "v": m["v"],
+                             "support": s,
+                             "is_bridge": (s == 0).astype("int64")})
+
+    sup_k = sup.map_batches(pair_key, batch_format="pyarrow").map_batches(
+        lambda t: strip_schema_metadata(t).select(["pair", "support"]),
+        batch_format="pyarrow")
+    edges_k = edges.map_batches(pair_key, batch_format="pyarrow")
+    return hash_join(edges_k, sup_k, on="pair", how="left",
+                     n_buckets=n_buckets,
+                     left_types={"u": s_t, "v": s_t, "pair": s_t},
+                     right_types={"pair": s_t, "support": i_t},
+                     bucket_post=fill)
 
 
 def clustering_coefficient(triples: "ray.data.Dataset", scale: int = 10_000,

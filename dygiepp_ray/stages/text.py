@@ -653,6 +653,48 @@ def compression_ratio(batch: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def readability(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, n_words, n_sents, n_syll, flesch_milli) — Flesch-reading-
+    ease-style readability as EXACT scaled integers (readability is a
+    standard curation quality signal alongside the Gopher rules).
+
+    Contract (mirrored verbatim by the SQL oracle): words = whitespace
+    tokens; sentences = max(1, count of `[.!?]+` runs); syllables = vowel
+    runs `[aeiouy]+` over the LOWERCASED text (whitespace breaks runs, so
+    the whole-text count equals the per-token sum); score_milli =
+    206835 − 1015·W // S − 84600·Syl // max(W, 1), each term floor-divided
+    (operands non-negative → SQL `//` agrees). Pure vectorized pandas
+    string kernels — one regex count per column."""
+    w = batch["text"].str.count(r"\S+").astype("int64")
+    s = batch["text"].str.count(r"[.!?]+").astype("int64").clip(lower=1)
+    syl = batch["text"].str.lower().str.count(r"[aeiouy]+").astype("int64")
+    flesch = 206835 - (1015 * w) // s - (84600 * syl) // w.clip(lower=1)
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "n_words": w,
+        "n_sents": s,
+        "n_syll": syl,
+        "flesch_milli": flesch.astype("int64"),
+    })
+
+
+def type_token_ratio(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, n_tokens, n_types, ttr_ppm) — lexical-diversity signal
+    (low TTR flags boilerplate/template text; curation companion to
+    `compression_ratio`). Lowercased whitespace tokens; ttr_ppm =
+    n_types · 1e6 // max(n_tokens, 1) exact — SQL mirrors with
+    `list_distinct` over the same split."""
+    toks = batch["text"].str.lower().str.split()
+    n_tok = toks.str.len().astype("int64")
+    n_typ = pd.array([len(set(ws)) for ws in toks], dtype="int64")
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "n_tokens": n_tok,
+        "n_types": n_typ,
+        "ttr_ppm": (n_typ * 1_000_000) // n_tok.clip(lower=1),
+    })
+
+
 def chunk_documents(batch: pd.DataFrame, chunk_tokens: int = 32,
                     stride: int = 24) -> pd.DataFrame:
     """(doc_id, chunk_ix, start_tok, n_chunk_tokens, chunk_text) — RAG-style

@@ -280,6 +280,63 @@ def funnel_counts(ds, stages: list[str], user_col: str = "user_id",
                              [("n_users", "n_part", "sum")])
 
 
+def last_touch_attribution(ds, convert_type: str, window_us: int,
+                           user_col: str = "user_id",
+                           type_col: str = "event_type", ts_col: str = "ts",
+                           id_col: str = "event_id", value_col: str = "value",
+                           n_buckets: int = 64) -> "ray.data.Dataset":
+    """Marketing-style last-touch attribution: each `convert_type` event
+    binds to the user's most recent PRECEDING non-convert event (strict
+    `(ts, id)` order — ties break on the id column) if it lies within
+    `window_us` microseconds, else to the sentinel `'none'`. Returns
+    (attributed_type, n_conversions, value_s) with value_s the exact
+    cents sum of the conversions' values.
+
+    Scale shape: users hash-bucket (ONE shuffle), the in-bucket kernel is
+    two cython grouped scans (cummax of source positions + grouped
+    shift — no per-user Python), buckets emit per-type PARTIALS, and the
+    final combine is a tiny partial+final sum over ≤ |event types| keys."""
+    from .aggregates import partial_final_agg
+
+    keys, order = [user_col], [ts_col, id_col]
+
+    def kernel(df: pd.DataFrame, ks: list[str]) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        types = df[type_col].to_numpy(object)
+        is_src = types != convert_type
+        pos = np.arange(len(df), dtype="int64")
+        src_pos = pd.Series(np.where(is_src, pos, -1), dtype="int64")
+        g = src_pos.groupby(df[user_col].to_numpy(), sort=False)
+        last_prec = g.cummax().groupby(df[user_col].to_numpy(),
+                                       sort=False).shift(1, fill_value=-1)
+        conv = np.flatnonzero(~is_src)
+        if not len(conv):
+            return pd.DataFrame({
+                "attributed_type": pd.Series(dtype=object),
+                "n_part": pd.Series(dtype="int64"),
+                "value_part": pd.Series(dtype="int64")})
+        src_ix = last_prec.to_numpy("int64")[conv]
+        # unit-agnostic epoch microseconds (events ts is timestamp[us];
+        # a plain astype(int64) would change meaning with the pandas unit)
+        ts_us = ((df[ts_col] - pd.Timestamp(0))
+                 // pd.Timedelta(1, "us")).to_numpy("int64")
+        ok = src_ix >= 0
+        ok[ok] &= (ts_us[conv[ok]] - ts_us[src_ix[ok]]) <= window_us
+        attr = np.where(ok, types[np.maximum(src_ix, 0)], "none")
+        val = np.floor(df[value_col].to_numpy(np.float64)[conv] * 100.0
+                       + 0.5).astype("int64")
+        out = pd.DataFrame({"attributed_type": attr, "one": 1, "val": val})
+        gg = out.groupby("attributed_type", as_index=False).agg(
+            n_part=("one", "sum"), value_part=("val", "sum"))
+        gg["n_part"] = gg["n_part"].astype("int64")
+        return gg
+
+    partials = _bucketed(ds, keys, order, True, kernel, n_buckets)
+    return partial_final_agg(partials, ["attributed_type"],
+                             [("n_conversions", "n_part", "sum"),
+                              ("value_s", "value_part", "sum")])
+
+
 def ohlc(ds, partition_by, order_by, value_col: str,
          n_buckets: int = 64) -> "ray.data.Dataset":
     """Open/high/low/close + count per partition — the time-bucketed

@@ -1264,3 +1264,56 @@ def test_seeded_type_propagation_golden_and_streamed(monkeypatch):
     assert {(n, t, int(r)) for n, t, r in zip(
         exp["node"].to_pylist(), exp["etype"].to_pylist(),
         exp["round_assigned"].to_pylist())} == want
+
+
+# --------------------------------------------------------- edge support
+
+
+def _edge_support_brute(pairs: list[tuple[str, str]]) -> dict[tuple, int]:
+    und = {tuple(sorted(e)) for e in pairs if e[0] != e[1]}
+    adj: dict[str, set] = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    return {(u, v): len(adj[u] & adj[v]) for u, v in und}
+
+
+def test_edge_support_golden_and_invariance():
+    from dygiepp_ray.pipelines.kg import edge_support
+
+    # K4 (every edge support 2) + pendant edge d-e (support 0 → bridge)
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e"), ("e", "e"), ("b", "a")]
+    tri = pd.DataFrame({
+        "subj_norm": [p[0] for p in pairs],
+        "pred": ["R"] * len(pairs),
+        "obj_norm": [p[1] for p in pairs],
+    })
+    want = _edge_support_brute(pairs)
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(tri).repartition(nparts)
+        got = edge_support(ds, salt_buckets=2).to_pandas()
+        assert {(r.u, r.v): int(r.support)
+                for r in got.itertuples()} == want
+        assert all(int(r.is_bridge) == (int(r.support) == 0)
+                   for r in got.itertuples())
+
+
+def test_edge_support_random_graph_matches_bruteforce():
+    import numpy as np
+
+    from dygiepp_ray.pipelines.kg import edge_support
+
+    rng = np.random.RandomState(11)
+    names = [f"n{i:02d}" for i in range(16)]
+    pairs = [(names[rng.randint(16)], names[rng.randint(16)])
+             for _ in range(90)]
+    tri = pd.DataFrame({
+        "subj_norm": [p[0] for p in pairs],
+        "pred": ["R"] * len(pairs),
+        "obj_norm": [p[1] for p in pairs],
+    })
+    want = _edge_support_brute(pairs)
+    got = edge_support(
+        ray.data.from_pandas(tri).repartition(3), salt_buckets=2).to_pandas()
+    assert {(r.u, r.v): int(r.support) for r in got.itertuples()} == want

@@ -428,3 +428,40 @@ def test_span_corruption_conservation_and_invariance():
     pd.testing.assert_frame_equal(outs[0], outs[1])
     # the long doc actually got masked
     assert int(outs[0].set_index("doc_id").loc[7, "n_masked"]) > 0
+
+
+def test_readability_golden():
+    from dygiepp_ray.stages.text import readability
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["The cat sat. On a mat!", "aaa eee iii", ""],
+    })
+    got = readability(df)
+    # doc 1: 6 words, 2 sentence runs, vowel runs: e,a,a,o,a,a = 6
+    r = got.iloc[0]
+    assert (r.n_words, r.n_sents, r.n_syll) == (6, 2, 6)
+    assert r.flesch_milli == 206835 - (1015 * 6) // 2 - (84600 * 6) // 6
+    # doc 2: no sentence enders → clamp S=1
+    r = got.iloc[1]
+    assert (r.n_words, r.n_sents, r.n_syll) == (3, 1, 3)
+    # empty text: all zero counts, W clamps to 1 in the divisor
+    r = got.iloc[2]
+    assert (r.n_words, r.n_sents, r.n_syll) == (0, 1, 0)
+    assert r.flesch_milli == 206835
+
+
+def test_type_token_ratio_golden():
+    from dygiepp_ray.stages.text import type_token_ratio
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a b A b c", ""],
+    })
+    got = type_token_ratio(df)
+    r = got.iloc[0]
+    # lowercased: a b a b c → 5 tokens, 3 types
+    assert (r.n_tokens, r.n_types) == (5, 3)
+    assert r.ttr_ppm == 3 * 1_000_000 // 5
+    r = got.iloc[1]
+    assert (r.n_tokens, r.n_types, r.ttr_ppm) == (0, 0, 0)

@@ -359,3 +359,78 @@ def test_ordered_prefix_max_golden_and_band_invariance():
             ray.data.from_pandas(df).repartition(nparts), "o", "v",
             out_col="wm", n_bands=nbands).to_pandas()
         assert {int(r.o): int(r.wm) for r in got.itertuples()} == want
+
+
+# ------------------------------------------------- last-touch attribution
+
+
+def _attribution_oracle(df, window_us):
+    """Row-by-row pandas re-walk of the last-touch contract."""
+    out = {}
+    df = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    for _, g in df.groupby("user_id"):
+        rows = list(g.itertuples())
+        for i, r in enumerate(rows):
+            if r.event_type != "purchase":
+                continue
+            attr = "none"
+            for s in reversed(rows[:i]):
+                if s.event_type != "purchase":
+                    d_us = (r.ts - s.ts) // pd.Timedelta(1, "us")
+                    if d_us <= window_us:
+                        attr = s.event_type
+                    break
+            cents = int(np.floor(r.value * 100 + 0.5))
+            n, v = out.get(attr, (0, 0))
+            out[attr] = (n + 1, v + cents)
+    return out
+
+
+def test_last_touch_attribution_vs_oracle_and_invariance():
+    from dygiepp_ray.windows import last_touch_attribution
+
+    rng = np.random.RandomState(13)
+    n = 500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "user_id": rng.randint(0, 30, size=n),
+        "event_type": rng.choice(["view", "click", "purchase", "error"],
+                                 size=n, p=[0.4, 0.3, 0.2, 0.1]),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 20 * 1440, size=n), unit="m"),
+        "value": rng.uniform(0, 50, size=n).round(2),
+    })
+    win = 7 * 86400 * 1_000_000
+    want = _attribution_oracle(df, win)
+    for nparts, nb in ((1, 4), (5, 64)):
+        got = last_touch_attribution(
+            ray.data.from_pandas(df).repartition(nparts), "purchase",
+            window_us=win, n_buckets=nb).to_pandas()
+        have = {r.attributed_type: (int(r.n_conversions), int(r.value_s))
+                for r in got.itertuples()}
+        assert have == want
+
+
+def test_last_touch_attribution_window_and_tiebreak():
+    from dygiepp_ray.windows import last_touch_attribution
+
+    t0 = pd.Timestamp("2024-01-01")
+    day = pd.Timedelta("1d")
+    # u1: view 8 days before purchase → outside 7d window → none
+    # u2: view and click at the SAME ts; event_id order makes click later
+    #     → click wins (strict (ts, id) order)
+    # u3: purchase then view after it → nothing precedes → none
+    df = pd.DataFrame({
+        "event_id":   [1, 2, 3, 4, 5, 6, 7],
+        "user_id":    [1, 1, 2, 2, 2, 3, 3],
+        "event_type": ["view", "purchase", "view", "click", "purchase",
+                       "purchase", "view"],
+        "ts": [t0, t0 + 8 * day, t0, t0, t0 + day, t0, t0 + day],
+        "value": [0.0, 10.0, 0.0, 0.0, 20.0, 30.0, 0.0],
+    })
+    got = last_touch_attribution(
+        ray.data.from_pandas(df), "purchase",
+        window_us=7 * 86400 * 1_000_000).to_pandas()
+    have = {r.attributed_type: (int(r.n_conversions), int(r.value_s))
+            for r in got.itertuples()}
+    assert have == {"none": (2, 4000), "click": (1, 2000)}
