@@ -2369,6 +2369,104 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["tpch_q22"] = q_tpch_q22
 
+    def q_tpch_q17(sf_dir: str):
+        # TPC-H Q17 shape: revenue locked in "small" orders — lines whose
+        # quantity is below 20% of their part's average. The per-part
+        # (n, Σqty) stats reduce OFF the fact table, join back bucketed on
+        # partkey, and the comparison is EXACT integers:
+        # qty < 0.2·(Σ/n) ⇔ 5·qty_s·n < Σqty_s (both sides cents-scaled).
+        # Per-bucket scalar partials; one tiny final reduce.
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.joins import hash_join
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "l_partkey": df["l_partkey"].to_numpy("int64"),
+                "qty_s": np.floor(df["l_quantity"].to_numpy(np.float64)
+                                  * 100.0 + 0.5).astype("int64"),
+                "ext_s": np.floor(df["l_extendedprice"].to_numpy(np.float64)
+                                  * 100.0 + 0.5).astype("int64")})
+
+        cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+        stats = partial_final_agg(
+            _read(sf_dir, "lineitem", cols).map_batches(
+                prep, batch_format="pandas"),
+            ["l_partkey"], [("n_l", None, "count"),
+                            ("sum_qty_s", "qty_s", "sum")])
+
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            small = (5 * df["qty_s"].to_numpy("int64")
+                     * df["n_l"].to_numpy("int64")
+                     < df["sum_qty_s"].to_numpy("int64"))
+            ext = df["ext_s"].to_numpy("int64")[small]
+            return pd.DataFrame({"k": np.zeros(1, "int64"),
+                                 "n_small": np.array([small.sum()], "int64"),
+                                 "total_part": np.array([ext.sum()], "int64")})
+
+        joined = hash_join(
+            _read(sf_dir, "lineitem", cols).map_batches(
+                prep, batch_format="pandas"),
+            stats, on="l_partkey", n_buckets=16,
+            left_types={"l_partkey": pa.int64(), "qty_s": pa.int64(),
+                        "ext_s": pa.int64()},
+            right_types={"l_partkey": pa.int64(), "n_l": pa.int64(),
+                         "sum_qty_s": pa.int64()},
+            bucket_post=per_bucket)
+        agg = partial_final_agg(joined, ["k"],
+                                [("n_small", "n_small", "sum"),
+                                 ("total_s", "total_part", "sum")])
+        return agg.map_batches(
+            lambda df: pd.DataFrame({
+                "n_small": df["n_small"].astype("int64"),
+                "total_s": df["total_s"].astype("int64"),
+                "avg_yearly_s": (df["total_s"] // 7).astype("int64")}),
+            batch_format="pandas")
+
+    q["tpch_q17"] = q_tpch_q17
+
+    def q_events_ab_lift(sf_dir: str):
+        # experiment-analysis primitive: deterministic A/B assignment by
+        # user_id parity, per-event-type mean lift of arm B over arm A in
+        # exact ppm — conditional-indicator partials (the kg_star_query
+        # trick), final ratio in PYTHON ints on the |event types|-sized
+        # frame (sum·n·1e6 overflows int64 at scale; DuckDB mirrors in
+        # HUGEINT then //).
+        from dygiepp_ray.aggregates import partial_final_agg
+
+        ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            b = (df["user_id"].to_numpy("int64") % 2 == 1)
+            val = np.floor(df["value"].to_numpy(np.float64) * 100.0
+                           + 0.5).astype("int64")
+            return pd.DataFrame({
+                "event_type": df["event_type"],
+                "n_a": (~b).astype("int64"),
+                "sum_a_s": np.where(b, 0, val),
+                "n_b": b.astype("int64"),
+                "sum_b_s": np.where(b, val, 0)})
+
+        agg = partial_final_agg(
+            ds.map_batches(prep, batch_format="pandas"), ["event_type"],
+            [("n_a", "n_a", "sum"), ("sum_a_s", "sum_a_s", "sum"),
+             ("n_b", "n_b", "sum"), ("sum_b_s", "sum_b_s", "sum")])
+
+        def lift(df: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for na, sa, nb, sb in zip(df["n_a"], df["sum_a_s"],
+                                      df["n_b"], df["sum_b_s"]):
+                na, sa, nb, sb = int(na), int(sa), int(nb), int(sb)
+                if sa > 0 and nb > 0:
+                    out.append((sb * na * 1_000_000) // (sa * nb)
+                               - 1_000_000)
+                else:
+                    out.append(0)
+            return df.assign(lift_ppm=np.array(out, "int64"))
+
+        return agg.map_batches(lift, batch_format="pandas")
+
+    q["events_ab_lift"] = q_events_ab_lift
+
     def q_brand_return_rates(sf_dir: str):
         # brand-level return rates: per-partkey (lines, returned) reduce
         # off the fact table, ONE bucketed join against the part dimension
@@ -3755,6 +3853,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return kgp.edge_support(_synth_triples(sf_dir), salt_buckets=4)
 
     q["kg_edge_support"] = q_kg_edge_support
+
+    def q_kg_degree_gini(sf_dir: str):
+        # hub-concentration audit: exact-integer Gini of the undirected
+        # degree distribution (tie-grouped distinct-degree table through
+        # the banded global rank scan; see kgp.degree_gini)
+        _ensure_triples_oracle(sf_dir)
+        return kgp.degree_gini(_synth_triples(sf_dir), salt_buckets=4)
+
+    q["kg_degree_gini"] = q_kg_degree_gini
+
+    def q_kg_schema_violations(sf_dir: str):
+        # schema QA: distinct (pred, subject) pairs whose modal-mention
+        # subject type disagrees with the predicate's induced domain type
+        # (the argmax of distinct-subject counts per pred; ties
+        # lexicographic). The pred→domain table is PREDICATE-VOCABULARY
+        # sized (schema-bounded by nature) → broadcast once via ray.put;
+        # everything else is the domain_range join shape.
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.aggregates import argmax_per_key, partial_final_agg
+        from dygiepp_ray.joins import hash_join
+
+        _ensure_triples_oracle(sf_dir)
+        _write_oracle(sf_dir, "kg_mention_counts",
+                      lambda: _o.expected_mention_counts(
+                          _oracle_docs_table(sf_dir),
+                          {**ENTITY_LEXICON, **DOC_LEXICON}))
+        mentions = _docs_predicted(sf_dir).map_batches(
+            flatten_ner_mentions, batch_format="pyarrow")
+        counts = grouped_count(
+            mentions.select_columns(["mention_norm", "label"]),
+            ["mention_norm", "label"], out_name="n", salt_buckets=8)
+        types = argmax_per_key(
+            counts, key="mention_norm", order_cols=["n", "label"],
+            ascending=[False, True],
+            keep_cols=["mention_norm", "label", "n"]).map_batches(
+            lambda df: pd.DataFrame({"subj_norm": df["mention_norm"],
+                                     "subj_type": df["label"]}),
+            batch_format="pandas")
+
+        pairs = grouped_count(
+            _synth_triples(sf_dir).select_columns(["subj_norm", "pred"]),
+            ["subj_norm", "pred"], out_name="_c", salt_buckets=4
+        ).select_columns(["subj_norm", "pred"])
+
+        s_t = pa.string()
+        typed = hash_join(
+            pairs, types, on="subj_norm", how="left", n_buckets=16,
+            left_types={"subj_norm": s_t, "pred": s_t},
+            right_types={"subj_norm": s_t, "subj_type": s_t},
+            bucket_post=lambda m: m.assign(
+                subj_type=m["subj_type"].fillna("UNKNOWN"))).materialize()
+
+        dom_counts = partial_final_agg(
+            typed.map_batches(
+                lambda df: df.assign(one=np.ones(len(df), "int64")),
+                batch_format="pandas"),
+            ["pred", "subj_type"], [("n", "one", "sum")])
+        dom = argmax_per_key(dom_counts, key="pred",
+                             order_cols=["n", "subj_type"],
+                             ascending=[False, True],
+                             keep_cols=["pred", "subj_type"]).to_pandas()
+        dom_ref = ray.put(dict(zip(dom["pred"], dom["subj_type"])))
+
+        def flag(df: pd.DataFrame) -> pd.DataFrame:
+            exp = df["pred"].map(ray.get(dom_ref))
+            bad = (df["subj_type"].to_numpy(object) != "UNKNOWN") \
+                & (df["subj_type"].to_numpy(object) != exp.to_numpy(object))
+            out = df.loc[bad, ["pred", "subj_norm", "subj_type"]].copy()
+            out["expected_type"] = exp[bad].to_numpy(object)
+            return out
+
+        return typed.map_batches(flag, batch_format="pandas")
+
+    q["kg_schema_violations"] = q_kg_schema_violations
 
     def q_kg_predicate_stats(sf_dir: str):
         # per-predicate schema stats (edge count, subj/obj cardinality,
@@ -8645,6 +8817,105 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT c FROM t
             )
             SELECT node, count(*) AS n_triangles FROM n GROUP BY node
+        """,
+        "tpch_q17": """
+            WITH l AS (
+                SELECT l_partkey,
+                       CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_s,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           AS ext_s
+                FROM lineitem
+            ), s AS (
+                SELECT l_partkey, count(*) AS n_l, sum(qty_s) AS sum_qty_s
+                FROM l GROUP BY 1
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_small,
+                   CAST(sum(l.ext_s) AS BIGINT) AS total_s,
+                   CAST(sum(l.ext_s) // 7 AS BIGINT) AS avg_yearly_s
+            FROM l JOIN s USING (l_partkey)
+            WHERE 5 * l.qty_s * s.n_l < s.sum_qty_s
+        """,
+        "events_ab_lift": """
+            WITH e AS (
+                SELECT event_type, user_id % 2 AS grp,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS val_s
+                FROM events
+            ), a AS (
+                SELECT event_type,
+                       sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_a,
+                       sum(CASE WHEN grp = 0 THEN val_s ELSE 0 END) AS sum_a_s,
+                       sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n_b,
+                       sum(CASE WHEN grp = 1 THEN val_s ELSE 0 END) AS sum_b_s
+                FROM e GROUP BY 1
+            )
+            SELECT event_type,
+                   CAST(n_a AS BIGINT) AS n_a,
+                   CAST(sum_a_s AS BIGINT) AS sum_a_s,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CAST(sum_b_s AS BIGINT) AS sum_b_s,
+                   CAST(CASE WHEN sum_a_s > 0 AND n_b > 0
+                             THEN (sum_b_s * n_a * 1000000) // (sum_a_s * n_b)
+                                  - 1000000
+                             ELSE 0 END AS BIGINT) AS lift_ppm
+            FROM a
+        """,
+        "kg_degree_gini": """
+            WITH e AS (
+                SELECT DISTINCT least(subj_norm, obj_norm) AS u,
+                                greatest(subj_norm, obj_norm) AS v
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+                WHERE subj_norm <> obj_norm
+            ), d AS (
+                SELECT node, count(*) AS deg FROM (
+                    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+                ) GROUP BY node
+            ), r AS (
+                SELECT deg, row_number() OVER (ORDER BY deg, node) AS rn
+                FROM d
+            ), t AS (
+                SELECT count(*) AS n, sum(deg) AS s0, sum(rn * deg) AS s1
+                FROM r
+            )
+            SELECT CAST(n AS BIGINT) AS n_nodes,
+                   CAST(s0 AS BIGINT) AS sum_deg,
+                   CAST(((2 * s1 - (n + 1) * s0) * 1000000) // (n * s0)
+                        AS BIGINT) AS gini_ppm
+            FROM t
+        """,
+        "kg_schema_violations": """
+            WITH m AS (
+                SELECT * FROM read_parquet(
+                    '/tmp/dygiepp_ray_oracle/kg_mention_counts.parquet')
+            ), tyr AS (
+                SELECT mention_norm AS entity, label AS etype,
+                       row_number() OVER (
+                           PARTITION BY mention_norm
+                           ORDER BY n DESC, label) AS rk
+                FROM m
+            ), ty AS (
+                SELECT entity, etype FROM tyr WHERE rk = 1
+            ), p AS (
+                SELECT DISTINCT subj_norm, pred
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            ), typed AS (
+                SELECT p.pred, p.subj_norm,
+                       COALESCE(ty.etype, 'UNKNOWN') AS subj_type
+                FROM p LEFT JOIN ty ON p.subj_norm = ty.entity
+            ), dc AS (
+                SELECT pred, subj_type, count(*) AS n FROM typed
+                GROUP BY 1, 2
+            ), dr AS (
+                SELECT pred, subj_type AS expected_type,
+                       row_number() OVER (PARTITION BY pred
+                                          ORDER BY n DESC, subj_type) AS rk
+                FROM dc
+            ), dom AS (
+                SELECT pred, expected_type FROM dr WHERE rk = 1
+            )
+            SELECT t.pred, t.subj_norm, t.subj_type, d.expected_type
+            FROM typed t JOIN dom d USING (pred)
+            WHERE t.subj_type <> 'UNKNOWN'
+              AND t.subj_type <> d.expected_type
         """,
         "kg_edge_support": """
             WITH e AS (

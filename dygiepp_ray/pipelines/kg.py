@@ -827,6 +827,83 @@ def edge_support(triples: "ray.data.Dataset", salt_buckets: int = 1,
                      bucket_post=fill)
 
 
+def degree_gini(triples: "ray.data.Dataset", salt_buckets: int = 1,
+                n_bands: int = 64) -> "ray.data.Dataset":
+    """(n_nodes, sum_deg, gini_ppm) — Gini coefficient of the undirected
+    degree distribution (hub-concentration audit: 0 = perfectly even
+    graph, →1 = star; the scale-free-ness summary next to
+    `kg_assortativity`'s mixing summary). EXACT integer arithmetic end to
+    end: gini_ppm = ((2·S1 − (n+1)·S0) · 1e6) // (n·S0) with S1 =
+    Σ rank·deg over ranks 1..n ascending by (deg, node) — Chebyshev gives
+    a non-negative numerator, so floor-div mirrors SQL `//`.
+
+    Scale shape: degrees reduce at node cardinality; the rank sum needs a
+    GLOBAL ordering, so degrees tie-group to the DISTINCT degree-value
+    table (bounded by max-degree, tiny) and `ordered_prefix_sum`'s banded
+    global scan ranks it — Σ rank·deg over a tie group of count c
+    starting at rank s is (s + e)·c // 2 · deg (e = s+c−1; the sum of
+    consecutive ints, exactly even product). Overflow headroom: S1 ≤
+    n²·max_deg — fine under the |V| ≤ 2M vocabulary admission documented
+    for the degree-broadcast family."""
+    import numpy as np
+    import pandas as pd
+
+    from ..aggregates import partial_final_agg, strip_schema_metadata
+    from ..windows import ordered_prefix_sum
+
+    edges = _undirected_edges(triples, salt_buckets)
+
+    def explode_nodes(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        cols = []
+        for c in ("u", "v"):
+            arr = t.column(c).combine_chunks()
+            cols.extend(arr.chunks if isinstance(arr, pa.ChunkedArray)
+                        else [arr])
+        return pa.table({"node": pa.concat_arrays(cols)})
+
+    deg = grouped_count(
+        edges.map_batches(explode_nodes, batch_format="pyarrow"),
+        ["node"], out_name="deg")
+
+    # tie-group to the distinct-degree table so ordered_prefix_sum's
+    # unique-order contract holds
+    dd = partial_final_agg(
+        deg.map_batches(
+            lambda df: pd.DataFrame({
+                "k": np.zeros(len(df), "int64"),
+                "deg": df["deg"].to_numpy("int64"),
+                "one": np.ones(len(df), "int64")}),
+            batch_format="pandas"),
+        ["k", "deg"], [("cnt", "one", "sum")])
+    ranked = ordered_prefix_sum(dd, "k", "deg", "cnt", out_col="cum",
+                                n_bands=n_bands)
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df["cnt"].to_numpy("int64")
+        end = df["cum"].to_numpy("int64")
+        start = end - cnt + 1
+        rank_sum = (start + end) * cnt // 2
+        d = df["deg"].to_numpy("int64")
+        return pd.DataFrame({"k": np.zeros(len(df), "int64"),
+                             "n": cnt, "s0": cnt * d, "s1": rank_sum * d})
+
+    tot = partial_final_agg(
+        ranked.map_batches(contrib, batch_format="pandas"), ["k"],
+        [("n", "n", "sum"), ("s0", "s0", "sum"), ("s1", "s1", "sum")])
+
+    def gini(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["n"].iloc[0])
+        s0 = int(df["s0"].iloc[0])
+        s1 = int(df["s1"].iloc[0])
+        g = ((2 * s1 - (n + 1) * s0) * 1_000_000) // (n * s0) if n and s0 else 0
+        return pd.DataFrame({"n_nodes": np.array([n], "int64"),
+                             "sum_deg": np.array([s0], "int64"),
+                             "gini_ppm": np.array([g], "int64")})
+
+    return tot.map_batches(gini, batch_format="pandas")
+
+
 def clustering_coefficient(triples: "ray.data.Dataset", scale: int = 10_000,
                            salt_buckets: int = 1,
                            n_buckets: int = 32) -> "ray.data.Dataset":

@@ -1317,3 +1317,37 @@ def test_edge_support_random_graph_matches_bruteforce():
     got = edge_support(
         ray.data.from_pandas(tri).repartition(3), salt_buckets=2).to_pandas()
     assert {(r.u, r.v): int(r.support) for r in got.itertuples()} == want
+
+
+# ----------------------------------------------------------- degree gini
+
+
+def test_degree_gini_matches_bruteforce():
+    import numpy as np
+
+    from dygiepp_ray.pipelines.kg import degree_gini
+
+    rng = np.random.RandomState(3)
+    names = [f"n{i:02d}" for i in range(14)]
+    pairs = [(names[rng.randint(14)], names[rng.randint(14)])
+             for _ in range(60)]
+    tri = pd.DataFrame({
+        "subj_norm": [p[0] for p in pairs],
+        "pred": ["R"] * len(pairs),
+        "obj_norm": [p[1] for p in pairs],
+    })
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    degs: dict[str, int] = {}
+    for u, v in und:
+        degs[u] = degs.get(u, 0) + 1
+        degs[v] = degs.get(v, 0) + 1
+    vals = sorted(degs.values())
+    n, s0 = len(vals), sum(vals)
+    s1 = sum((i + 1) * d for i, d in enumerate(vals))
+    want = ((2 * s1 - (n + 1) * s0) * 1_000_000) // (n * s0)
+    for n_bands in (2, 64):
+        got = degree_gini(ray.data.from_pandas(tri).repartition(3),
+                          salt_buckets=2, n_bands=n_bands).to_pandas()
+        assert int(got["n_nodes"].iloc[0]) == n
+        assert int(got["sum_deg"].iloc[0]) == s0
+        assert int(got["gini_ppm"].iloc[0]) == want
