@@ -3704,6 +3704,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["embedding_clusters"] = q_embedding_clusters
 
+    def q_embedding_silhouette(sf_dir: str):
+        # per-cluster simplified silhouette (clustering-quality audit for
+        # the k-means family): one assignment scan, k-row reduce, all
+        # emitted numbers integer-exact on the 6-dp distance grid
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.cluster import embedding_silhouette
+
+        _write_oracle(sf_dir, "embedding_silhouette",
+                      lambda: _o.expected_embedding_silhouette(
+                          sf_dir, k=8, n_iter=4))
+        cents = _fit_centroids(sf_dir, k=8, n_iter=4)
+        return embedding_silhouette(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]), cents)
+
+    q["embedding_silhouette"] = q_embedding_silhouette
+
     def q_embedding_outliers(sf_dir: str):
         # embedding-space curation inspect list: the 10 farthest rows per
         # k-means cluster (exact scaled-int ordering, vec_id tiebreak) with
@@ -4640,6 +4656,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    mode="broadcast")
 
     q["kg_kcore"] = q_kg_kcore
+
+    def q_kg_truss(sf_dir: str):
+        # truss number per edge (edge-level cohesion; kg_kcore's edge
+        # analog, edge_support's peel-to-fixpoint refinement). Driver peel
+        # under the |E| admission bound, NO shuffle fallback by design
+        # (per-round triangle recount); definition-based oracle re-walk
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.graph import truss_decomposition
+
+        _write_oracle(sf_dir, "kg_truss",
+                      lambda: _o.expected_truss(_oracle_triples_table(sf_dir)))
+        return truss_decomposition(_distinct_edge_ds(sf_dir),
+                                   src="subj_norm", dst="obj_norm")
+
+    q["kg_truss"] = q_kg_truss
 
     def q_kg_communities(sf_dir: str):
         # community detection by deterministic synchronous label propagation
@@ -9044,6 +9075,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_kcore": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_kcore.parquet')
+        """,
+        "kg_truss": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_truss.parquet')
+        """,
+        "embedding_silhouette": """
+            SELECT * FROM read_parquet(
+                '/tmp/dygiepp_ray_oracle/embedding_silhouette.parquet')
         """,
         "kg_communities": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_communities.parquet')

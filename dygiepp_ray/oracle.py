@@ -1368,6 +1368,36 @@ def expected_embedding_outliers(sf_dir: str, k: int = 8, n_iter: int = 4,
     })
 
 
+def expected_embedding_silhouette(sf_dir: str, k: int = 8,
+                                  n_iter: int = 4) -> pa.Table:
+    """Scalar re-walk of cluster.py:embedding_silhouette — same
+    single-thread k-means fit, distances on the same 6-dp int grid,
+    b = second-smallest order statistic (np.sort), all reduces in
+    Python ints."""
+    from .functions.strings import round_half_up
+
+    ids, mat = _read_embeddings(sf_dir)
+    centroids = _kmeans_single(mat, ids, k, n_iter)
+    d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=-1)
+    labels = d.argmin(axis=1)
+    two = np.sort(d, axis=1)[:, :2]
+    a_s = np.rint(round_half_up(np.sqrt(two[:, 0]), 6) * 1e6).astype(np.int64)
+    b_s = np.rint(round_half_up(np.sqrt(two[:, 1]), 6) * 1e6).astype(np.int64)
+    s_ppm = (b_s - a_s) * 1_000_000 // np.maximum(b_s, 1)
+    rows = []
+    for j in sorted(set(labels.tolist())):
+        sel = labels == j
+        n = int(sel.sum())
+        rows.append((j, n, int(s_ppm[sel].sum()) // n,
+                     int(a_s[sel].sum()) // n))
+    return pa.table({
+        "cluster": pa.array([r[0] for r in rows], pa.int32()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "mean_sil_ppm": pa.array([r[2] for r in rows], pa.int64()),
+        "mean_dist_scaled": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
 def expected_knn_ivf(sf_dir: str, k: int = 10, nprobe: int = 2,
                      n_clusters: int = 8, n_iter: int = 3) -> pa.Table:
     from .functions.strings import round_half_up
@@ -2737,6 +2767,40 @@ def expected_kcore(triples: pa.Table) -> pa.Table:
     ks = sorted(core)
     return pa.table({"node": pa.array(ks, pa.string()),
                      "core": pa.array([core[n] for n in ks], pa.int64())})
+
+
+def expected_truss(triples: pa.Table) -> pa.Table:
+    """Definition-based truss numbers over the distinct undirected edge
+    set: for k = 3, 4, … compute the k-truss by iterated FULL support
+    recomputation (prune edges with < k−2 in-subgraph triangles to a
+    fixpoint); an edge's trussness is the largest k whose truss contains
+    it. Independent of the engine's single-pass peel."""
+    s = triples.column("subj_norm").to_pylist()
+    o = triples.column("obj_norm").to_pylist()
+    und = {tuple(sorted((a, b))) for a, b in zip(s, o) if a != b}
+    truss = {e: 2 for e in und}
+    cur = set(und)
+    k = 3
+    while cur:
+        g = set(cur)
+        while True:
+            adj: dict[str, set] = {}
+            for a, b in g:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            bad = [e for e in g if len(adj[e[0]] & adj[e[1]]) < k - 2]
+            if not bad:
+                break
+            g -= set(bad)
+        for e in g:
+            truss[e] = k
+        cur = g
+        k += 1
+    es = sorted(truss)
+    return pa.table({
+        "u": pa.array([e[0] for e in es], pa.string()),
+        "v": pa.array([e[1] for e in es], pa.string()),
+        "trussness": pa.array([truss[e] for e in es], pa.int64())})
 
 
 def expected_fuzzy_decontaminate(sf_dir: str, est_threshold: float = 0.5,

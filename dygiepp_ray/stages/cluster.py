@@ -179,6 +179,67 @@ def knn_ivf(embeddings: "ray.data.Dataset", centroids: np.ndarray,
     return scored.sort(["cosine", id_col], descending=[True, False]).limit(k)
 
 
+def embedding_silhouette(embeddings: "ray.data.Dataset",
+                         centroids: np.ndarray,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> "ray.data.Dataset":
+    """(cluster, n, mean_sil_ppm, mean_dist_scaled) — per-cluster
+    SIMPLIFIED silhouette (centroid-based: a = distance to own centroid,
+    b = distance to the second-nearest centroid; s = (b−a)/b) — the
+    clustering-quality audit for the k-means family (low silhouette flags
+    clusters to re-fit or merge before SemDeDup-style pruning trusts
+    them). Distances use `_assign`'s difference form, 6-dp-rounded and
+    lifted to exact int64 (the `embedding_outliers` grid); per-row
+    s_ppm = (b_s − a_s)·1e6 // max(b_s, 1), so every emitted number is
+    integer-exact under any partitioning. b takes the second-smallest
+    VALUE (duplicate centroids → s = 0), matching the oracle's sorted
+    order statistic bit-for-bit.
+
+    Scale shape: ONE assignment scan emitting per-(block, cluster)
+    (n, Σs_ppm, Σa_s) partials; the reduce is k-row."""
+    from ..aggregates import partial_final_agg
+
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        m = _matrix(batch, vec_col)
+        n = m.shape[0]
+        d = np.empty((n, c.shape[0]), dtype=np.float64)
+        for j in range(c.shape[0]):
+            diff = m - c[j]
+            d[:, j] = (diff * diff).sum(axis=1)
+        labels = d.argmin(axis=1)
+        two = np.partition(d, 1, axis=1)[:, :2]
+        a_s = np.rint(round_half_up(np.sqrt(two[:, 0]), 6)
+                      * 1e6).astype(np.int64)
+        b_s = np.rint(round_half_up(np.sqrt(two[:, 1]), 6)
+                      * 1e6).astype(np.int64)
+        s_ppm = (b_s - a_s) * 1_000_000 // np.maximum(b_s, 1)
+        g = pd.DataFrame({"cluster": labels.astype(np.int32),
+                          "n_p": np.ones(n, dtype=np.int64),
+                          "sil_p": s_ppm, "a_p": a_s})
+        return g.groupby("cluster", as_index=False)[
+            ["n_p", "sil_p", "a_p"]].sum()
+
+    agg = partial_final_agg(
+        embeddings.select_columns([id_col, vec_col]).map_batches(
+            partials, batch_format="pandas"),
+        ["cluster"], [("n", "n_p", "sum"), ("sil", "sil_p", "sum"),
+                      ("a", "a_p", "sum")])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy("int64")
+        return pd.DataFrame({
+            "cluster": df["cluster"].astype("int32"),
+            "n": n,
+            "mean_sil_ppm": df["sil"].to_numpy("int64") // np.maximum(n, 1),
+            "mean_dist_scaled": df["a"].to_numpy("int64") // np.maximum(n, 1),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def semantic_dedup(embeddings: "ray.data.Dataset", centroids: np.ndarray,
                    threshold: float = 0.9, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> "ray.data.Dataset":

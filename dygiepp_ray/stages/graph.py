@@ -1619,3 +1619,81 @@ def seeded_type_propagation(edges: "ray.data.Dataset",
         "etype": pa.array([type_vocab[lab[i]] for i in typed], pa.string()),
         "round_assigned": pa.array([int(rnd[i]) for i in typed],
                                    pa.int64())}))
+
+
+def truss_decomposition(edges: "ray.data.Dataset", src: str = "src",
+                        dst: str = "dst",
+                        local_max_edges: int | None = None
+                        ) -> "ray.data.Dataset":
+    """(u, v, trussness) — truss number per DISTINCT undirected non-loop
+    edge: the largest k such that the edge belongs to the k-truss (the
+    maximal subgraph where every edge closes ≥ k−2 triangles inside it).
+    The edge-level cohesion analog of `kcore_decomposition` — trussness
+    ≥ 3 marks community-core edges, 2 marks tree-like/bridge edges
+    (`edge_support`'s peel-to-fixpoint refinement). The decomposition is
+    UNIQUE, so the result is removal-order independent.
+
+    Contract: driver peel under the `LOCAL_MAX_EDGES` admission bound
+    (|E|-bounded state — same discipline as kg_scc's |V| bound). NO
+    shuffle fallback BY DESIGN: each distributed peel round would be a
+    full triangle recount (an all-to-all join per round, O(peel-depth)
+    rounds); callers above the bound get an explicit admission error
+    instead of a silent cliff. Support updates during the peel touch only
+    the removed edge's live common neighbors, so the local peel is
+    O(Σ support) after the initial intersection pass."""
+    from collections import deque
+
+    und = _dedup_undirected(edges, src, dst)
+    names, indexed = _index_edges(und, "u", "v")
+    cap = local_max_edges if local_max_edges is not None else LOCAL_MAX_EDGES
+    n_edges = indexed.count()
+    if n_edges > cap:
+        raise ValueError(
+            f"truss_decomposition: |E| = {n_edges} exceeds the local "
+            f"admission bound {cap}; no shuffle fallback by design "
+            "(per-round triangle recount)")
+    s, d = _collect_indexed(indexed)
+    n = len(names)
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "u": pa.array([], pa.string()),
+            "v": pa.array([], pa.string()),
+            "trussness": pa.array([], pa.int64())}))
+
+    adj: list[set] = [set() for _ in range(n)]
+    for a, b in zip(s.tolist(), d.tolist()):
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def canon(a: int, b: int) -> tuple:
+        return (a, b) if a < b else (b, a)
+
+    alive = {canon(a, b) for a, b in zip(s.tolist(), d.tolist())}
+    sup = {e: len(adj[e[0]] & adj[e[1]]) for e in alive}
+    truss: dict[tuple, int] = {}
+    k = 3
+    while alive:
+        queue = deque(sorted(e for e in alive if sup[e] < k - 2))
+        while queue:
+            e = queue.popleft()
+            if e not in alive:
+                continue
+            a, b = e
+            common = adj[a] & adj[b]
+            alive.discard(e)
+            truss[e] = k - 1
+            adj[a].discard(b)
+            adj[b].discard(a)
+            for c in common:
+                for f in (canon(a, c), canon(b, c)):
+                    if f in alive:
+                        sup[f] -= 1
+                        if sup[f] < k - 2:
+                            queue.append(f)
+        k += 1
+
+    items = sorted(truss.items())
+    return ray.data.from_arrow(pa.table({
+        "u": pa.array([names[e[0]] for e, _ in items], pa.string()),
+        "v": pa.array([names[e[1]] for e, _ in items], pa.string()),
+        "trussness": pa.array([t for _, t in items], pa.int64())}))

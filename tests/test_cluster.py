@@ -287,3 +287,30 @@ def test_embedding_outliers_bruteforce_and_invariance():
             mean_j = int(ds[lab == j].sum()) // max(int((lab == j).sum()), 1)
             assert all(int(r.cluster_mean_scaled) == mean_j
                        for r in got[got["cluster"] == j].itertuples())
+
+
+def test_embedding_silhouette_partition_invariance_and_bounds():
+    from dygiepp_ray.stages.cluster import embedding_silhouette, kmeans_fit
+
+    rng = np.random.RandomState(5)
+    # two tight blobs + noise, ids deterministic
+    mat = np.vstack([rng.normal(0, 0.1, size=(30, 4)),
+                     rng.normal(3, 0.1, size=(30, 4)),
+                     rng.normal(1.5, 1.0, size=(20, 4))])
+    df = pd.DataFrame({"vec_id": np.arange(len(mat), dtype="int64"),
+                       "embedding": list(mat)})
+    ds = ray.data.from_pandas(df)
+    cents = kmeans_fit(ds, k=3, n_iter=3)
+    outs = []
+    for nparts in (1, 4):
+        got = embedding_silhouette(
+            ray.data.from_pandas(df).repartition(nparts), cents
+        ).to_pandas().sort_values("cluster").reset_index(drop=True)
+        outs.append(got)
+        assert got["n"].sum() == len(mat)
+        assert (got["mean_sil_ppm"] >= 0).all()
+        assert (got["mean_sil_ppm"] <= 1_000_000).all()
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # the two tight blobs should dominate: at least one cluster with a
+    # high silhouette
+    assert outs[0]["mean_sil_ppm"].max() > 700_000

@@ -1351,3 +1351,79 @@ def test_degree_gini_matches_bruteforce():
         assert int(got["n_nodes"].iloc[0]) == n
         assert int(got["sum_deg"].iloc[0]) == s0
         assert int(got["gini_ppm"].iloc[0]) == want
+
+
+# ---------------------------------------------------------------- truss
+
+
+def _truss_brute(pairs: list[tuple[str, str]]) -> dict[tuple, int]:
+    """Definition-based: k-truss by iterated full support recompute."""
+    und = {tuple(sorted(e)) for e in pairs if e[0] != e[1]}
+    truss = {e: 2 for e in und}
+    cur, k = set(und), 3
+    while cur:
+        g = set(cur)
+        while True:
+            adj: dict[str, set] = {}
+            for a, b in g:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            bad = [e for e in g if len(adj[e[0]] & adj[e[1]]) < k - 2]
+            if not bad:
+                break
+            g -= set(bad)
+        for e in g:
+            truss[e] = k
+        cur = g
+        k += 1
+    return truss
+
+
+def test_truss_golden_and_invariance():
+    from dygiepp_ray.stages.graph import truss_decomposition
+
+    # K4 (every edge trussness 4) + pendant d-e (trussness 2) + a
+    # triangle hanging off e (trussness 3)
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e"), ("e", "f"), ("e", "g"), ("f", "g")]
+    tri = pd.DataFrame({"subj_norm": [p[0] for p in pairs],
+                        "obj_norm": [p[1] for p in pairs]})
+    want = _truss_brute(pairs)
+    for nparts in (1, 3):
+        got = truss_decomposition(
+            ray.data.from_pandas(tri).repartition(nparts),
+            src="subj_norm", dst="obj_norm").to_pandas()
+        assert {(r.u, r.v): int(r.trussness)
+                for r in got.itertuples()} == want
+    assert want[("a", "b")] == 4 and want[("d", "e")] == 2
+    assert want[("e", "f")] == 3
+
+
+def test_truss_random_graph_matches_bruteforce():
+    import numpy as np
+
+    from dygiepp_ray.stages.graph import truss_decomposition
+
+    rng = np.random.RandomState(21)
+    names = [f"n{i:02d}" for i in range(15)]
+    pairs = [(names[rng.randint(15)], names[rng.randint(15)])
+             for _ in range(110)]
+    tri = pd.DataFrame({"subj_norm": [p[0] for p in pairs],
+                        "obj_norm": [p[1] for p in pairs]})
+    want = _truss_brute(pairs)
+    got = truss_decomposition(
+        ray.data.from_pandas(tri).repartition(3),
+        src="subj_norm", dst="obj_norm").to_pandas()
+    assert {(r.u, r.v): int(r.trussness) for r in got.itertuples()} == want
+
+
+def test_truss_admission_guard():
+    import pytest as _pytest
+
+    from dygiepp_ray.stages.graph import truss_decomposition
+
+    tri = pd.DataFrame({"subj_norm": ["a", "b", "c"],
+                        "obj_norm": ["b", "c", "a"]})
+    with _pytest.raises(ValueError, match="admission"):
+        truss_decomposition(ray.data.from_pandas(tri), src="subj_norm",
+                            dst="obj_norm", local_max_edges=1)
