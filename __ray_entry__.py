@@ -2467,6 +2467,98 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_ab_lift"] = q_events_ab_lift
 
+    def q_part_skyline(sf_dir: str):
+        # skyline (Pareto frontier) query: parts not dominated on
+        # (price min, size max). The frontier operator is ASSOCIATIVE —
+        # frontier(frontier(A) ∪ frontier(B)) = frontier(A ∪ B) — so the
+        # scale shape is block-local frontiers (each block emits only its
+        # non-dominated rows) followed by ONE final frontier over the
+        # union, whose input is bounded by Σ per-block frontier sizes,
+        # never the table. Equal (price, size) rows do not dominate each
+        # other (no strict inequality) — all copies survive.
+        def frontier(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[["p_partkey", "p_retailprice", "p_size"]]
+            if not len(df):
+                return df
+            gmax = df.groupby("p_retailprice")["p_size"].transform("max")
+            cand = df[df["p_size"] == gmax]
+            pu = (cand.drop_duplicates("p_retailprice")
+                  [["p_retailprice", "p_size"]]
+                  .sort_values("p_retailprice", kind="mergesort"))
+            run = pu["p_size"].cummax().shift(1, fill_value=-1)
+            keep = set(pu.loc[pu["p_size"] > run, "p_retailprice"])
+            return cand[cand["p_retailprice"].isin(keep)]
+
+        ds = _read(sf_dir, "part",
+                   ["p_partkey", "p_retailprice", "p_size"]).map_batches(
+            frontier, batch_format="pandas")
+        return ds.map_batches(
+            lambda df: df.assign(_k=np.zeros(len(df), "int64")),
+            batch_format="pandas").groupby("_k").map_groups(
+            lambda df: frontier(df.drop(columns=["_k"])),
+            batch_format="pandas")
+
+    q["part_skyline"] = q_part_skyline
+
+    def q_lineitem_corr_matrix(sf_dir: str):
+        # column-profiler completion: the pairwise Pearson matrix of the
+        # four numeric lineitem measures from ONE scan of exact int64
+        # moment partials (quantization contract per column: qty and
+        # price on the unit grid, discount/tax ×100 — mirrored in SQL;
+        # headroom: price² ≈ 1.2e10/row → ~7e8 rows in int64, re-scale
+        # for bigger corpora). Final = the events_value_corr float tree
+        # per pair on a 1-row frame.
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.functions.strings import round_half_up
+
+        cols = [("l_quantity", 1), ("l_extendedprice", 1),
+                ("l_discount", 100), ("l_tax", 100)]
+        names = [c for c, _ in cols]
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            xs = [np.floor(df[c].to_numpy(np.float64) * s + 0.5
+                           ).astype("int64") for c, s in cols]
+            row: dict = {"k": [0], "n": [np.int64(len(df))]}
+            for i, x in enumerate(xs):
+                row[f"s{i}"] = [x.sum()]
+                row[f"ss{i}"] = [(x * x).sum()]
+            for i in range(4):
+                for j in range(i + 1, 4):
+                    row[f"sp{i}{j}"] = [(xs[i] * xs[j]).sum()]
+            return pd.DataFrame(row)
+
+        spec = [("n", "n", "sum")]
+        spec += [(f"s{i}", f"s{i}", "sum") for i in range(4)]
+        spec += [(f"ss{i}", f"ss{i}", "sum") for i in range(4)]
+        spec += [(f"sp{i}{j}", f"sp{i}{j}", "sum")
+                 for i in range(4) for j in range(i + 1, 4)]
+        agg = partial_final_agg(
+            _read(sf_dir, "lineitem", names).map_batches(
+                prep, batch_format="pandas"), ["k"], spec)
+
+        def corr(df: pd.DataFrame) -> pd.DataFrame:
+            r = df.iloc[0]
+            n = float(int(r["n"]))
+            out = []
+            for i in range(4):
+                for j in range(i + 1, 4):
+                    sx, sy = float(int(r[f"s{i}"])), float(int(r[f"s{j}"]))
+                    sxx, syy = float(int(r[f"ss{i}"])), float(int(r[f"ss{j}"]))
+                    sxy = float(int(r[f"sp{i}{j}"]))
+                    den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+                    c = (n * sxy - sx * sy) / np.sqrt(den) if den > 0 else 0.0
+                    out.append((names[i], names[j],
+                                float(round_half_up(c, 6))))
+            return pd.DataFrame({
+                "col_a": [o[0] for o in out],
+                "col_b": [o[1] for o in out],
+                "n": np.full(len(out), np.int64(n)),
+                "corr_q": [o[2] for o in out]})
+
+        return agg.map_batches(corr, batch_format="pandas")
+
+    q["lineitem_corr_matrix"] = q_lineitem_corr_matrix
+
     def q_brand_return_rates(sf_dir: str):
         # brand-level return rates: per-partkey (lines, returned) reduce
         # off the fact table, ONE bucketed join against the part dimension
@@ -6113,6 +6205,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["media_dedup"] = q_media_dedup
 
+    def q_media_neardup(sf_dir: str):
+        # decode-free NEAR-dup over binary payloads: byte-4-gram SimHash,
+        # 4-band routing (lossless at hamming <= 3 by pigeonhole),
+        # in-bucket popcount verify; all-pairs brute-force oracle over
+        # the shared planted corpus
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.oracle import _media_neardup_corpus
+        from dygiepp_ray.stages.multimodal import payload_neardup_pairs
+
+        _write_oracle(sf_dir, "media_neardup",
+                      lambda: _o.expected_media_neardup(32, 12, 4))
+        mids, payloads = _media_neardup_corpus(32, 12, 4)
+        media = ray.data.from_arrow(pa.table({
+            "media_id": pa.array(mids, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        })).repartition(4)
+        return payload_neardup_pairs(media, max_hamming=3)
+
+    q["media_neardup"] = q_media_neardup
+
     def q_pca_project(sf_dir: str):
         # distributed PCA projection: exact int64 Gram/sum partials (order-
         # independent) -> driver power-iteration basis -> broadcast project
@@ -7770,6 +7882,10 @@ def oracle_sql() -> dict[str, str]:
         "media_dedup": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/media_dedup.parquet')
         """,
+        "media_neardup": """
+            SELECT * FROM read_parquet(
+                '/tmp/dygiepp_ray_oracle/media_neardup.parquet')
+        """,
         "term_contexts": r"""
             WITH t AS (
                 SELECT doc_id,
@@ -8889,6 +9005,66 @@ def oracle_sql() -> dict[str, str]:
                                   - 1000000
                              ELSE 0 END AS BIGINT) AS lift_ppm
             FROM a
+        """,
+        "part_skyline": """
+            SELECT p.p_partkey, p.p_retailprice, p.p_size
+            FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part q
+                WHERE q.p_retailprice <= p.p_retailprice
+                  AND q.p_size >= p.p_size
+                  AND (q.p_retailprice < p.p_retailprice
+                       OR q.p_size > p.p_size))
+        """,
+        "lineitem_corr_matrix": """
+            WITH m AS (
+                SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x0,
+                       CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS x1,
+                       CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+                       CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS x3
+                FROM lineitem
+            ), s AS (
+                SELECT count(*) AS n,
+                       sum(x0) AS s0, sum(x1) AS s1, sum(x2) AS s2,
+                       sum(x3) AS s3,
+                       sum(x0*x0) AS ss0, sum(x1*x1) AS ss1,
+                       sum(x2*x2) AS ss2, sum(x3*x3) AS ss3,
+                       sum(x0*x1) AS sp01, sum(x0*x2) AS sp02,
+                       sum(x0*x3) AS sp03, sum(x1*x2) AS sp12,
+                       sum(x1*x3) AS sp13, sum(x2*x3) AS sp23
+                FROM m
+            ), p AS (
+                SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                       n, s0 AS sx, s1 AS sy, ss0 AS sxx, ss1 AS syy,
+                       sp01 AS sxy FROM s
+                UNION ALL SELECT 'l_quantity', 'l_discount',
+                       n, s0, s2, ss0, ss2, sp02 FROM s
+                UNION ALL SELECT 'l_quantity', 'l_tax',
+                       n, s0, s3, ss0, ss3, sp03 FROM s
+                UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                       n, s1, s2, ss1, ss2, sp12 FROM s
+                UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                       n, s1, s3, ss1, ss3, sp13 FROM s
+                UNION ALL SELECT 'l_discount', 'l_tax',
+                       n, s2, s3, ss2, ss3, sp23 FROM s
+            )
+            SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+                   round(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                                 > 0
+                         THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                              / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                      - CAST(sx AS DOUBLE)
+                                        * CAST(sx AS DOUBLE))
+                                     * (CAST(n AS DOUBLE)
+                                        * CAST(syy AS DOUBLE)
+                                        - CAST(sy AS DOUBLE)
+                                          * CAST(sy AS DOUBLE)))
+                         ELSE 0.0 END, 6) AS corr_q
+            FROM p
         """,
         "kg_degree_gini": """
             WITH e AS (

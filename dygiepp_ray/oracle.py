@@ -2769,6 +2769,56 @@ def expected_kcore(triples: pa.Table) -> pa.Table:
                      "core": pa.array([core[n] for n in ks], pa.int64())})
 
 
+def _media_neardup_corpus(n: int = 32, n_near: int = 12,
+                          n_exact: int = 4) -> tuple:
+    """(media_ids, payloads) — synthetic media corpus with `n_near`
+    planted 1-byte-flipped near-copies (of rows 0..n_near-1, ids
+    nd{i:04d}) and `n_exact` exact copies (of rows 0..n_exact-1, ids
+    xd{i:04d}). Shared by the engine query and the oracle so both walk
+    the identical corpus."""
+    from .stages.multimodal import synth_media_table
+
+    t = synth_media_table(n)
+    mids = t["media_id"].to_pylist()
+    payloads = t["payload"].to_pylist()
+    for i in range(n_near):
+        p = payloads[i]
+        mids.append(f"nd{i:04d}")
+        payloads.append(p[:7] + bytes([p[7] ^ 0xFF]) + p[8:])
+    for i in range(n_exact):
+        mids.append(f"xd{i:04d}")
+        payloads.append(payloads[i])
+    return mids, payloads
+
+
+def expected_media_neardup(n: int = 32, n_near: int = 12,
+                           n_exact: int = 4,
+                           max_hamming: int = 3) -> pa.Table:
+    """ALL-PAIRS brute force of payload_neardup_pairs over the shared
+    near-dup corpus: signatures reuse the payload_simhash family (the
+    hash family defines the operator); the banding/shuffle/verify
+    plumbing is what this checks — pigeonhole makes 4-band routing
+    lossless at max_hamming 3, so all-pairs is the exact truth."""
+    from .stages.dedup import _popcount_u64
+    from .stages.multimodal import payload_simhash
+
+    mids, payloads = _media_neardup_corpus(n, n_near, n_exact)
+    sigs = np.array([payload_simhash(p) for p in payloads],
+                    dtype=np.uint64)
+    rows = []
+    for i in range(len(mids)):
+        for j in range(i + 1, len(mids)):
+            a, b = sorted((mids[i], mids[j]))
+            h = int(_popcount_u64(np.array([sigs[i] ^ sigs[j]]))[0])
+            if h <= max_hamming:
+                rows.append((a, b, h))
+    rows.sort()
+    return pa.table({
+        "id_a": pa.array([r[0] for r in rows], pa.string()),
+        "id_b": pa.array([r[1] for r in rows], pa.string()),
+        "hamming": pa.array([r[2] for r in rows], pa.int64())})
+
+
 def expected_truss(triples: pa.Table) -> pa.Table:
     """Definition-based truss numbers over the distinct undirected edge
     set: for k = 3, 4, … compute the k-truss by iterated FULL support

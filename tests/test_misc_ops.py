@@ -193,3 +193,33 @@ def test_profile_columns_nulls_and_invariance():
         ss = got.loc["s"]
         assert (int(ss.n_rows), int(ss.n_null), int(ss.n_distinct)) == (5, 1, 3)
         assert (ss.min_v, ss.max_v) == ("a", "c")
+
+
+def test_part_skyline_frontier_is_partition_invariant():
+    import numpy as np
+
+    import __ray_entry__ as entry
+
+    got1 = entry.queries()["part_skyline"]("/root/testdata/sf0.001")
+    df = got1.to_pandas().sort_values("p_partkey").reset_index(drop=True)
+    # brute-force dominance over the raw table
+    import pyarrow.parquet as pq
+    t = pq.read_table("/root/testdata/sf0.001/part.parquet",
+                      columns=["p_partkey", "p_retailprice", "p_size"]
+                      ).to_pandas()
+    pr = t["p_retailprice"].to_numpy()
+    sz = t["p_size"].to_numpy()
+    keep = []
+    for i in range(len(t)):
+        dom = ((pr <= pr[i]) & (sz >= sz[i])
+               & ((pr < pr[i]) | (sz > sz[i]))).any()
+        if not dom:
+            keep.append(int(t["p_partkey"].iloc[i]))
+    assert sorted(df["p_partkey"].tolist()) == sorted(keep)
+    # frontier is mutually non-dominating
+    fpr = df["p_retailprice"].to_numpy()
+    fsz = df["p_size"].to_numpy()
+    for i in range(len(df)):
+        dom = ((fpr <= fpr[i]) & (fsz >= fsz[i])
+               & ((fpr < fpr[i]) | (fsz > fsz[i]))).any()
+        assert not dom

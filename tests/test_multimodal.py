@@ -79,3 +79,41 @@ def test_resizer_real_mode_is_marked():
 
     with pytest.raises(NotImplementedError):
         Resizer(fake=False)
+
+
+def test_payload_neardup_pairs_vs_bruteforce_and_invariance():
+    import numpy as np
+
+    from dygiepp_ray.oracle import _media_neardup_corpus
+    from dygiepp_ray.stages.dedup import _popcount_u64
+    from dygiepp_ray.stages.multimodal import (payload_neardup_pairs,
+                                               payload_simhash)
+
+    mids, payloads = _media_neardup_corpus(20, 8, 3)
+    sigs = np.array([payload_simhash(p) for p in payloads], dtype=np.uint64)
+    want = set()
+    for i in range(len(mids)):
+        for j in range(i + 1, len(mids)):
+            h = int(_popcount_u64(np.array([sigs[i] ^ sigs[j]]))[0])
+            if h <= 3:
+                a, b = sorted((mids[i], mids[j]))
+                want.add((a, b, h))
+    assert want, "planted corpus must produce near-dup pairs"
+    import pyarrow as _pa
+    for nparts in (1, 4):
+        media = ray.data.from_arrow(_pa.table({
+            "media_id": _pa.array(mids, _pa.string()),
+            "payload": _pa.array(payloads, _pa.binary()),
+        })).repartition(nparts)
+        got = payload_neardup_pairs(media, max_hamming=3).to_pandas()
+        have = {(r.id_a, r.id_b, int(r.hamming)) for r in got.itertuples()}
+        assert have == want
+
+
+def test_payload_neardup_banding_guard():
+    import pytest as _pytest
+
+    from dygiepp_ray.stages.multimodal import payload_neardup_pairs
+
+    with _pytest.raises(ValueError, match="lossless"):
+        payload_neardup_pairs(None, max_hamming=4, n_bands=4)
