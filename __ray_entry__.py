@@ -2968,6 +2968,88 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_attribution"] = q_events_attribution
 
+    def q_events_flow_trigrams(sf_dir: str):
+        # process-mining refinement of events_transitions: the top-10
+        # length-3 event-type flows over per-user (ts, event_id) order.
+        # One user-bucket shuffle; the in-bucket kernel is pure numpy
+        # shifts over the sorted frame (a trigram is valid iff all three
+        # rows share the user); per-bucket partial counts, tiny final
+        # sum, block-prune + 10-row sort with full lexicographic tiebreak.
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.windows import _bucketed
+
+        ds = _read(sf_dir, "events", ["user_id", "event_type", "ts",
+                                      "event_id"])
+
+        def kernel(df: pd.DataFrame, ks: list) -> pd.DataFrame:
+            u = df["user_id"].to_numpy()
+            t = df["event_type"].to_numpy(object)
+            if len(df) < 3:
+                return pd.DataFrame({"t1": pd.Series(dtype=object),
+                                     "t2": pd.Series(dtype=object),
+                                     "t3": pd.Series(dtype=object),
+                                     "n_part": pd.Series(dtype="int64")})
+            ok = (u[:-2] == u[1:-1]) & (u[:-2] == u[2:])
+            g = pd.DataFrame({"t1": t[:-2][ok], "t2": t[1:-1][ok],
+                              "t3": t[2:][ok]})
+            g["one"] = np.ones(len(g), "int64")
+            return g.groupby(["t1", "t2", "t3"], as_index=False)["one"].sum(
+            ).rename(columns={"one": "n_part"})
+
+        partials = _bucketed(ds, ["user_id"], ["ts", "event_id"], True,
+                             kernel, 64)
+        agg = partial_final_agg(partials, ["t1", "t2", "t3"],
+                                [("n", "n_part", "sum")])
+
+        def prune(df: pd.DataFrame) -> pd.DataFrame:
+            return df.sort_values(["n", "t1", "t2", "t3"],
+                                  ascending=[False, True, True, True]
+                                  ).head(10)
+
+        return (agg.map_batches(prune, batch_format="pandas")
+                .sort(["n", "t1", "t2", "t3"],
+                      descending=[True, False, False, False]).limit(10))
+
+    q["events_flow_trigrams"] = q_events_flow_trigrams
+
+    def q_orders_streaks(sf_dir: str):
+        # gaps-and-islands: per customer, streaks of CONSECUTIVE calendar
+        # months with >= 1 order (integer month index; the mi − rn island
+        # key). Distinct (cust, month) reduce first, then one customer-
+        # bucket shuffle; every customer lives wholly in its bucket, so
+        # bucket outputs are final rows — no second aggregate.
+        from dygiepp_ray.windows import _bucketed
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            mi = (df["o_orderdate"].dt.year * 12
+                  + df["o_orderdate"].dt.month - 1).astype("int64")
+            return pd.DataFrame({"o_custkey": df["o_custkey"].astype("int64"),
+                                 "mi": mi})
+
+        months = grouped_count(
+            _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]
+                  ).map_batches(prep, batch_format="pandas"),
+            ["o_custkey", "mi"], out_name="_c", salt_buckets=4
+        ).select_columns(["o_custkey", "mi"])
+
+        def kernel(df: pd.DataFrame, ks: list) -> pd.DataFrame:
+            rn = df.groupby("o_custkey", sort=False).cumcount()
+            grp = df["mi"].to_numpy("int64") - rn.to_numpy("int64")
+            g = pd.DataFrame({"o_custkey": df["o_custkey"].to_numpy("int64"),
+                              "grp": grp,
+                              "one": np.ones(len(df), "int64")})
+            isl = g.groupby(["o_custkey", "grp"], as_index=False)["one"].sum()
+            out = isl.groupby("o_custkey", as_index=False).agg(
+                n_active_months=("one", "sum"), n_streaks=("one", "count"),
+                longest_streak=("one", "max"))
+            for c in ("n_active_months", "n_streaks", "longest_streak"):
+                out[c] = out[c].astype("int64")
+            return out
+
+        return _bucketed(months, ["o_custkey"], ["mi"], True, kernel, 64)
+
+    q["orders_streaks"] = q_orders_streaks
+
     def q_fingerprint(sf_dir: str):
         from dygiepp_ray import oracle as _o
 
@@ -9005,6 +9087,44 @@ def oracle_sql() -> dict[str, str]:
                                   - 1000000
                              ELSE 0 END AS BIGINT) AS lift_ppm
             FROM a
+        """,
+        "events_flow_trigrams": """
+            WITH w AS (
+                SELECT event_type AS t1,
+                       lead(event_type, 1) OVER
+                           (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS t2,
+                       lead(event_type, 2) OVER
+                           (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS t3
+                FROM events
+            )
+            SELECT t1, t2, t3, count(*) AS n FROM w
+            WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+            GROUP BY 1, 2, 3
+            ORDER BY n DESC, t1, t2, t3
+            LIMIT 10
+        """,
+        "orders_streaks": """
+            WITH m AS (
+                SELECT DISTINCT o_custkey,
+                       CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                            AS BIGINT) AS mi
+                FROM orders
+            ), r AS (
+                SELECT o_custkey, mi,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY mi) AS rn
+                FROM m
+            ), g AS (
+                SELECT o_custkey, mi - rn AS grp, count(*) AS len
+                FROM r GROUP BY 1, 2
+            )
+            SELECT o_custkey,
+                   CAST(sum(len) AS BIGINT) AS n_active_months,
+                   CAST(count(*) AS BIGINT) AS n_streaks,
+                   CAST(max(len) AS BIGINT) AS longest_streak
+            FROM g GROUP BY o_custkey
         """,
         "part_skyline": """
             SELECT p.p_partkey, p.p_retailprice, p.p_size
