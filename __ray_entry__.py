@@ -4846,6 +4846,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_truss"] = q_kg_truss
 
+    def q_kg_wsp(sf_dir: str):
+        # multi-source WEIGHTED shortest paths (bounded at 4 edges) from
+        # the 3 highest-degree hubs — the weighted companion of
+        # kg_bfs_distances. Edge weight contract: w = 4 − min(mult, 3)
+        # over the undirected assertion multiplicity (frequent assertions
+        # are cheap, singletons cost 3) — deterministic, mirrored by the
+        # oracle re-walk. Per-round state stays a Dataset (bucketed
+        # relax join + grouped min); same deterministic seed rule as
+        # kg_closeness.
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.aggregates import strip_schema_metadata
+        from dygiepp_ray.stages.graph import weighted_min_distances
+
+        _ensure_triples_oracle(sf_dir)
+        _write_oracle(sf_dir, "kg_wsp",
+                      lambda: _o.expected_wsp(_oracle_triples_table(sf_dir),
+                                              max_rounds=4))
+
+        def canon(t: pa.Table) -> pa.Table:
+            t = strip_schema_metadata(t)
+            s = t.column("subj_norm").combine_chunks().cast(pa.string())
+            o = t.column("obj_norm").combine_chunks().cast(pa.string())
+            u = pc.min_element_wise(s, o)
+            v = pc.max_element_wise(s, o)
+            return pa.table({"u": u, "v": v}).filter(
+                pc.invert(pc.equal(s, o)))
+
+        cnt = grouped_count(
+            _synth_triples(sf_dir).select_columns(
+                ["subj_norm", "obj_norm"]).map_batches(
+                canon, batch_format="pyarrow"),
+            ["u", "v"], out_name="c", salt_buckets=4)
+
+        def weight(df: pd.DataFrame) -> pd.DataFrame:
+            c = df["c"].to_numpy("int64")
+            return pd.DataFrame({"u": df["u"], "v": df["v"],
+                                 "w": 4 - np.minimum(c, 3)})
+
+        edges_w = cnt.map_batches(weight, batch_format="pandas"
+                                  ).materialize()
+
+        def explode(t: pa.Table) -> pa.Table:
+            t = strip_schema_metadata(t)
+            cols = []
+            for cname in ("u", "v"):
+                arr = t.column(cname).combine_chunks()
+                cols.extend(arr.chunks if isinstance(arr, pa.ChunkedArray)
+                            else [arr])
+            return pa.table({"node": pa.concat_arrays(cols)})
+
+        deg = grouped_count(edges_w.map_batches(explode,
+                                                batch_format="pyarrow"),
+                            ["node"], out_name="deg")
+        seeds = (deg.sort(["deg", "node"], descending=[True, False])
+                 .limit(3).select_columns(["node"]).materialize())
+        return weighted_min_distances(edges_w, seeds, src="u", dst="v",
+                                      w_col="w", max_rounds=4)
+
+    q["kg_wsp"] = q_kg_wsp
+
     def q_kg_communities(sf_dir: str):
         # community detection by deterministic synchronous label propagation
         # (fixed rounds, exact integer votes, min-label ties); |V|-bounded
@@ -9374,6 +9434,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_truss": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_truss.parquet')
+        """,
+        "kg_wsp": """
+            SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_wsp.parquet')
         """,
         "embedding_silhouette": """
             SELECT * FROM read_parquet(

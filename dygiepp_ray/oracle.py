@@ -2819,6 +2819,40 @@ def expected_media_neardup(n: int = 32, n_near: int = 12,
         "hamming": pa.array([r[2] for r in rows], pa.int64())})
 
 
+def expected_wsp(triples: pa.Table, max_rounds: int = 4) -> pa.Table:
+    """Bounded Bellman-Ford re-walk of weighted_min_distances under the
+    kg_wsp weight contract (w = 4 − min(undirected multiplicity, 3)):
+    d_h(v) = min(d_{h−1}(v), min over incident (u,v,w) of d_{h−1}(u)+w),
+    seeds = the 3 highest-(degree, name asc) hubs at distance 0."""
+    s = triples.column("subj_norm").to_pylist()
+    o = triples.column("obj_norm").to_pylist()
+    mult: dict = {}
+    for a, b in zip(s, o):
+        if a == b:
+            continue
+        e = (a, b) if a < b else (b, a)
+        mult[e] = mult.get(e, 0) + 1
+    w = {e: 4 - min(c, 3) for e, c in mult.items()}
+    deg: dict = {}
+    for a, b in w:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    seeds = [n for n, _ in sorted(deg.items(),
+                                  key=lambda t: (-t[1], t[0]))[:3]]
+    dist = {n: 0 for n in seeds}
+    for _ in range(max_rounds):
+        nxt = dict(dist)
+        for (a, b), ww in w.items():
+            if a in dist and dist[a] + ww < nxt.get(b, 1 << 60):
+                nxt[b] = dist[a] + ww
+            if b in dist and dist[b] + ww < nxt.get(a, 1 << 60):
+                nxt[a] = dist[b] + ww
+        dist = nxt
+    ks = sorted(dist)
+    return pa.table({"node": pa.array(ks, pa.string()),
+                     "dist": pa.array([dist[k] for k in ks], pa.int64())})
+
+
 def expected_truss(triples: pa.Table) -> pa.Table:
     """Definition-based truss numbers over the distinct undirected edge
     set: for k = 3, 4, … compute the k-truss by iterated FULL support

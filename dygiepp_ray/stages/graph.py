@@ -1697,3 +1697,80 @@ def truss_decomposition(edges: "ray.data.Dataset", src: str = "src",
         "u": pa.array([names[e[0]] for e, _ in items], pa.string()),
         "v": pa.array([names[e[1]] for e, _ in items], pa.string()),
         "trussness": pa.array([t for _, t in items], pa.int64())}))
+
+
+def weighted_min_distances(edges_w: "ray.data.Dataset",
+                           seeds: "ray.data.Dataset", src: str = "src",
+                           dst: str = "dst", w_col: str = "w",
+                           max_rounds: int = 4, n_buckets: int = 32,
+                           undirected: bool = True) -> "ray.data.Dataset":
+    """(node, dist) — multi-source weighted shortest-path distances,
+    bounded at `max_rounds` edges: dist = min total weight over paths of
+    ≤ max_rounds edges from ANY seed (positive integer weights make the
+    walk-minimum equal the path-minimum, so round h's relax explores
+    exactly the h-edge optimum). The weighted companion of
+    `bfs_distances`; the bounded-round contract is the same documented
+    truncation as the fixed-round PageRank/label-propagation family.
+
+    Scale shape: the per-round state is a (node, dist) Dataset — one
+    bucketed hash join (relax, with the per-destination min pushed into
+    the join bucket) plus one grouped min per round; NO driver-side node
+    state at any |V|. Seeds carry dist 0; the final answer is a grouped
+    min over the union of all rounds."""
+    from ..aggregates import grouped_count, partial_final_agg
+    from ..joins import _arrow_types, hash_join
+
+    nt = _arrow_types(edges_w)[src]
+    i_t = pa.int64()
+
+    adj = edges_w
+    if undirected:
+        def sym(t: pa.Table) -> pa.Table:
+            t = strip_schema_metadata(t)
+            u, v, w = t.column(src), t.column(dst), t.column(w_col)
+            c = pa.chunked_array(list(u.chunks) + list(v.chunks), u.type)
+            n = pa.chunked_array(list(v.chunks) + list(u.chunks), u.type)
+            ww = pa.chunked_array(list(w.chunks) + list(w.chunks), w.type)
+            return pa.table({src: c, dst: n, w_col: ww})
+
+        adj = partial_final_agg(
+            edges_w.map_batches(sym, batch_format="pyarrow"),
+            [src, dst], [(w_col, w_col, "min")])
+    adj = adj.materialize()
+
+    def as_frontier(ds):
+        return ds.map_batches(
+            lambda t: strip_schema_metadata(t).select(
+                ["node", "dist"]).rename_columns([src, "dist"]),
+            batch_format="pyarrow")
+
+    def stamp0(t: pa.Table) -> pa.Table:
+        t = strip_schema_metadata(t)
+        return pa.table({"node": t.column("node"),
+                         "dist": pa.array(np.zeros(t.num_rows, np.int64),
+                                          i_t)})
+
+    rounds = [seeds.map_batches(stamp0, batch_format="pyarrow"
+                                ).materialize()]
+    frontier = as_frontier(rounds[0])
+    for _h in range(max_rounds):
+        def relax(m: "pd.DataFrame") -> "pd.DataFrame":
+            g = pd.DataFrame({
+                "node": m[dst].to_numpy(object),
+                "dist": m["dist"].to_numpy(np.int64)
+                + m[w_col].to_numpy(np.int64)})
+            return g.groupby("node", as_index=False)["dist"].min()
+
+        cand = partial_final_agg(
+            hash_join(adj, frontier, on=src, n_buckets=n_buckets,
+                      left_types={src: nt, dst: nt, w_col: i_t},
+                      right_types={src: nt, "dist": i_t},
+                      bucket_post=relax),
+            ["node"], [("dist", "dist", "min")]).materialize()
+        rounds.append(cand)
+        frontier = as_frontier(cand)
+
+    best = rounds[0]
+    for r in rounds[1:]:
+        best = best.union(r)
+    return partial_final_agg(best, ["node"], [("dist", "dist", "min")])

@@ -1427,3 +1427,47 @@ def test_truss_admission_guard():
     with _pytest.raises(ValueError, match="admission"):
         truss_decomposition(ray.data.from_pandas(tri), src="subj_norm",
                             dst="obj_norm", local_max_edges=1)
+
+
+# ----------------------------------------------------- weighted min dist
+
+
+def test_weighted_min_distances_vs_bellman_ford():
+    import numpy as np
+
+    from dygiepp_ray.stages.graph import weighted_min_distances
+
+    rng = np.random.RandomState(17)
+    names = [f"n{i:02d}" for i in range(12)]
+    rows = []
+    for _ in range(40):
+        a, b = names[rng.randint(12)], names[rng.randint(12)]
+        if a == b:
+            continue
+        rows.append((a, b, int(rng.randint(1, 5))))
+    # dedup to (u,v) min weight like the operator's symmetrized min
+    wmap: dict = {}
+    for a, b, w in rows:
+        e = (a, b) if a < b else (b, a)
+        wmap[e] = min(wmap.get(e, 1 << 30), w)
+    seeds = [names[0], names[3]]
+    R = 3
+    dist = {s: 0 for s in seeds}
+    for _ in range(R):
+        nxt = dict(dist)
+        for (a, b), w in wmap.items():
+            if a in dist and dist[a] + w < nxt.get(b, 1 << 60):
+                nxt[b] = dist[a] + w
+            if b in dist and dist[b] + w < nxt.get(a, 1 << 60):
+                nxt[a] = dist[b] + w
+        dist = nxt
+
+    edges = pd.DataFrame({"src": [e[0] for e in wmap],
+                          "dst": [e[1] for e in wmap],
+                          "w": [wmap[e] for e in wmap]})
+    sd = ray.data.from_arrow(pa.table({"node": pa.array(seeds, pa.string())}))
+    for nparts in (1, 3):
+        got = weighted_min_distances(
+            ray.data.from_pandas(edges).repartition(nparts), sd,
+            max_rounds=R).to_pandas()
+        assert dict(zip(got["node"], got["dist"].astype(int))) == dist
