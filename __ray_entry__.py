@@ -3611,6 +3611,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["incremental_dedup"] = q_incremental_dedup
 
+    def q_incremental_neardup(sf_dir: str):
+        # cross-run NEAR-dup against a persisted MinHash band store
+        # (incremental_dedup's LSH sibling): "old crawl" = doc_id % 3 != 0
+        # persisted as band-bucket-partitioned parquet; "new crawl" =
+        # % 3 == 0, matched by selective bucket reads + exact integer
+        # agreement test; best stored match per new doc
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.dedup import (build_neardup_store,
+                                              neardup_against_store)
+
+        _write_oracle(sf_dir, "incremental_neardup",
+                      lambda: _o.expected_neardup_store(sf_dir))
+        store = (f"/tmp/dygiepp_ray_neardupstore/"
+                 f"{_store_tag(sf_dir, 'documents')}")
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        marker = os.path.join(store, "_done")
+        if not os.path.exists(marker):
+            build_neardup_store(
+                docs.map_batches(lambda df: df[df["doc_id"] % 3 != 0],
+                                 batch_format="pandas"), store)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        new = docs.map_batches(lambda df: df[df["doc_id"] % 3 == 0],
+                               batch_format="pandas")
+        return neardup_against_store(new, store)
+
+    q["incremental_neardup"] = q_incremental_neardup
+
     def q_compression_ratio(sf_dir: str):
         # zlib-compressibility quality signal (exact integer-scaled ratio)
         from dygiepp_ray import oracle as _o
@@ -8083,6 +8111,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "neardup_clusters": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/neardup_clusters.parquet')
+        """,
+        "incremental_neardup": """
+            SELECT * FROM read_parquet(
+                '/tmp/dygiepp_ray_oracle/incremental_neardup.parquet')
         """,
         "incremental_dedup": """
             WITH old AS (

@@ -2819,6 +2819,44 @@ def expected_media_neardup(n: int = 32, n_near: int = 12,
         "hamming": pa.array([r[2] for r in rows], pa.int64())})
 
 
+def expected_neardup_store(sf_dir: str, n_perm: int = 64,
+                           n_bands: int = 16, shingle_k: int = 3,
+                           thr_milli: int = 800) -> pa.Table:
+    """All-cross-pairs brute force of `neardup_against_store` over the
+    doc_id % 3 store/new split (store = %3 != 0, new = %3 == 0): a new
+    doc matches a stored doc iff they share ≥ 1 full band AND the exact
+    integer agreement test matches·1000 ≥ thr_milli·n_perm passes; best
+    = (matches desc, stored id asc). Signatures reuse the MinHasher
+    family (it defines the operator); the store partitioning / selective
+    reads / bucket merge are what this checks."""
+    from .stages.dedup import MinHasher, _band_keys
+
+    ids, texts = _read_docs(sf_dir)
+    mh = MinHasher(n_perm=n_perm, shingle_k=shingle_k)
+    sigs = np.asarray([mh.signature(t) for t in texts], dtype=np.int64)
+    bands = _band_keys(sigs, n_bands)
+    st = [i for i, d in enumerate(ids) if d % 3 != 0]
+    nw = [i for i, d in enumerate(ids) if d % 3 == 0]
+    best: dict = {}
+    for i in nw:
+        bi = set(bands[i].tolist())
+        for j in st:
+            if bi.isdisjoint(bands[j].tolist()):
+                continue
+            m = int((sigs[i] == sigs[j]).sum())
+            if m * 1000 < thr_milli * n_perm:
+                continue
+            d = int(ids[i])
+            cand = (m, -int(ids[j]))
+            if d not in best or cand > best[d]:
+                best[d] = cand
+    ks = sorted(best)
+    return pa.table({
+        "doc_id": pa.array(ks, pa.int64()),
+        "dup_of": pa.array([-best[k][1] for k in ks], pa.int64()),
+        "est_matches": pa.array([best[k][0] for k in ks], pa.int64())})
+
+
 def expected_wsp(triples: pa.Table, max_rounds: int = 4) -> pa.Table:
     """Bounded Bellman-Ford re-walk of weighted_min_distances under the
     kg_wsp weight contract (w = 4 − min(undirected multiplicity, 3)):

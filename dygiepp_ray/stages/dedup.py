@@ -1075,3 +1075,149 @@ def contrastive_pairs(docs: "ray.data.Dataset", est_threshold: float = 0.5,
                                      np.zeros(int(keep.sum()), "int64")])})
 
     return pos.map_batches(emit, batch_format="pandas")
+
+
+# ------------------------------------------- persisted NEAR-dup (LSH) store
+
+
+def _band_bucket(keys: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Stable bucket from the int64 band key (uint64 view, no Python
+    hash())."""
+    return (keys.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+
+
+def build_neardup_store(docs: "ray.data.Dataset", out_dir: str,
+                        n_perm: int = 64, n_bands: int = 16,
+                        shingle_k: int = 3, n_buckets: int = 32,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> str:
+    """Persist the corpus's MinHash band rows (band_key, doc_id, packed
+    signature) as a parquet store hash-partitioned on `bucket =
+    band_key % n_buckets` — the cross-run counterpart of
+    `minhash_lsh_pairs`, and the NEAR-dup sibling of `build_dedup_store`:
+    later crawls LSH-match against the historical corpus by reading ONLY
+    the band buckets their own keys fall in. Signatures travel WITH the
+    band rows (512 B at 64 perms — the one-shuffle verify tradeoff
+    documented in minhash_lsh_pairs), so matching needs no second join
+    against a signature table."""
+    sigs = docs.select_columns([id_col, text_col]).map_batches(
+        MinHasher, fn_constructor_kwargs=dict(
+            n_perm=n_perm, shingle_k=shingle_k, text_col=text_col,
+            id_col=id_col),
+        batch_format="pandas", concurrency=(1, 8))
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        b = minhash_bands(df, n_bands, id_col)
+        packed = np.array([np.asarray(s, dtype=np.int64).tobytes()
+                           for s in df["minhash"]], dtype=object)
+        b["minhash_b"] = np.repeat(packed, n_bands)
+        b["bucket"] = _band_bucket(b["band_key"].to_numpy("int64"),
+                                   n_buckets)
+        return b
+
+    sigs.map_batches(band_rows, batch_format="pandas").write_parquet(
+        out_dir, partition_cols=["bucket"])
+    return out_dir
+
+
+def neardup_against_store(new_docs: "ray.data.Dataset", store_dir: str,
+                          n_perm: int = 64, n_bands: int = 16,
+                          shingle_k: int = 3, n_buckets: int = 32,
+                          thr_milli: int = 800, id_col: str = "doc_id",
+                          text_col: str = "text") -> "ray.data.Dataset":
+    """(doc_id, dup_of, est_matches) — for every new doc, its BEST stored
+    near-duplicate: the stored doc sharing ≥ 1 full band whose signature
+    agreement passes `matches · 1000 ≥ thr_milli · n_perm` (exact integer
+    comparison — no float mean), best = (matches desc, stored id asc).
+
+    Selective I/O: only the `bucket=` partitions the new shard's band
+    keys fall in are read — I/O proportional to the APPEND, never the
+    store. One coarse band-bucket groupby merges the sides; the per-band
+    verify compares the new×stored signature matrices (chunk-bounded like
+    minhash_lsh_pairs' verify); per-bucket (new, stored, matches)
+    candidates reduce to the best via one grouped argmax."""
+    import glob
+    import os
+
+    from ..aggregates import argmax_per_key
+
+    sigs = new_docs.select_columns([id_col, text_col]).map_batches(
+        MinHasher, fn_constructor_kwargs=dict(
+            n_perm=n_perm, shingle_k=shingle_k, text_col=text_col,
+            id_col=id_col),
+        batch_format="pandas", concurrency=(1, 8))
+
+    def band_rows(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            if "minhash" in df.columns:
+                b = minhash_bands(df, n_bands, id_col)
+                packed = np.array([np.asarray(s, dtype=np.int64).tobytes()
+                                   for s in df["minhash"]], dtype=object)
+                b["minhash_b"] = np.repeat(packed, n_bands)
+                b["bucket"] = _band_bucket(b["band_key"].to_numpy("int64"),
+                                           n_buckets)
+            else:  # store rows already in band form
+                b = df[["band_key", id_col, "minhash_b", "bucket"]].copy()
+            b["_side"] = np.int64(side)
+            return b
+        return fn
+
+    new_rows = sigs.map_batches(band_rows(1),
+                                batch_format="pandas").materialize()
+    need = sorted({int(r["bucket"]) for r in new_rows.map_batches(
+        lambda df: df[["bucket"]].drop_duplicates(),
+        batch_format="pandas").take_all()})
+    paths = [f for b in need for f in sorted(
+        glob.glob(os.path.join(store_dir, f"bucket={b}", "*.parquet")))]
+    empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                          "dup_of": pd.Series([], dtype="int64"),
+                          "est_matches": pd.Series([], dtype="int64")})
+    if not paths:
+        return new_rows.map_batches(lambda df: empty.copy(),
+                                    batch_format="pandas").limit(1)
+
+    def fix_store(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["band_key", id_col, "minhash_b"]].copy()
+        df["bucket"] = _band_bucket(df["band_key"].to_numpy("int64"),
+                                    n_buckets)
+        df["_side"] = np.int64(0)
+        return df
+
+    store = ray.data.read_parquet(paths).map_batches(
+        fix_store, batch_format="pandas")
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        df = df[df["band_key"].duplicated(keep=False)]
+        for _k, g in df.groupby("band_key", sort=False):
+            old = g[g["_side"] == 0].drop_duplicates(id_col)
+            new = g[g["_side"] == 1].drop_duplicates(id_col)
+            if not len(old) or not len(new):
+                continue
+            so = np.stack([np.frombuffer(b, dtype=np.int64)
+                           for b in old["minhash_b"]])
+            sn = np.stack([np.frombuffer(b, dtype=np.int64)
+                           for b in new["minhash_b"]])
+            # chunk the new side against the stored matrix (~32 MB bound,
+            # the minhash_lsh_pairs verify discipline) — a boilerplate-
+            # heavy band with 10k stored members would otherwise build an
+            # O(new·stored·P) tensor in one task
+            chunk = max(1, (32 << 20) // max(1, so.shape[0] * n_perm))
+            for lo in range(0, sn.shape[0], chunk):
+                hi = min(lo + chunk, sn.shape[0])
+                m = (sn[lo:hi, None, :] == so[None, :, :]).sum(axis=2)
+                ok = m * 1000 >= thr_milli * n_perm
+                ri, cj = np.nonzero(ok)
+                if ri.size:
+                    out.append(pd.DataFrame({
+                        id_col: new[id_col].to_numpy("int64")[lo + ri],
+                        "dup_of": old[id_col].to_numpy("int64")[cj],
+                        "est_matches": m[ri, cj].astype("int64")}))
+        return pd.concat(out, ignore_index=True) if out else empty.copy()
+
+    cands = store.union(new_rows).groupby("bucket").map_groups(
+        match, batch_format="pandas")
+    return argmax_per_key(cands, key=id_col,
+                          order_cols=["est_matches", "dup_of"],
+                          ascending=[False, True],
+                          keep_cols=[id_col, "dup_of", "est_matches"])

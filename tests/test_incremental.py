@@ -55,3 +55,81 @@ def test_incremental_append_only_recomputes_new_shards(tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_neardup_store_build_and_match(tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from dygiepp_ray.stages.dedup import (MinHasher, _band_keys,
+                                          build_neardup_store,
+                                          neardup_against_store)
+
+    rng = np.random.RandomState(8)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(40)]
+    # new docs: 5 near-copies of stored texts (drop last 2 words), 5 fresh
+    near = [" ".join(t.split()[:-2]) for t in texts[:5]]
+    fresh = [" ".join(rng.choice(vocab, size=30)) for _ in range(5)]
+    store_df = pd.DataFrame({"doc_id": np.arange(40, dtype="int64"),
+                             "text": texts})
+    new_df = pd.DataFrame({
+        "doc_id": np.arange(100, 110, dtype="int64"),
+        "text": near + fresh})
+
+    store_dir = str(tmp_path / "ndstore")
+    build_neardup_store(ray.data.from_pandas(store_df).repartition(3),
+                        store_dir)
+
+    # brute-force truth with the same hash family
+    mh = MinHasher(n_perm=64, shingle_k=3)
+    s_sig = np.asarray([mh.signature(t) for t in store_df["text"]],
+                       dtype=np.int64)
+    n_sig = np.asarray([mh.signature(t) for t in new_df["text"]],
+                       dtype=np.int64)
+    sb = _band_keys(s_sig, 16)
+    nb = _band_keys(n_sig, 16)
+    want = {}
+    for i in range(len(new_df)):
+        bi = set(nb[i].tolist())
+        for j in range(len(store_df)):
+            if bi.isdisjoint(sb[j].tolist()):
+                continue
+            m = int((n_sig[i] == s_sig[j]).sum())
+            if m * 1000 < 800 * 64:
+                continue
+            d = int(new_df["doc_id"].iloc[i])
+            cand = (m, -int(store_df["doc_id"].iloc[j]))
+            if d not in want or cand > want[d]:
+                want[d] = cand
+    assert want, "planted near-copies must match"
+
+    for nparts in (1, 4):
+        got = neardup_against_store(
+            ray.data.from_pandas(new_df).repartition(nparts),
+            store_dir).to_pandas()
+        have = {int(r.doc_id): (int(r.est_matches), -int(r.dup_of))
+                for r in got.itertuples()}
+        assert have == want
+
+
+def test_neardup_store_empty_intersection(tmp_path):
+    import pandas as pd
+
+    import ray.data
+
+    from dygiepp_ray.stages.dedup import (build_neardup_store,
+                                          neardup_against_store)
+
+    store_df = pd.DataFrame({"doc_id": [1, 2],
+                             "text": ["alpha beta gamma delta epsilon",
+                                      "zeta eta theta iota kappa"]})
+    new_df = pd.DataFrame({"doc_id": [9],
+                           "text": ["one two three four five six"]})
+    store_dir = str(tmp_path / "nd2")
+    build_neardup_store(ray.data.from_pandas(store_df), store_dir)
+    got = neardup_against_store(ray.data.from_pandas(new_df),
+                                store_dir).to_pandas()
+    assert len(got) == 0
