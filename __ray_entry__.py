@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Max, Sum
 
 from dygiepp_ray.aggregates import distinct_first, grouped_count, top_k
 from dygiepp_ray.corpus import ENTITY_LEXICON, EVENT_TRIGGERS, RELATION_PATTERNS, write_corpus
@@ -3049,6 +3049,149 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _bucketed(months, ["o_custkey"], ["mi"], True, kernel, 64)
 
     q["orders_streaks"] = q_orders_streaks
+
+    def q_events_cusum(sf_dir: str):
+        # change-point detection per event type: max CUSUM drift
+        # |n·P_i − C_i·S| over the time-ordered prefix (evaluated at each
+        # DISTINCT timestamp after per-ts aggregation — the documented
+        # boundary contract; n·P − C·S avoids the non-integer mean
+        # entirely). Two banded global prefix scans (values + counts) on
+        # the (type, ts) tie-aggregated table, per-type totals broadcast
+        # as exact int pairs. Headroom: n²·x̄ ≤ int64 for ~1e7 rows/type
+        # at cents scale (re-scale beyond).
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.windows import ordered_prefix_sum
+
+        ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            ts_us = ((df["ts"] - pd.Timestamp(0))
+                     // pd.Timedelta(1, "us")).to_numpy("int64")
+            x = np.floor(df["value"].to_numpy(np.float64) * 100.0
+                         + 0.5).astype("int64")
+            return pd.DataFrame({"event_type": df["event_type"],
+                                 "ts_us": ts_us, "x": x,
+                                 "c": np.ones(len(df), "int64")})
+
+        agg = partial_final_agg(
+            ds.map_batches(prep, batch_format="pandas"),
+            ["event_type", "ts_us"], [("x", "x", "sum"), ("c", "c", "sum")])
+        p1 = ordered_prefix_sum(agg, "event_type", "ts_us", "x",
+                                out_col="px")
+        p2 = ordered_prefix_sum(p1, "event_type", "ts_us", "c",
+                                out_col="pc")
+
+        tot = partial_final_agg(agg, ["event_type"],
+                                [("S", "x", "sum"), ("n", "c", "sum")]
+                                ).to_pandas()
+        tot_ref = ray.put({r.event_type: (int(r.n), int(r.S))
+                           for r in tot.itertuples()})
+
+        def drift(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(tot_ref)
+            n = df["event_type"].map(lambda t: m[t][0]).to_numpy("int64")
+            S = df["event_type"].map(lambda t: m[t][1]).to_numpy("int64")
+            d = np.abs(n * df["px"].to_numpy("int64")
+                       - df["pc"].to_numpy("int64") * S)
+            return pd.DataFrame({"event_type": df["event_type"],
+                                 "n_events": n, "total_s": S, "d": d})
+
+        out = partial_final_agg(
+            p2.map_batches(drift, batch_format="pandas"),
+            ["event_type"], [("n_events", "n_events", "max"),
+                             ("total_s", "total_s", "max"),
+                             ("max_drift", "d", "max")])
+        return out
+
+    q["events_cusum"] = q_events_cusum
+
+    def q_tpch_q15(sf_dir: str):
+        # TPC-H Q15 shape: top supplier(s) by Q1-1996 revenue — per-
+        # suppkey exact-int revenue reduce off the fact table, global max
+        # as ONE tiny aggregate broadcast back as a scalar (ties: all
+        # winners), supplier dimension attached by broadcast dict (the
+        # small dimension, like tpch_q7's supplier side).
+        from dygiepp_ray.aggregates import partial_final_agg
+
+        lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+            ext = np.floor(df["l_extendedprice"].to_numpy(np.float64)
+                           * 100.0 + 0.5).astype("int64")
+            disc = np.floor(df["l_discount"].to_numpy(np.float64) * 100.0
+                            + 0.5).astype("int64")
+            return pd.DataFrame({"s_suppkey": df["l_suppkey"
+                                                 ].to_numpy("int64"),
+                                 "rev_s": ext * (100 - disc)})
+
+        rev = partial_final_agg(
+            _read(sf_dir, "lineitem",
+                  ["l_suppkey", "l_extendedprice", "l_discount",
+                   "l_shipdate"]).map_batches(prep, batch_format="pandas"),
+            ["s_suppkey"], [("total_rev_s", "rev_s", "sum")]).materialize()
+        mx = int(rev.aggregate(Max("total_rev_s"))["max(total_rev_s)"])
+        supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]
+                     ).to_pandas()
+        name_ref = ray.put(dict(zip(supp["s_suppkey"].astype(int),
+                                    supp["s_name"])))
+
+        def winners(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["total_rev_s"] == mx].copy()
+            df["s_name"] = df["s_suppkey"].map(ray.get(name_ref))
+            return df[["s_suppkey", "s_name", "total_rev_s"]]
+
+        return rev.map_batches(winners, batch_format="pandas")
+
+    q["tpch_q15"] = q_tpch_q15
+
+    def q_user_features(sf_dir: str):
+        # ML feature engineering: per-user behavioral feature vector from
+        # the event stream (per-type counts, monetary total, first/last
+        # seen, distinct active days) in TWO shrinking reduces: the
+        # (user, day) tie-aggregation first, then the per-user combine
+        # where n_active_days = the row count of the first reduce — no
+        # separate distinct pass.
+        from dygiepp_ray.aggregates import partial_final_agg
+
+        ds = _read(sf_dir, "events",
+                   ["user_id", "event_type", "ts", "value"])
+        types = ["view", "click", "purchase", "signup", "error"]
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            ts_us = ((df["ts"] - pd.Timestamp(0))
+                     // pd.Timedelta(1, "us")).to_numpy("int64")
+            out = {"user_id": df["user_id"].to_numpy("int64"),
+                   "day": ts_us // 86_400_000_000,
+                   "value_s": np.floor(df["value"].to_numpy(np.float64)
+                                       * 100.0 + 0.5).astype("int64"),
+                   "first_us": ts_us, "last_us": ts_us}
+            et = df["event_type"].to_numpy(object)
+            for t in types:
+                out[f"n_{t}"] = (et == t).astype("int64")
+            return pd.DataFrame(out)
+
+        per_day = partial_final_agg(
+            ds.map_batches(prep, batch_format="pandas"),
+            ["user_id", "day"],
+            [("value_s", "value_s", "sum"),
+             ("first_us", "first_us", "min"), ("last_us", "last_us", "max")]
+            + [(f"n_{t}", f"n_{t}", "sum") for t in types])
+
+        def day_row(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["one_day"] = np.ones(len(df), "int64")
+            return df.drop(columns=["day"])
+
+        return partial_final_agg(
+            per_day.map_batches(day_row, batch_format="pandas"),
+            ["user_id"],
+            [("n_active_days", "one_day", "sum"),
+             ("total_value_s", "value_s", "sum"),
+             ("first_us", "first_us", "min"), ("last_us", "last_us", "max")]
+            + [(f"n_{t}", f"n_{t}", "sum") for t in types])
+
+    q["user_features"] = q_user_features
 
     def q_fingerprint(sf_dir: str):
         from dygiepp_ray import oracle as _o
@@ -9179,6 +9322,79 @@ def oracle_sql() -> dict[str, str]:
                                   - 1000000
                              ELSE 0 END AS BIGINT) AS lift_ppm
             FROM a
+        """,
+        "events_cusum": """
+            WITH a AS (
+                SELECT event_type, epoch_us(ts) AS ts_us,
+                       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x,
+                       count(*) AS c
+                FROM events GROUP BY 1, 2
+            ), t AS (
+                SELECT event_type, CAST(sum(x) AS BIGINT) AS s,
+                       CAST(sum(c) AS BIGINT) AS n
+                FROM a GROUP BY 1
+            ), p AS (
+                SELECT event_type,
+                       CAST(sum(x) OVER w AS BIGINT) AS px,
+                       CAST(sum(c) OVER w AS BIGINT) AS pc
+                FROM a
+                WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT p.event_type, t.n AS n_events, t.s AS total_s,
+                   CAST(max(abs(t.n * p.px - p.pc * t.s)) AS BIGINT)
+                       AS max_drift
+            FROM p JOIN t USING (event_type)
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q15": """
+            WITH r AS (
+                SELECT l_suppkey AS s_suppkey,
+                       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                     AS BIGINT)
+                                * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                              AS BIGINT))) AS BIGINT)
+                           AS total_rev_s
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT r.s_suppkey, s.s_name, r.total_rev_s
+            FROM r JOIN supplier s USING (s_suppkey)
+            WHERE r.total_rev_s = (SELECT max(total_rev_s) FROM r)
+        """,
+        "user_features": """
+            WITH d AS (
+                SELECT user_id,
+                       epoch_us(ts) // 86400000000 AS day,
+                       sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                           AS value_s,
+                       min(epoch_us(ts)) AS first_us,
+                       max(epoch_us(ts)) AS last_us,
+                       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                           AS n_view,
+                       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                           AS n_click,
+                       sum(CASE WHEN event_type = 'purchase' THEN 1
+                                ELSE 0 END) AS n_purchase,
+                       sum(CASE WHEN event_type = 'signup' THEN 1
+                                ELSE 0 END) AS n_signup,
+                       sum(CASE WHEN event_type = 'error' THEN 1
+                                ELSE 0 END) AS n_error
+                FROM events GROUP BY 1, 2
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_active_days,
+                   CAST(sum(value_s) AS BIGINT) AS total_value_s,
+                   CAST(min(first_us) AS BIGINT) AS first_us,
+                   CAST(max(last_us) AS BIGINT) AS last_us,
+                   CAST(sum(n_view) AS BIGINT) AS n_view,
+                   CAST(sum(n_click) AS BIGINT) AS n_click,
+                   CAST(sum(n_purchase) AS BIGINT) AS n_purchase,
+                   CAST(sum(n_signup) AS BIGINT) AS n_signup,
+                   CAST(sum(n_error) AS BIGINT) AS n_error
+            FROM d GROUP BY user_id
         """,
         "events_flow_trigrams": """
             WITH w AS (
