@@ -3193,6 +3193,103 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["user_features"] = q_user_features
 
+    def q_data_quality_checks(sf_dir: str):
+        # dbt-test-style constraint validation suite: range / enum checks
+        # as pure indicator scans, the referential check (every lineitem
+        # points at an existing order) as a bucketed LEFT-join marker
+        # count — ONE row per constraint with its violation count, so the
+        # report is tiny at any corpus size. Planted expectations: the
+        # synthetic tables are clean, so nonzero rows flag real drift.
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.joins import hash_join
+
+        def li_checks(df: pd.DataFrame) -> pd.DataFrame:
+            disc = df["l_discount"].to_numpy(np.float64)
+            qty = df["l_quantity"].to_numpy(np.float64)
+            return pd.DataFrame({
+                "check_name": ["discount_range", "quantity_range"],
+                "n_violations": [
+                    int(((disc < 0.0) | (disc > 0.1)).sum()),
+                    int(((qty < 1.0) | (qty > 50.0)).sum())],
+                "n_checked": [len(df), len(df)]})
+
+        li = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_discount", "l_quantity"])
+        range_part = li.map_batches(li_checks, batch_format="pandas")
+
+        def ev_checks(df: pd.DataFrame) -> pd.DataFrame:
+            val = df["value"].to_numpy(np.float64)
+            et = df["event_type"].to_numpy(object)
+            known = {"view", "click", "purchase", "signup", "error"}
+            return pd.DataFrame({
+                "check_name": ["value_nonneg", "event_type_enum"],
+                "n_violations": [
+                    int((val < 0.0).sum()),
+                    int(sum(e not in known for e in et))],
+                "n_checked": [len(df), len(df)]})
+
+        ev = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+            ev_checks, batch_format="pandas")
+
+        okeys = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+            lambda df: pd.DataFrame({
+                "l_orderkey": df["o_orderkey"].to_numpy("int64"),
+                "_m": np.ones(len(df), "int64")}),
+            batch_format="pandas")
+
+        def ref_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "check_name": ["orderkey_referential"],
+                "n_violations": [int(df["_m"].isna().sum())],
+                "n_checked": [len(df)]})
+
+        ref = hash_join(
+            li.map_batches(lambda df: df[["l_orderkey"]],
+                           batch_format="pandas"),
+            okeys, on="l_orderkey", how="left", n_buckets=16,
+            left_types={"l_orderkey": pa.int64()},
+            right_types={"l_orderkey": pa.int64(), "_m": pa.int64()},
+            bucket_post=ref_bucket)
+
+        return partial_final_agg(
+            range_part.union(ev).union(ref), ["check_name"],
+            [("n_violations", "n_violations", "sum"),
+             ("n_checked", "n_checked", "sum")])
+
+    q["data_quality_checks"] = q_data_quality_checks
+
+    def q_orders_zorder(sf_dir: str):
+        # data-layout op: 32-bit Z-order (Morton) key interleaving
+        # (custkey mod 2^16, epoch-day mod 2^16) — the multi-column
+        # clustering key a writer sorts on so range scans over EITHER
+        # column touch few files. Pure vectorized bit math per batch; the
+        # SQL oracle builds the identical 16-term shift expression.
+        # Output: per order the z key plus the file assignment under a
+        # 256-file layout (z >> 24), so the locality contract is itself
+        # value-checked.
+        def z(df: pd.DataFrame) -> pd.DataFrame:
+            ck = (df["o_custkey"].to_numpy("int64") % (1 << 16)
+                  ).astype(np.uint64)
+            day = (((df["o_orderdate"] - pd.Timestamp(0))
+                    // pd.Timedelta(1, "D")).to_numpy("int64")
+                   % (1 << 16)).astype(np.uint64)
+            zv = np.zeros(len(df), np.uint64)
+            for b in range(16):
+                bit = np.uint64(1) << np.uint64(b)
+                zv |= ((ck & bit) << np.uint64(b)
+                       ) | ((day & bit) << np.uint64(b + 1))
+            zi = zv.astype("int64")
+            return pd.DataFrame({
+                "o_orderkey": df["o_orderkey"].to_numpy("int64"),
+                "z_key": zi,
+                "z_file": zi >> 24})
+
+        return _read(sf_dir, "orders",
+                     ["o_orderkey", "o_custkey", "o_orderdate"]
+                     ).map_batches(z, batch_format="pandas")
+
+    q["orders_zorder"] = q_orders_zorder
+
     def q_fingerprint(sf_dir: str):
         from dygiepp_ray import oracle as _o
 
@@ -9322,6 +9419,50 @@ def oracle_sql() -> dict[str, str]:
                                   - 1000000
                              ELSE 0 END AS BIGINT) AS lift_ppm
             FROM a
+        """,
+        "data_quality_checks": """
+            SELECT 'discount_range' AS check_name,
+                   CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+                   count(*) AS n_checked
+            FROM lineitem
+            UNION ALL
+            SELECT 'quantity_range',
+                   CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+                            THEN 1 ELSE 0 END) AS BIGINT), count(*)
+            FROM lineitem
+            UNION ALL
+            SELECT 'value_nonneg',
+                   CAST(sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END)
+                        AS BIGINT), count(*)
+            FROM events
+            UNION ALL
+            SELECT 'event_type_enum',
+                   CAST(sum(CASE WHEN event_type NOT IN
+                            ('view','click','purchase','signup','error')
+                            THEN 1 ELSE 0 END) AS BIGINT), count(*)
+            FROM events
+            UNION ALL
+            SELECT 'orderkey_referential',
+                   CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT), count(*)
+            FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        """,
+        "orders_zorder": """
+            WITH m AS (
+                SELECT o_orderkey,
+                       o_custkey % 65536 AS ck,
+                       CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                            AS BIGINT) % 65536 AS day
+                FROM orders
+            ), zz AS (
+                SELECT o_orderkey,
+                       CAST((((ck >> 0) & 1) * 1) + (((day >> 0) & 1) * 2) + (((ck >> 1) & 1) * 4) + (((day >> 1) & 1) * 8) + (((ck >> 2) & 1) * 16) + (((day >> 2) & 1) * 32) + (((ck >> 3) & 1) * 64) + (((day >> 3) & 1) * 128) + (((ck >> 4) & 1) * 256) + (((day >> 4) & 1) * 512) + (((ck >> 5) & 1) * 1024) + (((day >> 5) & 1) * 2048) + (((ck >> 6) & 1) * 4096) + (((day >> 6) & 1) * 8192) + (((ck >> 7) & 1) * 16384) + (((day >> 7) & 1) * 32768) + (((ck >> 8) & 1) * 65536) + (((day >> 8) & 1) * 131072) + (((ck >> 9) & 1) * 262144) + (((day >> 9) & 1) * 524288) + (((ck >> 10) & 1) * 1048576) + (((day >> 10) & 1) * 2097152) + (((ck >> 11) & 1) * 4194304) + (((day >> 11) & 1) * 8388608) + (((ck >> 12) & 1) * 16777216) + (((day >> 12) & 1) * 33554432) + (((ck >> 13) & 1) * 67108864) + (((day >> 13) & 1) * 134217728) + (((ck >> 14) & 1) * 268435456) + (((day >> 14) & 1) * 536870912) + (((ck >> 15) & 1) * 1073741824) + (((day >> 15) & 1) * 2147483648) AS BIGINT) AS z_key
+                FROM m
+            )
+            SELECT o_orderkey, z_key,
+                   CAST(z_key >> 24 AS BIGINT) AS z_file
+            FROM zz
         """,
         "events_cusum": """
             WITH a AS (
