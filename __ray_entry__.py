@@ -5174,6 +5174,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_wsp"] = q_kg_wsp
 
+    def q_kg_betweenness(sf_dir: str):
+        # sampled betweenness centrality (hop-bounded Brandes from the 3
+        # top-degree hubs; integer-exact floored dependency recursion —
+        # see graph.py:betweenness_sampled). |E|-bounded admission, no
+        # shuffle fallback by design; dict re-walk oracle.
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.graph import betweenness_sampled
+
+        _write_oracle(sf_dir, "kg_betweenness",
+                      lambda: _o.expected_betweenness(
+                          _oracle_triples_table(sf_dir)))
+        return betweenness_sampled(_distinct_edge_ds(sf_dir),
+                                   src="subj_norm", dst="obj_norm")
+
+    q["kg_betweenness"] = q_kg_betweenness
+
     def q_kg_communities(sf_dir: str):
         # community detection by deterministic synchronous label propagation
         # (fixed rounds, exact integer votes, min-label ties); |V|-bounded
@@ -9826,6 +9842,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_wsp": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_wsp.parquet')
+        """,
+        "kg_betweenness": """
+            SELECT * FROM read_parquet(
+                '/tmp/dygiepp_ray_oracle/kg_betweenness.parquet')
         """,
         "embedding_silhouette": """
             SELECT * FROM read_parquet(

@@ -2857,6 +2857,55 @@ def expected_neardup_store(sf_dir: str, n_perm: int = 64,
         "est_matches": pa.array([best[k][0] for k in ks], pa.int64())})
 
 
+def expected_betweenness(triples: pa.Table, n_seeds: int = 3,
+                         max_rounds: int = 3,
+                         scale: int = 1_000_000) -> pa.Table:
+    """Dict re-walk of betweenness_sampled under the identical integer
+    contract: hop-bounded Brandes from the top-(degree, name) hubs with
+    δ(v) = Σ_w (σ(v)·(scale+δ(w))) // σ(w) — independent floored terms,
+    order-invariant sum."""
+    s = triples.column("subj_norm").to_pylist()
+    o = triples.column("obj_norm").to_pylist()
+    und = {tuple(sorted((a, b))) for a, b in zip(s, o) if a != b}
+    adj: dict[str, set] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seeds = sorted(adj, key=lambda v: (-len(adj[v]), v))[:n_seeds]
+    bc = {v: 0 for v in adj}
+    for seed in seeds:
+        dist = {seed: 0}
+        sigma = {seed: 1}
+        levels = [[seed]]
+        for h in range(1, max_rounds + 1):
+            nxt = set()
+            for u in levels[-1]:
+                for w in adj[u]:
+                    if w not in dist:
+                        nxt.add(w)
+            if not nxt:
+                break
+            for w in nxt:
+                dist[w] = h
+                sigma[w] = sum(sigma[u] for u in adj[w]
+                               if dist.get(u) == h - 1)
+            levels.append(sorted(nxt))
+        delta = {v: 0 for v in dist}
+        for h in range(len(levels) - 1, 0, -1):
+            for w in levels[h]:
+                for u in adj[w]:
+                    if dist.get(u) == h - 1:
+                        delta[u] += (sigma[u] * (scale + delta[w])
+                                     ) // sigma[w]
+        delta[seed] = 0
+        for v, x in delta.items():
+            bc[v] += x
+    ks = sorted(bc)
+    return pa.table({"node": pa.array(ks, pa.string()),
+                     "bc_scaled": pa.array([bc[k] for k in ks],
+                                           pa.int64())})
+
+
 def expected_wsp(triples: pa.Table, max_rounds: int = 4) -> pa.Table:
     """Bounded Bellman-Ford re-walk of weighted_min_distances under the
     kg_wsp weight contract (w = 4 − min(undirected multiplicity, 3)):

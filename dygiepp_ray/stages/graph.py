@@ -1774,3 +1774,80 @@ def weighted_min_distances(edges_w: "ray.data.Dataset",
     for r in rounds[1:]:
         best = best.union(r)
     return partial_final_agg(best, ["node"], [("dist", "dist", "min")])
+
+
+def betweenness_sampled(edges: "ray.data.Dataset", src: str = "src",
+                        dst: str = "dst", n_seeds: int = 3,
+                        max_rounds: int = 3, scale: int = 1_000_000,
+                        local_max_edges: int | None = None
+                        ) -> "ray.data.Dataset":
+    """(node, bc_scaled) — sampled betweenness centrality (Brandes
+    accumulation from the `n_seeds` highest-(degree, name asc) hubs,
+    shortest paths bounded at `max_rounds` hops) over the distinct
+    undirected edge set. The dependency recursion is INTEGER-EXACT by
+    contract: δ(v) = Σ_w (σ(v) · (scale + δ(w))) // σ(w) over v's
+    successors w on the BFS DAG — each term floors independently, so the
+    sum is evaluation-order independent and the value-hash oracle holds
+    bit-for-bit. bc_scaled(v) = Σ_seeds δ_seed(v), seeds excluded.
+
+    Contract: driver arrays under the `LOCAL_MAX_EDGES` admission (the
+    kg_scc discipline — no shuffle fallback BY DESIGN: a distributed
+    Brandes needs 2·R join rounds per seed, and the sampled-seed form
+    only makes sense on the vocabulary-bounded KG graph). Overflow: σ ≤
+    max_deg^R — document/re-scale past deg ~2M at R=3."""
+    und = _dedup_undirected(edges, src, dst)
+    names, indexed = _index_edges(und, "u", "v")
+    cap = local_max_edges if local_max_edges is not None else LOCAL_MAX_EDGES
+    n_edges = indexed.count()
+    if n_edges > cap:
+        raise ValueError(
+            f"betweenness_sampled: |E| = {n_edges} exceeds the local "
+            f"admission bound {cap}; no shuffle fallback by design")
+    s, d = _collect_indexed(indexed)
+    n = len(names)
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "bc_scaled": pa.array([], pa.int64())}))
+
+    es = np.concatenate([s, d]).astype(np.int64)
+    ed = np.concatenate([d, s]).astype(np.int64)
+    deg = np.bincount(es, minlength=n)
+    order = sorted(range(n), key=lambda i: (-int(deg[i]), names[i]))
+    seeds = order[:n_seeds]
+
+    bc = np.zeros(n, dtype=np.int64)
+    for seed in seeds:
+        dist = np.full(n, -1, dtype=np.int64)
+        sigma = np.zeros(n, dtype=np.int64)
+        dist[seed] = 0
+        sigma[seed] = 1
+        levels = [np.array([seed], dtype=np.int64)]
+        for _h in range(max_rounds):
+            on_frontier = np.zeros(n, dtype=bool)
+            on_frontier[levels[-1]] = True
+            m = on_frontier[es]
+            tgt = ed[m]
+            fresh = dist[tgt] == -1
+            nxt = np.unique(tgt[fresh])
+            if not len(nxt):
+                break
+            dist[nxt] = len(levels)
+            # σ accumulates over DAG edges frontier→next-level
+            dag = m & (dist[ed] == len(levels))
+            np.add.at(sigma, ed[dag], sigma[es[dag]])
+            levels.append(nxt)
+        delta = np.zeros(n, dtype=np.int64)
+        for h in range(len(levels) - 1, 0, -1):
+            # DAG edges (u at h-1) -> (w at h)
+            dag = (dist[es] == h - 1) & (dist[ed] == h)
+            u, w = es[dag], ed[dag]
+            term = (sigma[u] * (scale + delta[w])) // sigma[w]
+            np.add.at(delta, u, term)
+        delta[seed] = 0
+        bc += delta
+
+    keep = np.nonzero(bc >= 0)[0]
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array([names[i] for i in keep], pa.string()),
+        "bc_scaled": pa.array(bc[keep], pa.int64())}))

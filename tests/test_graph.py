@@ -1471,3 +1471,50 @@ def test_weighted_min_distances_vs_bellman_ford():
             ray.data.from_pandas(edges).repartition(nparts), sd,
             max_rounds=R).to_pandas()
         assert dict(zip(got["node"], got["dist"].astype(int))) == dist
+
+
+# --------------------------------------------------- sampled betweenness
+
+
+def test_betweenness_sampled_star_and_path_goldens():
+    from dygiepp_ray.stages.graph import betweenness_sampled
+
+    SCALE = 1_000_000
+    # path a-b-c-d-e: hubs by (deg desc, name) = b, c, d (deg 2)
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    tri = pd.DataFrame({"subj_norm": [p[0] for p in pairs],
+                        "obj_norm": [p[1] for p in pairs]})
+    got = betweenness_sampled(
+        ray.data.from_pandas(tri), src="subj_norm", dst="obj_norm",
+        n_seeds=1, max_rounds=4).to_pandas()
+    have = dict(zip(got["node"], got["bc_scaled"].astype(int)))
+    # seed = b (deg 2, name first). BFS: levels b | a,c | d | e.
+    # delta(d) = 1*(S+0)//1 = S; delta(c) = (S + delta(d)) = 2S;
+    # delta(a) = 0 (leaf at level 1 has no successors).
+    assert have["d"] == SCALE
+    assert have["c"] == 2 * SCALE
+    assert have["a"] == 0 and have["e"] == 0 and have["b"] == 0
+
+
+def test_betweenness_sampled_matches_dict_oracle_random():
+    import numpy as np
+    import pyarrow as _pa
+
+    from dygiepp_ray.oracle import expected_betweenness
+    from dygiepp_ray.stages.graph import betweenness_sampled
+
+    rng = np.random.RandomState(29)
+    names = [f"n{i:02d}" for i in range(14)]
+    pairs = [(names[rng.randint(14)], names[rng.randint(14)])
+             for _ in range(55)]
+    tri_t = _pa.table({
+        "subj_norm": _pa.array([p[0] for p in pairs], _pa.string()),
+        "pred": _pa.array(["R"] * len(pairs), _pa.string()),
+        "obj_norm": _pa.array([p[1] for p in pairs], _pa.string())})
+    want = expected_betweenness(tri_t)
+    want_map = dict(zip(want["node"].to_pylist(),
+                        want["bc_scaled"].to_pylist()))
+    got = betweenness_sampled(
+        ray.data.from_arrow(tri_t).repartition(3),
+        src="subj_norm", dst="obj_norm").to_pandas()
+    assert dict(zip(got["node"], got["bc_scaled"].astype(int))) == want_map
