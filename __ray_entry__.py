@@ -3290,6 +3290,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["orders_zorder"] = q_orders_zorder
 
+    def q_revenue_bootstrap(sf_dir: str):
+        # Poisson-bootstrap CI for total lineitem revenue: 64 replicate
+        # sums from ONE scan (weights = counter-mode splitmix64 of the
+        # row key through the Poisson(1) inverse CDF — deterministic,
+        # partitioning-invariant, the standard at-scale bootstrap); the
+        # CI picks are ceil-rank order statistics of the 64-row replicate
+        # table. Oracle = scalar re-walk sharing the weight family.
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.stages.sketch import bootstrap_sum_replicates
+
+        _write_oracle(sf_dir, "revenue_bootstrap",
+                      lambda: _o.expected_revenue_bootstrap(sf_dir))
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            ext = np.floor(df["l_extendedprice"].to_numpy(np.float64)
+                           * 100.0 + 0.5).astype("int64")
+            disc = np.floor(df["l_discount"].to_numpy(np.float64) * 100.0
+                            + 0.5).astype("int64")
+            return pd.DataFrame({
+                "k": df["l_orderkey"].to_numpy("int64") * 10
+                + df["l_linenumber"].to_numpy("int64"),
+                "rev_s": ext * (100 - disc)})
+
+        ds = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_linenumber", "l_extendedprice",
+                    "l_discount"]).map_batches(prep, batch_format="pandas")
+        reps = bootstrap_sum_replicates(ds, "k", "rev_s", n_boot=64)
+
+        def stats(df: pd.DataFrame) -> pd.DataFrame:
+            total = int(df.loc[df["b"] == -1, "s"].iloc[0])
+            reps_s = np.sort(df.loc[df["b"] >= 0, "s"].to_numpy("int64"))
+            n = len(reps_s)
+
+            def pick(p: float) -> int:
+                import math
+
+                return int(reps_s[max(math.ceil(p * n), 1) - 1])
+
+            return pd.DataFrame({
+                "stat": ["total", "p05", "p50", "p95"],
+                "value_s": np.array([total, pick(0.05), pick(0.50),
+                                     pick(0.95)], "int64")})
+
+        return reps.map_batches(
+            lambda df: df.assign(_k=np.zeros(len(df), "int64")),
+            batch_format="pandas").groupby("_k").map_groups(
+            lambda df: stats(df.drop(columns=["_k"])),
+            batch_format="pandas")
+
+    q["revenue_bootstrap"] = q_revenue_bootstrap
+
     def q_fingerprint(sf_dir: str):
         from dygiepp_ray import oracle as _o
 
@@ -9479,6 +9530,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, z_key,
                    CAST(z_key >> 24 AS BIGINT) AS z_file
             FROM zz
+        """,
+        "revenue_bootstrap": """
+            SELECT * FROM read_parquet(
+                '/tmp/dygiepp_ray_oracle/revenue_bootstrap.parquet')
         """,
         "events_cusum": """
             WITH a AS (

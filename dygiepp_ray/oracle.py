@@ -2857,6 +2857,40 @@ def expected_neardup_store(sf_dir: str, n_perm: int = 64,
         "est_matches": pa.array([best[k][0] for k in ks], pa.int64())})
 
 
+def expected_revenue_bootstrap(sf_dir: str, n_boot: int = 64) -> pa.Table:
+    """Scalar re-walk of q_revenue_bootstrap: same row keys, the shared
+    poisson_bootstrap_weights family (it defines the operator), python-int
+    sums, ceil-rank order-statistic picks."""
+    import math
+
+    from .stages.sketch import poisson_bootstrap_weights
+
+    t = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"),
+                      columns=["l_orderkey", "l_linenumber",
+                               "l_extendedprice", "l_discount"])
+    ok = np.asarray(t.column("l_orderkey").to_pylist(), dtype=np.int64)
+    ln = np.asarray(t.column("l_linenumber").to_pylist(), dtype=np.int64)
+    ext = np.floor(np.asarray(t.column("l_extendedprice").to_pylist(),
+                              dtype=np.float64) * 100.0 + 0.5
+                   ).astype(np.int64)
+    disc = np.floor(np.asarray(t.column("l_discount").to_pylist(),
+                               dtype=np.float64) * 100.0 + 0.5
+                    ).astype(np.int64)
+    rev = ext * (100 - disc)
+    keys = ok * 10 + ln
+    w = poisson_bootstrap_weights(keys, n_boot)
+    reps = sorted(int(x) for x in (w * rev[:, None]).sum(axis=0))
+    total = int(rev.sum())
+
+    def pick(p: float) -> int:
+        return reps[max(math.ceil(p * n_boot), 1) - 1]
+
+    return pa.table({
+        "stat": pa.array(["total", "p05", "p50", "p95"], pa.string()),
+        "value_s": pa.array([total, pick(0.05), pick(0.50), pick(0.95)],
+                            pa.int64())})
+
+
 def expected_betweenness(triples: pa.Table, n_seeds: int = 3,
                          max_rounds: int = 3,
                          scale: int = 1_000_000) -> pa.Table:

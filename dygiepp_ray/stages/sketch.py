@@ -235,3 +235,70 @@ def histogram_quantiles(ds: "ray.data.Dataset", col: str,
     # the final histogram is ≤ 2^bits rows by construction — one task
     return hist.repartition(1).map_batches(pick, batch_format="pyarrow",
                                            batch_size=None)
+
+
+# ------------------------------------------------------ Poisson bootstrap
+
+
+def _poisson1_thresholds(kmax: int = 8) -> np.ndarray:
+    """Cumulative Poisson(1) CDF thresholds on the 63-bit uniform grid:
+    a 63-bit draw u maps to weight = #{k : u >= T_k} − ... computed as
+    the count of thresholds ≤ u. Float64 CDF math is fixed here once —
+    the same function defines both the engine and the oracle."""
+    import math
+
+    cdf = []
+    acc = 0.0
+    for k in range(kmax + 1):
+        acc += math.exp(-1.0) / math.factorial(k)
+        cdf.append(min(acc, 1.0))
+    return np.array([int(c * float(1 << 63)) for c in cdf], dtype=np.int64)
+
+
+_PB_T = _poisson1_thresholds()
+_PB_SEED = np.uint64(0xD1B54A32D192ED03)
+
+
+def poisson_bootstrap_weights(keys: np.ndarray, n_boot: int) -> np.ndarray:
+    """(n, n_boot) int64 Poisson(1) bootstrap weights, deterministic in
+    the row key alone — partitioning-invariant by construction (the
+    splitmix64 counter-mode draw, no RNG state). The standard one-pass
+    'Poisson bootstrap' used when the corpus cannot be resampled by
+    index at scale."""
+    from .dedup import _splitmix64
+
+    seeds = _splitmix64(
+        np.arange(n_boot, dtype=np.uint64) ^ _PB_SEED)
+    u = _splitmix64(keys.astype(np.uint64)[:, None] ^ seeds[None, :])
+    u63 = (u >> np.uint64(1)).astype(np.int64)
+    # weight = count of CDF thresholds <= u63  (inverse-CDF lookup)
+    return (u63[:, :, None] >= _PB_T[None, None, :]).sum(axis=2
+                                                         ).astype(np.int64)
+
+
+def bootstrap_sum_replicates(ds: "ray.data.Dataset", key_col: str,
+                             x_col: str,
+                             n_boot: int = 64) -> "ray.data.Dataset":
+    """(b, s) — `n_boot` Poisson-bootstrap replicate sums of `x_col`
+    (int64) plus the unweighted total as b = −1. ONE scan: each block
+    emits ≤ n_boot+1 partial rows; the combine is a tiny grouped sum.
+    Replicate spread estimates the sampling distribution of the total —
+    the basis for bootstrap confidence intervals at any corpus size
+    (weights derive from the row KEY, so results are exact-deterministic
+    under any partitioning). Overflow: Σ w·x ≤ ~9·Σx — keep Σx under
+    ~1e18/9."""
+    from ..aggregates import partial_final_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key_col].to_numpy("int64")
+        x = df[x_col].to_numpy("int64")
+        w = poisson_bootstrap_weights(k, n_boot)
+        sums = (w * x[:, None]).sum(axis=0)
+        return pd.DataFrame({
+            "b": np.concatenate([[np.int64(-1)],
+                                 np.arange(n_boot, dtype=np.int64)]),
+            "s": np.concatenate([[x.sum()], sums])})
+
+    return partial_final_agg(
+        ds.map_batches(partial, batch_format="pandas"), ["b"],
+        [("s", "s", "sum")])

@@ -130,3 +130,36 @@ def test_histogram_quantiles_clips_out_of_range():
     assert got["n"].tolist() == [4, 4]
     # p=1.0 must pick the clipped top bin's upper edge (= hi)
     assert got.loc[got["prob"] == 1.0, "value"].iloc[0] == 100.0
+
+
+def test_poisson_bootstrap_weights_distribution_and_determinism():
+    from dygiepp_ray.stages.sketch import poisson_bootstrap_weights
+
+    keys = np.arange(20000, dtype=np.int64)
+    w = poisson_bootstrap_weights(keys, 8)
+    # deterministic
+    w2 = poisson_bootstrap_weights(keys, 8)
+    assert (w == w2).all()
+    # Poisson(1) moments: mean ~1, var ~1 (loose tolerance at n=160k)
+    m = w.mean()
+    v = w.var()
+    assert abs(m - 1.0) < 0.02
+    assert abs(v - 1.0) < 0.05
+    assert w.min() >= 0 and w.max() <= 8
+
+
+def test_bootstrap_sum_replicates_partition_invariance():
+    from dygiepp_ray.stages.sketch import bootstrap_sum_replicates
+
+    rng = np.random.RandomState(6)
+    df = pd.DataFrame({"k": np.arange(500, dtype="int64"),
+                       "x": rng.randint(0, 1000, size=500).astype("int64")})
+    outs = []
+    for nparts in (1, 5):
+        got = bootstrap_sum_replicates(
+            ray.data.from_pandas(df).repartition(nparts), "k", "x",
+            n_boot=16).to_pandas().sort_values("b").reset_index(drop=True)
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert int(outs[0].loc[outs[0]["b"] == -1, "s"].iloc[0]) \
+        == int(df["x"].sum())
