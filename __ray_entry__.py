@@ -3341,6 +3341,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["revenue_bootstrap"] = q_revenue_bootstrap
 
+    def q_price_percentile_cont(sf_dir: str):
+        # interpolated (percentile_cont-style) global percentiles of the
+        # price in cents, INTEGER-EXACT: target rank r = 1 + (n−1)·p has
+        # an exact milli fraction for decimal p, so value_milli =
+        # v_lo·1000 + (v_hi − v_lo)·frac_milli needs no float at all.
+        # The two discrete order statistics come from ONE
+        # distributed_quantiles call with crafted probs (r−½)/n, whose
+        # ceil recovers exactly ranks r and r+1 (the ±½ keeps the float
+        # ceil away from integer boundaries). SQL mirrors the identical
+        # integer expression from two quantile_disc pulls — NOT DuckDB's
+        # quantile_cont (whose internal lerp tree is not mirrorable).
+        import math
+
+        from dygiepp_ray.aggregates import distributed_quantiles
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "cents": np.floor(df["l_extendedprice"
+                                     ].to_numpy(np.float64) * 100.0
+                                  + 0.5).astype("int64")})
+
+        ds = _read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+            prep, batch_format="pandas").materialize()
+        n = ds.count()
+        ps = [250, 500, 750, 900]  # milli-probabilities
+        ranks = [1 + (n - 1) * p // 1000 for p in ps]
+        fracs = [(n - 1) * p % 1000 for p in ps]
+        probs = []
+        for r in ranks:
+            probs.append((r - 0.5) / n)
+            probs.append((min(r + 1, n) - 0.5) / n)
+        qv = distributed_quantiles(ds, "cents", probs)
+        vmap = dict(zip(qv["q"], qv["v"]))
+        rows = []
+        for i, (p, fr) in enumerate(zip(ps, fracs)):
+            v_lo = int(vmap[probs[2 * i]])
+            v_hi = int(vmap[probs[2 * i + 1]])
+            rows.append((p, v_lo * 1000 + (v_hi - v_lo) * fr))
+        return pd.DataFrame({
+            "p_milli": np.array([r[0] for r in rows], "int64"),
+            "value_milli": np.array([r[1] for r in rows], "int64")})
+
+    q["price_percentile_cont"] = q_price_percentile_cont
+
+    def q_doc_length_sketch_by_source(sf_dir: str):
+        # grouped one-pass sketch quantiles: per-source doc-length
+        # p25/p50/p90 off the mergeable fixed-bin histogram (the grouped
+        # companion of approx_quantiles_price; error ≤ one bin width,
+        # range [0, 8192) covers n_chars by data contract)
+        from dygiepp_ray.stages.sketch import histogram_quantiles_grouped
+
+        ds = _read(sf_dir, "documents", ["source", "n_chars"])
+        return histogram_quantiles_grouped(
+            ds, "n_chars", "source", [0.25, 0.5, 0.9], lo=0.0, hi=8192.0,
+            bits=13)
+
+    q["doc_length_sketch_by_source"] = q_doc_length_sketch_by_source
+
     def q_fingerprint(sf_dir: str):
         from dygiepp_ray import oracle as _o
 
@@ -9530,6 +9588,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, z_key,
                    CAST(z_key >> 24 AS BIGINT) AS z_file
             FROM zz
+        """,
+        "price_percentile_cont": """
+            WITH c AS (
+                SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    AS cents
+                FROM lineitem
+            ), t AS (
+                SELECT count(*) AS n FROM c
+            ), p AS (
+                SELECT unnest([250, 500, 750, 900]) AS p_milli
+            ), r AS (
+                SELECT p_milli,
+                       1 + ((n - 1) * p_milli) // 1000 AS rk,
+                       ((n - 1) * p_milli) % 1000 AS fr,
+                       n
+                FROM p, t
+            ), o AS (
+                SELECT cents, row_number() OVER (ORDER BY cents) AS rn
+                FROM c
+            )
+            SELECT CAST(r.p_milli AS BIGINT) AS p_milli,
+                   CAST(lo.cents * 1000
+                        + (hi.cents - lo.cents) * r.fr AS BIGINT)
+                       AS value_milli
+            FROM r
+            JOIN o lo ON lo.rn = r.rk
+            JOIN o hi ON hi.rn = least(r.rk + 1, r.n)
+        """,
+        "doc_length_sketch_by_source": """
+            WITH b AS (
+                SELECT source,
+                       least(greatest(CAST(floor(
+                           (n_chars - 0.0) * (8192.0 / 8192.0))
+                           AS BIGINT), 0), 8191) AS bin
+                FROM documents
+            ), c AS (
+                SELECT source, bin, count(*) AS n FROM b GROUP BY 1, 2
+            ), w AS (
+                SELECT source, bin,
+                       sum(n) OVER (PARTITION BY source ORDER BY bin)
+                           AS cum
+                FROM c
+            ), t AS (
+                SELECT source, count(*) AS tot FROM documents GROUP BY 1
+            ), params(prob) AS (VALUES (0.25), (0.5), (0.9)),
+            r AS (
+                SELECT t.source, prob,
+                       (CAST(prob * 1000000 AS BIGINT) * tot + 999999)
+                           // 1000000 AS rk
+                FROM params, t
+            ), pick AS (
+                SELECT r.source, r.prob, min(w.bin) AS bin
+                FROM r JOIN w ON w.source = r.source AND w.cum >= r.rk
+                GROUP BY 1, 2
+            )
+            SELECT p.source, CAST(p.prob AS DOUBLE) AS prob,
+                   round(0.0 + (p.bin + 1) / (8192.0 / 8192.0), 6)
+                       AS value,
+                   t.tot AS n
+            FROM pick p JOIN t ON t.source = p.source
         """,
         "revenue_bootstrap": """
             SELECT * FROM read_parquet(

@@ -302,3 +302,51 @@ def bootstrap_sum_replicates(ds: "ray.data.Dataset", key_col: str,
     return partial_final_agg(
         ds.map_batches(partial, batch_format="pandas"), ["b"],
         [("s", "s", "sum")])
+
+
+def histogram_quantiles_grouped(ds: "ray.data.Dataset", col: str,
+                                by: str, probs: list[float], lo: float,
+                                hi: float, bits: int = 13
+                                ) -> "ray.data.Dataset":
+    """(group, prob, value, n) — the GROUPED companion of
+    `histogram_quantiles`: per-(group, bin) count partials (≤ groups ×
+    2^bits rows total after the tiny combine), then a per-group ceil-rank
+    pick. Same determinism/mirroring contract as the global op; intended
+    for modest group cardinality (the final pick holds one group's
+    histogram per pandas group — ≤ 2^bits rows each)."""
+    from ..aggregates import partial_final_agg
+    from ..functions.strings import round_half_up
+
+    nb = 1 << bits
+    scale = nb / (hi - lo)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[col].to_numpy(np.float64)
+        b = np.floor((x - lo) * scale).astype(np.int64)
+        np.clip(b, 0, nb - 1, out=b)
+        g = pd.DataFrame({by: df[by].to_numpy(object), "bin": b,
+                          "one": np.ones(len(df), "int64")})
+        return g.groupby([by, "bin"], as_index=False)["one"].sum().rename(
+            columns={"one": "n"})
+
+    hist = partial_final_agg(ds.map_batches(partial, batch_format="pandas"),
+                             [by, "bin"], [("n", "n", "sum")])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bin")
+        cum = df["n"].to_numpy(np.int64).cumsum()
+        bins = df["bin"].to_numpy(np.int64)
+        total = int(cum[-1]) if len(cum) else 0
+        rows = []
+        for p in probs:
+            rank = (int(p * 1_000_000) * total + 999_999) // 1_000_000
+            i = int(np.searchsorted(cum, max(rank, 1)))
+            b = int(bins[min(i, len(bins) - 1)]) if len(bins) else 0
+            rows.append((p, float(round_half_up(
+                np.float64(lo) + (b + 1) / np.float64(scale), 6)), total))
+        return pd.DataFrame({by: df[by].iloc[0],
+                             "prob": [r[0] for r in rows],
+                             "value": [r[1] for r in rows],
+                             "n": np.array([r[2] for r in rows], "int64")})
+
+    return hist.groupby(by).map_groups(pick, batch_format="pandas")
