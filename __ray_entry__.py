@@ -5299,6 +5299,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_betweenness"] = q_kg_betweenness
 
+    def q_kg_powerlaw(sf_dir: str):
+        # scale-free-ness audit: log2-binned degree histogram + the
+        # discrete-MLE power-law exponent α = 1 + n/Σ ln(d/(dmin−½)),
+        # with the log SUM accumulated as floor(ln(·)·1e9) int64 per node
+        # (float summation order would be partitioning-dependent; floored
+        # nano-log terms make the reduce exact and the SQL mirror uses
+        # the identical ln expression per row). dmin = 1 by contract.
+        from dygiepp_ray.aggregates import partial_final_agg, \
+            strip_schema_metadata
+
+        _ensure_triples_oracle(sf_dir)
+        edges = _distinct_edge_ds(sf_dir).materialize()
+
+        def sym(t: pa.Table) -> pa.Table:
+            t = strip_schema_metadata(t)
+            u = t.column("subj_norm")
+            v = t.column("obj_norm")
+            c = pa.chunked_array(list(u.chunks) + list(v.chunks), u.type)
+            n = pa.chunked_array(list(v.chunks) + list(u.chunks), u.type)
+            out = pa.table({"node": c, "nb": n})
+            # self-loops excluded by contract (the SQL mirror's
+            # subj <> obj)
+            return out.filter(pc.invert(pc.equal(out["node"], out["nb"])))
+
+        adj = grouped_count(
+            edges.map_batches(sym, batch_format="pyarrow"),
+            ["node", "nb"], out_name="_c").select_columns(["node", "nb"])
+        deg = grouped_count(adj.select_columns(["node"]), ["node"],
+                            out_name="deg")
+
+        def partials(df: pd.DataFrame) -> pd.DataFrame:
+            d = df["deg"].to_numpy("int64").astype(np.float64)
+            # floor(log2(d)) via the EXACT frexp exponent (float log2
+            # differs from SQL's in the last ulp at powers of two); the
+            # SQL mirror uses the binary-string length instead
+            _m, ex = np.frexp(d)
+            lb = (ex - 1).astype("int64")
+            ln_nano = np.floor(np.log(d / 0.5) * 1e9).astype("int64")
+            g = pd.DataFrame({"log2_bin": lb,
+                              "one": np.ones(len(df), "int64"),
+                              "ln_nano": ln_nano})
+            return g.groupby("log2_bin", as_index=False).sum()
+
+        hist = partial_final_agg(
+            deg.map_batches(partials, batch_format="pandas"),
+            ["log2_bin"], [("n_nodes", "one", "sum"),
+                           ("ln_nano_sum", "ln_nano", "sum")])
+
+        def alpha(df: pd.DataFrame) -> pd.DataFrame:
+            n = int(df["n_nodes"].sum())
+            s = int(df["ln_nano_sum"].sum())
+            a = 1_000_000 + (n * 10**15) // s if s > 0 else 0
+            out = df.sort_values("log2_bin").copy()
+            out["alpha_micro"] = np.int64(a)
+            return out[["log2_bin", "n_nodes", "alpha_micro"]]
+
+        return hist.map_batches(
+            lambda df: df.assign(_k=np.zeros(len(df), "int64")),
+            batch_format="pandas").groupby("_k").map_groups(
+            lambda df: alpha(df.drop(columns=["_k"])),
+            batch_format="pandas")
+
+    q["kg_powerlaw"] = q_kg_powerlaw
+
     def q_kg_communities(sf_dir: str):
         # community detection by deterministic synchronous label propagation
         # (fixed rounds, exact integer votes, min-label ties); |V|-bounded
@@ -10015,6 +10079,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_wsp": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_wsp.parquet')
+        """,
+        "kg_powerlaw": """
+            WITH e AS (
+                SELECT DISTINCT least(subj_norm, obj_norm) AS u,
+                                greatest(subj_norm, obj_norm) AS v
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+                WHERE subj_norm <> obj_norm
+            ), d AS (
+                SELECT node, count(*) AS deg FROM (
+                    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+                ) GROUP BY node
+            ), pl AS (
+                SELECT CAST(length(printf('%b', deg)) - 1 AS BIGINT)
+                           AS log2_bin,
+                       count(*) AS n_nodes,
+                       sum(CAST(floor(ln(CAST(deg AS DOUBLE) / 0.5)
+                                      * 1000000000) AS BIGINT)) AS ln_s
+                FROM d GROUP BY 1
+            ), t AS (
+                SELECT sum(n_nodes) AS n, sum(ln_s) AS s FROM pl
+            )
+            SELECT pl.log2_bin, CAST(pl.n_nodes AS BIGINT) AS n_nodes,
+                   CAST(1000000 + (t.n * 1000000000000000) // t.s
+                        AS BIGINT) AS alpha_micro
+            FROM pl, t
         """,
         "kg_betweenness": """
             SELECT * FROM read_parquet(
