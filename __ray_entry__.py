@@ -3258,6 +3258,101 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["data_quality_checks"] = q_data_quality_checks
 
+    def q_compaction_plan(sf_dir: str):
+        # lakehouse OPTIMIZE-style small-file compaction planner over the
+        # REAL shard files of the synthetic corpus: first-fit-decreasing
+        # bin packing into 24 KiB target groups. The file MANIFEST is
+        # driver-scale BY NATURE (file count, not row count — the same
+        # contract as build_kg's lineage manifests), so the deterministic
+        # FFD runs on the driver; the plan itself is what downstream
+        # rewrite tasks would fan out over. Oracle = independent FFD
+        # re-walk written as parquet.
+        from dygiepp_ray import oracle as _o
+
+        corpus = _synth_corpus_dir(sf_dir)
+        _write_oracle(sf_dir, "compaction_plan",
+                      lambda: _o.expected_compaction_plan(corpus))
+        import glob as _glob
+
+        files = sorted(_glob.glob(os.path.join(corpus, "*.parquet")))
+        man = pd.DataFrame({
+            "path": [os.path.relpath(f, corpus) for f in files],
+            "bytes": [os.path.getsize(f) for f in files]})
+        TARGET = 24 * 1024
+        man = man.sort_values(["bytes", "path"],
+                              ascending=[False, True]).reset_index(drop=True)
+        groups: list[int] = []
+        fill: list[int] = []
+        gid = []
+        for b in man["bytes"]:
+            placed = -1
+            for i, f in enumerate(fill):
+                if f + b <= TARGET:
+                    placed = i
+                    break
+            if placed < 0:
+                fill.append(int(b))
+                placed = len(fill) - 1
+            else:
+                fill[placed] += int(b)
+            gid.append(placed)
+        man["group_id"] = np.array(gid, "int64")
+        man["bytes"] = man["bytes"].astype("int64")
+        gb = man.groupby("group_id")["bytes"].transform("sum")
+        man["group_bytes"] = gb.astype("int64")
+        return ray.data.from_pandas(
+            man[["path", "bytes", "group_id", "group_bytes"]])
+
+    q["compaction_plan"] = q_compaction_plan
+
+    def q_user_delete_cascade(sf_dir: str):
+        # GDPR-style delete-cascade audit: for the deletion cohort
+        # (custkey/user_id ≡ 0 mod 97), count the rows each table would
+        # lose — customer directly, orders via custkey, lineitem via the
+        # orders CASCADE (bucketed join with in-bucket count partials),
+        # events via user_id. The report is table-count-bounded.
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.joins import hash_join
+
+        def row(name: str, n: int) -> pd.DataFrame:
+            return pd.DataFrame({"table_name": [name],
+                                 "n_rows": np.array([n], "int64")})
+
+        n_cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+            lambda df: row("customer",
+                           int((df["c_custkey"] % 97 == 0).sum())),
+            batch_format="pandas")
+
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]
+                       ).map_batches(
+            lambda df: df[df["o_custkey"] % 97 == 0],
+            batch_format="pandas").materialize()
+        n_orders = orders.map_batches(
+            lambda df: row("orders", len(df)), batch_format="pandas")
+
+        okeys = orders.map_batches(
+            lambda df: pd.DataFrame({
+                "l_orderkey": df["o_orderkey"].to_numpy("int64"),
+                "_m": np.ones(len(df), "int64")}),
+            batch_format="pandas")
+        n_li = hash_join(
+            _read(sf_dir, "lineitem", ["l_orderkey"]), okeys,
+            on="l_orderkey", how="left", n_buckets=16,
+            left_types={"l_orderkey": pa.int64()},
+            right_types={"l_orderkey": pa.int64(), "_m": pa.int64()},
+            bucket_post=lambda df: row("lineitem",
+                                       int(df["_m"].notna().sum())))
+
+        n_ev = _read(sf_dir, "events", ["user_id"]).map_batches(
+            lambda df: row("events", int((df["user_id"] % 97 == 0).sum())),
+            batch_format="pandas")
+
+        return partial_final_agg(
+            n_cust.union(n_orders).union(n_li).union(n_ev),
+            ["table_name"], [("n_rows", "n_rows", "sum")])
+
+    q["user_delete_cascade"] = q_user_delete_cascade
+
     def q_orders_zorder(sf_dir: str):
         # data-layout op: 32-bit Z-order (Morton) key interleaving
         # (custkey mod 2^16, epoch-day mod 2^16) — the multi-column
@@ -9712,6 +9807,30 @@ def oracle_sql() -> dict[str, str]:
                        AS value,
                    t.tot AS n
             FROM pick p JOIN t ON t.source = p.source
+        """,
+        "compaction_plan": """
+            SELECT * FROM read_parquet(
+                '/tmp/dygiepp_ray_oracle/compaction_plan.parquet')
+        """,
+        "user_delete_cascade": """
+            SELECT 'customer' AS table_name,
+                   CAST(sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_rows
+            FROM customer
+            UNION ALL
+            SELECT 'orders',
+                   CAST(sum(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'lineitem', CAST(count(*) AS BIGINT)
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_custkey % 97 = 0
+            UNION ALL
+            SELECT 'events',
+                   CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT)
+            FROM events
         """,
         "revenue_bootstrap": """
             SELECT * FROM read_parquet(

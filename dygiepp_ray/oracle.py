@@ -2857,6 +2857,37 @@ def expected_neardup_store(sf_dir: str, n_perm: int = 64,
         "est_matches": pa.array([best[k][0] for k in ks], pa.int64())})
 
 
+def expected_compaction_plan(corpus_dir: str,
+                             target: int = 24 * 1024) -> pa.Table:
+    """Independent FFD re-walk of q_compaction_plan over the same shard
+    manifest (sort by (bytes desc, path asc), first fit into `target`
+    bins)."""
+    files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    man = sorted(((os.path.getsize(f), os.path.relpath(f, corpus_dir))
+                  for f in files), key=lambda t: (-t[0], t[1]))
+    fill: list[int] = []
+    rows = []
+    for b, p in man:
+        placed = -1
+        for i, f in enumerate(fill):
+            if f + b <= target:
+                placed = i
+                break
+        if placed < 0:
+            fill.append(b)
+            placed = len(fill) - 1
+        else:
+            fill[placed] += b
+        rows.append((p, b, placed))
+    gsum = {g: sum(b for _, b, gg in rows if gg == g)
+            for g in {r[2] for r in rows}}
+    return pa.table({
+        "path": pa.array([r[0] for r in rows], pa.string()),
+        "bytes": pa.array([r[1] for r in rows], pa.int64()),
+        "group_id": pa.array([r[2] for r in rows], pa.int64()),
+        "group_bytes": pa.array([gsum[r[2]] for r in rows], pa.int64())})
+
+
 def expected_revenue_bootstrap(sf_dir: str, n_boot: int = 64) -> pa.Table:
     """Scalar re-walk of q_revenue_bootstrap: same row keys, the shared
     poisson_bootstrap_weights family (it defines the operator), python-int
