@@ -3105,6 +3105,116 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_cusum"] = q_events_cusum
 
+    def q_events_stationary(sf_dir: str):
+        # long-run behavioral mix: the stationary distribution of the
+        # per-user event-type Markov chain. Transition counts reduce to
+        # a |types|² table (one user-bucket shuffle, numpy shift kernel);
+        # the power iteration runs on the driver over that TINY matrix in
+        # integer fixed point (π'_j = Σ_i π_i·n_ij // n_i — floored
+        # per-term, deterministic; 60 rounds, scale 1e12). Rows with no
+        # outgoing transitions redistribute uniformly (dangling contract,
+        # as in PageRank). Oracle = independent dict re-walk.
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.windows import _bucketed
+
+        _write_oracle(sf_dir, "events_stationary",
+                      lambda: _o.expected_events_stationary(sf_dir))
+        ds = _read(sf_dir, "events", ["user_id", "event_type", "ts",
+                                      "event_id"])
+
+        def kernel(df: pd.DataFrame, ks: list) -> pd.DataFrame:
+            u = df["user_id"].to_numpy()
+            t = df["event_type"].to_numpy(object)
+            if len(df) < 2:
+                return pd.DataFrame({"t1": pd.Series(dtype=object),
+                                     "t2": pd.Series(dtype=object),
+                                     "n_part": pd.Series(dtype="int64")})
+            ok = u[:-1] == u[1:]
+            g = pd.DataFrame({"t1": t[:-1][ok], "t2": t[1:][ok]})
+            g["one"] = np.ones(len(g), "int64")
+            return g.groupby(["t1", "t2"], as_index=False)["one"].sum(
+            ).rename(columns={"one": "n_part"})
+
+        trans = partial_final_agg(
+            _bucketed(ds, ["user_id"], ["ts", "event_id"], True, kernel,
+                      64),
+            ["t1", "t2"], [("n", "n_part", "sum")]).to_pandas()
+
+        types = sorted(set(trans["t1"]) | set(trans["t2"]))
+        ix = {t: i for i, t in enumerate(types)}
+        k = len(types)
+        n_ij = np.zeros((k, k), dtype=np.int64)
+        for r in trans.itertuples():
+            n_ij[ix[r.t1], ix[r.t2]] = int(r.n)
+        row_n = n_ij.sum(axis=1)
+        SCALE = 10**12
+        pi = [SCALE // k + (1 if i < SCALE % k else 0) for i in range(k)]
+        for _ in range(60):
+            nxt = [0] * k
+            for i in range(k):
+                if row_n[i] == 0:
+                    for j in range(k):
+                        nxt[j] += pi[i] // k
+                    continue
+                for j in range(k):
+                    if n_ij[i, j]:
+                        nxt[j] += pi[i] * int(n_ij[i, j]) // int(row_n[i])
+            pi = nxt
+        return pd.DataFrame({
+            "event_type": types,
+            "pi_ppm": np.array([p // 10**6 for p in pi], "int64")})
+
+    q["events_stationary"] = q_events_stationary
+
+    def q_orders_hhi(sf_dir: str):
+        # market-concentration audit: Herfindahl–Hirschman index of
+        # revenue by customer. Per-customer revenue reduce, then
+        # Σ share² as the exact integer ((Σ rev_k²)·1e6) // (Σ rev_k)² —
+        # revenue quantized to WHOLE currency units by contract (cents²
+        # would overflow the distributed Σ rev² at int64; the k-unit is
+        # part of the operator contract and the SQL mirror). Final ratio
+        # in Python ints on the 1-row frame.
+        from dygiepp_ray.aggregates import partial_final_agg
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "o_custkey": df["o_custkey"].to_numpy("int64"),
+                "rev_u": np.floor(df["o_totalprice"].to_numpy(np.float64)
+                                  + 0.5).astype("int64")})
+
+        per_cust = partial_final_agg(
+            _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]
+                  ).map_batches(prep, batch_format="pandas"),
+            ["o_custkey"], [("rev_u", "rev_u", "sum")])
+
+        def sq(df: pd.DataFrame) -> pd.DataFrame:
+            r = df["rev_u"].to_numpy("int64")
+            return pd.DataFrame({"k": np.zeros(1, "int64"),
+                                 "n_cust": np.array([len(df)], "int64"),
+                                 "sum_u": np.array([r.sum()], "int64"),
+                                 "sum_sq": np.array([(r * r).sum()],
+                                                    "int64")})
+
+        tot = partial_final_agg(
+            per_cust.map_batches(sq, batch_format="pandas"), ["k"],
+            [("n_cust", "n_cust", "sum"), ("sum_u", "sum_u", "sum"),
+             ("sum_sq", "sum_sq", "sum")])
+
+        def hhi(df: pd.DataFrame) -> pd.DataFrame:
+            n = int(df["n_cust"].iloc[0])
+            s = int(df["sum_u"].iloc[0])
+            sq_ = int(df["sum_sq"].iloc[0])
+            h = (sq_ * 1_000_000) // (s * s) if s else 0
+            return pd.DataFrame({
+                "n_cust": np.array([n], "int64"),
+                "total_rev_u": np.array([s], "int64"),
+                "hhi_ppm": np.array([h], "int64")})
+
+        return tot.map_batches(hhi, batch_format="pandas")
+
+    q["orders_hhi"] = q_orders_hhi
+
     def q_tpch_q15(sf_dir: str):
         # TPC-H Q15 shape: top supplier(s) by Q1-1996 revenue — per-
         # suppkey exact-int revenue reduce off the fact table, global max
@@ -9807,6 +9917,26 @@ def oracle_sql() -> dict[str, str]:
                        AS value,
                    t.tot AS n
             FROM pick p JOIN t ON t.source = p.source
+        """,
+        "events_stationary": """
+            SELECT * FROM read_parquet(
+                '/tmp/dygiepp_ray_oracle/events_stationary.parquet')
+        """,
+        "orders_hhi": """
+            WITH pc AS (
+                SELECT o_custkey,
+                       CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT))
+                            AS BIGINT) AS rev_u
+                FROM orders GROUP BY 1
+            ), t AS (
+                SELECT count(*) AS n_cust, sum(rev_u) AS s,
+                       sum(rev_u * rev_u) AS sq
+                FROM pc
+            )
+            SELECT CAST(n_cust AS BIGINT) AS n_cust,
+                   CAST(s AS BIGINT) AS total_rev_u,
+                   CAST((sq * 1000000) // (s * s) AS BIGINT) AS hhi_ppm
+            FROM t
         """,
         "compaction_plan": """
             SELECT * FROM read_parquet(

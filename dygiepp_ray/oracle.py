@@ -2857,6 +2857,44 @@ def expected_neardup_store(sf_dir: str, n_perm: int = 64,
         "est_matches": pa.array([best[k][0] for k in ks], pa.int64())})
 
 
+def expected_events_stationary(sf_dir: str, rounds: int = 60,
+                               scale: int = 10**12) -> pa.Table:
+    """Dict re-walk of q_events_stationary: per-user consecutive-type
+    transitions from the events parquet ((ts, event_id) order), the same
+    floored fixed-point power iteration with the uniform dangling
+    redistribution."""
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=["user_id", "event_type", "ts", "event_id"])
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                   kind="mergesort")
+    u = df["user_id"].to_numpy()
+    et = df["event_type"].to_numpy(object)
+    ok = u[:-1] == u[1:]
+    pairs = Counter(zip(et[:-1][ok], et[1:][ok]))
+    types = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    ix = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    n_ij = [[0] * k for _ in range(k)]
+    for (a, b), n in pairs.items():
+        n_ij[ix[a]][ix[b]] = n
+    row_n = [sum(r) for r in n_ij]
+    pi = [scale // k + (1 if i < scale % k else 0) for i in range(k)]
+    for _ in range(rounds):
+        nxt = [0] * k
+        for i in range(k):
+            if row_n[i] == 0:
+                for j in range(k):
+                    nxt[j] += pi[i] // k
+                continue
+            for j in range(k):
+                if n_ij[i][j]:
+                    nxt[j] += pi[i] * n_ij[i][j] // row_n[i]
+        pi = nxt
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "pi_ppm": pa.array([p // 10**6 for p in pi], pa.int64())})
+
+
 def expected_compaction_plan(corpus_dir: str,
                              target: int = 24 * 1024) -> pa.Table:
     """Independent FFD re-walk of q_compaction_plan over the same shard
