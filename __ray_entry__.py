@@ -3215,6 +3215,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["orders_hhi"] = q_orders_hhi
 
+    def q_events_autocorr(sf_dir: str):
+        # seasonality audit: lag-24h autocorrelation of the DENSE hourly
+        # count series per event type (zero-filled gaps; pairs (t, t+24)
+        # over [min, max−24]). The (type, hour) count reduce is
+        # distributed; the dense fill + exact int64 moments run on the
+        # driver because the series is TIME-bounded, not corpus-bounded
+        # (hours in the observation window — the events_user_growth
+        # driver-cumsum contract). Pearson r via the events_value_corr
+        # float tree, 6-dp rounded.
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.functions.strings import round_half_up
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            hr = ((df["ts"] - pd.Timestamp(0))
+                  // pd.Timedelta(1, "h")).to_numpy("int64")
+            return pd.DataFrame({"event_type": df["event_type"],
+                                 "hr": hr,
+                                 "one": np.ones(len(df), "int64")})
+
+        counts = partial_final_agg(
+            _read(sf_dir, "events", ["event_type", "ts"]).map_batches(
+                prep, batch_format="pandas"),
+            ["event_type", "hr"], [("n", "one", "sum")]).to_pandas()
+
+        LAG = 24
+        rows = []
+        for et, g in counts.groupby("event_type"):
+            lo, hi = int(g["hr"].min()), int(g["hr"].max())
+            series = np.zeros(hi - lo + 1, dtype=np.int64)
+            series[g["hr"].to_numpy("int64") - lo] = g["n"].to_numpy("int64")
+            if len(series) <= LAG:
+                rows.append((et, 0, 0.0))
+                continue
+            x = series[:-LAG]
+            y = series[LAG:]
+            n = len(x)
+            sx, sy = int(x.sum()), int(y.sum())
+            sxx = int((x * x).sum())
+            syy = int((y * y).sum())
+            sxy = int((x * y).sum())
+            den = (float(n) * sxx - float(sx) * sx) \
+                * (float(n) * syy - float(sy) * sy)
+            r = ((float(n) * sxy - float(sx) * sy) / np.sqrt(den)
+                 if den > 0 else 0.0)
+            rows.append((et, n, float(round_half_up(r, 6))))
+        return pd.DataFrame({
+            "event_type": [r[0] for r in rows],
+            "n_pairs": np.array([r[1] for r in rows], "int64"),
+            "autocorr_24h": [r[2] for r in rows]})
+
+    q["events_autocorr"] = q_events_autocorr
+
     def q_tpch_q15(sf_dir: str):
         # TPC-H Q15 shape: top supplier(s) by Q1-1996 revenue — per-
         # suppkey exact-int revenue reduce off the fact table, global max
@@ -9917,6 +9969,51 @@ def oracle_sql() -> dict[str, str]:
                        AS value,
                    t.tot AS n
             FROM pick p JOIN t ON t.source = p.source
+        """,
+        "events_autocorr": """
+            WITH h AS (
+                SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), env AS (
+                SELECT event_type, min(hr) AS lo, max(hr) AS hi
+                FROM h GROUP BY 1
+            ), grid AS (
+                SELECT e.event_type, unnest(generate_series(e.lo, e.hi))
+                           AS hr
+                FROM env e
+            ), dense AS (
+                SELECT g.event_type, g.hr,
+                       CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+                FROM grid g LEFT JOIN h
+                     ON h.event_type = g.event_type AND h.hr = g.hr
+            ), pairs AS (
+                SELECT a.event_type, a.n AS x, b.n AS y
+                FROM dense a JOIN dense b
+                     ON b.event_type = a.event_type AND b.hr = a.hr + 24
+            ), s AS (
+                SELECT event_type, count(*) AS n, sum(x) AS sx,
+                       sum(y) AS sy, sum(x*x) AS sxx, sum(y*y) AS syy,
+                       sum(x*y) AS sxy
+                FROM pairs GROUP BY 1
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+                   round(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                                 > 0
+                         THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                              / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                      - CAST(sx AS DOUBLE)
+                                        * CAST(sx AS DOUBLE))
+                                     * (CAST(n AS DOUBLE)
+                                        * CAST(syy AS DOUBLE)
+                                        - CAST(sy AS DOUBLE)
+                                          * CAST(sy AS DOUBLE)))
+                         ELSE 0.0 END, 6) AS autocorr_24h
+            FROM s
         """,
         "events_stationary": """
             SELECT * FROM read_parquet(
