@@ -2953,6 +2953,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["doc_ttr"] = q_doc_ttr
 
+    def q_hapax_rate(sf_dir: str):
+        # per-source hapax-legomena share (vocabulary-health signal: a
+        # high hapax share flags OCR noise / mojibake, a very low one
+        # flags template text). One tokenize scan → salted (source, term)
+        # count (vocab × sources bounded) → per-source indicator reduce;
+        # exact ppm. Lowercased whitespace tokens (the doc_ttr contract).
+        from dygiepp_ray.aggregates import partial_final_agg
+
+        def explode(df: pd.DataFrame) -> pd.DataFrame:
+            toks = df["text"].str.lower().str.split()
+            lens = toks.str.len().fillna(0).astype(int).to_numpy()
+            return pd.DataFrame({
+                "source": np.repeat(df["source"].to_numpy(object), lens),
+                "term": np.concatenate(
+                    [np.asarray(t, dtype=object) for t in toks]
+                ) if lens.sum() else np.array([], object)})
+
+        counts = grouped_count(
+            _read(sf_dir, "documents", ["source", "text"]).map_batches(
+                explode, batch_format="pandas"),
+            ["source", "term"], out_name="n", salt_buckets=8)
+
+        def indicators(df: pd.DataFrame) -> pd.DataFrame:
+            one = (df["n"].to_numpy("int64") == 1).astype("int64")
+            return pd.DataFrame({"source": df["source"],
+                                 "n_terms": np.ones(len(df), "int64"),
+                                 "n_hapax": one,
+                                 "n_tokens": df["n"].to_numpy("int64")})
+
+        agg = partial_final_agg(
+            counts.map_batches(indicators, batch_format="pandas"),
+            ["source"], [("n_terms", "n_terms", "sum"),
+                         ("n_hapax", "n_hapax", "sum"),
+                         ("n_tokens", "n_tokens", "sum")])
+        return agg.map_batches(
+            lambda df: df.assign(
+                hapax_ppm=(df["n_hapax"].astype("int64") * 1_000_000)
+                // df["n_terms"].astype("int64").clip(lower=1)),
+            batch_format="pandas")
+
+    q["hapax_rate"] = q_hapax_rate
+
     def q_events_attribution(sf_dir: str):
         # marketing-style LAST-TOUCH attribution: each purchase binds to
         # the user's most recent preceding non-purchase event within 7
@@ -5620,6 +5662,84 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_powerlaw"] = q_kg_powerlaw
 
+    def q_kg_richclub(sf_dir: str):
+        # rich-club profile: for each power-of-two degree threshold k,
+        # the edge density among nodes of degree > k — φ(k) close to 1
+        # means the hubs form a clique-like core. Degrees broadcast under
+        # the |V| vocabulary admission (the assortativity contract); ONE
+        # edge scan emits per-k indicator partials; n_k comes off the
+        # degree table the same way. density_ppm = E_k·1e6 //
+        # (n_k·(n_k−1)/2), exact ints end to end.
+        from dygiepp_ray.aggregates import partial_final_agg, \
+            strip_schema_metadata
+
+        _ensure_triples_oracle(sf_dir)
+        edges = _distinct_edge_ds(sf_dir).materialize()
+
+        def canon(t: pa.Table) -> pa.Table:
+            t = strip_schema_metadata(t)
+            s = t.column("subj_norm").combine_chunks().cast(pa.string())
+            o = t.column("obj_norm").combine_chunks().cast(pa.string())
+            u = pc.min_element_wise(s, o)
+            v = pc.max_element_wise(s, o)
+            return pa.table({"u": u, "v": v}).filter(
+                pc.invert(pc.equal(s, o)))
+
+        und = grouped_count(edges.map_batches(canon,
+                                              batch_format="pyarrow"),
+                            ["u", "v"], out_name="_c"
+                            ).select_columns(["u", "v"]).materialize()
+
+        def explode(t: pa.Table) -> pa.Table:
+            t = strip_schema_metadata(t)
+            cols = []
+            for cname in ("u", "v"):
+                arr = t.column(cname).combine_chunks()
+                cols.extend(arr.chunks if isinstance(arr, pa.ChunkedArray)
+                            else [arr])
+            return pa.table({"node": pa.concat_arrays(cols)})
+
+        deg_df = grouped_count(
+            und.map_batches(explode, batch_format="pyarrow"),
+            ["node"], out_name="deg").to_pandas()
+        deg_ref = ray.put(dict(zip(deg_df["node"],
+                                   deg_df["deg"].astype(int))))
+        max_deg = int(deg_df["deg"].max()) if len(deg_df) else 0
+        # threshold grid capped at 1024 — part of the operator contract
+        # (the SQL mirror enumerates the same fixed list)
+        ks = [1 << i for i in range(max(max_deg, 1).bit_length())
+              if (1 << i) < max_deg and (1 << i) <= 1024]
+
+        def edge_partials(df: pd.DataFrame) -> pd.DataFrame:
+            dm = ray.get(deg_ref)
+            du = df["u"].map(dm).to_numpy("int64")
+            dv = df["v"].map(dm).to_numpy("int64")
+            rows = []
+            for k in ks:
+                rows.append((k, int(((du > k) & (dv > k)).sum())))
+            return pd.DataFrame({"k": [r[0] for r in rows],
+                                 "e_k": np.array([r[1] for r in rows],
+                                                 "int64")})
+
+        ek = partial_final_agg(
+            und.map_batches(edge_partials, batch_format="pandas"),
+            ["k"], [("e_k", "e_k", "sum")]).to_pandas()
+        nk = {k: int((deg_df["deg"] > k).sum()) for k in ks}
+
+        rows = []
+        for r in ek.sort_values("k").itertuples():
+            n = nk[int(r.k)]
+            pairs = n * (n - 1) // 2
+            rows.append((int(r.k), n, int(r.e_k),
+                         int(r.e_k) * 1_000_000 // pairs if pairs else 0))
+        return pd.DataFrame({
+            "k": np.array([r[0] for r in rows], "int64"),
+            "n_k": np.array([r[1] for r in rows], "int64"),
+            "e_k": np.array([r[2] for r in rows], "int64"),
+            "density_ppm": np.array([r[3] for r in rows], "int64")})
+
+    q["kg_richclub"] = q_kg_richclub
+
     def q_kg_communities(sf_dir: str):
         # community detection by deterministic synchronous label propagation
         # (fixed rounds, exact integer votes, min-label ties); |V|-bounded
@@ -7437,6 +7557,24 @@ def oracle_sql() -> dict[str, str]:
                         - (84600 * n_syll) // greatest(n_words, 1)
                         AS BIGINT) AS flesch_milli
             FROM t
+        """,
+        "hapax_rate": """
+            WITH e AS (
+                SELECT source, unnest(list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '')) AS term
+                FROM documents
+            ), c AS (
+                SELECT source, term, count(*) AS n FROM e GROUP BY 1, 2
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax,
+                   CAST(sum(n) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
+                        // greatest(count(*), 1) AS BIGINT) AS hapax_ppm
+            FROM c GROUP BY source
         """,
         "doc_ttr": """
             WITH t AS (
@@ -10425,6 +10563,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_wsp": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_wsp.parquet')
+        """,
+        "kg_richclub": """
+            WITH e AS (
+                SELECT DISTINCT least(subj_norm, obj_norm) AS u,
+                                greatest(subj_norm, obj_norm) AS v
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+                WHERE subj_norm <> obj_norm
+            ), d AS (
+                SELECT node, count(*) AS deg FROM (
+                    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+                ) GROUP BY node
+            ), mx AS (SELECT max(deg) AS m FROM d),
+            ks AS (
+                SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128, 256, 512,
+                               1024]) AS k
+            ), kk AS (
+                SELECT k FROM ks, mx WHERE k < m
+            ), nk AS (
+                SELECT kk.k, count(*) AS n_k
+                FROM kk JOIN d ON d.deg > kk.k GROUP BY kk.k
+            ), ekt AS (
+                SELECT kk.k, count(*) AS e_k
+                FROM kk
+                JOIN e ON TRUE
+                JOIN d du ON du.node = e.u
+                JOIN d dv ON dv.node = e.v
+                WHERE du.deg > kk.k AND dv.deg > kk.k
+                GROUP BY kk.k
+            )
+            SELECT nk.k, CAST(nk.n_k AS BIGINT) AS n_k,
+                   CAST(COALESCE(ekt.e_k, 0) AS BIGINT) AS e_k,
+                   CAST(CASE WHEN nk.n_k >= 2
+                             THEN COALESCE(ekt.e_k, 0) * 1000000
+                                  // (nk.n_k * (nk.n_k - 1) // 2)
+                             ELSE 0 END AS BIGINT) AS density_ppm
+            FROM nk LEFT JOIN ekt ON ekt.k = nk.k
         """,
         "kg_powerlaw": """
             WITH e AS (
