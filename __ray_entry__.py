@@ -5740,6 +5740,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_richclub"] = q_kg_richclub
 
+    def q_kg_type_assortativity(sf_dir: str):
+        # attribute assortativity: do edges connect entities of the SAME
+        # type? Newman's discrete coefficient over the typed distinct
+        # edge set (UNKNOWN is a category by contract):
+        # r = (E·Tr − Σ aᵢbᵢ) / (E² − Σ aᵢbᵢ), all terms exact Python
+        # ints off the type-cardinality-bounded mixing matrix;
+        # r_ppm = sign(num)·(|num|·1e6 // den) — the TRUNCATING division
+        # DuckDB's // applies to negatives (documented gotcha).
+        from dygiepp_ray import oracle as _o
+        from dygiepp_ray.aggregates import (argmax_per_key,
+                                            partial_final_agg,
+                                            strip_schema_metadata)
+        from dygiepp_ray.joins import hash_join
+
+        _ensure_triples_oracle(sf_dir)
+        _write_oracle(sf_dir, "kg_mention_counts",
+                      lambda: _o.expected_mention_counts(
+                          _oracle_docs_table(sf_dir),
+                          {**ENTITY_LEXICON, **DOC_LEXICON}))
+        mentions = _docs_predicted(sf_dir).map_batches(
+            flatten_ner_mentions, batch_format="pyarrow")
+        counts = grouped_count(
+            mentions.select_columns(["mention_norm", "label"]),
+            ["mention_norm", "label"], out_name="n", salt_buckets=8)
+        types = argmax_per_key(
+            counts, key="mention_norm", order_cols=["n", "label"],
+            ascending=[False, True],
+            keep_cols=["mention_norm", "label"])
+
+        edges = grouped_count(
+            _synth_triples(sf_dir).select_columns(
+                ["subj_norm", "obj_norm"]),
+            ["subj_norm", "obj_norm"], out_name="_c", salt_buckets=4
+        ).select_columns(["subj_norm", "obj_norm"])
+
+        s_t = pa.string()
+        t_subj = types.map_batches(
+            lambda t: strip_schema_metadata(t).rename_columns(
+                ["subj_norm", "subj_type"]), batch_format="pyarrow")
+        t_obj = types.map_batches(
+            lambda t: strip_schema_metadata(t).rename_columns(
+                ["obj_norm", "obj_type"]), batch_format="pyarrow")
+        typed_s = hash_join(
+            edges, t_subj, on="subj_norm", how="left", n_buckets=16,
+            left_types={"subj_norm": s_t, "obj_norm": s_t},
+            right_types={"subj_norm": s_t, "subj_type": s_t},
+            bucket_post=lambda m: m.assign(
+                subj_type=m["subj_type"].fillna("UNKNOWN"))[
+                ["obj_norm", "subj_type"]])
+
+        def mix_partials(m: pd.DataFrame) -> pd.DataFrame:
+            m = m.assign(obj_type=m["obj_type"].fillna("UNKNOWN"))
+            g = m.groupby(["subj_type", "obj_type"]).size()
+            idx = g.index.to_frame(index=False)
+            idx["n"] = g.to_numpy("int64")
+            return idx
+
+        mix = partial_final_agg(
+            hash_join(typed_s, t_obj, on="obj_norm", how="left",
+                      n_buckets=16,
+                      left_types={"obj_norm": s_t, "subj_type": s_t},
+                      right_types={"obj_norm": s_t, "obj_type": s_t},
+                      bucket_post=mix_partials),
+            ["subj_type", "obj_type"], [("n", "n", "sum")]).to_pandas()
+
+        E = int(mix["n"].sum())
+        tr = int(mix.loc[mix["subj_type"] == mix["obj_type"], "n"].sum())
+        a = mix.groupby("subj_type")["n"].sum()
+        b = mix.groupby("obj_type")["n"].sum()
+        sum_ab = sum(int(a.get(t, 0)) * int(b.get(t, 0))
+                     for t in set(a.index) | set(b.index))
+        num = E * tr - sum_ab
+        den = E * E - sum_ab
+        if den > 0:
+            r_ppm = (1 if num >= 0 else -1) * (abs(num) * 1_000_000 // den)
+        else:
+            r_ppm = 0
+        return pd.DataFrame({
+            "n_edges": np.array([E], "int64"),
+            "trace": np.array([tr], "int64"),
+            "sum_ab": np.array([sum_ab], "int64"),
+            "r_ppm": np.array([r_ppm], "int64")})
+
+    q["kg_type_assortativity"] = q_kg_type_assortativity
+
     def q_kg_communities(sf_dir: str):
         # community detection by deterministic synchronous label propagation
         # (fixed rounds, exact integer votes, min-label ties); |V|-bounded
@@ -10563,6 +10648,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_wsp": """
             SELECT * FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_wsp.parquet')
+        """,
+        "kg_type_assortativity": """
+            WITH m0 AS (
+                SELECT * FROM read_parquet(
+                    '/tmp/dygiepp_ray_oracle/kg_mention_counts.parquet')
+            ), tyr AS (
+                SELECT mention_norm AS entity, label AS etype,
+                       row_number() OVER (
+                           PARTITION BY mention_norm
+                           ORDER BY n DESC, label) AS rk
+                FROM m0
+            ), ty AS (
+                SELECT entity, etype FROM tyr WHERE rk = 1
+            ), e AS (
+                SELECT DISTINCT subj_norm, obj_norm
+                FROM read_parquet('/tmp/dygiepp_ray_oracle/kg_triples.parquet')
+            ), typed AS (
+                SELECT COALESCE(ts.etype, 'UNKNOWN') AS st,
+                       COALESCE(tobj.etype, 'UNKNOWN') AS ot
+                FROM e LEFT JOIN ty ts ON e.subj_norm = ts.entity
+                       LEFT JOIN ty tobj ON e.obj_norm = tobj.entity
+            ), m AS (
+                SELECT st, ot, count(*) AS n FROM typed GROUP BY 1, 2
+            ), tot AS (SELECT sum(n) AS E FROM m),
+            tr AS (
+                SELECT COALESCE(sum(n), 0) AS t FROM m WHERE st = ot
+            ), ra AS (SELECT st AS ty, sum(n) AS a FROM m GROUP BY 1),
+            cb AS (SELECT ot AS ty, sum(n) AS b FROM m GROUP BY 1),
+            ab AS (
+                SELECT COALESCE(sum(ra.a * cb.b), 0) AS s
+                FROM ra JOIN cb USING (ty)
+            )
+            SELECT CAST(E AS BIGINT) AS n_edges,
+                   CAST(t AS BIGINT) AS trace,
+                   CAST(s AS BIGINT) AS sum_ab,
+                   CAST(CASE WHEN E * E - s > 0
+                             THEN ((E * t - s) * 1000000) // (E * E - s)
+                             ELSE 0 END AS BIGINT) AS r_ppm
+            FROM tot, tr, ab
         """,
         "kg_richclub": """
             WITH e AS (
