@@ -3309,6 +3309,107 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_autocorr"] = q_events_autocorr
 
+    def q_events_type_overlap(sf_dir: str):
+        # audience-overlap matrix: distinct-user Jaccard between event
+        # types. The (type, user) distinct reduce shrinks to audience
+        # size; ONE user-bucket pass emits per-(type-pair) intersection
+        # partials (each user's type set is tiny — |types|² max pairs per
+        # user); per-type totals broadcast; exact ppm.
+        from dygiepp_ray.aggregates import partial_final_agg
+        from dygiepp_ray.windows import _bucketed
+
+        tu = grouped_count(
+            _read(sf_dir, "events", ["event_type", "user_id"]),
+            ["event_type", "user_id"], out_name="_c", salt_buckets=4
+        ).select_columns(["event_type", "user_id"]).materialize()
+
+        sizes = grouped_count(tu.select_columns(["event_type"]),
+                              ["event_type"], out_name="n_users"
+                              ).to_pandas()
+        size_ref = ray.put(dict(zip(sizes["event_type"],
+                                    sizes["n_users"].astype(int))))
+
+        def kernel(df: pd.DataFrame, ks: list) -> pd.DataFrame:
+            rows = []
+            for _u, g in df.groupby("user_id", sort=False):
+                ts = sorted(g["event_type"])
+                for i in range(len(ts)):
+                    for j in range(i + 1, len(ts)):
+                        rows.append((ts[i], ts[j]))
+            if not rows:
+                return pd.DataFrame({"t1": pd.Series(dtype=object),
+                                     "t2": pd.Series(dtype=object),
+                                     "n_part": pd.Series(dtype="int64")})
+            g = pd.DataFrame(rows, columns=["t1", "t2"])
+            g["one"] = np.ones(len(g), "int64")
+            return g.groupby(["t1", "t2"], as_index=False)["one"].sum(
+            ).rename(columns={"one": "n_part"})
+
+        inter = partial_final_agg(
+            _bucketed(tu, ["user_id"], ["event_type"], True, kernel, 64),
+            ["t1", "t2"], [("n_common", "n_part", "sum")])
+
+        def jac(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(size_ref)
+            na = df["t1"].map(m).to_numpy("int64")
+            nb = df["t2"].map(m).to_numpy("int64")
+            c = df["n_common"].to_numpy("int64")
+            return df.assign(
+                n_a=na, n_b=nb,
+                jaccard_ppm=c * 1_000_000 // (na + nb - c))
+
+        return inter.map_batches(jac, batch_format="pandas")
+
+    q["events_type_overlap"] = q_events_type_overlap
+
+    def q_orders_rapid_repeat(sf_dir: str):
+        # rapid-repeat detector (ops/fraud QA: possible double
+        # submissions): same-customer order pairs placed ≤ 1 day apart
+        # (an exact-price match is DEGENERATE on this synthetic corpus —
+        # near-continuous totals — so the time-proximity contract is the
+        # operative one). One customer-bucket pass; per-customer groups
+        # are order-count-sized, pairs naturally sparse.
+        from dygiepp_ray.windows import _bucketed
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "o_custkey": df["o_custkey"].to_numpy("int64"),
+                "day": ((df["o_orderdate"] - pd.Timestamp(0))
+                        // pd.Timedelta(1, "D")).to_numpy("int64"),
+                "o_orderkey": df["o_orderkey"].to_numpy("int64")})
+
+        ds = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]
+                   ).map_batches(prep, batch_format="pandas")
+
+        def kernel(df: pd.DataFrame, ks: list) -> pd.DataFrame:
+            rows = []
+            for _c, g in df.groupby("o_custkey", sort=False):
+                if len(g) < 2:
+                    continue
+                d = g["day"].to_numpy("int64")
+                k = g["o_orderkey"].to_numpy("int64")
+                o = np.argsort(k, kind="stable")
+                d, k = d[o], k[o]
+                ii, jj = np.triu_indices(len(k), 1)
+                ok = np.abs(d[ii] - d[jj]) <= 1
+                for a, b, dd in zip(k[ii[ok]], k[jj[ok]],
+                                    np.abs(d[ii[ok]] - d[jj[ok]])):
+                    rows.append((int(_c), int(a), int(b), int(dd)))
+            if not rows:
+                return pd.DataFrame({
+                    "o_custkey": pd.Series(dtype="int64"),
+                    "orderkey_a": pd.Series(dtype="int64"),
+                    "orderkey_b": pd.Series(dtype="int64"),
+                    "days_apart": pd.Series(dtype="int64")})
+            return pd.DataFrame(rows, columns=[
+                "o_custkey", "orderkey_a", "orderkey_b", "days_apart"])
+
+        return _bucketed(ds, ["o_custkey"], ["o_orderkey"], True,
+                         kernel, 64)
+
+    q["orders_rapid_repeat"] = q_orders_rapid_repeat
+
     def q_tpch_q15(sf_dir: str):
         # TPC-H Q15 shape: top supplier(s) by Q1-1996 revenue — per-
         # suppkey exact-int revenue reduce off the fact table, global max
@@ -10192,6 +10293,44 @@ def oracle_sql() -> dict[str, str]:
                        AS value,
                    t.tot AS n
             FROM pick p JOIN t ON t.source = p.source
+        """,
+        "events_type_overlap": """
+            WITH tu AS (
+                SELECT DISTINCT event_type, user_id FROM events
+            ), sz AS (
+                SELECT event_type, count(*) AS n FROM tu GROUP BY 1
+            ), iv AS (
+                SELECT a.event_type AS t1, b.event_type AS t2,
+                       count(*) AS n_common
+                FROM tu a JOIN tu b
+                     ON b.user_id = a.user_id
+                    AND b.event_type > a.event_type
+                GROUP BY 1, 2
+            )
+            SELECT iv.t1, iv.t2, CAST(iv.n_common AS BIGINT) AS n_common,
+                   CAST(sa.n AS BIGINT) AS n_a,
+                   CAST(sb.n AS BIGINT) AS n_b,
+                   CAST(iv.n_common * 1000000
+                        // (sa.n + sb.n - iv.n_common) AS BIGINT)
+                       AS jaccard_ppm
+            FROM iv JOIN sz sa ON sa.event_type = iv.t1
+                    JOIN sz sb ON sb.event_type = iv.t2
+        """,
+        "orders_rapid_repeat": """
+            WITH o AS (
+                SELECT o_orderkey, o_custkey,
+                       CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                            AS BIGINT) AS d
+                FROM orders
+            )
+            SELECT a.o_custkey,
+                   a.o_orderkey AS orderkey_a,
+                   b.o_orderkey AS orderkey_b,
+                   CAST(abs(a.d - b.d) AS BIGINT) AS days_apart
+            FROM o a JOIN o b
+                 ON b.o_custkey = a.o_custkey
+                AND b.o_orderkey > a.o_orderkey
+            WHERE abs(a.d - b.d) <= 1
         """,
         "events_autocorr": """
             WITH h AS (
