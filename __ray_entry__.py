@@ -2995,6 +2995,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["hapax_rate"] = q_hapax_rate
 
+    def q_char_entropy(sf_dir: str):
+        # per-doc character-distribution Shannon entropy as exact floored
+        # nano-log integers (repetitive-text curation signal; the
+        # decode-free cousin of compression_ratio). Stateless map — no
+        # shuffle at any scale.
+        from dygiepp_ray.stages.text import char_entropy
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            char_entropy, batch_format="pandas")
+
+    q["char_entropy"] = q_char_entropy
+
     def q_events_attribution(sf_dir: str):
         # marketing-style LAST-TOUCH attribution: each purchase binds to
         # the user's most recent preceding non-purchase event within 7
@@ -7743,6 +7755,29 @@ def oracle_sql() -> dict[str, str]:
                         - (84600 * n_syll) // greatest(n_words, 1)
                         AS BIGINT) AS flesch_milli
             FROM t
+        """,
+        "char_entropy": """
+            WITH ch AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '(?s).'))
+                           AS c
+                FROM documents
+            ), cc AS (
+                SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2
+            ), agg AS (
+                SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+                       CAST(sum(cnt * CAST(floor(
+                           ln(CAST(cnt AS DOUBLE)) * 1000000000)
+                           AS BIGINT)) AS BIGINT) AS term
+                FROM cc GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n, 0) AS BIGINT) AS n_chars_e,
+                   CAST(CASE WHEN a.n > 0
+                             THEN CAST(floor(ln(CAST(a.n AS DOUBLE))
+                                             * 1000000000) AS BIGINT)
+                                  - a.term // a.n
+                             ELSE 0 END AS BIGINT) AS entropy_nano
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "hapax_rate": """
             WITH e AS (

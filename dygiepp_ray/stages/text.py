@@ -695,6 +695,40 @@ def type_token_ratio(batch: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def char_entropy(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, n_chars, entropy_nano) — Shannon entropy of the
+    character distribution as an EXACT integer contract (very low
+    entropy flags repetitive/template text; the decode-free cousin of
+    `compression_ratio`):
+
+        H_nano = floor(ln(n)·1e9) − (Σ_c cnt_c · floor(ln(cnt_c)·1e9)) // n
+
+    Each log term floors independently, so the value is partitioning-
+    and summation-order-invariant, and the SQL oracle mirrors the
+    expression per character group. Counts are over CHARACTERS (not
+    bytes — the corpus contains CJK text, and the SQL mirror enumerates
+    characters). Empty docs report 0."""
+    from collections import Counter
+
+    ids, ns, hs = [], [], []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        n = len(text)
+        if n == 0:
+            ids.append(doc_id)
+            ns.append(0)
+            hs.append(0)
+            continue
+        cnt = np.array(list(Counter(text).values()), dtype=np.float64)
+        term = int((cnt * np.floor(np.log(cnt) * 1e9)).sum())
+        h = int(np.floor(np.log(float(n)) * 1e9)) - term // n
+        ids.append(doc_id)
+        ns.append(n)
+        hs.append(h)
+    return pd.DataFrame({"doc_id": ids,
+                         "n_chars_e": pd.array(ns, dtype="int64"),
+                         "entropy_nano": pd.array(hs, dtype="int64")})
+
+
 def chunk_documents(batch: pd.DataFrame, chunk_tokens: int = 32,
                     stride: int = 24) -> pd.DataFrame:
     """(doc_id, chunk_ix, start_tok, n_chunk_tokens, chunk_text) — RAG-style

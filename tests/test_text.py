@@ -465,3 +465,18 @@ def test_type_token_ratio_golden():
     assert r.ttr_ppm == 3 * 1_000_000 // 5
     r = got.iloc[1]
     assert (r.n_tokens, r.n_types, r.ttr_ppm) == (0, 0, 0)
+
+
+def test_char_entropy_golden_and_bounds():
+    import math
+
+    from dygiepp_ray.stages.text import char_entropy
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["aaaa", "abcd", ""]})
+    got = char_entropy(df)
+    # uniform single char → H = 0 exactly (ln(4) term == 4·ln(4)//4)
+    assert got.iloc[0].entropy_nano == 0
+    # 4 distinct chars → H = ln(4) (cnt=1 terms are 0)
+    assert got.iloc[1].entropy_nano == int(math.floor(math.log(4) * 1e9))
+    assert got.iloc[2].entropy_nano == 0 and got.iloc[2].n_chars_e == 0
