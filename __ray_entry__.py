@@ -3811,6 +3811,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["doc_length_sketch_by_source"] = q_doc_length_sketch_by_source
 
+    def q_orders_percentile_cont(sf_dir: str):
+        # GROUPED interpolated percentiles (per-priority p50/p90 of the
+        # order total in cents, integer-exact milli interpolation): the
+        # new `rank_targets` hook on distributed_quantiles fetches ranks
+        # r and r+1 PER GROUP in one 3-pass call (no per-group q can
+        # express a rank across different group sizes); tags p_milli /
+        # p_milli+10000 mark the lo/hi pulls. SQL mirrors the identical
+        # integer expression from per-partition row_number pulls.
+        from dygiepp_ray.aggregates import (distributed_quantiles,
+                                            partial_final_agg)
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "o_orderpriority": df["o_orderpriority"].to_numpy(object),
+                "cents": np.floor(df["o_totalprice"].to_numpy(np.float64)
+                                  * 100.0 + 0.5).astype("int64")})
+
+        ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]
+                   ).map_batches(prep, batch_format="pandas").materialize()
+        ps = [500, 900]
+
+        def rank_targets(n: int):
+            out = []
+            for p in ps:
+                r = 1 + (n - 1) * p // 1000
+                out.append((float(p), r))
+                out.append((float(p + 10000), min(r + 1, n)))
+            return out
+
+        qv = distributed_quantiles(ds, "cents", [], by="o_orderpriority",
+                                   rank_targets=rank_targets)
+        counts = partial_final_agg(
+            ds.map_batches(
+                lambda df: df.assign(one=np.ones(len(df), "int64")),
+                batch_format="pandas"),
+            ["o_orderpriority"], [("n", "one", "sum")]).to_pandas()
+        n_by = dict(zip(counts["o_orderpriority"],
+                        counts["n"].astype(int)))
+        vmap = {(r.o_orderpriority, int(r.q)): int(r.v)
+                for r in qv.itertuples()}
+        rows = []
+        for g in sorted(n_by):
+            n = n_by[g]
+            for p in ps:
+                fr = (n - 1) * p % 1000
+                v_lo = vmap[(g, p)]
+                v_hi = vmap[(g, p + 10000)]
+                rows.append((g, p, v_lo * 1000 + (v_hi - v_lo) * fr))
+        return pd.DataFrame({
+            "o_orderpriority": [r[0] for r in rows],
+            "p_milli": np.array([r[1] for r in rows], "int64"),
+            "value_milli": np.array([r[2] for r in rows], "int64")})
+
+    q["orders_percentile_cont"] = q_orders_percentile_cont
+
     def q_fingerprint(sf_dir: str):
         from dygiepp_ray import oracle as _o
 
@@ -10268,6 +10323,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, z_key,
                    CAST(z_key >> 24 AS BIGINT) AS z_file
             FROM zz
+        """,
+        "orders_percentile_cont": """
+            WITH c AS (
+                SELECT o_orderpriority,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM orders
+            ), t AS (
+                SELECT o_orderpriority, count(*) AS n FROM c GROUP BY 1
+            ), p AS (
+                SELECT unnest([500, 900]) AS p_milli
+            ), r AS (
+                SELECT t.o_orderpriority, p.p_milli,
+                       1 + ((t.n - 1) * p.p_milli) // 1000 AS rk,
+                       ((t.n - 1) * p.p_milli) % 1000 AS fr,
+                       t.n
+                FROM p, t
+            ), o AS (
+                SELECT o_orderpriority, cents,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY cents) AS rn
+                FROM c
+            )
+            SELECT r.o_orderpriority,
+                   CAST(r.p_milli AS BIGINT) AS p_milli,
+                   CAST(lo.cents * 1000
+                        + (hi.cents - lo.cents) * r.fr AS BIGINT)
+                       AS value_milli
+            FROM r
+            JOIN o lo ON lo.o_orderpriority = r.o_orderpriority
+                     AND lo.rn = r.rk
+            JOIN o hi ON hi.o_orderpriority = r.o_orderpriority
+                     AND hi.rn = least(r.rk + 1, r.n)
         """,
         "price_percentile_cont": """
             WITH c AS (

@@ -239,7 +239,7 @@ def top_k(ds: "ray.data.Dataset", col: str, k: int, descending: bool = True) -> 
 
 def distributed_quantiles(ds: "ray.data.Dataset", col: str,
                           qs: list[float], by: str | None = None,
-                          n_bins: int = 4096):
+                          n_bins: int = 4096, rank_targets=None):
     """Exact distributed quantiles by histogram refinement (3 streaming
     passes, no sort, no full materialization):
 
@@ -329,14 +329,21 @@ def distributed_quantiles(ds: "ray.data.Dataset", col: str,
             np.add.at(hists[k], b["_bin"][m], b["_cnt"][m])
 
     # ---- rank-walk: target (group, bin, rank-within-bin) per quantile
-    targets: dict = {}  # (k, bin) -> [(q, rank_in_bin)]
+    # `rank_targets(n) -> [(tag, rank)]` overrides the quantile_disc rank
+    # rule with explicit PER-GROUP rank picks (the grouped
+    # percentile_cont path needs ranks r and r+1, which no single q can
+    # express across groups of different sizes); tags surface in the
+    # output's `q` column.
+    targets: dict = {}  # (k, bin) -> [(tag, rank_in_bin)]
     for k, (lo, hi, n) in stats.items():
         cum = np.cumsum(hists[k])
-        for q in qs:
-            r = max(1, math.ceil(q * n))  # DuckDB quantile_disc rank
+        want = (rank_targets(n) if rank_targets
+                else [(float(q), max(1, math.ceil(q * n)))  # disc rank
+                      for q in qs])
+        for tag, r in want:
             bin_ix = int(np.searchsorted(cum, r, side="left"))
             r_in = r - (int(cum[bin_ix - 1]) if bin_ix else 0)
-            targets.setdefault((k, bin_ix), []).append((q, r_in))
+            targets.setdefault((k, bin_ix), []).append((tag, r_in))
     targets_ref = ray.put({k_b: None for k_b in targets})
 
     # ---- pass 3: distinct (value, count) inside candidate bins only
