@@ -3374,6 +3374,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_type_overlap"] = q_events_type_overlap
 
+    def q_events_stickiness(sf_dir: str):
+        # DAU/MAU stickiness per calendar month: Σ daily-active over the
+        # month ÷ (days-with-activity × monthly-active), exact ppm. Two
+        # shrinking distinct reduces — (user, day) first, then both the
+        # per-(month, day) DAU and per-month MAU fold off it; no second
+        # corpus scan.
+        from dygiepp_ray.aggregates import partial_final_agg
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            day = ((df["ts"] - pd.Timestamp(0))
+                   // pd.Timedelta(1, "D")).to_numpy("int64")
+            month = (df["ts"].dt.year * 100
+                     + df["ts"].dt.month).to_numpy("int64")
+            return pd.DataFrame({"user_id": df["user_id"
+                                               ].to_numpy("int64"),
+                                 "day": day, "month": month})
+
+        ud = grouped_count(
+            _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+                prep, batch_format="pandas"),
+            ["user_id", "day", "month"], out_name="_c", salt_buckets=4
+        ).select_columns(["user_id", "day", "month"]).materialize()
+
+        dau = grouped_count(ud.select_columns(["month", "day"]),
+                            ["month", "day"], out_name="dau")
+        mu = grouped_count(ud.select_columns(["month", "user_id"]),
+                           ["month", "user_id"], out_name="_c"
+                           ).select_columns(["month"])
+        mau = grouped_count(mu, ["month"], out_name="mau").to_pandas()
+        mau_ref = ray.put(dict(zip(mau["month"].astype(int),
+                                   mau["mau"].astype(int))))
+
+        agg = partial_final_agg(
+            dau.map_batches(
+                lambda df: pd.DataFrame({
+                    "month": df["month"].to_numpy("int64"),
+                    "sum_dau": df["dau"].to_numpy("int64"),
+                    "n_days": np.ones(len(df), "int64")}),
+                batch_format="pandas"),
+            ["month"], [("sum_dau", "sum_dau", "sum"),
+                        ("n_days", "n_days", "sum")])
+
+        def final(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(mau_ref)
+            mo = df["month"].to_numpy("int64")
+            ma = np.array([m[int(x)] for x in mo], "int64")
+            sd = df["sum_dau"].to_numpy("int64")
+            nd = df["n_days"].to_numpy("int64")
+            return pd.DataFrame({
+                "month": mo, "mau": ma, "n_days": nd, "sum_dau": sd,
+                "stickiness_ppm": sd * 1_000_000 // (nd * ma)})
+
+        return agg.map_batches(final, batch_format="pandas")
+
+    q["events_stickiness"] = q_events_stickiness
+
     def q_orders_rapid_repeat(sf_dir: str):
         # rapid-repeat detector (ops/fraud QA: possible double
         # submissions): same-customer order pairs placed ≤ 1 day apart
@@ -10416,6 +10472,29 @@ def oracle_sql() -> dict[str, str]:
                        AS value,
                    t.tot AS n
             FROM pick p JOIN t ON t.source = p.source
+        """,
+        "events_stickiness": """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                           AS day,
+                       CAST(year(ts) * 100 + month(ts) AS BIGINT) AS month
+                FROM events
+            ), dau AS (
+                SELECT month, day, count(*) AS dau FROM ud GROUP BY 1, 2
+            ), mau AS (
+                SELECT month, count(DISTINCT user_id) AS mau FROM ud
+                GROUP BY 1
+            ), agg AS (
+                SELECT month, sum(dau) AS sum_dau, count(*) AS n_days
+                FROM dau GROUP BY 1
+            )
+            SELECT a.month, CAST(m.mau AS BIGINT) AS mau,
+                   CAST(a.n_days AS BIGINT) AS n_days,
+                   CAST(a.sum_dau AS BIGINT) AS sum_dau,
+                   CAST(a.sum_dau * 1000000 // (a.n_days * m.mau)
+                        AS BIGINT) AS stickiness_ppm
+            FROM agg a JOIN mau m USING (month)
         """,
         "events_type_overlap": """
             WITH tu AS (
