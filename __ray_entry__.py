@@ -7569,32 +7569,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Queries added in session 4 itself swap in for r3-green kg sentinels
     # one-for-one (kg_triples always stays); overflow past the sentinel
     # budget becomes the round-5 rotation list (see ROUND4_NOTES.md).
+    # Round-5 window (VERDICT r4 "Next round" #1/#9): kg_triples sentinel +
+    # 49 queries that have never appeared in ANY CORRECTNESS_r*.json,
+    # prioritized per the verdict — the sketch/ANN accuracy-audit family,
+    # the TPC-H family, the session-8/9 kg graph-analytics ops, the events
+    # analytics family, and incremental_neardup. The remaining never-checked
+    # queries (~79) are covered by the checked-in full-gate artifact
+    # GATE_r5.json (all 269 queries, pass/fail + value hash at sf0.01);
+    # registry growth is FROZEN this round until the union covers all.
     flagship = [
-        # KG sentinels (the north star; rest of kg_* is green in r3)
         "kg_triples",
-        # never driver-checked before round 4 (judge-run green in r3)
-        "pack_sequences", "mixture_sample", "bpe_merges", "cms_token_counts",
-        "compression_ratio", "skew_join_lineitem", "chunk_documents",
-        "term_contexts", "weighted_sample", "bm25_scan_merge", "seeded_split",
-        "stratified_sample_orders", "term_postings", "media_features",
-        "media_frames", "media_resize", "pca_project",
-        # new in round 4 session 2 (never driver-checked; qcheck-green at
-        # sf0.001 and sf0.01)
-        "kg_triples_learned", "dsir_select", "kg_functional_conflicts",
-        "kg_triangles", "events_retention", "bpe_encode", "knn_recall",
-        "kg_kcore", "fuzzy_decontaminate", "dedup_spans",
-        "kg_predicate_stats", "kg_entity_kb", "events_value_corr",
-        # new in round 4 session 3 (never driver-checked; qcheck-green at
-        # sf0.001 and sf0.01)
-        "kg_link_predict", "kg_pred_paths", "kg_bfs_distances",
-        "events_funnel", "events_zscore_outliers", "kg_type_infer",
-        "kg_star_query", "kg_ppr", "approx_quantiles_price",
-        "upsert_orders", "edit1_part_names", "kg_scc",
-        "kg_negative_samples",
-        # new in round 4 session 4 (each evicts one r3-green kg sentinel)
-        "kg_inverse_detect", "kg_rule_mining", "kg_domain_range",
-        "kg_calibration", "source_quality_filter",
-        "kg_alias_type_conflicts",
+        # accuracy-audit family — the rows that certify the approximate
+        # operators' contracts (VERDICT #9 priority picks)
+        "hll_accuracy", "cms_accuracy", "minhash_accuracy",
+        "quantile_sketch_error", "kg_blocking_recall",
+        # TPC-H family (zero driver rows so far)
+        "tpch_q3", "tpch_q5", "tpch_q7", "tpch_q10", "tpch_q13",
+        "tpch_q14", "tpch_q15", "tpch_q17", "tpch_q18", "tpch_q22",
+        # incremental near-dup vs persisted band store
+        "incremental_neardup",
+        # session-8/9 kg graph-analytics ops
+        "kg_truss", "kg_betweenness", "kg_communities", "kg_hits",
+        "kg_closeness", "kg_wsp", "kg_clustering", "kg_powerlaw",
+        "kg_richclub", "kg_type_assortativity", "kg_pagerank_weighted",
+        "kg_reciprocity", "kg_assortativity", "kg_degree_gini",
+        "kg_random_walks",
+        # events analytics family
+        "events_transitions", "events_cobaskets", "events_lift",
+        "events_user_growth", "events_heatmap", "events_ohlc",
+        "events_daily_dense", "events_stationary", "events_autocorr",
+        "events_type_overlap", "events_stickiness", "events_attribution",
+        # curation / media / ANN-graph stragglers
+        "gopher_filter", "k_anonymity", "doc_novelty", "knn_graph",
+        "media_dedup", "media_neardup",
     ]
     assert len(flagship) == 50, len(flagship)
     missing = [n for n in flagship if n not in q]

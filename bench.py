@@ -84,7 +84,13 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         # via the per-query times; 29-pipeline subtotal is still derivable)
         "kg_khop_subgraph", "kg_alias_merge", "kg_edge_provenance",
         "kg_store_lookup", "kg_diff",
+        # round-5 envelope reset (VERDICT r4 #7): headline-class round-4 ops
+        # join the envelope; the r4-comparable 34 stay derivable from the
+        # per-query times above
+        "dedup_spans", "fuzzy_decontaminate", "kg_kcore", "kg_entity_kb",
+        "incremental_neardup",
     ]
+    loadavg_preflight = tuple(round(x, 2) for x in os.getloadavg())
     times: dict[str, float] = {}
     counts: dict[str, int] = {}
     for name in picks:
@@ -101,6 +107,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "rows": counts,
         "sf": sf_dir,
         "num_cpus": num_cpus,
+        # ambient host load (1/5/15-min) sampled BEFORE the first pipeline:
+        # this box is a shared VM with documented ~2x ambient swings, so the
+        # artifact carries its own measurement context (VERDICT r4 #2)
+        "loadavg_preflight": loadavg_preflight,
+        "loadavg_post": tuple(round(x, 2) for x in os.getloadavg()),
     }
 
 
@@ -208,6 +219,7 @@ def run_scaling() -> dict:
     # 16-actor DRAM-bandwidth ceiling, so the pair measures the PIPELINE —
     # see bench docstring / BASELINE.md); GRAFT_SCALE_LEVELS ("4,16")
     # selects the other N/4N pair.
+    loadavg_preflight = tuple(round(x, 2) for x in os.getloadavg())
     lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALE_LEVELS", "2,8").split(","))
     assert hi == 4 * lo, "scaling criterion compares N vs 4N parallelism"
     # lo >= 2: below that a single actor cannot overlap with reads at all.
@@ -243,6 +255,8 @@ def run_scaling() -> dict:
         "efficiency_vs_ceiling": round(eff / ceiling, 4) if ceiling else None,
         "sf": SF_DIR,
         "num_cpus": [lo, hi],
+        "loadavg_preflight": loadavg_preflight,
+        "loadavg_post": tuple(round(x, 2) for x in os.getloadavg()),
     }
 
 

@@ -40,7 +40,7 @@ def value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
-def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.001", json_out: str | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
@@ -62,6 +62,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    gate: dict[str, dict] = {}
     for name, fn in qs.items():
         t0 = time.time()
         try:
@@ -69,18 +70,26 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: query raised {type(e).__name__}: {e}")
             failures += 1
+            gate[name] = {"ok": False, "err": f"{type(e).__name__}: {e}"}
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(ours)} rows ({dt:.1f}s) [no oracle]")
+            gate[name] = {"ok": True, "rows": len(ours), "oracle": "rows-only",
+                          "hash": value_hash(ours), "sec": round(dt, 2)}
             continue
         theirs = con.execute(oracles[name]).fetchdf()
         ok_rows = len(ours) == len(theirs)
         ok_cols = sorted(ours.columns) == sorted(theirs.columns)
-        ok_hash = ok_rows and ok_cols and value_hash(ours) == value_hash(theirs)
+        h = value_hash(ours) if (ok_rows and ok_cols) else None
+        ok_hash = ok_rows and ok_cols and h == value_hash(theirs)
         status = "OK   " if ok_hash else "FAIL "
         if not ok_hash:
             failures += 1
+        gate[name] = {"ok": bool(ok_hash), "rows": len(ours),
+                      "oracle_rows": len(theirs), "rows_match": ok_rows,
+                      "schema_match": ok_cols, "hash_match": bool(ok_hash),
+                      "hash": h, "sec": round(dt, 2)}
         print(f"{status} {name}: ray={len(ours)} sql={len(theirs)} "
               f"cols_ok={ok_cols} hash_ok={ok_hash} ({dt:.1f}s)")
         if not ok_hash and ok_cols and ok_rows:
@@ -89,8 +98,30 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
             diff = m[m["_merge"] != "both"]
             print(diff.head(6).to_string())
     print(f"\n{failures} failures")
+    if json_out:
+        import json as _json
+        import subprocess
+
+        head = subprocess.run(["git", "-C", "/root/repo", "rev-parse", "HEAD"],
+                              capture_output=True, text=True).stdout.strip()
+        payload = {
+            "sf_dir": sf_dir,
+            "git_head": head,
+            "n_queries": len(gate),
+            "n_failures": failures,
+            "results": gate,
+        }
+        with open(json_out, "w") as fh:
+            _json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return failures
 
 
 if __name__ == "__main__":
-    sys.exit(1 if main(*(sys.argv[1:] or [])) else 0)
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(1 if main(*(argv or []), json_out=json_path) else 0)
