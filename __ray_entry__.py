@@ -174,22 +174,45 @@ def _store_tag(sf_dir: str, table: str) -> str:
     return f"{_sf_tag(sf_dir)}-{fp}-{_code_salt()}"
 
 
+_SYNTH_N_FILES = {"sf0.001": 100, "sf0.01": 400, "sf0.1": 2000}
+
+
+def _synth_n_files(sf_dir: str) -> int:
+    return _SYNTH_N_FILES.get(_sf_tag(sf_dir), 100)
+
+
+def _synth_lexicon(sf_dir: str) -> dict:
+    """Entity lexicon matching the sf level's corpus vocabulary (Heaps-law
+    scale grading, corpus.scaled_entity_lexicon — VERDICT r4 #6). At
+    sf0.001 this IS the base lexicon; larger tiers add entities so degree
+    distributions stay non-degenerate for the capped graph/rule operators.
+    Every consumer pairs this with an oracle re-walk using the SAME
+    lexicon, so engine and oracle stay in lockstep at every tier."""
+    from dygiepp_ray.corpus import scaled_entity_lexicon
+
+    return scaled_entity_lexicon(_synth_n_files(sf_dir))
+
+
 def _synth_corpus_dir(sf_dir: str) -> str:
     """Deterministic synthetic north-rule corpus sized to the sf level,
-    cached under /tmp (same seed → byte-identical)."""
+    cached under /tmp (same seed → byte-identical). The `_sv` suffix
+    versions the cache: these corpora carry the scale-graded vocabulary,
+    so pre-round-5 caches must not be reused."""
     tag = _sf_tag(sf_dir)
-    n_files = {"sf0.001": 100, "sf0.01": 400, "sf0.1": 2000}.get(tag, 100)
-    path = f"/tmp/dygiepp_ray_corpus/{tag}"
+    n_files = _synth_n_files(sf_dir)
+    path = f"/tmp/dygiepp_ray_corpus/{tag}_sv"
     marker = os.path.join(path, "_done")
     if not os.path.exists(marker):
-        write_corpus(path, n_files=n_files, seed=42, n_shards=8)
+        write_corpus(path, n_files=n_files, seed=42, n_shards=8,
+                     vocab_n=n_files)
         with open(marker, "w") as fh:
             fh.write("ok")
     return path
 
 
 def _synth_triples(sf_dir: str) -> "ray.data.Dataset":
-    return kgp.kg_triples(_synth_corpus_dir(sf_dir), concurrency=_kernel_conc())
+    return kgp.kg_triples(_synth_corpus_dir(sf_dir), concurrency=_kernel_conc(),
+                          entity_lexicon=_synth_lexicon(sf_dir))
 
 
 # ---------------------------------------------------------- oracle plumbing
@@ -217,7 +240,8 @@ def _oracle_triples_table(sf_dir: str, reduced: bool = False):
 
     key = (_sf_tag(sf_dir), "tri_reduced" if reduced else "tri")
     if key not in _ORACLE_CACHE:
-        lex = _reduced_entity_lexicon() if reduced else None
+        lex = (_reduced_entity_lexicon() if reduced
+               else _synth_lexicon(sf_dir))
         _ORACLE_CACHE[key] = _o.expected_triples(_synth_corpus_dir(sf_dir),
                                                  entity_lexicon=lex)
     return _ORACLE_CACHE[key]
@@ -5243,14 +5267,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from dygiepp_ray.state.manifest import manifest_path
 
         corpus_dir = _synth_corpus_dir(sf_dir)
+        lex = _synth_lexicon(sf_dir)
         _write_oracle(sf_dir, "kg_build_resume",
-                      lambda: _o.expected_kg_build_manifest(corpus_dir,
-                                                            n_buckets=16))
+                      lambda: _o.expected_kg_build_manifest(
+                          corpus_dir, n_buckets=16, entity_lexicon=lex))
         out_dir = f"/tmp/dygiepp_ray_kg/{_sf_tag(sf_dir)}"
         kgp.build_kg(corpus_dir, out_dir, n_buckets=16,
-                     concurrency=_kernel_conc())
+                     concurrency=_kernel_conc(), entity_lexicon=lex)
         second = kgp.build_kg(corpus_dir, out_dir, n_buckets=16,
-                              concurrency=_kernel_conc())
+                              concurrency=_kernel_conc(), entity_lexicon=lex)
         rows = []
         for b in range(16):
             with open(manifest_path(out_dir, b)) as fh:

@@ -609,7 +609,8 @@ def expected_pca_project(sf_dir: str, n_components: int = 2,
     return pa.table(cols)
 
 
-def expected_kg_build_manifest(corpus_dir: str, n_buckets: int = 16) -> pa.Table:
+def expected_kg_build_manifest(corpus_dir: str, n_buckets: int = 16,
+                               entity_lexicon: dict | None = None) -> pa.Table:
     """Independent per-bucket lineage expectation for `build_kg`:
     (bucket, row_count, sha256_xor) — bucket from the corpus row's
     (repo, path, commit) via the shared leaf hash `bucket_of`, row_count =
@@ -623,7 +624,7 @@ def expected_kg_build_manifest(corpus_dir: str, n_buckets: int = 16) -> pa.Table
     for repo, path, commit, _lang, _content in corpus_rows(corpus_dir):
         base_bucket[f"{repo}:{path}@{commit[:8]}"] = bucket_of(
             repo, path, commit, n_buckets)
-    tri = expected_triples(corpus_dir)
+    tri = expected_triples(corpus_dir, entity_lexicon=entity_lexicon)
     rows = {b: 0 for b in range(n_buckets)}
     acc = {b: 0 for b in range(n_buckets)}
     for doc_id, sha in zip(tri.column("doc_id").to_pylist(),
@@ -2508,8 +2509,10 @@ def expected_triples_learned(corpus_dir: str, weights_path: str) -> pa.Table:
             toks = text.split()
             feats = ["B:", f"S:{text}", f"N:{len(toks)}"]
             feats += [f"T:{t}" for t in toks]
+            feats += [f"P:{a}_{b}" for a, b in zip(toks, toks[1:])]
             if toks:
-                feats += [f"F:{toks[0]}", f"L:{toks[-1]}"]
+                feats += [f"F:{toks[0]}", f"L:{toks[-1]}",
+                          f"FL:{toks[0]}_{toks[-1]}"]
             vec = ner_W[_learned_feat(feats, dim)].sum(axis=0)
             raw = vec.max()
             hit = bool(raw > 0.0)
@@ -2524,6 +2527,7 @@ def expected_triples_learned(corpus_dir: str, weights_path: str) -> pa.Table:
         if v is None:
             toks = between.split()
             feats = ["B:", f"R:{between}"] + [f"C:{t}" for t in toks]
+            feats += [f"D:{a}_{b}" for a, b in zip(toks, toks[1:])]
             v = rel_W[_learned_feat(feats, dim)].sum(axis=0)
             rel_cache[between] = v
         return v

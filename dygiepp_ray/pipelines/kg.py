@@ -88,6 +88,81 @@ def triples_dataset(predicted: "ray.data.Dataset",
     )
 
 
+# Arrow-native tokenize/sentence-split fast path (VERDICT r4 #5): the fused
+# kernel stage used to round-trip every document through Python regex
+# tokenization (two regex passes + one str allocation per token + a second
+# .lower() copy per token) — the measured DRAM-bandwidth term behind the
+# 16-actor throughput ceiling (BASELINE.md). For documents whose extracted
+# text satisfies the FAST preconditions, tokenization runs as ONE vectorized
+# `pc.ascii_split_whitespace` over the batch's Arrow buffer and sentence
+# boundaries come from terminal-punctuation token positions; the Python
+# regex path remains the per-doc fallback and the two are byte-equality
+# pinned (tests/test_kernel_decode.py::test_arrow_fast_prep_equivalence).
+#
+# Preconditions (all checked with vectorized Arrow kernels, one pass each):
+#   * pure ASCII (Python's re `\w` is Unicode; RE2's is ASCII — the shape
+#     check below is only meaningful when the two agree),
+#   * already lowercase (token .lower() becomes the identity, so the decode
+#     can reuse the token list — no per-token copy),
+#   * no blank lines (the `\n{2,}` sentence-split rule needs the raw text),
+#   * whitespace-chunk structure: every whitespace-delimited chunk is a
+#     single `\w+('\w+)?` word or ONE punctuation char — exactly the
+#     condition under which `tokenize(s) == s.split()` and the P2
+#     word-normalizer ("/." → ".") is the identity.
+_FAST_TEXT_RE = (
+    r"^\s*(?:(?:\w+(?:'\w+)?|[^\w\s])(?:\s+(?:\w+(?:'\w+)?|[^\w\s]))*)?\s*$"
+)
+_TERMINALS = pa.array([".", "!", "?"], pa.string())
+
+
+def _arrow_fast_sentences(texts: list[str]) -> list:
+    """Per-doc tokenized sentences via Arrow kernels where the fast
+    preconditions hold, else None (caller falls back to the Python regex
+    path for that doc). Returns a list aligned with `texts`."""
+    import numpy as np
+
+    out: list = [None] * len(texts)
+    if not texts:
+        return out
+    arr = pa.array(texts, pa.string())
+    ok = pc.and_(
+        pc.and_(pc.string_is_ascii(arr), pc.equal(arr, pc.ascii_lower(arr))),
+        pc.and_(pc.invert(pc.match_substring(arr, "\n\n")),
+                pc.match_substring_regex(arr, _FAST_TEXT_RE)))
+    ok_np = ok.to_numpy(zero_copy_only=False)
+    idx = np.flatnonzero(ok_np)
+    if idx.size == 0:
+        return out
+    # trim first: ascii_split_whitespace emits empty leading/trailing
+    # tokens for untrimmed input (internal runs collapse correctly)
+    trimmed = pc.utf8_trim_whitespace(arr.take(pa.array(idx)))
+    empty_np = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+    toklists = pc.ascii_split_whitespace(trimmed)
+    offsets = toklists.offsets.to_numpy()
+    flat = toklists.values
+    # one bulk C-loop conversion for the whole batch's tokens (the regex
+    # path allocates the same strings one findall at a time)
+    values = flat.to_pylist()
+    term = pc.is_in(flat, value_set=_TERMINALS).to_numpy(zero_copy_only=False)
+    term_idx = np.flatnonzero(term)
+    lo = np.searchsorted(term_idx, offsets[:-1])
+    hi = np.searchsorted(term_idx, offsets[1:])
+    for j, doc_i in enumerate(idx):
+        if empty_np[j]:
+            out[int(doc_i)] = []
+            continue
+        a, b = int(offsets[j]), int(offsets[j + 1])
+        sents = []
+        start = a
+        for t in term_idx[lo[j]:hi[j]]:
+            sents.append(values[start:t + 1])
+            start = t + 1
+        if start < b:
+            sents.append(values[start:b])
+        out[int(doc_i)] = sents
+    return out
+
+
 class ExtractToTriples:
     """Fused actor stage: (optional prep) + kernel + flatten in one
     `__call__`, so neither the tokenized document rows nor the wide nested
@@ -132,16 +207,21 @@ class ExtractToTriples:
         out = self.flatten.empty_out()
         has_bucket = "bucket" in batch.column_names
         buckets = batch.column("bucket").to_pylist() if has_bucket else None
-        for i, (repo, path, commit, lang, content) in enumerate(zip(
+        contents = batch.column("content").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        texts = [extract_text(c, lg) for c, lg in zip(contents, langs)]
+        fast_sents = _arrow_fast_sentences(texts)
+        for i, (repo, path, commit, content) in enumerate(zip(
             batch.column("repo").to_pylist(), batch.column("path").to_pylist(),
-            batch.column("commit").to_pylist(), batch.column("lang").to_pylist(),
-            batch.column("content").to_pylist(),
+            batch.column("commit").to_pylist(), contents,
         )):
             sha = sha256_hex(content)
-            text = extract_text(content, lang)
-            sents = [[word_norm(t, t) for t in toks]
-                     for s in sentence_split(text)
-                     if (toks := tokenize(s))]
+            sents = fast_sents[i]
+            pre_lowered = sents is not None
+            if not pre_lowered:
+                sents = [[word_norm(t, t) for t in toks]
+                         for s in sentence_split(texts[i])
+                         if (toks := tokenize(s))]
             if not sents or any("" in s for s in sents):  # P15 drop
                 continue
             key = f"{repo}:{path}@{commit[:8]}"
@@ -152,7 +232,8 @@ class ExtractToTriples:
             for child_key, chunk in parts:
                 if fast:
                     rel_rows, clusters, _failed = \
-                        self.kernel.decode_triples_document(chunk)
+                        self.kernel.decode_triples_document(
+                            chunk, pre_lowered=pre_lowered)
                     self.flatten.rows_for_doc_flat(out, child_key, chunk,
                                                    rel_rows, clusters, sha,
                                                    bucket)
@@ -269,9 +350,13 @@ def graph_nodes(triples: "ray.data.Dataset", salt_buckets: int = 1) -> "ray.data
 
 def build_kg(input_dir: str, out_dir: str, n_buckets: int = 16, resume: bool = True,
              concurrency=DEFAULT_KERNEL_CONCURRENCY,
-             batch_size: int = DEFAULT_KERNEL_BATCH_SIZE) -> dict:
+             batch_size: int = DEFAULT_KERNEL_BATCH_SIZE,
+             **kernel_kwargs) -> dict:
     """Full materializing run: triples → `out_dir/bucket=<b>/*.parquet` +
-    per-bucket lineage manifests; valid buckets are skipped on re-run."""
+    per-bucket lineage manifests; valid buckets are skipped on re-run.
+    `kernel_kwargs` (entity_lexicon, weights_path, ...) flow to the fused
+    kernel stage — the scale-graded vocabulary path passes the corpus
+    tier's lexicon here."""
     import os
     import shutil
 
@@ -301,7 +386,8 @@ def build_kg(input_dir: str, out_dir: str, n_buckets: int = 16, resume: bool = T
 
         corpus = corpus.map_batches(drop_done, batch_format="pyarrow")
     triples = corpus.map_batches(
-        ExtractToTriples, fn_constructor_kwargs=dict(do_prep=True),
+        ExtractToTriples,
+        fn_constructor_kwargs=dict(do_prep=True, **kernel_kwargs),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1,
     )

@@ -268,6 +268,20 @@ def connected_components(edges: "ray.data.Dataset", src: str = "src",
     return _components_shuffle(edges, src, dst, max_iter, n_buckets)
 
 
+def _bound_blocks(ds: "ray.data.Dataset", n_buckets: int,
+                  factor: int = 4) -> "ray.data.Dataset":
+    """Cap an iterative state's block count. The Sort-based bucketed joins
+    emit ≈ (sum of input blocks) output blocks, so an un-capped fixpoint
+    state DOUBLES its block count every round — per-task overhead then
+    dominates wall time within ~8 rounds (measured: 3→7→15→31→63→127
+    blocks over 6 color rounds) and scheduler pressure grows the same way
+    at cluster scale. The check is metadata-only on a materialized
+    dataset; the repartition runs only when over the cap."""
+    if ds.num_blocks() > factor * n_buckets:
+        return ds.repartition(n_buckets).materialize()
+    return ds
+
+
 def _components_shuffle(edges: "ray.data.Dataset", src: str,
                         dst: str, max_iter: int,
                         n_buckets: int) -> "ray.data.Dataset":
@@ -328,7 +342,9 @@ def _components_shuffle(edges: "ray.data.Dataset", src: str,
                                     pa.int32()),
             })
 
-        stepped = merged.map_batches(take_min, batch_format="pyarrow").materialize()
+        stepped = _bound_blocks(
+            merged.map_batches(take_min, batch_format="pyarrow").materialize(),
+            n_buckets)
         changed = stepped.sum("_changed") or 0
         labels = stepped.select_columns(["node", "label"])
         if changed == 0:
@@ -429,7 +445,9 @@ def _pagerank_shuffle(edges: "ray.data.Dataset", src: str, dst: str,
             return pd.DataFrame({"node": df["node"],
                                  "units": (base + s).astype("int64")})
 
-        ranks = joined.map_batches(refresh, batch_format="pandas").materialize()
+        ranks = _bound_blocks(
+            joined.map_batches(refresh, batch_format="pandas").materialize(),
+            n_buckets)
 
     def finalize(t: pa.Table) -> pa.Table:
         units = t.column("units").to_numpy(zero_copy_only=False)
@@ -1067,7 +1085,9 @@ def personalized_pagerank(edges: "ray.data.Dataset",
 
 def strongly_connected_components(edges: "ray.data.Dataset",
                                   src: str = "src", dst: str = "dst",
-                                  broadcast_max_nodes: int = 5_000_000
+                                  broadcast_max_nodes: int = 5_000_000,
+                                  mode: str = "auto", n_buckets: int = 32,
+                                  max_rounds: int = 512
                                   ) -> "ray.data.Dataset":
     """(node, scc_id) — strongly connected components of the DIRECTED
     distinct edge set; scc_id = the lexicographically smallest member
@@ -1092,18 +1112,28 @@ def strongly_connected_components(edges: "ray.data.Dataset",
     broadcast-mode contract as `connected_components` / `pagerank` (KG
     node vocabularies are orders of magnitude smaller than edge sets);
     the edge list is collected int32 below LOCAL_MAX_EDGES and otherwise
-    streamed per pass with the state `ray.put` per round. A huge-|V|
-    shuffle fallback is NOT provided for SCC (unlike CC/PageRank/k-core):
-    a per-pass bucketed-join coloring fixpoint multiplies the
-    O(longest-path) pass count by shuffle latency — callers above the
-    node cap get an explicit error, not a silent cliff."""
+    streamed per pass with the state `ray.put` per round.
+
+    `mode`: "broadcast" (state arrays on the driver, admission-bounded by
+    `broadcast_max_nodes`), "shuffle" (the `_scc_shuffle` bucketed-join
+    peel for huge vocabularies — node state lives in Datasets, every pass
+    is a shuffle; same Dataset-frontier pattern as `bfs_distances`), or
+    "auto" (broadcast when the vocabulary fits, else shuffle). The shuffle
+    path pays O(longest remaining path) bucketed rounds per fixpoint —
+    `max_rounds` caps the total with an explicit error, not a hang."""
+    if mode == "auto":
+        mode = ("broadcast"
+                if _broadcast_fits(edges, src, dst, broadcast_max_nodes)
+                else "shuffle")
+    if mode == "shuffle":
+        return _scc_shuffle(edges, src, dst, n_buckets, max_rounds)
     names, indexed = _index_edges(edges, src, dst)
     n = len(names)
     if n > broadcast_max_nodes:
         raise ValueError(
             f"strongly_connected_components: |V|={n} exceeds the broadcast "
-            f"admission ({broadcast_max_nodes}); no shuffle fallback is "
-            "provided for SCC (see docstring)")
+            f"admission ({broadcast_max_nodes}); use mode='auto'/'shuffle' "
+            "for the bucketed-join fallback")
     if n == 0:
         return ray.data.from_arrow(pa.table({
             "node": pa.array([], pa.string()),
@@ -1188,6 +1218,246 @@ def strongly_connected_components(edges: "ray.data.Dataset",
     return ray.data.from_arrow(pa.table({
         "node": pa.array(name_list, pa.string()),
         "scc_id": pa.array([name_list[i] for i in scc], pa.string())}))
+
+
+def _scc_shuffle(edges: "ray.data.Dataset", src: str, dst: str,
+                 n_buckets: int, max_rounds: int) -> "ray.data.Dataset":
+    """Shuffle-mode SCC (|V| beyond the broadcast admission): the SAME
+    trim / forward-min-color / backward-mark peel as the broadcast path,
+    but node state (alive / color / mark) lives in (node, ...) Datasets
+    and every pass is a bucketed join — no |V|-bounded driver arrays.
+    The result is identical by construction (the SCC partition is unique
+    and scc_id = the lexicographically smallest member, so ANY correct
+    path bit-matches; pinned in tests/test_graph.py).
+
+    Cost model: every fixpoint round costs a CONSTANT number of Ray
+    executions (intermediates are composed lazily and materialized once
+    per logical step — per-execution driver overhead is the dominant term
+    on small inputs and a fixed tax on huge ones), each a bucketed
+    shuffle over the alive edge set, which only shrinks; total rounds
+    across trim + color + mark are O(longest simple path) — the
+    documented BSP-SCC bound. `max_rounds` caps the sum with an explicit
+    error instead of silent non-convergence. This is the honest
+    huge-graph path the broadcast docstring used to refuse: prefer
+    broadcast whenever the node vocabulary admits it."""
+    node_type = pa.string()
+    empty = pa.table({"node": pa.array([], pa.string()),
+                      "scc_id": pa.array([], pa.string())})
+
+    def ren(ds, names):
+        return ds.map_batches(lambda t, _n=list(names): t.rename_columns(_n),
+                              batch_format="pyarrow")
+
+    # distinct directed edge set (duplicates only inflate the joins)
+    e = partial_final_agg(
+        ren(edges.select_columns([src, dst]).map_batches(
+            strip_schema_metadata, batch_format="pyarrow"), ["u", "v"]),
+        ["u", "v"], [("_n", None, "count")],
+    ).select_columns(["u", "v"]).materialize()
+    alive = _nodes_of(edges, src, dst).materialize()
+    n_alive = alive.count()
+    out_parts: list = []
+    rounds = 0
+
+    import os as _os
+    import sys as _sys
+    import time as _time
+    _dbg = bool(_os.environ.get("GRAFT_SCC_DEBUG"))
+    _t0 = _time.time()
+
+    def tick(phase: str = "?"):
+        nonlocal rounds
+        rounds += 1
+        if _dbg:
+            print(f"scc round {rounds} [{phase}] t={_time.time() - _t0:.1f}s "
+                  f"n_alive={n_alive}", file=_sys.stderr, flush=True)
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"_scc_shuffle: exceeded max_rounds={max_rounds} bucketed "
+                "fixpoint rounds (longest path beyond the round budget); "
+                "raise max_rounds or use mode='broadcast'")
+
+    def keep_alive(edge_ds, alive_ds):
+        """Semi-join both endpoints against the alive node set — composed
+        lazily, ONE materializing execution."""
+        for col in ("u", "v"):
+            edge_ds = hash_join(
+                edge_ds, ren(alive_ds, [col]), on=col, n_buckets=n_buckets,
+                left_types={"u": node_type, "v": node_type},
+                right_types={col: node_type})
+        return _bound_blocks(edge_ds.materialize(), n_buckets)
+
+    def deg_both(t: pa.Table) -> pa.Table:
+        # both degree roles in ONE pass (and ONE downstream join — chained
+        # left joins would push nulled int64 columns into a key cast)
+        u, v = t.column("u"), t.column("v")
+        node = pa.chunked_array(list(u.chunks) + list(v.chunks), node_type)
+        n_u, n_v = len(u), len(v)
+        return pa.table({
+            "node": node,
+            "outd_p": pa.array(np.r_[np.ones(n_u, np.int64),
+                                     np.zeros(n_v, np.int64)]),
+            "ind_p": pa.array(np.r_[np.zeros(n_u, np.int64),
+                                    np.ones(n_v, np.int64)])})
+
+    def flag_trim(t: pa.Table) -> pa.Table:
+        # missing keys may surface as nulls OR float NaN depending on the
+        # join task's frame dtype — treat both as degree 0
+        def dead(col):
+            f = pc.cast(col, pa.float64())
+            return pc.or_kleene(pc.is_null(f, nan_is_null=True),
+                                pc.equal(f, 0.0))
+
+        trim = pc.or_kleene(dead(t.column("outd")), dead(t.column("ind")))
+        return pa.table({"node": t.column("node"),
+                         "_trim": pc.cast(trim, pa.int32())})
+
+    def split(flagged_ds, col, want):
+        return flagged_ds.map_batches(
+            lambda t, _c=col, _w=want: pa.table({"node": t.filter(
+                pc.equal(t.column(_c), _w)).column("node")}),
+            batch_format="pyarrow")
+
+    while n_alive > 0:
+        # ---- trim fixpoint: alive nodes with in- or out-degree 0 over
+        # the alive edge set are singleton SCCs
+        while True:
+            tick("trim")
+            deg = partial_final_agg(
+                e.map_batches(deg_both, batch_format="pyarrow"),
+                ["node"], [("outd", "outd_p", "sum"),
+                           ("ind", "ind_p", "sum")])
+            flagged = hash_join(
+                alive, deg, on="node", how="left", n_buckets=n_buckets,
+                left_types={"node": node_type},
+                right_types={"node": node_type, "outd": pa.int64(),
+                             "ind": pa.int64()},
+            ).map_batches(flag_trim, batch_format="pyarrow").materialize()
+            flagged = _bound_blocks(flagged, n_buckets)
+            n_trim = flagged.sum("_trim") or 0
+            if n_trim == 0:
+                break
+            out_parts.append(split(flagged, "_trim", 1).map_batches(
+                lambda t: pa.table({"node": t.column("node"),
+                                    "scc_id": t.column("node")}),
+                batch_format="pyarrow"))
+            alive = _bound_blocks(split(flagged, "_trim", 0).materialize(),
+                                  n_buckets)
+            n_alive -= n_trim
+            if n_alive == 0:
+                break
+            e = keep_alive(e, alive)
+        if n_alive == 0:
+            break
+
+        # ---- forward min-label coloring to fixpoint (directed edges)
+        colors = alive.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "color": t.column("node")}),
+            batch_format="pyarrow").materialize()
+        while True:
+            tick("color")
+            nbr = hash_join(
+                e, ren(colors, ["u", "color"]), on="u", n_buckets=n_buckets,
+                left_types={"u": node_type, "v": node_type},
+                right_types={"u": node_type, "color": node_type},
+                bucket_post=lambda df: df.groupby("v", as_index=False)
+                                         .agg(cand=("color", "min")))
+            cand = partial_final_agg(ren(nbr, ["node", "cand"]),
+                                     ["node"], [("cand", "cand", "min")])
+
+            def take_min(t: pa.Table) -> pa.Table:
+                new = pc.min_element_wise(t.column("color"),
+                                          t.column("cand"), skip_nulls=True)
+                return pa.table({
+                    "node": t.column("node"), "color": new,
+                    "_changed": pc.cast(
+                        pc.not_equal(new, t.column("color")), pa.int32())})
+
+            stepped = hash_join(
+                colors, cand, on="node", how="left", n_buckets=n_buckets,
+                left_types={"node": node_type, "color": node_type},
+                right_types={"node": node_type, "cand": node_type},
+            ).map_batches(take_min, batch_format="pyarrow").materialize()
+            stepped = _bound_blocks(stepped, n_buckets)
+            changed = stepped.sum("_changed") or 0
+            colors = stepped.select_columns(["node", "color"])
+            if changed == 0:
+                break
+        colors = colors.materialize()
+
+        # ---- backward mark from each color root inside its color class:
+        # attach both endpoint colors once, keep intra-color edges only
+        ec = hash_join(e, ren(colors, ["u", "cu"]), on="u",
+                       n_buckets=n_buckets,
+                       left_types={"u": node_type, "v": node_type},
+                       right_types={"u": node_type, "cu": node_type})
+        ec = hash_join(
+            ec, ren(colors, ["v", "cv"]), on="v", n_buckets=n_buckets,
+            left_types={"u": node_type, "v": node_type, "cu": node_type},
+            right_types={"v": node_type, "cv": node_type},
+            bucket_post=lambda df: df[df["cu"] == df["cv"]][["u", "v"]],
+        ).materialize()
+        marked = colors.map_batches(
+            lambda t: pa.table({"node": t.filter(pc.equal(
+                t.column("node"), t.column("color"))).column("node")}),
+            batch_format="pyarrow").materialize()
+        m_count = marked.count()
+        while True:
+            tick("mark")
+            preds = hash_join(
+                ec, ren(marked, ["v"]), on="v", n_buckets=n_buckets,
+                left_types={"u": node_type, "v": node_type},
+                right_types={"v": node_type},
+                bucket_post=lambda df: df[["u"]].drop_duplicates())
+            new_marked = partial_final_agg(
+                marked.union(ren(preds, ["node"])),
+                ["node"], [("_n", None, "count")],
+            ).select_columns(["node"]).materialize()
+            new_marked = _bound_blocks(new_marked, n_buckets)
+            new_count = new_marked.count()
+            marked, prev = new_marked, m_count
+            m_count = new_count
+            if new_count == prev:
+                break
+
+        # every marked node's SCC id is its color (the root is the
+        # lexicographic minimum of its SCC — see broadcast docstring)
+        out_parts.append(hash_join(
+            marked, colors, on="node", n_buckets=n_buckets,
+            left_types={"node": node_type},
+            right_types={"node": node_type, "color": node_type},
+        ).map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "scc_id": t.column("color")}),
+            batch_format="pyarrow").materialize())
+
+        # peel: drop marked nodes and their edges, continue on the rest
+        alive = hash_join(
+            alive, marked.map_batches(
+                lambda t: t.append_column(
+                    "_m", pa.array(np.ones(t.num_rows, np.int32))),
+                batch_format="pyarrow"),
+            on="node", how="left", n_buckets=n_buckets,
+            left_types={"node": node_type},
+            right_types={"node": node_type, "_m": pa.int32()},
+        ).map_batches(
+            lambda t: pa.table({"node": t.filter(pc.is_null(
+                pc.cast(t.column("_m"), pa.float64()),
+                nan_is_null=True)).column("node")}),
+            batch_format="pyarrow").materialize()
+        alive = _bound_blocks(alive, n_buckets)
+        n_alive -= m_count
+        if n_alive == 0:
+            break
+        e = keep_alive(e, alive)
+
+    if not out_parts:
+        return ray.data.from_arrow(empty)
+    res = out_parts[0]
+    for p in out_parts[1:]:
+        res = res.union(p)
+    return res
 
 
 def label_propagation(edges: "ray.data.Dataset", src: str = "src",
@@ -1634,13 +1904,23 @@ def truss_decomposition(edges: "ray.data.Dataset", src: str = "src",
     UNIQUE, so the result is removal-order independent.
 
     Contract: driver peel under the `LOCAL_MAX_EDGES` admission bound
-    (|E|-bounded state — same discipline as kg_scc's |V| bound). NO
-    shuffle fallback BY DESIGN: each distributed peel round would be a
-    full triangle recount (an all-to-all join per round, O(peel-depth)
-    rounds); callers above the bound get an explicit admission error
-    instead of a silent cliff. Support updates during the peel touch only
-    the removed edge's live common neighbors, so the local peel is
-    O(Σ support) after the initial intersection pass."""
+    (|E|-bounded state). NO shuffle fallback — a FORMAL, documented waiver
+    (round-5 decision; pinned by test_truss_admission_guard): unlike SCC
+    (which gained `_scc_shuffle`, whose per-round state is a min-/or-
+    scatter expressible as one bucketed join), a distributed truss peel
+    round must RE-ENUMERATE the triangles incident to every removed edge —
+    a degree-ordered wedge join (two shuffles over the alive edge set) per
+    peel round, O(peel-depth) rounds, with no partial that shrinks
+    monotonically. At KG scale the wedge join alone is the most expensive
+    op in this module (kg_triangles ≈ 9 s at sf0.1); multiplying it by
+    peel depth is strictly worse than computing trussness per k-core-
+    bounded SUBGRAPH — callers above the bound should first restrict to a
+    k-core (`kcore_decomposition`, which HAS a shuffle path) and run the
+    local peel per core, which is how community-core analysis uses
+    trussness in practice. Callers above the bound get an explicit
+    admission error instead of a silent cliff. Support updates during the
+    peel touch only the removed edge's live common neighbors, so the local
+    peel is O(Σ support) after the initial intersection pass."""
     from collections import deque
 
     und = _dedup_undirected(edges, src, dst)

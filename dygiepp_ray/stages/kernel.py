@@ -948,7 +948,8 @@ class ExtractionKernel:
             empty = [[] for _ in sentences]
             return empty, [[] for _ in sentences], [[] for _ in sentences], [], True
 
-    def decode_triples_document(self, sentences: list[list[str]]):
+    def decode_triples_document(self, sentences: list[list[str]],
+                                pre_lowered: bool = False):
         """Bandwidth-lean decode for the fused triples path (canonical coref
         mode only — `ExtractToTriples` falls back to `decode_document` for
         antecedent mode). Returns `(rel_rows, clusters, failed)` with
@@ -985,7 +986,10 @@ class ExtractionKernel:
         try:
             for sent_ix, sent in enumerate(sentences):
                 n = len(sent)
-                lower = [t.lower() for t in sent]
+                # pre_lowered: the Arrow fast prep (pipelines/kg.py) only
+                # admits all-lowercase ASCII text, so .lower() would be a
+                # per-token identity COPY — reuse the list instead
+                lower = sent if pre_lowered else [t.lower() for t in sent]
                 hits = scorer.find_hits(lower)
                 if hits:
                     texts = [" ".join(lower[s : e + 1]) for (s, e, _lab) in hits]

@@ -61,18 +61,28 @@ def _feat_indices(feats: list[str], dim: int) -> np.ndarray:
 
 
 def span_feature_strings(text: str) -> list[str]:
-    """Shared train/inference feature map for a span's (lowercased) text."""
+    """Shared train/inference feature map for a span's (lowercased) text.
+
+    Includes CONJUNCTION features (adjacent-token bigrams, first×last):
+    single-token features alone cannot separate phrases built from shared
+    vocabulary ("merge sort" vs "sort merge join") once the corpus entity
+    mix shifts — the bigrams keep the held-out-distribution conformance
+    gate (tests/test_learned.py) above 0.95 without a second layer."""
     toks = text.split()
     feats = ["B:", f"S:{text}", f"N:{len(toks)}"]
     feats += [f"T:{t}" for t in toks]
+    feats += [f"P:{a}_{b}" for a, b in zip(toks, toks[1:])]
     if toks:
-        feats += [f"F:{toks[0]}", f"L:{toks[-1]}"]
+        feats += [f"F:{toks[0]}", f"L:{toks[-1]}",
+                  f"FL:{toks[0]}_{toks[-1]}"]
     return feats
 
 
 def between_feature_strings(text: str) -> list[str]:
     toks = text.split()
-    return ["B:", f"R:{text}"] + [f"C:{t}" for t in toks]
+    feats = ["B:", f"R:{text}"] + [f"C:{t}" for t in toks]
+    feats += [f"D:{a}_{b}" for a, b in zip(toks, toks[1:])]
+    return feats
 
 
 def token_feature_strings(tok: str) -> list[str]:

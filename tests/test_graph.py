@@ -631,6 +631,8 @@ def test_scc_streaming_path_matches_local(monkeypatch):
 
 
 def test_scc_admission_guard():
+    # explicit broadcast mode above the node cap still errors (no silent
+    # driver-state blowup) — but auto now FALLS BACK to the shuffle peel
     import pytest
 
     from dygiepp_ray.stages.graph import strongly_connected_components
@@ -638,7 +640,54 @@ def test_scc_admission_guard():
     with pytest.raises(ValueError, match="broadcast admission"):
         strongly_connected_components(
             _edge_ds([("a", "b"), ("b", "a")]),
-            broadcast_max_nodes=1).to_pandas()
+            broadcast_max_nodes=1, mode="broadcast").to_pandas()
+
+
+def test_scc_shuffle_fallback_matches_broadcast():
+    """VERDICT r4 #3: the huge-|V| Dataset-frontier peel. Pin the shuffle
+    path bit-equal to the broadcast/driver path on shapes that exercise
+    every peel phase (trim chains, nested cycles, self-loops), both via
+    mode='shuffle' and via the auto-mode admission falling back."""
+    import numpy as np
+
+    from dygiepp_ray.stages.graph import strongly_connected_components
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+             ("e", "d"), ("e", "f"), ("f", "g"), ("z", "z"), ("x", "y")]
+    want = _scc_oracle(pairs)
+    got = strongly_connected_components(
+        _edge_ds(pairs).repartition(3), mode="shuffle",
+        n_buckets=4).to_pandas()
+    assert dict(zip(got["node"], got["scc_id"])) == want
+    # auto-mode fallback: node cap of 1 admits nothing -> shuffle path
+    got2 = strongly_connected_components(
+        _edge_ds(pairs), broadcast_max_nodes=1).to_pandas()
+    assert dict(zip(got2["node"], got2["scc_id"])) == want
+
+    for seed, nn, ne in [(11, 14, 35), (12, 22, 60)]:
+        rng = np.random.RandomState(seed)
+        names = [f"n{i:02d}" for i in range(nn)]
+        rpairs = sorted({(names[rng.randint(nn)], names[rng.randint(nn)])
+                         for _ in range(ne)})
+        b = strongly_connected_components(
+            _edge_ds(rpairs), mode="broadcast").to_pandas()
+        s = strongly_connected_components(
+            _edge_ds(rpairs).repartition(4), mode="shuffle",
+            n_buckets=4).to_pandas()
+        pd.testing.assert_frame_equal(
+            b.sort_values("node").reset_index(drop=True),
+            s.sort_values("node").reset_index(drop=True))
+
+
+def test_scc_shuffle_round_budget():
+    import pytest
+
+    from dygiepp_ray.stages.graph import strongly_connected_components
+
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        strongly_connected_components(
+            _edge_ds([("a", "b"), ("b", "c"), ("c", "a")]),
+            mode="shuffle", max_rounds=1).to_pandas()
 
 
 def _inverse_pred_oracle(tri_rows, scale=10_000):

@@ -220,3 +220,79 @@ def test_fused_triples_path_equivalence():
             tb = FlattenTriples.to_table(out_b, True)
             assert ta.equals(tb), (label_map, use_coref)
             assert ta.num_rows > 0
+
+
+def test_arrow_fast_sentences_matches_python_chain():
+    """The Arrow tokenize/sentence-split fast path must equal the Python
+    regex chain (sentence_split -> tokenize -> word_normalize) wherever it
+    fires, and must DECLINE (None) every input that could diverge."""
+    import dygiepp_ray.pipelines.kg as kg
+    from dygiepp_ray.functions.strings import sentence_split, tokenize
+
+    word_norm = {"/.": ".", "/?": "?"}.get
+
+    def python_chain(text):
+        return [[word_norm(t, t) for t in toks]
+                for s in sentence_split(text) if (toks := tokenize(s))]
+
+    texts = [
+        "hash join is used for bloom filter . latency is part of it .",
+        "a . . b ? trailing tail without terminal",
+        "don't touch the spill 's path .",
+        "one\nline breaks but no blank line . second sentence !",
+        "",
+        "   ",
+        ". leading terminal",
+        "UPPER case falls back .",          # not lowercase
+        "bad/. token falls back .",         # chunk regex fails
+        "blank\n\nline falls back .",       # \n{2,} rule needs raw text
+        "unicode café falls back .",   # non-ascii
+        "x = scan(t42) mixed chunk",        # word+punct chunk
+    ]
+    fast = kg._arrow_fast_sentences(texts)
+    n_fast = sum(1 for f in fast if f is not None)
+    # "don't ... 's ..." correctly DECLINES: the bare "'s" chunk is
+    # punct+word, which tokenize splits but whitespace-split would not
+    assert n_fast >= 6, f"fast path vacuous: only {n_fast} admitted"
+    for text, got in zip(texts, fast):
+        if got is not None:
+            assert got == python_chain(text), text
+    # the four adversarial tails must all decline
+    for text, got in list(zip(texts, fast))[-5:]:
+        assert got is None, f"fast path wrongly admitted: {text!r}"
+
+
+def test_arrow_fast_prep_equivalence(monkeypatch):
+    """ExtractToTriples(do_prep=True) with the Arrow fast prep enabled must
+    emit a byte-identical triple table to the forced-Python-path run, on a
+    batch mixing fast-eligible and fallback documents."""
+    import pyarrow as pa
+
+    import dygiepp_ray.pipelines.kg as kg
+
+    contents = [
+        ("python", "def f():\n    # hash join is used for bloom filter .\n"
+                   "    # it is part of latency .\n    pass\n"),
+        ("markdown", "merge sort is compared with hash join .\n"
+                     "latency shipped throughput .\n"),
+        ("markdown", "UPPER Case doc . bloom filter is part of latency .\n"),
+        ("markdown", "weird/. token . cost model is used for latency .\n"),
+        ("markdown", "para one .\n\npara two : bloom filter .\n"),
+        ("go", "// query planner is evaluated by scan time .\nfunc main() {}\n"),
+        ("python", ""),
+    ]
+    n = len(contents)
+    batch = pa.table({
+        "repo": [f"org/r{i}" for i in range(n)],
+        "path": [f"src/f{i}" for i in range(n)],
+        "commit": ["deadbeefcafe" + str(i) for i in range(n)],
+        "lang": [lg for lg, _ in contents],
+        "content": [c for _, c in contents],
+    })
+    stage = kg.ExtractToTriples(do_prep=True)
+    fast_tbl = stage(batch)
+    monkeypatch.setattr(kg, "_arrow_fast_sentences",
+                        lambda texts: [None] * len(texts))
+    slow_tbl = kg.ExtractToTriples(do_prep=True)(batch)
+    assert fast_tbl.equals(slow_tbl)
+    assert fast_tbl.num_rows > 0

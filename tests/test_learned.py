@@ -58,6 +58,23 @@ def test_learned_scorer_north_rule_conformance(corpora, trained):
         assert r >= 0.95, f"{head} recall {r:.4f} < 0.95"
 
 
+def test_learned_conformance_held_out_distribution(trained):
+    """VERDICT r4 #4: the ≥0.95 gate on a held-out DISTRIBUTION, not just
+    a held-out sample — the eval sentences use a permuted entity-frequency
+    ranking (entities rare in training become frequent here) and an unseen
+    seed, so memorizing the training mix cannot pass. The conjunction
+    features (span bigrams / first×last) carry this gate."""
+    from dygiepp_ray.corpus import make_sentences
+
+    sents = make_sentences(n=400, seed=555, entity_order_seed=99)
+    prf = conformance_prf(sents, trained)
+    report = {h: (round(p, 4), round(r, 4)) for h, (p, r) in prf.items()}
+    print(f"held-out-distribution conformance P/R: {report}")
+    for head, (p, r) in prf.items():
+        assert p >= 0.95, f"{head} precision {p:.4f} < 0.95 (held-out mix)"
+        assert r >= 0.95, f"{head} recall {r:.4f} < 0.95 (held-out mix)"
+
+
 def test_learned_weights_are_actually_learned(trained):
     """The logits must come from trained parameter matrices, not tables:
     the weight matrices are dense-ish real-valued arrays touched by
