@@ -19,8 +19,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_FILES = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
-CORPUS = f"/tmp/dygiepp_ray_stress/corpus_{N_FILES}"
-OUT = f"/tmp/dygiepp_ray_stress/kg_{N_FILES}"
+# GRAFT_STRESS_CORPUS: reuse a prebuilt corpus dir (e.g. the 2.3M-file
+# scaling corpus) instead of generating one — the REAL stress tier; the
+# default 20k tier is 10x the sf0.1 kg corpus per the literal criterion
+# but finishes in seconds on this box.
+CORPUS_OVERRIDE = os.environ.get("GRAFT_STRESS_CORPUS")
+CORPUS = CORPUS_OVERRIDE or f"/tmp/dygiepp_ray_stress/corpus_{N_FILES}"
+OUT = f"/tmp/dygiepp_ray_stress/kg_{os.path.basename(CORPUS)}"
 
 
 def _spill_bytes() -> int:
@@ -52,14 +57,18 @@ def main() -> None:
                  "loadavg_preflight": [round(x, 2) for x in os.getloadavg()]}
 
     t0 = time.time()
-    write_corpus_sharded(CORPUS, n_files=N_FILES, seed=42, n_shards=64,
-                         vocab_n=N_FILES)
+    if CORPUS_OVERRIDE is None:
+        write_corpus_sharded(CORPUS, n_files=N_FILES, seed=42, n_shards=64,
+                             vocab_n=N_FILES)
+    res["corpus"] = CORPUS
     res["corpus_gen_sec"] = round(time.time() - t0, 1)
     res["corpus_bytes"] = sum(
         os.path.getsize(p) for p in glob.glob(f"{CORPUS}/*.parquet"))
 
-    lex = scaled_entity_lexicon(N_FILES)
-    res["lexicon_size"] = len(lex)
+    # prebuilt corpora (the scaling corpus) use the legacy base lexicon
+    lex = (scaled_entity_lexicon(N_FILES) if CORPUS_OVERRIDE is None
+           else None)
+    res["lexicon_size"] = len(lex) if lex is not None else "base"
 
     shutil.rmtree(OUT, ignore_errors=True)
     t0 = time.time()
