@@ -863,6 +863,16 @@ class ExtractionKernel:
         self.coref_prop = coref_prop
         self.coref_mode = coref_mode
         self._canon_cache: dict[str, str] = {}
+        # per-actor SENTENCE decode memo for the fused triples path: the
+        # sentence-local decode is a pure function of the (lowercased)
+        # token list given a fixed scorer, and web-scale corpora are
+        # boilerplate-heavy (the 2.3M-file bench corpus measures ~77%
+        # exact-duplicate sentences within two shards), so memoizing the
+        # (relation rows, span-registry contributions) per distinct
+        # sentence skips find_hits + the pair loop on every repeat.
+        # Epoch-cleared at the cap (~128k entries ≈ tens of MB per actor).
+        self._sent_cache: dict[str, tuple] = {}
+        self._sent_cache_cap = 131_072
 
     def _canon(self, text: str) -> str:
         v = self._canon_cache.get(text)
@@ -980,8 +990,11 @@ class ExtractionKernel:
         rel_get = scorer.rel_label.get
         maxpat = scorer.max_pattern_len
         canon = self._canon
+        cache = self._sent_cache
+        cache_get = cache.get
         rel_rows: list[tuple] = []
         span_registry: dict[str, list[tuple[int, int]]] = {}
+        setdefault = span_registry.setdefault
         offset = 0
         try:
             for sent_ix, sent in enumerate(sentences):
@@ -990,35 +1003,50 @@ class ExtractionKernel:
                 # admits all-lowercase ASCII text, so .lower() would be a
                 # per-token identity COPY — reuse the list instead
                 lower = sent if pre_lowered else [t.lower() for t in sent]
-                hits = scorer.find_hits(lower)
-                if hits:
-                    texts = [" ".join(lower[s : e + 1]) for (s, e, _lab) in hits]
-                    for (s, e, _lab), t in zip(hits, texts):
-                        key = canon(t)
-                        if key:
-                            span_registry.setdefault(key, []).append(
-                                (offset + s, offset + e))
-                    mentions = [2.0 + _jitter(t) for t in texts]
-                    k = max(1, math.ceil(RELATION_SPANS_PER_WORD * n))
-                    if len(hits) <= k:
-                        kept: list[int] = list(range(len(hits)))
-                    else:
-                        kept = sorted(sorted(
-                            range(len(hits)),
-                            key=lambda i: (-mentions[i], i))[:k])
-                    for ai in kept:
-                        s1, e1, _ = hits[ai]
-                        for bi in kept:
-                            if ai == bi:
-                                continue
-                            s2, e2, _ = hits[bi]
-                            if e1 < s2 and (s2 - e1 - 1) <= maxpat:
-                                lab = rel_get(" ".join(lower[e1 + 1 : s2]))
-                                if lab is not None:
-                                    m12 = mentions[ai] + mentions[bi]
-                                    rel_rows.append((
-                                        sent_ix, s1, e1, s2, e2, lab,
-                                        _round(_rel_softmax(m12, lab))))
+                ckey = "\x00".join(lower)
+                entry = cache_get(ckey)
+                if entry is None:
+                    local_rel: list[tuple] = []
+                    local_spans: list[tuple] = []
+                    hits = scorer.find_hits(lower)
+                    if hits:
+                        texts = [" ".join(lower[s : e + 1])
+                                 for (s, e, _lab) in hits]
+                        for (s, e, _lab), t in zip(hits, texts):
+                            key = canon(t)
+                            if key:
+                                local_spans.append((key, s, e))
+                        mentions = [2.0 + _jitter(t) for t in texts]
+                        k = max(1, math.ceil(RELATION_SPANS_PER_WORD * n))
+                        if len(hits) <= k:
+                            kept: list[int] = list(range(len(hits)))
+                        else:
+                            kept = sorted(sorted(
+                                range(len(hits)),
+                                key=lambda i: (-mentions[i], i))[:k])
+                        for ai in kept:
+                            s1, e1, _ = hits[ai]
+                            for bi in kept:
+                                if ai == bi:
+                                    continue
+                                s2, e2, _ = hits[bi]
+                                if e1 < s2 and (s2 - e1 - 1) <= maxpat:
+                                    lab = rel_get(
+                                        " ".join(lower[e1 + 1 : s2]))
+                                    if lab is not None:
+                                        m12 = mentions[ai] + mentions[bi]
+                                        local_rel.append((
+                                            s1, e1, s2, e2, lab,
+                                            _round(_rel_softmax(m12, lab))))
+                    if len(cache) >= self._sent_cache_cap:
+                        cache.clear()  # epoch reset — bounded memory
+                    entry = (local_rel, local_spans)
+                    cache[ckey] = entry
+                local_rel, local_spans = entry
+                for (s1, e1, s2, e2, lab, conf) in local_rel:
+                    rel_rows.append((sent_ix, s1, e1, s2, e2, lab, conf))
+                for (key, s, e) in local_spans:
+                    setdefault(key, []).append((offset + s, offset + e))
                 offset += n
             clusters = [v for v in span_registry.values() if len(v) >= 2]
             return rel_rows, clusters, False

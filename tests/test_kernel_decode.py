@@ -296,3 +296,41 @@ def test_arrow_fast_prep_equivalence(monkeypatch):
     slow_tbl = kg.ExtractToTriples(do_prep=True)(batch)
     assert fast_tbl.equals(slow_tbl)
     assert fast_tbl.num_rows > 0
+
+
+def test_arrow_fast_sentences_property_based():
+    """Property pin for the Arrow fast prep: over arbitrary generated ASCII
+    text (words, punctuation, whitespace runs, newlines), every admitted
+    doc must equal the Python regex chain exactly — hypothesis drives the
+    precondition boundary harder than the hand-picked cases."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import dygiepp_ray.pipelines.kg as kg
+    from dygiepp_ray.functions.strings import sentence_split, tokenize
+
+    word_norm = {"/.": ".", "/?": "?"}.get
+
+    def python_chain(text):
+        return [[word_norm(t, t) for t in toks]
+                for s in sentence_split(text) if (toks := tokenize(s))]
+
+    piece = st.one_of(
+        st.text(alphabet="abcdefghij", min_size=1, max_size=6),
+        st.sampled_from([".", "!", "?", ",", ":", "'", "/.",
+                         "don't", "x=1", "a.b", "CAP", "café"]),
+        st.sampled_from([" ", "  ", "\n", "\n\n", "\t"]),
+    )
+    texts = st.lists(
+        st.lists(piece, min_size=0, max_size=30).map(" ".join),
+        min_size=1, max_size=8)
+
+    @settings(max_examples=150, deadline=None)
+    @given(texts)
+    def check(batch):
+        fast = kg._arrow_fast_sentences(batch)
+        for text, got in zip(batch, fast):
+            if got is not None:
+                assert got == python_chain(text), repr(text)
+
+    check()
